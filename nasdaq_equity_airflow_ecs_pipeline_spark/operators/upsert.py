@@ -1,0 +1,80 @@
+"""Keyed upsert (reference K5: Iceberg ``MERGE INTO``,
+glue/jobs/build_stock_fact_table.py:104-111; key sets J3-J7).
+
+The local image has no Iceberg/Delta jars, so the engine ships a pure-Spark
+MERGE equivalent with the same semantics: matched target rows are replaced
+by source rows (``UPDATE SET *``), unmatched source rows are inserted
+(``INSERT *``), and the operation is idempotent on the key.
+
+Plan shape: a left_anti join (target rows whose key is absent from the
+source) unioned with the source. Both sides shuffle on the key — the same
+join MERGE compiles to internally. On a cluster this pairs with a
+partitioned table layout so only affected partitions rewrite
+(copy-on-write); here the table is a parquet dir and we atomically swap.
+
+``preserve_cols`` reproduces the dim_stock MERGE that keeps
+``first_seen_date``/``stock_key`` from the matched target row
+(build_stock_dimensions.py:93-100).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: list[str],
+    preserve_cols: list[str] | None = None,
+) -> DataFrame:
+    """Return target MERGE source on keys (WHEN MATCHED UPDATE SET *,
+    WHEN NOT MATCHED INSERT *). ``target=None`` = first run (CREATE)."""
+    if target is None:
+        return source
+    if preserve_cols:
+        # matched rows keep `preserve_cols` from the target
+        tgt_keep = target.select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            *[F.col(c).alias(f"_p_{c}") for c in preserve_cols],
+        )
+        cond = [source[k] == tgt_keep[f"_k_{k}"] for k in keys]
+        merged_src = source.join(tgt_keep, cond, "left")
+        out_cols = []
+        for c in source.columns:
+            if c in preserve_cols:
+                out_cols.append(
+                    F.coalesce(F.col(f"_p_{c}"), F.col(c)).alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        source = merged_src.select(*out_cols)
+    survivors = target.join(source.select(*keys), keys, "left_anti")
+    return survivors.unionByName(source)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    preserve_cols: list[str] | None = None,
+) -> None:
+    """Idempotent upsert into a parquet dir (local stand-in for an Iceberg
+    table): read-modify-write with an atomic directory swap."""
+    target = spark.read.parquet(path) if os.path.exists(path) else None
+    merged = merge_upsert(target, source, keys, preserve_cols=preserve_cols)
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -1,0 +1,20 @@
+"""Driver-contract query registry.
+
+Each submodule exposes ``QUERIES: dict[name, fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, sql]`` (DuckDB-equivalent ANSI SQL). Names missing
+from ORACLES get the driver's weaker rows-only check (reserved for
+non-SQL-expressible operators).
+"""
+
+from __future__ import annotations
+
+from . import reference
+from . import llm_ops
+
+QUERIES = {}
+ORACLES = {}
+for _m in (reference, llm_ops):
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)
+
+__all__ = ["QUERIES", "ORACLES"]

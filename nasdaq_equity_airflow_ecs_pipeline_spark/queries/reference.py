@@ -1,0 +1,597 @@
+"""Reference-surface contract queries (SURVEY.md §2 → §7.4 mapping).
+
+Every query is expressed over the driver's synthetic TPC-H-ish tables and
+mirrors one (or a composition) of the reference pipeline's operators:
+scans+typed projections (S1/P1), CASE bucketing (P3), latest-wins dedup
+(W1), calendar dim generation (S3/P7), star joins (J1/J2), deterministic
+OHLC rollups (A1-A3 with §4.3.1 fixed), top-k/limit (O1-O3), quality
+assertions (V1-V8).
+
+Determinism / oracle-stability conventions (see functions/stable.py):
+- money aggregates go through decimal casts (order-independent),
+- open/close use min/max over a struct sort key (single hash aggregate —
+  cheaper at scale than the reference's window pattern and deterministic,
+  unlike its bare first()/last(), build_stock_aggregations.py:88-89),
+- every window order is a total order (unique tiebreaker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stable import (
+    davg, dstddev, dsum, sql_davg, sql_dstddev, sql_dsum,
+)
+from ..operators.dedup import latest_wins
+from ..sources.inline import build_dim_date_frame
+from ..sources.tables import load_table
+
+
+def _li(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem")
+
+
+# ---------------------------------------------------------------- S1/P1/P5/P6
+def q_scan_project_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed wide projection with rename+cast (fact P1 analog,
+    build_stock_fact_table.py:55-76) + derived money columns (P5)."""
+    li = _li(spark, sf)
+    dec = "decimal(18,4)"
+    # money math in decimal: raw 2dp doubles cast exactly, products stay
+    # exact until one final defined rounding (cross-engine-identical —
+    # computed doubles must never be re-cast to decimal, see stable.py)
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax1 = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").cast(dec).alias("quantity"),
+        F.col("l_extendedprice").cast(dec).alias("extended_price"),
+        (ep * disc1).cast(dec).alias("revenue"),
+        # scale 6 is the exact scale of the product — no rounding happens.
+        # (Spark rounds decimal scale-reduction HALF_UP, DuckDB half-to-even,
+        # so any lossy decimal cast would diverge on ties.)
+        (ep * disc1 * tax1).cast("decimal(24,6)").alias("charge"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+
+
+SQL_SCAN_PROJECT_CAST = """
+SELECT
+  l_orderkey AS order_key,
+  l_linenumber AS line_number,
+  CAST(l_quantity AS DECIMAL(18,4)) AS quantity,
+  CAST(l_extendedprice AS DECIMAL(18,4)) AS extended_price,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       AS DECIMAL(18,4)) AS revenue,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+       * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+       AS DECIMAL(24,6)) AS charge,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  l_returnflag AS return_flag
+FROM lineitem
+"""
+
+
+# ------------------------------------------------------------------- P3/P4
+def q_case_bucketing(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE-WHEN tiering + constant columns (market-cap tier P3/P4 analog,
+    build_stock_dimensions.py:57-64)."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.when(F.col("p_size") > 40, "Large")
+        .when(F.col("p_size") > 20, "Medium")
+        .otherwise("Small")
+        .alias("size_tier"),
+        F.lit("catalog").alias("source_system"),
+        F.lit(True).alias("is_active"),
+        F.col("p_retailprice").cast("decimal(18,4)").alias("retail_price"),
+    )
+
+
+SQL_CASE_BUCKETING = """
+SELECT
+  p_partkey AS part_key,
+  p_name AS part_name,
+  CASE WHEN p_size > 40 THEN 'Large'
+       WHEN p_size > 20 THEN 'Medium'
+       ELSE 'Small' END AS size_tier,
+  'catalog' AS source_system,
+  TRUE AS is_active,
+  CAST(p_retailprice AS DECIMAL(18,4)) AS retail_price
+FROM part
+"""
+
+
+# ---------------------------------------------------------------- W1/P8/P9
+def q_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins dedup (W1, build_stock_fact_table.py:39-48): one row per
+    user, the most recent event; total order via (ts, event_id) desc."""
+    ev = load_table(spark, sf, "events")
+    return latest_wins(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SQL_DEDUP_LATEST = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ------------------------------------------------------------------- S3/P7
+def q_date_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated calendar dimension (S3/P7, build_stock_dimensions.py:112-141)
+    — distributed sequence/explode instead of a driver-side loop."""
+    return build_dim_date_frame(spark)
+
+
+SQL_DATE_DIM = """
+SELECT
+  CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+  CAST(d AS DATE) AS date,
+  CAST(year(d) AS INT) AS year,
+  CAST(quarter(d) AS INT) AS quarter,
+  CAST(month(d) AS INT) AS month,
+  CAST(week(d) AS INT) AS week,
+  dayname(d) AS day_of_week,
+  isodow(d) <= 5 AS is_trading_day
+FROM generate_series(DATE '2020-01-01', DATE '2026-12-31', INTERVAL 1 DAY) t(d)
+"""
+
+
+# ------------------------------------------------------------------- J1/J2
+def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact↔dims star join (J1/J2, build_stock_aggregations.py:75-77).
+    Dim sides are broadcast — no shuffle of the big fact side."""
+    li = _li(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    dims = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority", "c_mktsegment", "c_name")
+    return li.join(
+        F.broadcast(dims), li.l_orderkey == dims.o_orderkey, "left"
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("decimal(18,4)")
+        .alias("revenue"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_name").alias("customer_name"),
+    )
+
+
+SQL_STAR_JOIN = """
+SELECT
+  l.l_orderkey AS order_key,
+  l.l_linenumber AS line_number,
+  CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+       AS DECIMAL(18,4)) AS revenue,
+  CAST(o.o_orderdate AS DATE) AS order_date,
+  o.o_orderpriority AS order_priority,
+  c.c_mktsegment AS mktsegment,
+  c.c_name AS customer_name
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ------------------------------------------------------------- A1 (weekly)
+def _ohlc_rollup(li: DataFrame, period_col: F.Column, period_name: str) -> DataFrame:
+    """Shared OHLCV rollup. open/close = extendedprice of the first/last
+    line under the total order (shipdate, orderkey, linenumber) — the
+    deterministic fix for the reference's bare first()/last()
+    (SURVEY §4.3.1). min/max over a struct key keeps it a single hash
+    aggregate: one shuffle, map-side partials, no window sort."""
+    sort_key = F.struct(
+        F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_extendedprice"),
+    )
+    df = li.select(
+        F.year("l_shipdate").cast("int").alias("year"),
+        period_col.alias(period_name),
+        F.col("l_suppkey").alias("supp_key"),
+        sort_key.alias("sk"),
+        "l_extendedprice", "l_quantity",
+    )
+    open_c = F.min("sk")["l_extendedprice"]
+    close_c = F.max("sk")["l_extendedprice"]
+    return df.groupBy("year", period_name, "supp_key").agg(
+        open_c.cast("decimal(18,4)").alias("open_price"),
+        close_c.cast("decimal(18,4)").alias("close_price"),
+        F.max("l_extendedprice").cast("decimal(18,4)").alias("high_price"),
+        F.min("l_extendedprice").cast("decimal(18,4)").alias("low_price"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        dstddev("l_extendedprice").alias("price_std_dev"),
+        F.count(F.lit(1)).alias("n_lines"),
+        ((close_c - open_c) / open_c * 100).cast("double").alias("return_pct"),
+    )
+
+
+def q_weekly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly OHLCV rollup (A1, build_stock_aggregations.py:80-97)."""
+    return _ohlc_rollup(_li(spark, sf), F.weekofyear("l_shipdate").cast("int"), "week")
+
+
+def q_monthly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly OHLCV rollup (A2, build_stock_aggregations.py:142-161)."""
+    return _ohlc_rollup(_li(spark, sf), F.month("l_shipdate").cast("int"), "month")
+
+
+def _sql_ohlc(period_expr: str, period_name: str) -> str:
+    sk = "struct_pack(a := l_shipdate, b := l_orderkey, c := l_linenumber, v := l_extendedprice)"
+    open_e = f"(min({sk})).v"
+    close_e = f"(max({sk})).v"
+    return f"""
+SELECT
+  CAST(year(l_shipdate) AS INT) AS year,
+  CAST({period_expr} AS INT) AS {period_name},
+  l_suppkey AS supp_key,
+  CAST({open_e} AS DECIMAL(18,4)) AS open_price,
+  CAST({close_e} AS DECIMAL(18,4)) AS close_price,
+  CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS high_price,
+  CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS low_price,
+  {sql_dsum('l_quantity')} AS total_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_dstddev('l_extendedprice')} AS price_std_dev,
+  count(*) AS n_lines,
+  CAST((({close_e}) - ({open_e})) / ({open_e}) * 100 AS DOUBLE) AS return_pct
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_WEEKLY_ROLLUP = _sql_ohlc("week(l_shipdate)", "week")
+SQL_MONTHLY_ROLLUP = _sql_ohlc("month(l_shipdate)", "month")
+
+
+# ------------------------------------------------------------- A3 (sector)
+def q_sector_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(date, segment) rollup (A3, build_stock_aggregations.py:206-217):
+    avg/sum/count/stddev over a broadcast-joined dimension attribute."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    )
+    return joined.groupBy(
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        davg("o_totalprice").alias("avg_order_price"),
+        dsum("o_totalprice").alias("total_order_value"),
+        F.count(F.lit(1)).alias("num_orders"),
+        dstddev("o_totalprice").alias("price_volatility"),
+    )
+
+
+SQL_SECTOR_ROLLUP = f"""
+SELECT
+  CAST(o.o_orderdate AS DATE) AS order_date,
+  c.c_mktsegment AS segment,
+  {sql_davg('o.o_totalprice')} AS avg_order_price,
+  {sql_dsum('o.o_totalprice')} AS total_order_value,
+  count(*) AS num_orders,
+  {sql_dstddev('o.o_totalprice')} AS price_volatility
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- A4 group
+def q_group_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped counts + stable sums over the event stream (A3/A4 family)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        davg("value").alias("avg_value"),
+    )
+
+
+SQL_GROUP_COUNT = f"""
+SELECT
+  event_type,
+  CAST(ts AS DATE) AS event_date,
+  count(*) AS n_events,
+  {sql_dsum('value')} AS total_value,
+  {sql_davg('value')} AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ O1-O3, top-k
+def q_top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer by price — W1's ranking pattern
+    generalized beyond rank 1."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("total_price"),
+            F.col("price_rank"),
+        )
+    )
+
+
+SQL_TOP_K_PER_GROUP = """
+SELECT
+  o_custkey AS cust_key,
+  o_orderkey AS order_key,
+  CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
+FROM orders
+QUALIFY price_rank <= 3
+"""
+
+
+def q_limit_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ordered limit (O2/O3 sampling)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("total_price"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .limit(10)
+    )
+
+
+SQL_LIMIT_SAMPLE = """
+SELECT
+  o_orderkey AS order_key,
+  CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+  o_orderpriority AS order_priority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ set ops
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct EXCEPT / INTERSECT over customer vs supplier nations
+    (§2.8 — free via Spark set operators)."""
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    cust_only = cust.subtract(supp).select(F.lit("customer_only").alias("tag"), "nationkey")
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "nationkey")
+    return cust_only.unionByName(both)
+
+
+SQL_SET_OPS = """
+SELECT 'customer_only' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'both' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+# ----------------------------------------------------- fact/dim compositions
+def q_fact_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Full fact-build composition on the event stream: latest-wins dedup
+    per (user, day) → typed projection → deterministic surrogate key →
+    derived + constant columns (build_stock_fact_table.py:39-76 analog,
+    with the §4.3.2 fix: content-addressed key instead of
+    monotonically_increasing_id)."""
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("event_date", F.to_date("ts"))
+    dedup = latest_wins(
+        ev, ["user_id", "event_date"], [F.desc("ts"), F.desc("event_id")]
+    )
+    key_src = F.concat_ws("|", F.col("user_id"), F.col("event_date").cast("string"))
+    return dedup.select(
+        F.conv(F.substring(F.md5(key_src), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fact_key"),
+        F.col("user_id"),
+        F.col("event_date").alias("trade_date"),
+        F.col("ts").alias("trade_timestamp"),
+        F.col("value").cast("decimal(18,4)").alias("close_value"),
+        F.col("event_type"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(18,4)").alias("value_bps"),
+        F.lit("2024-01-01").alias("processing_date"),
+    )
+
+
+SQL_FACT_BUILD = """
+WITH dedup AS (
+  SELECT *, CAST(ts AS DATE) AS event_date
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, CAST(ts AS DATE)
+    ORDER BY ts DESC, event_id DESC
+  ) = 1
+)
+SELECT
+  ('0x' || substr(md5(user_id || '|' || strftime(event_date, '%Y-%m-%d')), 1, 15))::BIGINT AS fact_key,
+  user_id,
+  event_date AS trade_date,
+  ts AS trade_timestamp,
+  CAST(value AS DECIMAL(18,4)) AS close_value,
+  event_type,
+  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(18,4)) AS value_bps,
+  '2024-01-01' AS processing_date
+FROM dedup
+"""
+
+
+def q_dim_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimension-build composition on customer: tier bucketing + constant
+    attributes + deterministic surrogate key (build_stock_dimensions.py:52-65
+    analog)."""
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        F.conv(F.substring(F.md5(F.col("c_name")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("cust_dim_key"),
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("customer_name"),
+        F.when(F.col("c_acctbal") > 7500, "Large")
+        .when(F.col("c_acctbal") > 2500, "Mid")
+        .otherwise("Small")
+        .alias("balance_tier"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(True).alias("is_active"),
+    )
+
+
+SQL_DIM_BUILD = """
+SELECT
+  ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS cust_dim_key,
+  c_custkey AS cust_key,
+  c_name AS customer_name,
+  CASE WHEN c_acctbal > 7500 THEN 'Large'
+       WHEN c_acctbal > 2500 THEN 'Mid'
+       ELSE 'Small' END AS balance_tier,
+  c_mktsegment AS segment,
+  TRUE AS is_active
+FROM customer
+"""
+
+
+# ------------------------------------------------------------------- V1-V8
+def q_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """The GX expectation suite as relational assertions (V2-V8,
+    docker/scripts/create_expectations.py): each check = one named
+    violation count."""
+    li = _li(spark, sf)
+
+    def check(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    null_keys = li.select(
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("violations")
+    )
+    qty_range = li.select(
+        F.count(
+            F.when(~F.col("l_quantity").between(0, 100), 1)
+        ).alias("violations")
+    )
+    neg_price = li.select(
+        F.count(F.when(F.col("l_extendedprice") < 0, 1)).alias("violations")
+    )
+    dup_pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.count(F.lit(1)).alias("violations"))
+    )
+    a_ge_b = li.select(
+        F.count(
+            F.when(F.col("l_extendedprice") < F.col("l_quantity"), 1)
+        ).alias("violations")
+    )
+    flag_set = li.select(
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)
+        ).alias("violations")
+    )
+    return (
+        check("null_order_key", null_keys)
+        .unionByName(check("quantity_out_of_range", qty_range))
+        .unionByName(check("negative_extended_price", neg_price))
+        .unionByName(check("duplicate_pk", dup_pk))
+        .unionByName(check("price_lt_quantity", a_ge_b))
+        .unionByName(check("returnflag_not_in_set", flag_set))
+    )
+
+
+SQL_QUALITY_CHECKS = """
+SELECT 'null_order_key' AS check_name,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS violations FROM lineitem
+UNION ALL
+SELECT 'quantity_out_of_range',
+       count(CASE WHEN NOT (l_quantity BETWEEN 0 AND 100) THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'negative_extended_price',
+       count(CASE WHEN l_extendedprice < 0 THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'duplicate_pk', count(*) FROM (
+  SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'price_lt_quantity',
+       count(CASE WHEN l_extendedprice < l_quantity THEN 1 END) FROM lineitem
+UNION ALL
+SELECT 'returnflag_not_in_set',
+       count(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) FROM lineitem
+"""
+
+
+QUERIES = {
+    "q_scan_project_cast": q_scan_project_cast,
+    "q_case_bucketing": q_case_bucketing,
+    "q_dedup_latest": q_dedup_latest,
+    "q_date_dim": q_date_dim,
+    "q_star_join": q_star_join,
+    "q_weekly_rollup": q_weekly_rollup,
+    "q_monthly_rollup": q_monthly_rollup,
+    "q_sector_rollup": q_sector_rollup,
+    "q_group_count": q_group_count,
+    "q_top_k_per_group": q_top_k_per_group,
+    "q_limit_sample": q_limit_sample,
+    "q_set_ops": q_set_ops,
+    "q_fact_build": q_fact_build,
+    "q_dim_build": q_dim_build,
+    "q_quality_checks": q_quality_checks,
+}
+
+ORACLES = {
+    "q_scan_project_cast": SQL_SCAN_PROJECT_CAST,
+    "q_case_bucketing": SQL_CASE_BUCKETING,
+    "q_dedup_latest": SQL_DEDUP_LATEST,
+    "q_date_dim": SQL_DATE_DIM,
+    "q_star_join": SQL_STAR_JOIN,
+    "q_weekly_rollup": SQL_WEEKLY_ROLLUP,
+    "q_monthly_rollup": SQL_MONTHLY_ROLLUP,
+    "q_sector_rollup": SQL_SECTOR_ROLLUP,
+    "q_group_count": SQL_GROUP_COUNT,
+    "q_top_k_per_group": SQL_TOP_K_PER_GROUP,
+    "q_limit_sample": SQL_LIMIT_SAMPLE,
+    "q_set_ops": SQL_SET_OPS,
+    "q_fact_build": SQL_FACT_BUILD,
+    "q_dim_build": SQL_DIM_BUILD,
+    "q_quality_checks": SQL_QUALITY_CHECKS,
+}

@@ -1,0 +1,60 @@
+"""Simulate the spark-graft driver: import __spark_entry__, smoke entry(),
+run every queries() entry at sf0.01 against oracle_sql() via DuckDB."""
+import sys, time, math
+sys.path.insert(0, "/root/repo")
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as ep
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke
+df = ep.entry(spark)
+rows = df.count()
+print(f"[t1] entry() -> {rows} rows, schema: {[f.name for f in df.schema.fields][:6]}...")
+assert rows > 0
+
+# t2 correctness
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, bool): return str(v)
+    if isinstance(v, float): return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, Decimal): return format(v.normalize(), "f")
+    if isinstance(v, datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date): return v.isoformat()
+    return str(v)
+
+qs, oracles = ep.queries(), ep.oracle_sql()
+ok = fail = 0
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    sdf = fn(spark, "/root/testdata/sf0.01")
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        print(f"[t2] {name}: rows-only check, {len(srows)} rows")
+        continue
+    d = con.sql(oracles[name]); dcols, drows = d.columns, d.fetchall()
+    idx_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    a = sorted("|".join(norm(r[i]) for i in idx_s) for r in srows)
+    b = sorted("|".join(norm(r[i]) for i in idx_d) for r in drows)
+    match = (len(srows) == len(drows)) and (sorted(scols) == sorted(dcols)) and a == b
+    print(f"[t2] {name}: rows={len(srows)} match={match} ({time.time()-t0:.1f}s)")
+    ok += match; fail += (not match)
+print(f"RESULT: {ok} match, {fail} mismatch, {len(qs)-len(oracles)} rows-only")
+sys.exit(1 if fail else 0)
