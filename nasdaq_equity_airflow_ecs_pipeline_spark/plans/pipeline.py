@@ -1,0 +1,129 @@
+"""End-to-end pipeline orchestration (reference: the Airflow DAG
+docker/dags/nasdaq_stock_pipeline_with_gx.py, 9 sequential tasks).
+
+One explicit ``processing_date`` threads through every stage — fixing by
+construction the reference's XCom key mismatch where the non-GX DAG reads
+``processing_date`` but Lambda returns ``trading_date``
+(docker/dags/nasdaq_stock_pipeline.py:57,82 vs
+lambda/stock_extractor/lambda_function.py:252-254) and the GX DAG
+recomputes T-1 from the wall clock in every task.
+
+Stages (same order as the DAG):
+  extract (mock/jsonl source) -> dimensions -> fact -> aggregations ->
+  quality validation (in-process, replacing Athena round-trips).
+
+Each table lands via idempotent keyed upsert (operators.upsert), so
+re-running a date is a no-op on row counts — the reference's MERGE
+invariant (J3-J7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..operators.upsert import upsert_parquet
+from ..quality.expectations import assert_suite, reference_suites
+from ..sources.inline import build_dim_date_frame, build_dim_exchange_frame
+from ..sources.jsonl import read_quotes_jsonl, write_quotes_jsonl
+from ..sources.mock import generate_mock_quotes
+from .aggregations import (
+    build_monthly_metrics,
+    build_sector_performance,
+    build_weekly_metrics,
+)
+from .dimensions import build_dim_stock
+from .fact import build_fact_daily_price
+
+
+def run_pipeline(
+    spark: SparkSession,
+    warehouse: str,
+    processing_date: str,
+    raw_root: str | None = None,
+    validate: bool = True,
+) -> dict[str, str]:
+    """Run the full daily pipeline for one date into ``warehouse``.
+
+    ``raw_root``: dir of Hive-partitioned raw JSONL; None -> mock extract
+    (writes the mock feed to <warehouse>/raw first, like the Lambda K1).
+    Returns {table: path}.
+    """
+    os.makedirs(warehouse, exist_ok=True)
+    paths = {
+        t: os.path.join(warehouse, t)
+        for t in (
+            "fact_stock_daily_price",
+            "dim_stock",
+            "dim_date",
+            "dim_exchange",
+            "agg_stock_weekly_metrics",
+            "agg_stock_monthly_metrics",
+            "agg_sector_performance",
+        )
+    }
+
+    # -- extract (Lambda parity: fetch or mock, land JSONL in date= dirs)
+    if raw_root is None:
+        raw_root = os.path.join(warehouse, "raw")
+        mock = generate_mock_quotes(spark, processing_date)
+        write_quotes_jsonl(mock, raw_root)
+    quotes = read_quotes_jsonl(spark, raw_root, processing_date).drop("date")
+
+    # -- dimensions (Glue job 1): dim_stock upsert preserves first_seen_date
+    dim_stock = build_dim_stock(quotes, processing_date)
+    upsert_parquet(
+        spark, dim_stock, paths["dim_stock"], keys=["symbol"],
+        preserve_cols=["stock_key", "first_seen_date"],
+    )
+    build_dim_date_frame(spark).write.mode("overwrite").parquet(paths["dim_date"])
+    build_dim_exchange_frame(spark).write.mode("overwrite").parquet(
+        paths["dim_exchange"]
+    )
+
+    # -- fact (Glue job 2): MERGE on (stock_symbol, trade_date)
+    fact = build_fact_daily_price(quotes, processing_date)
+    upsert_parquet(
+        spark, fact, paths["fact_stock_daily_price"],
+        keys=["stock_symbol", "trade_date"],
+    )
+
+    # -- aggregations (Glue job 3) with empty-input guard (A5)
+    fact_all = spark.read.parquet(paths["fact_stock_daily_price"])
+    if fact_all.isEmpty():
+        return paths
+    dim_date = spark.read.parquet(paths["dim_date"])
+    dim_stock_all = spark.read.parquet(paths["dim_stock"])
+
+    weekly = build_weekly_metrics(fact_all, dim_date, dim_stock_all)
+    upsert_parquet(
+        spark, weekly, paths["agg_stock_weekly_metrics"],
+        keys=["year", "week", "symbol"], partition_by=["year"],
+    )
+    monthly = build_monthly_metrics(fact_all, dim_date, dim_stock_all)
+    upsert_parquet(
+        spark, monthly, paths["agg_stock_monthly_metrics"],
+        keys=["year", "month", "symbol"], partition_by=["year"],
+    )
+    sector = build_sector_performance(fact_all, dim_stock_all)
+    upsert_parquet(
+        spark, sector, paths["agg_sector_performance"], keys=["date", "sector"],
+    )
+
+    # -- validation (GX checkpoint parity, in-process). Partitioned parquet
+    # surfaces partition columns last on read; validate against the
+    # canonical column order.
+    if validate:
+        from .. import schemas
+
+        order = {
+            "fact_stock_daily_price": schemas.FACT_COLUMNS,
+            "dim_stock": schemas.DIM_STOCK_COLUMNS,
+            "agg_stock_weekly_metrics": schemas.AGG_WEEKLY_COLUMNS,
+            "agg_stock_monthly_metrics": schemas.AGG_MONTHLY_COLUMNS,
+        }
+        suites = reference_suites()
+        for table, cols in order.items():
+            assert_suite(spark.read.parquet(paths[table]).select(*cols), suites[table])
+    return paths

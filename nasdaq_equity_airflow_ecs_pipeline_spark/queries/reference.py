@@ -560,8 +560,28 @@ SELECT 'returnflag_not_in_set',
 """
 
 
+# ---------------------------------------------------------------- K5/J4
+def q_upsert_idempotent(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE idempotency invariant (K5/J4): upsert the same keyed batch
+    twice; the result must equal one application. Returns the merged
+    table. Rows-only check (MERGE is stateful, not SQL-expressible)."""
+    from ..operators.dedup import latest_wins as _lw
+    from ..operators.upsert import merge_upsert
+
+    ev = load_table(spark, sf, "events")
+    batch = _lw(
+        ev.withColumn("event_date", F.to_date("ts")),
+        ["user_id", "event_date"],
+        [F.desc("ts"), F.desc("event_id")],
+    ).select("user_id", "event_date", "event_id", "value")
+    once = merge_upsert(None, batch, ["user_id", "event_date"])
+    twice = merge_upsert(once, batch, ["user_id", "event_date"])
+    return twice
+
+
 QUERIES = {
     "q_scan_project_cast": q_scan_project_cast,
+    "q_upsert_idempotent": q_upsert_idempotent,
     "q_case_bucketing": q_case_bucketing,
     "q_dedup_latest": q_dedup_latest,
     "q_date_dim": q_date_dim,

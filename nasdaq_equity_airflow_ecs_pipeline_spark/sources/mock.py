@@ -41,8 +41,11 @@ def generate_mock_quotes(
         u(100, 500, 1).alias("price"),
         u(100, 500, 2).alias("open"),
         u(100, 500, 3).alias("previous_close"),
-        u(100, 500, 4).alias("day_low"),
-        u(100, 500, 5).alias("day_high"),
+        # unlike the reference's mock (lambda_function.py:138-141) the
+        # low/high pair is ordered, so the quality gate's A>=B invariant
+        # holds on generated data
+        F.least(u(100, 500, 4), u(100, 500, 5)).alias("day_low"),
+        F.greatest(u(100, 500, 4), u(100, 500, 5)).alias("day_high"),
         u(50, 200, 6).alias("year_low"),
         u(300, 600, 7).alias("year_high"),
         u(-10, 10, 8).alias("change"),

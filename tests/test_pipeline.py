@@ -1,0 +1,57 @@
+"""End-to-end star-schema pipeline test: mock extract → dims → fact →
+aggs → quality suites, run twice (idempotency — the reference's MERGE
+invariant) plus a second date (accumulation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+
+    paths = run_pipeline(spark, wh, "2024-01-02")
+    fact = spark.read.parquet(paths["fact_stock_daily_price"])
+    n1 = fact.count()
+    assert n1 == 5  # one row per symbol after latest-wins dedup
+    assert fact.filter(F.col("daily_volatility").isNull()).count() == 0
+
+    # rerun same date -> counts unchanged (MERGE idempotency, J4)
+    run_pipeline(spark, wh, "2024-01-02")
+    assert spark.read.parquet(paths["fact_stock_daily_price"]).count() == n1
+
+    # second date accumulates
+    run_pipeline(spark, wh, "2024-01-03")
+    fact2 = spark.read.parquet(paths["fact_stock_daily_price"])
+    assert fact2.count() == 2 * n1
+
+    dim = spark.read.parquet(paths["dim_stock"])
+    assert dim.count() == 5
+    # first_seen_date preserved across upserts (dim_stock MERGE, J3)
+    assert dim.filter(F.col("first_seen_date") == "2024-01-02").count() == 5
+    assert dim.filter(F.col("last_seen_date") == "2024-01-03").count() == 5
+
+    weekly = spark.read.parquet(paths["agg_stock_weekly_metrics"])
+    assert weekly.count() == 5  # both dates in the same ISO week
+    wk = weekly.collect()[0]
+    assert wk.week_high >= wk.week_low
+
+    dim_date = spark.read.parquet(paths["dim_date"])
+    assert dim_date.count() == 2557
+
+
+def test_dim_date_values(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.inline import (
+        build_dim_date_frame,
+    )
+
+    row = (
+        build_dim_date_frame(spark, "2024-02-29", "2024-02-29").collect()[0]
+    )
+    assert row.date_key == 20240229
+    assert row.year == 2024 and row.quarter == 1 and row.month == 2
+    assert row.week == 9  # ISO week of 2024-02-29
+    assert row.day_of_week == "Thursday"
+    assert row.is_trading_day is True

@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import pytest
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.quality.expectations import (
+    assert_suite,
+    columns_match,
+    compound_unique,
+    not_null,
+    pair_a_ge_b,
+    row_count_between,
+    run_suite,
+    unique,
+    values_between,
+    values_in_set,
+)
+
+
+def test_checks_single_scan(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 5.0), (2, "b", 8.0, 9.0), (2, None, 3.0, 1.0)],
+        ["id", "name", "high", "low"],
+    )
+    results = run_suite(
+        df,
+        [
+            columns_match(["id", "name", "high", "low"]),
+            not_null("name"),
+            unique("id"),
+            compound_unique(["id", "name"]),
+            row_count_between(1, 100),
+            values_in_set("name", ["a", "b"]),
+            values_between("high", 0, 9),
+            pair_a_ge_b("high", "low"),
+        ],
+    )
+    assert results["columns_match(4)"] == 0
+    assert results["not_null(name)"] == 1
+    assert results["unique(id)"] == 1
+    assert results["compound_unique(id,name)"] == 0
+    assert results["row_count_between(1,100)"] == 0
+    # NULL name is not counted as out-of-set (GX semantics: null != violation)
+    assert results["values_in_set(name)"] == 0
+    assert results["values_between(high,0,9)"] == 1
+    assert results["pair_a_ge_b(high,low)"] == 1
+
+
+def test_assert_suite_raises(spark):
+    df = spark.createDataFrame([(1,), (1,)], ["id"])
+    with pytest.raises(AssertionError, match="unique"):
+        assert_suite(df, [unique("id")])
