@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the driver contract.
+
+Runs the representative queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_star_join": 1.23, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` datasource writer
+(full computation, no driver collect, no disk) so the timing measures
+the Spark plan, not Python-side result handling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Representative spread: scan/cast, broadcast star join, the three OHLCV
+# rollups, top-k window, dedup family (exact + MinHash LSH), similarity
+# search, text analysis, sessionization. Ordered cheap->expensive.
+HEADLINE = [
+    "q_scan_project_cast",
+    "q_case_bucketing",
+    "q_star_join",
+    "q_group_count",
+    "q_weekly_rollup",
+    "q_monthly_rollup",
+    "q_sector_rollup",
+    "q_top_k_per_group",
+    "q_fact_build",
+    "q_dedup_exact",
+    "q_text_quality",
+    "q_token_count",
+    "q_minhash_pairs",
+    "q_embedding_topk",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as contract
+    from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = contract.queries()
+
+    # JVM + parquet-footer warmup outside the timed region.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

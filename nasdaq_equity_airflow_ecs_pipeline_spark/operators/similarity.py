@@ -1,0 +1,120 @@
+"""Embedding similarity search: brute-force cosine top-k (correctness
+baseline) and IVF-bucketed search (the scale path).
+
+Vectors are ``array<float>`` columns; all arithmetic happens in double
+via sequential folds (``F.aggregate``/``zip_with``) — deterministic IEEE
+order, bit-identical to a single-threaded oracle looping left-to-right.
+
+Scale shape: brute force is O(n) per query — fine for one query vector
+against 100 TB *if* the scan is columnar and the top-k is a partial
+aggregate (Spark's TakeOrderedAndProject does partial per-partition
+top-k, so only k rows per partition reach the driver-side merge). For
+many-query workloads, IVF: assign vectors to nearest centroid once (one
+broadcast join), then probe only matching buckets — turning n_q * n into
+n_q * (n / n_centroids) with the bucket join hash-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (the exact
+    baseline every ANN variant is measured against)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2).
+
+    Broadcast the (small) centroid table, one narrow pass over the
+    vectors, min over a (distance, centroid) struct — no shuffle of the
+    big side. This is the IVF build step; at 100 TB the result is written
+    partitioned by centroid so probes prune partitions."""
+    pairs = df.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(centroid_vec),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        F.col(id_col),
+        F.struct(d2.alias("d2"), F.col(centroid_id).alias("cid")).alias("sc"),
+    )
+    best = scored.groupBy(id_col).agg(F.min("sc").alias("best"))
+    return best.select(
+        F.col(id_col),
+        F.col("best.cid").alias(centroid_id),
+        F.col("best.d2").alias("dist2"),
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    With ``bucket_col`` (e.g. an IVF centroid or LSH bucket) the self-join
+    is restricted to same-bucket pairs — the scale path. Without it this
+    is the exact quadratic baseline (small inputs / validation only)."""
+    left = df.alias("l")
+    right = df.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if bucket_col is not None:
+        cond = cond & (F.col(f"l.{bucket_col}") == F.col(f"r.{bucket_col}"))
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

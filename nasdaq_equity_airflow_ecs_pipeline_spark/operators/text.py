@@ -1,0 +1,129 @@
+"""Text analysis operators for the training-data pipeline (BASELINE.json
+north star): tokenization, quality scoring, language ID, fingerprinting.
+
+All pure `pyspark.sql.functions` column expressions — JVM-side, inside
+whole-stage codegen, no UDFs. Each operator is linear in input size with
+no shuffle (per-row), so it streams at parquet-scan speed at 100 TB.
+
+Cross-engine determinism: counts and integer hashes only; ratios are one
+double division (IEEE-identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization + a BPE-ish regex token class
+WS_SPLIT = r"\s+"
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# small per-language marker lexicons for the n-gram/stopword language
+# heuristic (extend via config for production use)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), WS_SPLIT)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column | str, words: list[str] | None = None) -> Column:
+    """Number of distinct marker words present in the text (presence, not
+    frequency — the cheap signal used by fastText-style heuristics)."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    hits = [
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in (words or STOPWORDS)
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    punctuation + digit + stopword ratios, and a composite score in [0,1].
+
+    Score: fraction-of-checks-passed style (deterministic integer/bool
+    arithmetic + one final divide) — the shape used by C4/Gopher-quality
+    filters, simplified."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(t)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]"), 0))
+    sw = stopword_hits(text_col)
+    checks = (
+        F.when(n_words >= 10, 1).otherwise(0)
+        + F.when((n_chars / n_words).between(2, 12), 1).otherwise(0)
+        + F.when(n_punct * 3 <= n_words, 1).otherwise(0)
+        + F.when(n_digit * 2 <= n_chars, 1).otherwise(0)
+        + F.when(sw >= 1, 1).otherwise(0)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        n_punct.alias("q_n_punct"),
+        n_digit.alias("q_n_digit"),
+        sw.alias("q_stopword_hits"),
+        (checks.cast("double") / 5).alias("q_score"),
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(text, ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: argmax of per-language hit counts with
+    a deterministic tie-break (lexicographic language code); 'und' when
+    nothing matches."""
+    scores = lang_scores(text_col)
+    # greatest via sort on (hits desc, lang asc) over a small literal array
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.select(
+        "*",
+        F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        (-best["neg"]).alias("pred_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    plus a 60-bit integer form for compact joins/bloom filters."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.select(
+        "*",
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )

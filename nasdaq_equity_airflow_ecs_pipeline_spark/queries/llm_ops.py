@@ -1,8 +1,406 @@
-"""Training-data pipeline contract queries (dedup family, similarity
-search, text analysis, multimodal plumbing) — filled in as operators land.
+"""Training-data pipeline contract queries (BASELINE.json north star):
+dedup family, similarity search, text analysis, multimodal plumbing,
+sessionization.
+
+The DuckDB oracle SQL for the hash-based operators is GENERATED from the
+same constants the Spark operators use (operators.lsh.MINHASH_PARAMS
+etc.) — one source of truth, zero drift. All hashing is int64-safe
+mod-2^31 arithmetic that evaluates identically in both engines.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import lsh, similarity, text as text_ops
+from ..operators.sessionize import sessionize
+from ..sources.tables import load_table
+
+MP = lsh.MERSENNE_P
+EMB_NEARDUP_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.2
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings")
+
+
+# ------------------------------------------------------------- exact dedup
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content-hash dedup over documents: one group per distinct
+    text, min doc_id survivor, cluster size."""
+    d = _docs(spark, sf)
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ text quality
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return text_ops.quality_features(d.select("doc_id", "text"), "text").drop("text")
+
+
+def _sql_stopword_hits(words: list[str]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ') THEN 1 ELSE 0 END)"
+        for w in words
+    )
+    return f"({terms})"
+
+
+_SQL_NW = r"len(string_split_regex(trim(text), '\s+'))"
+_SQL_NP = r"len(regexp_extract_all(text, '[^\w\s]'))"
+_SQL_ND = r"len(regexp_extract_all(text, '[0-9]'))"
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+  length(text)::INT AS q_n_chars,
+  {_SQL_NW}::INT AS q_n_words,
+  {_SQL_NP}::INT AS q_n_punct,
+  {_SQL_ND}::INT AS q_n_digit,
+  {_sql_stopword_hits(text_ops.STOPWORDS)} AS q_stopword_hits,
+  CAST(
+    (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
+    + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
+    + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
+    + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+    + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
+  AS DOUBLE) / 5 AS q_score
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- lang id
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return text_ops.lang_id(d.select("doc_id", "lang", "text"), "text").drop("text")
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(text_ops.LANG_MARKERS)  # lexicographic tie-break order
+    hits = {
+        lang: _sql_stopword_hits(text_ops.LANG_MARKERS[lang]) for lang in langs
+    }
+    greatest = "GREATEST(" + ", ".join(hits[l] for l in langs) + ")"
+    # ordered CASE = argmax with lexicographic tie-break
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"{hits[lang]} >= {hits[o]}" for o in langs[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = " ".join(branches)
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN {greatest} = 0 THEN 'und' {case} END AS pred_lang,
+  {greatest} AS pred_hits
+FROM documents
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+# ------------------------------------------------------------ token counts
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        text_ops.token_count("text").alias("ws_tokens"),
+        text_ops.regex_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  {_SQL_NW}::INT AS ws_tokens,
+  len(regexp_extract_all(text, '{text_ops.BPE_TOKEN_RE}'))::INT AS bpe_tokens
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- fingerprinting
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return text_ops.fingerprint(d.select("doc_id", "text"), "text").drop("text")
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_int
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ minhash + LSH
+_SQL_SHINGLES = r"""
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+  FROM tok, unnest(generate_series(0, len(toks)-3)) AS u(i)
+  WHERE len(toks) >= 3
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,15))::BIGINT % {p} AS h FROM sh)
+""".replace("{p}", str(MP))
+
+_SQL_SIG_COLS = ", ".join(
+    f"min((h * {a} + {b}) % {MP}) AS s{i}"
+    for i, (a, b) in enumerate(lsh.MINHASH_PARAMS)
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh.minhash_signatures(_docs(spark, sf))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: same band-hash in any of the bands."""
+    sigs = lsh.minhash_signatures(_docs(spark, sf))
+    return lsh.lsh_candidate_pairs(sigs)
+
+
+def _sql_band_rows() -> str:
+    rows = []
+    for b in range(lsh.BANDS):
+        cols = [f"s{b * lsh.ROWS_PER_BAND + r}" for r in range(lsh.ROWS_PER_BAND)]
+        concat = " || '_' || ".join(cols)
+        rows.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig"
+        )
+    return " UNION ALL ".join(rows)
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_sql_band_rows()})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+
+
+# ----------------------------------------------------------------- simhash
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh.simhash(_docs(spark, sf))
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(lsh.SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(lsh.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT % {MP} AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, {val} AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------- n-gram jaccard
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh.ngram_jaccard_pairs(
+        _docs(spark, sf), threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pc AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM pc JOIN sizes sa ON pc.id_a = sa.doc_id JOIN sizes sb ON pc.id_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------- embedding similarity
+_SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    emb = _emb(spark, sf)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        similarity.cosine(F.col("embedding"), F.col("qv")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup pairs (cosine >= threshold) — quadratic validation
+    baseline for the LSH/IVF-bucketed scale path."""
+    return similarity.embedding_neardup_pairs(
+        _emb(spark, sf), threshold=EMB_NEARDUP_THRESHOLD
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF build step: nearest-centroid assignment (centroids = the first
+    8 vectors), squared L2."""
+    emb = _emb(spark, sf)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return similarity.ivf_assign(emb, centroids)
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id,
+         struct_pack(
+           d2 := list_sum(list_transform(generate_series(1, len(v)),
+                                         i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           cid := c.centroid_id
+         ) AS sc
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, (min(sc)).cid AS centroid_id, (min(sc)).d2 AS dist2
+FROM scored GROUP BY vec_id
+"""
+
+
+# ------------------------------------------------------ multimodal plumbing
+def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary metadata pass (multimodal plumbing): byte length +
+    sha256, payload bytes never decoded — the metadata-only plan."""
+    d = _docs(spark, sf)
+    return d.select(
+        F.col("doc_id").alias("content_id"),
+        F.col("source").alias("media_type"),
+        F.octet_length("text").alias("byte_len"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id AS content_id, source AS media_type,
+       octet_length(text::BLOB)::INT AS byte_len, sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ sessionization
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return sessionize(ev, gap_seconds=1800).select(
+        "event_id", "user_id", "ts", "session_seq"
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id, ts,
+  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+  FROM events
+)
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_token_count": q_token_count,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_embedding_topk": q_embedding_topk,
+    "q_embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "q_ann_ivf": q_ann_ivf,
+    "q_binary_meta": q_binary_meta,
+    "q_sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_quality": SQL_TEXT_QUALITY,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "q_minhash_pairs": SQL_MINHASH_PAIRS,
+    "q_simhash": SQL_SIMHASH,
+    "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_embedding_topk": SQL_EMBEDDING_TOPK,
+    "q_embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "q_ann_ivf": SQL_ANN_IVF,
+    "q_binary_meta": SQL_BINARY_META,
+    "q_sessionize": SQL_SESSIONIZE,
+}
