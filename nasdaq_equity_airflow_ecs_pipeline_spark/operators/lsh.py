@@ -40,11 +40,21 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 SIMHASH_BITS = 32
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>); empty array when the
-    document has fewer than n tokens."""
+def tokens(text: Column | str) -> Column:
+    """Whitespace token array."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(c), WS_SPLIT)
+    return F.split(F.trim(c), WS_SPLIT)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) from a MATERIALIZED
+    token-array column; empty array when the document has fewer than n
+    tokens.
+
+    ``toks`` must be a bound column (``.select(tokens(...).alias("toks"))``
+    first), NOT the tokenizer expression itself: Catalyst inlines a passed
+    expression into every ``element_at`` call site, re-running the regex
+    split ~n times per shingle (measured 13x slower at sf0.1)."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), k - n),
@@ -55,6 +65,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, parallelism: int | None
+) -> DataFrame:
+    """(id, shingle) rows: tokenize once into a column, optionally fan out
+    to ``parallelism`` partitions first (a file that arrives as few splits
+    would otherwise serialize the explode+hash work onto few cores; at
+    cluster scale pass None — the scan is already wide)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    if parallelism:
+        base = base.repartition(parallelism)
+    return base.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
+    )
+
+
 def base_hash31(col: Column) -> Column:
     """Portable 31-bit content hash: top 60 bits of md5, mod 2^31-1."""
     h60 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -62,16 +88,20 @@ def base_hash31(col: Column) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """One row per document: s0..s{K-1} minhash signature columns.
 
     Plan: explode distinct shingles (narrow), K permutation hashes as
     column expressions, ONE hash aggregate keyed by doc — the only
     shuffle, on a uniform key."""
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    ).withColumn("h", base_hash31(F.col("shingle")))
+    ex = _exploded_shingles(df, id_col, text_col, n, parallelism).withColumn(
+        "h", base_hash31(F.col("shingle"))
+    )
     aggs = [
         F.min((F.col("h") * a + b) % MERSENNE_P).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -84,49 +114,68 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banding: hash each band of the signature; equal band-hash => candidate.
 
-    Returns distinct (id_a, id_b), id_a < id_b. The self-join shuffles on
-    (band, band_hash) — uniformly distributed, so no skew; output size is
-    governed by the LSH collision probability, not n^2."""
-    bands = []
-    for b in range(BANDS):
-        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
-            )
+    Returns distinct (id_a, id_b), id_a < id_b.
+
+    Shape: ONE pass over the signatures — band rows come from exploding an
+    array of (band, band_hash) structs (not a B-way union, which would
+    recompute the signature aggregation B times), then a groupBy on
+    (band, band_hash) collects each collision bucket and the pairs are
+    expanded bucket-locally with array combinatorics. No self-join: the
+    upstream lineage is evaluated once, and the only shuffles are the
+    bucket groupBy (uniform hash key) and the final distinct. Bucket
+    fan-out is governed by the LSH collision probability, not n^2; a
+    pathological mega-bucket (e.g. boilerplate docs) is the signal to
+    raise ROWS_PER_BAND, not a plan problem."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("band_hash"),
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
-    left = all_bands.alias("l")
-    right = all_bands.alias("r")
+        for b in range(BANDS)
+    ])
+    rows = sigs.select(F.col(id_col), F.explode(band_structs).alias("bh")).select(
+        F.col(id_col).alias("id"), "bh.band", "bh.band_hash"
+    )
+    buckets = (
+        rows.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_BITS, parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document SimHash over whitespace tokens (with multiplicity).
 
     bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(hash(token)) else -1)
     is positive. One explode + one aggregation keyed by doc."""
-    ex = df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if parallelism:
+        base = base.repartition(parallelism)
+    ex = base.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("tok"),
+        F.explode(tokens(text_col)).alias("tok"),
     ).withColumn("h", base_hash31(F.col("tok")))
     sums = [
         F.sum(
@@ -150,6 +199,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
@@ -157,9 +207,7 @@ def ngram_jaccard_pairs(
     overlap never materialize. At scale, cap fan-out by dropping
     ubiquitous shingles (document-frequency cutoff) before the join —
     exposed here as the stop-shingle filter ``max_df``."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    sh = _exploded_shingles(df, id_col, text_col, n, parallelism)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pair_counts = (
         sh.alias("l")

@@ -168,7 +168,9 @@ _SQL_SIG_COLS = ", ".join(
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    return lsh.minhash_signatures(_docs(spark, sf))
+    return lsh.minhash_signatures(
+        _docs(spark, sf), parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -179,7 +181,9 @@ SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs: same band-hash in any of the bands."""
-    sigs = lsh.minhash_signatures(_docs(spark, sf))
+    sigs = lsh.minhash_signatures(
+        _docs(spark, sf), parallelism=spark.sparkContext.defaultParallelism
+    )
     return lsh.lsh_candidate_pairs(sigs)
 
 
@@ -206,7 +210,9 @@ FROM bands l JOIN bands r
 
 # ----------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return lsh.simhash(_docs(spark, sf))
+    return lsh.simhash(
+        _docs(spark, sf), parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 def _sql_simhash() -> str:
@@ -234,7 +240,9 @@ SQL_SIMHASH = _sql_simhash()
 # ---------------------------------------------------------- n-gram jaccard
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return lsh.ngram_jaccard_pairs(
-        _docs(spark, sf), threshold=JACCARD_THRESHOLD
+        _docs(spark, sf),
+        threshold=JACCARD_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
