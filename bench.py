@@ -43,6 +43,8 @@ HEADLINE = [
     "q_minhash_pairs",
     "q_embedding_topk",
     "q_sessionize",
+    "q_tumbling_window",
+    "q_session_window_agg",
 ]
 
 

@@ -237,9 +237,12 @@ def q_monthly_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_ohlc(period_expr: str, period_name: str) -> str:
-    sk = "struct_pack(a := l_shipdate, b := l_orderkey, c := l_linenumber, v := l_extendedprice)"
-    open_e = f"(min({sk})).v"
-    close_e = f"(max({sk})).v"
+    # ordered-aggregate form: identical values to min/max over the sort-key
+    # struct, but ~500x faster in DuckDB (struct min/max at 29k groups was
+    # the whole correctness gate's long pole)
+    ob = "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice"
+    open_e = f"first(l_extendedprice {ob})"
+    close_e = f"last(l_extendedprice {ob})"
     return f"""
 SELECT
   CAST(year(l_shipdate) AS INT) AS year,

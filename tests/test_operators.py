@@ -1,0 +1,122 @@
+"""Unit tests for the training-data operators on tiny in-memory frames
+(exact-value asserts, SURVEY.md §5.2 item 1)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators import lsh, similarity, text
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+    extract_media_features,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.sessionize import sessionize
+
+
+def test_shingles_and_minhash(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b"),              # < 3 tokens -> none
+            (3, "a b c d"),          # duplicate of 1
+        ],
+        ["doc_id", "text"],
+    )
+    base = df.select("doc_id", lsh.tokens("text").alias("toks"))
+    sh = base.select(
+        "doc_id", lsh.shingles_from_tokens(F.col("toks"), 3).alias("sh")
+    ).collect()
+    got = {r["doc_id"]: sorted(r["sh"]) for r in sh}
+    assert got == {1: ["a b c", "b c d"], 2: [], 3: ["a b c", "b c d"]}
+
+    sigs = lsh.minhash_signatures(df)
+    rows = {r["doc_id"]: [r[f"s{i}"] for i in range(lsh.NUM_HASHES)] for r in sigs.collect()}
+    assert rows[1] == rows[3]          # identical docs -> identical signature
+    assert 2 not in rows               # no shingles -> no signature row
+
+    pairs = lsh.lsh_candidate_pairs(sigs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 3)]
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["simhash"] for r in lsh.simhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: {a b c, b c d}; doc2: {a b c, b c e} -> jaccard = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    rows = lsh.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - 1.0) < 1e-12
+
+
+def test_text_quality_features_exact(spark):
+    df = spark.createDataFrame([(1, "The cat, 42 !")], ["doc_id", "text"])
+    r = text.quality_features(df, "text").collect()[0]
+    assert r["q_n_chars"] == len("The cat, 42 !")
+    assert r["q_n_words"] == 4
+    assert r["q_n_punct"] == 2   # ',' and '!'
+    assert r["q_n_digit"] == 2   # '4', '2'
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-01 00:29:59", 7, 1.0),  # gap < 30m -> same session
+            (3, "2024-01-01 01:00:00", 7, 1.0),  # gap > 30m -> new session
+            (4, "2024-01-01 01:30:00", 7, 1.0),  # gap == 30m exactly -> same
+            (5, "2024-01-01 00:00:00", 8, 1.0),  # other user independent
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r["session_seq"] for r in sessionize(df, gap_seconds=1800).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_multimodal_map_in_pandas(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\x00"), "image"), (2, bytearray(b"\x00"), "audio")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    out = {r["content_id"]: r for r in extract_media_features(df).collect()}
+    assert out[1]["byte_len"] == 2 and out[2]["byte_len"] == 1
+    assert out[1]["feat_dim"] == 8
+    # fake decode: bytes cycled /255 -> mean of [1,0,1,0,...] = 0.5
+    assert math.isclose(out[1]["feat_mean"], 0.5)
+    assert math.isclose(out[2]["feat_mean"], 0.0)
+    import hashlib
+    assert out[2]["sha256"] == hashlib.sha256(b"\x00").hexdigest()
+
+
+def test_multimodal_meta_only_never_decodes(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"), "video")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    r = extract_media_features(df, batch_meta_only=True).collect()[0]
+    assert r["byte_len"] == 3
+    assert r["feat_mean"] is None  # decode skipped

@@ -1,0 +1,160 @@
+"""Structured Streaming surface: real readStream/writeStream runs.
+
+Each test drives an actual streaming query (file source or per-batch
+feed, AvailableNow trigger, memory/parquet sink) and asserts the result
+equals the batch run of the SAME transformation function — the
+batch/stream-parity contract streaming/__init__.py promises.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.mock import generate_mock_quotes
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.jsonl import write_quotes_jsonl
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+from nasdaq_equity_airflow_ecs_pipeline_spark.streaming import (
+    read_quotes_stream,
+    run_ingest_available_now,
+    session_window_agg,
+    tumbling_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_ingest_available_now(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    for d in ("2024-01-01", "2024-01-02"):
+        write_quotes_jsonl(generate_mock_quotes(spark, d), raw)
+
+    run_ingest_available_now(read_quotes_stream(spark, raw), bronze, ckpt)
+    got = spark.read.parquet(bronze)
+    exp = spark.read.json(f"{raw}/date=*")  # sans partition col
+    assert got.count() == exp.count()
+    assert set(
+        r["d"] for r in got.select(F.col("date").cast("string").alias("d")).distinct().collect()
+    ) == {"2024-01-01", "2024-01-02"}
+
+    # incremental contract: a new day arrives -> only it is processed
+    write_quotes_jsonl(generate_mock_quotes(spark, "2024-01-03"), raw)
+    run_ingest_available_now(read_quotes_stream(spark, raw), bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == exp.count() // 2 * 3
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """sf0.001 events re-landed as JSON files (a file-streamable feed)."""
+    d = str(tmp_path_factory.mktemp("events_json"))
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value",
+    ).coalesce(4).write.mode("overwrite").json(d)
+    return d
+
+
+def _read_event_stream(spark, d):
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .json(d)
+    )
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_tumbling_stream_matches_batch(spark, event_stream_dir):
+    stream = _read_event_stream(spark, event_stream_dir)
+    agg = tumbling_counts(stream, duration="1 hour", watermark="2 hours")
+    _run_to_memory(agg, "t_tumbling", "complete")
+    got = spark.table("t_tumbling")
+
+    batch = spark.read.schema(stream.schema).json(event_stream_dir)
+    exp = tumbling_counts(batch, duration="1 hour")
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(exp, cols)
+
+
+def test_session_window_stream_matches_batch(spark, event_stream_dir):
+    stream = _read_event_stream(spark, event_stream_dir)
+    agg = session_window_agg(stream, gap="30 minutes", watermark="2 hours")
+    _run_to_memory(agg, "t_sessions", "complete")
+    got = spark.table("t_sessions")
+
+    batch = spark.read.schema(stream.schema).json(event_stream_dir)
+    exp = session_window_agg(batch, gap="30 minutes")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(exp, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode + watermark: an event older than (max ts - delay) after
+    the watermark advanced is excluded from its (already-final) window."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def land(name: str, rows: list[str]) -> None:
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    # batch 1: two events at 10:00 and a watermark-advancer at 14:00
+    land("b1.json", [
+        '{"event_id": 1, "ts": "2024-01-01 10:00:01", "user_id": 1, "event_type": "a", "value": 1.0}',
+        '{"event_id": 2, "ts": "2024-01-01 10:00:02", "user_id": 1, "event_type": "a", "value": 1.0}',
+        '{"event_id": 3, "ts": "2024-01-01 14:00:00", "user_id": 1, "event_type": "a", "value": 1.0}',
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_pass() -> None:
+        stream = _read_event_stream(spark, src)
+        agg = tumbling_counts(stream, duration="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()
+
+    # batch 2: a late event into the finalized 10:00 window — dropped
+    land("b2.json", [
+        '{"event_id": 4, "ts": "2024-01-01 10:00:03", "user_id": 1, "event_type": "a", "value": 1.0}',
+        '{"event_id": 5, "ts": "2024-01-01 16:00:00", "user_id": 1, "event_type": "a", "value": 1.0}',
+    ])
+    run_pass()
+
+    emitted = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalized with 2 events; the late 10:00:03 never counted
+    assert ("2024-01-01 10:00:00", 2) in emitted
+    assert not any(n == 3 for _, n in emitted)
