@@ -92,6 +92,53 @@ def ivf_assign(
     )
 
 
+def ivf_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side-free (a
+    broadcastable ``nprobe`` shortlist), keep only vectors assigned to
+    those centroids, brute-force cosine inside the probed buckets.
+
+    Scans n * (nprobe / n_centroids) of the data instead of n — with the
+    assignment table partitioned by centroid, the non-probed partitions
+    are pruned at the source. Recall < 1.0 by construction; the
+    brute-force path is the ground truth it is measured against."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
+    cd2 = F.aggregate(
+        F.zip_with(
+            F.col(centroid_vec),
+            q,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probed = (
+        centroids.select(F.col(centroid_id), cd2.alias("qd2"))
+        .orderBy(F.asc("qd2"), F.asc(centroid_id))
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    candidates = (
+        df.join(assigned, id_col)
+        .join(F.broadcast(probed), centroid_id)
+    )
+    return (
+        candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1,0 +1,66 @@
+"""Skew-resistant aggregation: two-stage salted groupBy.
+
+When a handful of hot keys dominate (power-law user activity, a few
+mega-symbols), a plain groupBy sends each hot key's entire volume to one
+reducer — the straggler that defines job latency at 100 TB. Salting
+splits each key into ``buckets`` sub-keys for the first (heavy) partial
+aggregation, then merges the per-salt partials with a second (tiny)
+shuffle. AQE's skew-join splitting does not cover aggregations, so this
+is the hand-rolled counterpart for ``groupBy``.
+
+Only algebraic aggregates decompose this way; the helpers below cover
+the sum/count/min/max family (avg = merged sum / merged count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partials: dict[str, Column],
+    merges: dict[str, Column],
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-stage aggregation.
+
+    ``partials``: name -> aggregate over raw rows (stage 1, keyed by
+    keys + salt). ``merges``: name -> aggregate over stage-1 columns
+    (stage 2, keyed by keys). E.g. sum: partial ``sum(x)``, merge
+    ``sum(partial)``; count: partial ``count(1)``, merge ``sum``."""
+    salt = (F.rand(seed=7) * buckets).cast("int")
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[c.alias(n) for n, c in partials.items()])
+    )
+    return stage1.groupBy(*keys).agg(*[c.alias(n) for n, c in merges.items()])
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sum_col: Column,
+    buckets: int = 32,
+    sum_name: str = "sum_value",
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Common case: per-key exact SUM + COUNT through the salted path.
+    The sum is routed through decimal partials so the two-stage result is
+    bit-identical to a single-stage (or single-threaded oracle) run."""
+    return salted_agg(
+        df,
+        keys,
+        partials={
+            "_psum": F.sum(sum_col.cast("decimal(27,8)")),
+            "_pcnt": F.count(F.lit(1)),
+        },
+        merges={
+            sum_name: F.sum("_psum").cast("string").cast("double"),
+            count_name: F.sum("_pcnt"),
+        },
+        buckets=buckets,
+    )

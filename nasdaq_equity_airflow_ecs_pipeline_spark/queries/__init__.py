@@ -11,10 +11,11 @@ from __future__ import annotations
 from . import reference
 from . import llm_ops
 from . import streaming_ops
+from . import extended_ops
 
 QUERIES = {}
 ORACLES = {}
-for _m in (reference, llm_ops, streaming_ops):
+for _m in (reference, llm_ops, streaming_ops, extended_ops):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

@@ -1,0 +1,176 @@
+"""Extended operator coverage beyond the reference surface: as-of join,
+rollup grouping sets, distinct aggregation, IVF probe search, and the
+skew-salted aggregation path.
+
+These are the ops a production lakehouse needs that the reference (a
+5-row/day ETL) never hits — each implemented Spark-first and checked
+against an INDEPENDENT DuckDB formulation (e.g. the as-of join oracle
+uses DuckDB's native ASOF JOIN against our union-tag-carry plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dsum, sql_dsum
+from ..operators.asof import asof_join
+from ..operators.similarity import ivf_search
+from ..operators.skew import salted_sum_count
+from ..sources.tables import load_table
+
+
+# ------------------------------------------------------------- as-of join
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Each purchase gets the user's most recent view at-or-before it
+    (point-in-time lookup; operators/asof.py union-tag-carry plan,
+    validated against DuckDB's native ASOF JOIN)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    return asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        ts_col="ts",
+        right_order_col="event_id",
+        right_payload=["event_id", "ts"],
+        prefix="view_",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+v AS (  -- dedup equal (user, ts): highest event_id wins (engine tie rule)
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ------------------------------------------------------ rollup grouping sets
+def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (year, returnflag): detail + per-year subtotal + grand
+    total in one pass, grouping_id disambiguating subtotal NULLs."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+    )
+    return li.rollup("year", "flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+SQL_ROLLUP_AGG = f"""
+SELECT year, flag, count(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty,
+       CAST(GROUPING(year, flag) AS BIGINT) AS gid
+FROM (
+  SELECT CAST(year(l_shipdate) AS INT) AS year, l_returnflag AS flag, l_quantity
+  FROM lineitem
+)
+GROUP BY ROLLUP(year, flag)
+"""
+
+
+# --------------------------------------------------------- distinct aggregate
+def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """count(DISTINCT) — absent from the reference's aggregate family;
+    Spark expands it to a two-level aggregate (dedup shuffle + final)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- IVF search
+_SQL_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_D2 = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN query through the IVF index: probe the 2 centroids nearest the
+    query (vec 0), brute-force only inside those buckets, top-5."""
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_search(emb, centroids, qv, k=5, nprobe=2)
+
+
+SQL_ANN_IVF_SEARCH = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, (min(struct_pack(
+           d2 := {_SQL_D2.format(a='v', b='cv')},
+           cid := c.centroid_id))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY vec_id
+),
+probe AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY {_SQL_D2.format(a='cv', b='qv')} ASC, centroid_id ASC LIMIT 2
+)
+SELECT e.vec_id,
+       list_dot_product(e.v, q.qv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+         AS cosine
+FROM e
+JOIN assign USING (vec_id)
+JOIN probe USING (centroid_id), q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+# -------------------------------------------------------- salted aggregation
+def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted SUM/COUNT over a 5-hot-key distribution — must be
+    bit-identical to the plain single-stage oracle (decimal partials)."""
+    ev = load_table(spark, sf, "events")
+    return salted_sum_count(ev, ["event_type"], F.col("value"), buckets=32)
+
+
+SQL_SKEW_SALTED_AGG = f"""
+SELECT event_type, {sql_dsum('value')} AS sum_value, count(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_rollup_agg": q_rollup_agg,
+    "q_distinct_agg": q_distinct_agg,
+    "q_ann_ivf_search": q_ann_ivf_search,
+    "q_skew_salted_agg": q_skew_salted_agg,
+}
+
+ORACLES = {
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_rollup_agg": SQL_ROLLUP_AGG,
+    "q_distinct_agg": SQL_DISTINCT_AGG,
+    "q_ann_ivf_search": SQL_ANN_IVF_SEARCH,
+    "q_skew_salted_agg": SQL_SKEW_SALTED_AGG,
+}

@@ -97,6 +97,51 @@ def test_sessionize_gap_boundaries(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_asof_join_semantics(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 7, "2024-01-01 10:00:00"), (101, 7, "2024-01-01 12:00:00"),
+         (102, 8, "2024-01-01 10:00:00")],
+        ["event_id", "user_id", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 09:00:00"),
+            (2, 7, "2024-01-01 10:00:00"),  # equal ts -> matches (<=)
+            (3, 7, "2024-01-01 11:00:00"),
+            # user 8 has no view before 10:00 -> NULL match
+            (4, 8, "2024-01-01 23:00:00"),
+        ],
+        ["event_id", "user_id", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(
+        left, right, by=["user_id"], ts_col="ts",
+        right_order_col="event_id", right_payload=["event_id"], prefix="m_",
+    )
+    got = {r["event_id"]: r["m_event_id"] for r in out.collect()}
+    assert got == {100: 2, 101: 3, 102: None}
+
+
+def test_salted_agg_matches_plain(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.skew import salted_sum_count
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 0.01).alias("v")
+    )
+    salted = {
+        r["k"]: (r["sum_value"], r["n_rows"])
+        for r in salted_sum_count(df, ["k"], F.col("v"), buckets=8).collect()
+    }
+    plain = {
+        r["k"]: (float(r["s"]), r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(27,8)")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
 def test_multimodal_map_in_pandas(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\xff\x00"), "image"), (2, bytearray(b"\x00"), "audio")],
