@@ -1,0 +1,113 @@
+"""Plan-shape assertions: the physical-plan properties the 100 TB design
+depends on must hold and stay held (pushdown, pruning, broadcast,
+bucketed no-shuffle joins, sketch accuracy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.functions.sketches import (
+    approx_distinct,
+    approx_quantiles,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # pruned read schema: only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    ev.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # partition filter, not a data filter: nothing pushed into the row scan
+    assert "PushedFilters: []" in plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = li.join(supp, li.l_suppkey == supp.s_suppkey, "left")
+    j.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # at test scale every table is broadcastable, which would bypass the
+    # bucketed scan entirely; disable broadcast to exercise the co-located
+    # sort-merge path a 100 TB fact-fact join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+    )
+    try:
+        j = bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+        agg = j.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        plan_join = _plan(j)
+        plan_agg = _plan(agg)
+        assert "Exchange" not in plan_join  # co-located: no shuffle either side
+        # even the downstream groupBy on the bucket key needs no shuffle
+        assert "Exchange" not in plan_agg
+        # sanity: result matches the plain join
+        assert j.count() == li.join(
+            od.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey").alias("d")).first()["d"]
+    approx = li.select(approx_distinct("l_orderkey", rsd=0.02).alias("d")).first()["d"]
+    assert abs(approx - exact) / exact < 0.06  # 3 sigma at rsd=2%
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    got = li.select(
+        approx_quantiles("l_extendedprice", [0.5], accuracy=10_000).alias("q")
+    ).first()["q"][0]
+    # verify rank error <= n/accuracy (+1 row tolerance)
+    rank = li.filter(F.col("l_extendedprice") <= got).count()
+    assert abs(rank - 0.5 * n) <= n / 10_000 + 1
+
+
+def test_weekly_rollup_is_single_aggregate(spark, sf_dir):
+    """The OHLCV rollup must stay ONE hash aggregate (struct-key min/max),
+    not a window sort + aggregate."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.reference import q_weekly_rollup
+
+    plan = _plan(q_weekly_rollup(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1  # the single groupBy shuffle
