@@ -139,6 +139,93 @@ def ivf_search(
     )
 
 
+def hyperplane_planes(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy PCG64 stream is
+    version-stable), shared with the oracle-SQL generator."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH — the scale path
+    the quadratic ``embedding_neardup_pairs`` baseline validates.
+
+    sign(v . r) agrees for two vectors with prob 1 - angle/pi, so a band
+    of b sign-bits collides with p^b and any-of-B bands with
+    1-(1-p^b)^B — tune (bands, planes_per_band) to the target recall at
+    the threshold. Plan shape mirrors operators/lsh.py: ONE pass to
+    signatures (the hyperplane dots are column expressions over a
+    broadcast-free literal array), band explode, bucket groupBy with
+    bucket-local id-pair expansion (no self-join), then the candidate
+    pairs join back to the vectors for the EXACT cosine filter — LSH
+    only ever affects recall, never precision."""
+    planes = hyperplane_planes(bands * planes_per_band, dim, seed)
+
+    def band_hash(b: int) -> Column:
+        bits = [
+            F.when(
+                _dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in planes[b * planes_per_band + p]]),
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(planes_per_band)
+        ]
+        return F.concat(*bits)
+
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+        for b in range(bands)
+    ])
+    rows = df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("x")).select(
+        "id", "x.band", "x.bh"
+    )
+    buckets = (
+        rows.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

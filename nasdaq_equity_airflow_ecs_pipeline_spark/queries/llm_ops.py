@@ -310,6 +310,66 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+# 8 bands x 3 bits: collision p = (1 - theta/pi)^3 per band; at the query
+# threshold (cos 0.4 -> p_bit ~ 0.63) any-of-8 recall ~ 0.9, and -> 1.0
+# fast as cosine -> 1 (true near-dups). More bands buy recall linearly in
+# compute; precision is always 1.0 (exact-cosine verification).
+_LSH_BANDS = 8
+_LSH_PLANES = 3
+_LSH_DIM = 64
+_LSH_SEED = 42
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs (the scale path); candidates
+    verified with exact cosine so precision is 1.0 by construction.
+    Oracle SQL is generated from the SAME numpy hyperplanes."""
+    return similarity.embedding_neardup_lsh(
+        _emb(spark, sf),
+        threshold=EMB_NEARDUP_THRESHOLD,
+        bands=_LSH_BANDS,
+        planes_per_band=_LSH_PLANES,
+        dim=_LSH_DIM,
+        seed=_LSH_SEED,
+    )
+
+
+def _sql_neardup_lsh() -> str:
+    planes = similarity.hyperplane_planes(_LSH_BANDS * _LSH_PLANES, _LSH_DIM, _LSH_SEED)
+
+    def lit_arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def band_expr(b: int) -> str:
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {lit_arr(planes[b * _LSH_PLANES + p])}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(_LSH_PLANES)
+        )
+        return f"SELECT vec_id, {b} AS band, {bits} AS bh FROM e"
+
+    bands_sql = " UNION ALL ".join(band_expr(b) for b in range(_LSH_BANDS))
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH = _sql_neardup_lsh()
+
+
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF build step: nearest-centroid assignment (centroids = the first
     8 vectors), squared L2."""
@@ -391,6 +451,7 @@ QUERIES = {
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_binary_meta": q_binary_meta,
     "q_sessionize": q_sessionize,
@@ -408,6 +469,7 @@ ORACLES = {
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
     "q_embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+    "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "q_ann_ivf": SQL_ANN_IVF,
     "q_binary_meta": SQL_BINARY_META,
     "q_sessionize": SQL_SESSIONIZE,

@@ -97,6 +97,20 @@ def test_sessionize_gap_boundaries(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_neardup_lsh_precision_and_recall(spark, sf_dir):
+    """Hyperplane LSH must never emit a false pair (exact-cosine verify)
+    and must find >= 85% of the true pairs at the configured banding."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.llm_ops import (
+        q_embedding_neardup_lsh,
+        q_embedding_neardup_pairs,
+    )
+
+    exact = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup_pairs(spark, sf_dir).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in q_embedding_neardup_lsh(spark, sf_dir).collect()}
+    assert got <= exact                      # precision 1.0
+    assert len(got & exact) / len(exact) >= 0.85
+
+
 def test_asof_join_semantics(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.operators.asof import asof_join
 
