@@ -156,6 +156,47 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain
 
 
+def test_http_source_normalization(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.http import (
+        fetch_quotes,
+        quotes_to_frame,
+    )
+
+    provider = {
+        "AAPL": [{
+            "symbol": "AAPL", "name": "Apple Inc.", "exchange": "NASDAQ",
+            "price": "231.5",            # string numeric -> coerced
+            "previousClose": 230.0, "dayLow": 229.1, "dayHigh": 232.9,
+            "changesPercentage": 0.65, "volume": 1000, "marketCap": 3.5e12,
+            # open/yearLow/... absent -> default 0
+        }],
+        "BAD": None,  # transport failure -> skipped
+    }
+    calls = []
+
+    def fake_fetch(url):
+        sym = url.split("/quote/")[1].split("?")[0]
+        calls.append(sym)
+        if provider[sym] is None:
+            raise OSError("boom")
+        return provider[sym]
+
+    slept = []
+    rows = fetch_quotes(
+        ["AAPL", "BAD"], "https://example.test/api/v3", "k",
+        extraction_time="2024-01-02T00:00:00Z",
+        fetch_fn=fake_fetch, sleep_fn=slept.append,
+    )
+    assert calls == ["AAPL", "BAD"] and slept == [1.0]
+    assert len(rows) == 1
+    df = quotes_to_frame(spark, rows)
+    r = df.collect()[0]
+    assert r["price"] == 231.5 and r["open"] == 0.0          # coerce + default
+    assert r["change_percent"] == 0.65                        # camelCase mapped
+    assert r["market_cap"] == int(3.5e12)
+    assert r["api_endpoint"] == "https://example.test/api/v3/quote/AAPL"
+
+
 def test_multimodal_map_in_pandas(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\xff\x00"), "image"), (2, bytearray(b"\x00"), "audio")],

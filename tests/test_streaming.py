@@ -110,6 +110,51 @@ def test_session_window_stream_matches_batch(spark, event_stream_dir):
     assert _rows(got, cols) == _rows(exp, cols)
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches AND
+    across separate runs sharing a checkpoint (exactly-once restart)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    captured: list[tuple] = []
+
+    def run_once() -> None:
+        stream = _read_event_stream(spark, src)
+        out = running_totals(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _id: captured.extend(
+                    (r["user_id"], r["n_events"], r["sum_value"]) for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "a", "value": 1.5}\n'
+            '{"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "a", "value": 2.0}\n'
+            '{"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 8, "event_type": "a", "value": 4.0}\n'
+        )
+    run_once()
+    assert (7, 2, 3.5) in captured and (8, 1, 4.0) in captured
+
+    # second run, same checkpoint: totals continue, not restart
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            '{"event_id": 4, "ts": "2024-01-01 11:00:00", "user_id": 7, "event_type": "a", "value": 10.0}\n'
+        )
+    captured.clear()
+    run_once()
+    assert captured == [(7, 3, 13.5)]  # state survived the restart
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode + watermark: an event older than (max ts - delay) after
     the watermark advanced is excluded from its (already-final) window."""
