@@ -159,7 +159,37 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ SQL entry (S7)
+_Q1_BODY = """
+SELECT
+  l_returnflag AS return_flag,
+  l_linestatus AS line_status,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_entry(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL front door (reference S7: validation queries arrive as SQL
+    text): register views, run TPC-H-Q1-shaped SQL through spark.sql —
+    same Catalyst plan as the DataFrame API, pushdown included. The
+    oracle runs the IDENTICAL statement modulo the string-type keyword
+    (Spark: STRING, DuckDB: VARCHAR)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_BODY.format(str_t="STRING"))
+
+
+SQL_SQL_ENTRY = _Q1_BODY.format(str_t="VARCHAR")
+
+
 QUERIES = {
+    "q_sql_entry": q_sql_entry,
     "q_asof_join": q_asof_join,
     "q_rollup_agg": q_rollup_agg,
     "q_distinct_agg": q_distinct_agg,
@@ -168,6 +198,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sql_entry": SQL_SQL_ENTRY,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
