@@ -188,8 +188,54 @@ def q_sql_entry(spark: SparkSession, sf: str) -> DataFrame:
 SQL_SQL_ENTRY = _Q1_BODY.format(str_t="VARCHAR")
 
 
+# ------------------------------------------------------------ pivot/unpivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide reshape: one row per user, one count column per event type.
+    The value list is pinned (no discovery pass); Spark plans a single
+    hash aggregate with pivot expressions — same shape as the CASE-sum
+    oracle."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+SQL_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Long reshape (melt): part size/retail metrics to (key, metric,
+    value) rows via unpivot — the inverse operator."""
+    part = load_table(spark, sf, "part")
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        "p_partkey", "metric", F.col("value").cast("double").alias("value")
+    )
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
 QUERIES = {
     "q_sql_entry": q_sql_entry,
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
     "q_asof_join": q_asof_join,
     "q_rollup_agg": q_rollup_agg,
     "q_distinct_agg": q_distinct_agg,
@@ -199,6 +245,8 @@ QUERIES = {
 
 ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
+    "q_pivot": SQL_PIVOT,
+    "q_unpivot": SQL_UNPIVOT,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
