@@ -110,6 +110,27 @@ def test_session_window_stream_matches_batch(spark, event_stream_dir):
     assert _rows(got, cols) == _rows(exp, cols)
 
 
+def test_stream_static_dimension_join(spark, event_stream_dir, tmp_path):
+    """Star-schema enrichment on a stream: the static dim side broadcasts
+    into every micro-batch (the streaming form of J1/J2)."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = _read_event_stream(spark, event_stream_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("category").count()
+    _run_to_memory(enriched, "t_enriched", "complete")
+    got = {r["category"]: r["count"] for r in spark.table("t_enriched").collect()}
+
+    batch = spark.read.schema(stream.schema).json(event_stream_dir)
+    exp = {
+        r["category"]: r["count"]
+        for r in batch.join(dim, "event_type").groupBy("category").count().collect()
+    }
+    assert got == exp
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-key state across micro-batches AND
     across separate runs sharing a checkpoint (exactly-once restart)."""
