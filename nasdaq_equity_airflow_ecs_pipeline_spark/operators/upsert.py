@@ -78,3 +78,52 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def upsert_parquet_cow(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str],
+    preserve_cols: list[str] | None = None,
+) -> None:
+    """Copy-on-write keyed upsert that rewrites ONLY the partitions the
+    source batch touches — the scale form of ``upsert_parquet`` (which
+    rewrites the whole table: fine for dims, fatal for a 100 TB fact).
+
+    Shape of Iceberg's copy-on-write MERGE: (1) collect the source's
+    distinct partition values (bounded by partitions touched, e.g. a few
+    dates — driver-safe); (2) read the target pruned to those partitions
+    (Catalyst PartitionFilters — untouched history is never scanned);
+    (3) anti-join + union merge; (4) dynamic partition overwrite swaps
+    just those partition dirs.
+
+    Requires ``partition_by ⊆ keys`` so a key can never migrate between
+    partitions (else rows outside the scanned slice could duplicate).
+    """
+    missing = [c for c in partition_by if c not in keys]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} must be part of the merge key; "
+            "a key that moves partitions breaks partition-scoped MERGE"
+        )
+    if not os.path.exists(path):
+        source.write.partitionBy(*partition_by).parquet(path)
+        return
+
+    parts = source.select(*partition_by).distinct().collect()
+    cond = F.lit(False)
+    for row in parts:
+        match = F.lit(True)
+        for c in partition_by:
+            match = match & (F.col(c) == F.lit(row[c]))
+        cond = cond | match
+    target_slice = spark.read.parquet(path).filter(cond)
+    merged = merge_upsert(target_slice, source, keys, preserve_cols=preserve_cols)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

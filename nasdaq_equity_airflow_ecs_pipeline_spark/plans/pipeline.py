@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from ..operators.upsert import upsert_parquet
+from ..operators.upsert import upsert_parquet, upsert_parquet_cow
 from ..quality.expectations import assert_suite, reference_suites
 from ..sources.inline import build_dim_date_frame, build_dim_exchange_frame
 from ..sources.jsonl import read_quotes_jsonl, write_quotes_jsonl
@@ -82,11 +82,13 @@ def run_pipeline(
         paths["dim_exchange"]
     )
 
-    # -- fact (Glue job 2): MERGE on (stock_symbol, trade_date)
+    # -- fact (Glue job 2): MERGE on (stock_symbol, trade_date).
+    # Copy-on-write: a daily batch rewrites only its trade_date partitions,
+    # never the historical fact — the 100 TB-safe MERGE shape.
     fact = build_fact_daily_price(quotes, processing_date)
-    upsert_parquet(
+    upsert_parquet_cow(
         spark, fact, paths["fact_stock_daily_price"],
-        keys=["stock_symbol", "trade_date"],
+        keys=["stock_symbol", "trade_date"], partition_by=["trade_date"],
     )
 
     # -- aggregations (Glue job 3) with empty-input guard (A5)
@@ -97,18 +99,19 @@ def run_pipeline(
     dim_stock_all = spark.read.parquet(paths["dim_stock"])
 
     weekly = build_weekly_metrics(fact_all, dim_date, dim_stock_all)
-    upsert_parquet(
+    upsert_parquet_cow(
         spark, weekly, paths["agg_stock_weekly_metrics"],
         keys=["year", "week", "symbol"], partition_by=["year"],
     )
     monthly = build_monthly_metrics(fact_all, dim_date, dim_stock_all)
-    upsert_parquet(
+    upsert_parquet_cow(
         spark, monthly, paths["agg_stock_monthly_metrics"],
         keys=["year", "month", "symbol"], partition_by=["year"],
     )
     sector = build_sector_performance(fact_all, dim_stock_all)
-    upsert_parquet(
-        spark, sector, paths["agg_sector_performance"], keys=["date", "sector"],
+    upsert_parquet_cow(
+        spark, sector, paths["agg_sector_performance"],
+        keys=["date", "sector"], partition_by=["date"],
     )
 
     # -- validation (GX checkpoint parity, in-process). Partitioned parquet

@@ -2,9 +2,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import glob
+import os
+
+import pytest
+
 from nasdaq_equity_airflow_ecs_pipeline_spark.operators.upsert import (
     merge_upsert,
     upsert_parquet,
+    upsert_parquet_cow,
 )
 
 
@@ -37,3 +43,47 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_cow_touches_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    day1 = spark.createDataFrame(
+        [("AAPL", "2024-01-01", 1.0), ("MSFT", "2024-01-01", 2.0)],
+        ["sym", "d", "v"],
+    )
+    day2 = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 3.0)], ["sym", "d", "v"]
+    )
+    upsert_parquet_cow(spark, day1, path, keys=["sym", "d"], partition_by=["d"])
+    upsert_parquet_cow(spark, day2, path, keys=["sym", "d"], partition_by=["d"])
+
+    day1_files = sorted(glob.glob(os.path.join(path, "d=2024-01-01", "*.parquet")))
+    stamps = {f: os.path.getmtime(f) for f in day1_files}
+    assert day1_files
+
+    # re-merge day2 with a changed value: idempotent count, day1 untouched
+    day2b = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 9.0), ("GOOG", "2024-01-02", 4.0)],
+        ["sym", "d", "v"],
+    )
+    upsert_parquet_cow(spark, day2b, path, keys=["sym", "d"], partition_by=["d"])
+    got = {(r.sym, str(r.d)): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("AAPL", "2024-01-01"): 1.0, ("MSFT", "2024-01-01"): 2.0,
+        ("AAPL", "2024-01-02"): 9.0, ("GOOG", "2024-01-02"): 4.0,
+    }
+    # the untouched partition's files were not rewritten
+    assert sorted(glob.glob(os.path.join(path, "d=2024-01-01", "*.parquet"))) == day1_files
+    assert all(os.path.getmtime(f) == stamps[f] for f in day1_files)
+
+    # run-twice invariant on the cow path
+    upsert_parquet_cow(spark, day2b, path, keys=["sym", "d"], partition_by=["d"])
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_cow_rejects_migrating_keys(spark, tmp_path):
+    df = spark.createDataFrame([(1, "2024-01-01", 1.0)], ["k", "d", "v"])
+    with pytest.raises(ValueError, match="must be part of the merge key"):
+        upsert_parquet_cow(
+            spark, df, str(tmp_path / "x"), keys=["k"], partition_by=["d"]
+        )
