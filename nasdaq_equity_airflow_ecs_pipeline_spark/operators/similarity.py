@@ -214,13 +214,22 @@ def embedding_neardup_lsh(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    normed = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_n"),
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+            "id_a", "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -237,9 +246,16 @@ def embedding_neardup_pairs(
 
     With ``bucket_col`` (e.g. an IVF centroid or LSH bucket) the self-join
     is restricted to same-bucket pairs — the scale path. Without it this
-    is the exact quadratic baseline (small inputs / validation only)."""
-    left = df.alias("l")
-    right = df.alias("r")
+    is the exact quadratic baseline (small inputs / validation only).
+
+    Norms are computed ONCE per vector before the join (O(n) instead of
+    O(n^2) norm folds); sqrt(norm2) per side is the same IEEE operation
+    sequence as computing it inside the pair expression, so results stay
+    bit-identical to the oracle."""
+    keep = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
+    normed = df.select(*keep, F.sqrt(_norm2(F.col(vec_col))).alias("_n"))
+    left = normed.alias("l")
+    right = normed.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if bucket_col is not None:
         cond = cond & (F.col(f"l.{bucket_col}") == F.col(f"r.{bucket_col}"))
@@ -248,7 +264,10 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+            (
+                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (F.col("l._n") * F.col("r._n"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
