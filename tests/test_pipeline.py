@@ -38,6 +38,16 @@ def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     wk = weekly.collect()[0]
     assert wk.week_high >= wk.week_low
 
+    # a third date in the NEXT ISO week: weekly rollup splits (2 weeks x 5
+    # symbols), monthly stays merged (same month)
+    run_pipeline(spark, wh, "2024-01-08")
+    weekly2 = spark.read.parquet(paths["agg_stock_weekly_metrics"])
+    assert weekly2.count() == 10
+    assert {r.week for r in weekly2.select("week").distinct().collect()} == {1, 2}
+    monthly = spark.read.parquet(paths["agg_stock_monthly_metrics"])
+    assert monthly.count() == 5
+    assert spark.read.parquet(paths["fact_stock_daily_price"]).count() == 3 * n1
+
     dim_date = spark.read.parquet(paths["dim_date"])
     assert dim_date.count() == 2557
 
