@@ -232,10 +232,81 @@ SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
 """
 
 
+# -------------------------------------------------------- semi / anti joins
+def q_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS/NOT EXISTS as join operators: customers WITH open orders
+    (left_semi) and WITHOUT any order (left_anti), one labeled result.
+    Semi/anti never duplicate the left side — the planner probes a
+    broadcast/hash set instead of materializing matches."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    with_open = cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_open_order").alias("label"))
+    no_orders = cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("label"))
+    return with_open.unionByName(no_orders)
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_open_order' AS label FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'no_orders' FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ------------------------------------------------------- lag/lead + frames
+def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-offset window functions over a per-supplier date order: previous
+    /next price, delta, and a trailing 3-row moving sum (explicit frame) —
+    the window family beyond the reference's lone row_number."""
+    li = load_table(spark, sf, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    frame = w.rowsBetween(-2, 0)
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.select(
+        F.col("l_suppkey").alias("supp_key"),
+        "l_orderkey", "l_linenumber",
+        price_dec.alias("price"),
+        F.lag(price_dec).over(w).alias("prev_price"),
+        F.lead(price_dec).over(w).alias("next_price"),
+        (price_dec - F.lag(price_dec).over(w)).alias("price_delta"),
+        F.sum(price_dec).over(frame).alias("trailing3_sum"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT l_suppkey AS supp_key, l_orderkey, l_linenumber,
+  CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+  lag(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS prev_price,
+  lead(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS next_price,
+  CAST(l_extendedprice AS DECIMAL(18,4))
+    - lag(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS price_delta,
+  sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+    OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing3_sum
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
 QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
+    "q_semi_anti_join": q_semi_anti_join,
+    "q_lag_lead": q_lag_lead,
     "q_asof_join": q_asof_join,
     "q_rollup_agg": q_rollup_agg,
     "q_distinct_agg": q_distinct_agg,
@@ -247,6 +318,8 @@ ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
     "q_pivot": SQL_PIVOT,
     "q_unpivot": SQL_UNPIVOT,
+    "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
+    "q_lag_lead": SQL_LAG_LEAD,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
