@@ -301,8 +301,30 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# ------------------------------------------------------------ JSON columns
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON column functions (beyond the reference's typed-read-only JSON
+    use): parse events.props with an explicit schema via from_json —
+    single JVM-side parse, no inference pass — bucket and aggregate."""
+    ev = load_table(spark, sf, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+SQL_JSON_EXTRACT = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_sql_entry": q_sql_entry,
+    "q_json_extract": q_json_extract,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_semi_anti_join": q_semi_anti_join,
@@ -316,6 +338,7 @@ QUERIES = {
 
 ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
+    "q_json_extract": SQL_JSON_EXTRACT,
     "q_pivot": SQL_PIVOT,
     "q_unpivot": SQL_UNPIVOT,
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
