@@ -117,6 +117,39 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sliding-window chunking for training-data prep: fixed-size token
+    windows with overlap, as pure column expressions (explode over chunk
+    starts + array slice — no UDF, no shuffle; streams at scan speed).
+
+    n_chunks = ceil(max(n_tokens - overlap, 1) / stride) with
+    stride = chunk_size - overlap: every token is covered, the final
+    chunk may be shorter, and a doc shorter than one chunk still yields
+    exactly one chunk."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_size")
+    base = df.select("*", tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = (F.greatest(n - overlap, F.lit(1)) + (stride - 1)).cast("bigint") / stride
+    n_chunks = F.floor(n_chunks).cast("int")
+    out = base.select(
+        "*", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return out.select(
+        *df.columns,
+        "chunk_id",
+        F.size(chunk_toks).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk_toks)).alias("chunk_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text,
     plus a 60-bit integer form for compact joins/bloom filters."""

@@ -398,6 +398,110 @@ FROM scored GROUP BY vec_id
 """
 
 
+# ----------------------------------------------------------- chunking
+_CHUNK_SIZE = 50
+_CHUNK_OVERLAP = 10
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window training chunks (50 tokens, 10 overlap); emits
+    per-chunk token count + content hash, not the text (compact compare)."""
+    d = _docs(spark, sf)
+    return text_ops.chunk_documents(
+        d.select("doc_id", "text"),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    ).select("doc_id", "chunk_id", "chunk_tokens", "chunk_md5")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CAST(floor((greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STRIDE - 1})
+                    / {_CHUNK_STRIDE}) AS INT) AS n_chunks
+  FROM tok
+)
+SELECT doc_id, i AS chunk_id,
+       len(toks[i*{_CHUNK_STRIDE}+1 : least(i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}, nt)])::INT
+         AS chunk_tokens,
+       md5(array_to_string(
+             toks[i*{_CHUNK_STRIDE}+1 : least(i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}, nt)], ' '))
+         AS chunk_md5
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+"""
+
+
+# ------------------------------------------------------- decontamination
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 10) sharing ANY
+    5-gram with the benchmark set (doc_id < 10) are flagged. The shingle
+    equi-join is the scale shape — contamination is detected without any
+    pairwise comparison."""
+    d = _docs(spark, sf)
+    base = d.select("doc_id", lsh.tokens("text").alias("toks"))
+    sh = base.select(
+        "doc_id", F.explode(lsh.shingles_from_tokens(F.col("toks"), 5)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") < 10).select(F.col("s").alias("bs")).distinct()
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), corpus.s == bench.bs)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i+1 : i+5], ' ') AS s
+  FROM tok, unnest(generate_series(0, len(toks) - 5)) AS u(i)
+  WHERE len(toks) >= 5
+)
+SELECT DISTINCT c.doc_id, TRUE AS contaminated
+FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 10) b ON c.s = b.s
+WHERE c.doc_id >= 10
+"""
+
+
+# ----------------------------------------------------- train/test split
+def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based 90/10 split (portable md5 arithmetic, no
+    RNG state): per-split doc count + mean length — the reproducible-split
+    contract a training pipeline needs across reruns and engines."""
+    d = _docs(spark, sf)
+    bucket = lsh.base_hash31(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select(
+            F.when(bucket < 90, "train").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        )
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {MP} % 100 < 90
+       THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       avg(CAST(n_chars AS DOUBLE)) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -455,6 +559,9 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_binary_meta": q_binary_meta,
     "q_sessionize": q_sessionize,
+    "q_chunk_documents": q_chunk_documents,
+    "q_decontaminate": q_decontaminate,
+    "q_train_test_split": q_train_test_split,
 }
 
 ORACLES = {
@@ -473,4 +580,7 @@ ORACLES = {
     "q_ann_ivf": SQL_ANN_IVF,
     "q_binary_meta": SQL_BINARY_META,
     "q_sessionize": SQL_SESSIONIZE,
+    "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "q_decontaminate": SQL_DECONTAMINATE,
+    "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
 }

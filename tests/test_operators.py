@@ -97,6 +97,29 @@ def test_sessionize_gap_boundaries(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
 
 
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(50))),   # exactly one chunk
+            (2, " ".join(f"t{i}" for i in range(51))),   # spills into 2nd
+            (3, "short doc"),                             # < chunk_size
+            (4, " ".join(f"t{i}" for i in range(130))),  # 3 chunks + tail
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(docs, chunk_size=50, overlap=10)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_tokens"] for r in out.collect()
+    }
+    assert {k[0] for k in got} == {1, 2, 3, 4}
+    assert got[(1, 0)] == 50 and (1, 1) not in got
+    assert got[(2, 0)] == 50 and got[(2, 1)] == 11   # stride 40: tokens 40..50
+    assert got[(3, 0)] == 2
+    # 130 tokens, stride 40 -> ceil(120/40) = 3 chunks: 50, 50, 50
+    assert [got[(4, i)] for i in range(3)] == [50, 50, 50]
+    assert (4, 3) not in got
+
+
 def test_neardup_lsh_precision_and_recall(spark, sf_dir):
     """Hyperplane LSH must never emit a false pair (exact-cosine verify)
     and must find >= 85% of the true pairs at the configured banding."""
