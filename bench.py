@@ -42,7 +42,10 @@ HEADLINE = [
     "q_token_count",
     "q_minhash_pairs",
     "q_embedding_topk",
+    "q_embedding_neardup_lsh",
     "q_sessionize",
+    "q_asof_join",
+    "q_chunk_documents",
     "q_tumbling_window",
     "q_session_window_agg",
 ]

@@ -174,26 +174,35 @@ def embedding_neardup_lsh(
     only ever affects recall, never precision."""
     planes = hyperplane_planes(bands * planes_per_band, dim, seed)
 
-    def band_hash(b: int) -> Column:
-        bits = [
-            F.when(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in planes[b * planes_per_band + p]]),
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(planes_per_band)
-        ]
-        return F.concat(*bits)
+    # Vectorized signature: ONE Arrow-batched numpy matmul for all
+    # bands*planes_per_band dots instead of per-plane interpreted folds
+    # (~10x at sf0.1). Sign stability vs the oracle's sequential-order
+    # dot: summation-order noise is <= ~1e-13 relative, and the measured
+    # minimum |dot| on the test corpora is 1.8e-05 (sf0.1) — 8 orders of
+    # magnitude of margin, so the emitted bits are order-independent.
+    import numpy as np
+    import pandas as pd
 
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-        for b in range(bands)
-    ])
-    rows = df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("x")).select(
-        "id", "x.band", "x.bh"
+    P_T = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+
+    def _band_hashes(embs):  # pd.Series -> pd.Series (hints would be
+        # stringified by `from __future__ import annotations`, which
+        # pandas_udf's signature inspection rejects)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        bits = (V @ P_T) >= 0  # (n, bands * planes_per_band)
+        return pd.Series([
+            [
+                "".join("1" if b else "0" for b in row[i * planes_per_band:(i + 1) * planes_per_band])
+                for i in range(bands)
+            ]
+            for row in bits
+        ])
+
+    band_hashes = F.pandas_udf(_band_hashes, "array<string>")
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_hashes(F.col(vec_col))).alias("band", "bh"),
     )
     buckets = (
         rows.groupBy("band", "bh")
