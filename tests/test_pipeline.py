@@ -52,6 +52,26 @@ def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     assert dim_date.count() == 2557
 
 
+def test_dag_local_runner(spark, tmp_path):
+    """Task-graph executor: dependency order honored, validations green."""
+    import pytest
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.plans.dag import (
+        build_airflow_dag,
+        run_local,
+    )
+
+    order = run_local(lambda: spark, str(tmp_path / "wh"), "2024-01-02")
+    assert order[0] == "extract_and_build"
+    assert order.index("validate_dimensions_quality") < order.index(
+        "validate_facts_quality"
+    )
+    assert len(order) == 5
+
+    with pytest.raises(ImportError):  # airflow not in this image
+        build_airflow_dag(str(tmp_path / "wh"))
+
+
 def test_dim_date_values(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.sources.inline import (
         build_dim_date_frame,
