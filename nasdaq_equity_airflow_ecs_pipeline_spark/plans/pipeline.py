@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.upsert import upsert_parquet, upsert_parquet_cow
 from ..quality.expectations import assert_suite, reference_suites
@@ -91,24 +92,42 @@ def run_pipeline(
         keys=["stock_symbol", "trade_date"], partition_by=["trade_date"],
     )
 
-    # -- aggregations (Glue job 3) with empty-input guard (A5)
+    # -- aggregations (Glue job 3) with empty-input guard (A5).
+    # Incremental view maintenance: a run for date D only rebuilds the
+    # aggregate GROUPS D falls into (its calendar week / month / day) —
+    # the period filters use the SAME calendar functions as the dim_date
+    # join keys, so the recomputed groups are exactly the affected ones,
+    # and the filters prune the date-partitioned fact down to days of
+    # that period instead of scanning full history. The reference
+    # recomputes all three rollups over the whole fact every night
+    # (build_stock_aggregations.py:45-55) — fine at 5 rows/day, not at
+    # 100 TB.
     fact_all = spark.read.parquet(paths["fact_stock_daily_price"])
     if fact_all.isEmpty():
         return paths
     dim_date = spark.read.parquet(paths["dim_date"])
     dim_stock_all = spark.read.parquet(paths["dim_stock"])
+    pd_date = F.to_date(F.lit(processing_date))
+    same_year = F.year("trade_date") == F.year(pd_date)
 
-    weekly = build_weekly_metrics(fact_all, dim_date, dim_stock_all)
+    week_scope = fact_all.filter(
+        same_year & (F.weekofyear("trade_date") == F.weekofyear(pd_date))
+    )
+    weekly = build_weekly_metrics(week_scope, dim_date, dim_stock_all)
     upsert_parquet_cow(
         spark, weekly, paths["agg_stock_weekly_metrics"],
         keys=["year", "week", "symbol"], partition_by=["year"],
     )
-    monthly = build_monthly_metrics(fact_all, dim_date, dim_stock_all)
+    month_scope = fact_all.filter(
+        same_year & (F.month("trade_date") == F.month(pd_date))
+    )
+    monthly = build_monthly_metrics(month_scope, dim_date, dim_stock_all)
     upsert_parquet_cow(
         spark, monthly, paths["agg_stock_monthly_metrics"],
         keys=["year", "month", "symbol"], partition_by=["year"],
     )
-    sector = build_sector_performance(fact_all, dim_stock_all)
+    day_scope = fact_all.filter(F.col("trade_date") == pd_date)
+    sector = build_sector_performance(day_scope, dim_stock_all)
     upsert_parquet_cow(
         spark, sector, paths["agg_sector_performance"],
         keys=["date", "sector"], partition_by=["date"],
