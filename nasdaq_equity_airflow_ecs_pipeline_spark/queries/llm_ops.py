@@ -502,6 +502,86 @@ FROM documents GROUP BY 1
 """
 
 
+# ------------------------------------------------------ repetition quality
+def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): fraction
+    of duplicated word 3-grams, as pure array expressions — distinct vs
+    total shingle counts, no per-doc explode or shuffle."""
+    d = _docs(spark, sf)
+    base = d.select("doc_id", lsh.tokens("text").alias("toks"))
+    k = F.size("toks")
+    n_grams = F.greatest(k - 2, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+            F.element_at(F.col("toks"), i + 3),
+        ),
+    )
+    n_distinct = F.when(k >= 3, F.size(F.array_distinct(grams))).otherwise(0)
+    return base.select(
+        "doc_id",
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.when(
+            k >= 3, 1.0 - n_distinct.cast("double") / n_grams.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+SQL_REPETITION_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS k,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(0, len(toks)-3),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         ELSE [] END AS grams
+  FROM tok
+)
+SELECT doc_id,
+       greatest(k - 2, 0)::INT AS n_grams,
+       (CASE WHEN k >= 3 THEN len(list_distinct(grams)) ELSE 0 END)::INT AS n_distinct,
+       CASE WHEN k >= 3
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(greatest(k - 2, 0) AS DOUBLE)
+            ELSE 0.0 END AS dup_ratio
+FROM g
+"""
+
+
+# ------------------------------------------------------------- PII patterns
+# dialect-neutral regexes (identical semantics in Java regex and RE2-ish)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-risk surface scan: per-doc counts of emails, URLs, and long
+    digit runs (SSN/CC-shaped) — the filter stage before redaction."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_url"),
+        F.size(F.regexp_extract_all("text", F.lit(_LONGNUM_RE), 0)).alias("n_longnum"),
+    )
+
+
+SQL_PII_SCAN = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT AS n_email,
+  len(regexp_extract_all(text, '{_URL_RE}'))::INT AS n_url,
+  len(regexp_extract_all(text, '{_LONGNUM_RE}'))::INT AS n_longnum
+FROM documents
+"""
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -562,6 +642,8 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
     "q_train_test_split": q_train_test_split,
+    "q_repetition_score": q_repetition_score,
+    "q_pii_scan": q_pii_scan,
 }
 
 ORACLES = {
@@ -583,4 +665,6 @@ ORACLES = {
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "q_repetition_score": SQL_REPETITION_SCORE,
+    "q_pii_scan": SQL_PII_SCAN,
 }
