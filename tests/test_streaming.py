@@ -176,6 +176,58 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert captured == [(7, 3, 13.5)]  # state survived the restart
 
 
+def test_streaming_merge_sink(spark, tmp_path):
+    """foreachBatch MERGE: latest-wins within a batch, upsert across
+    batches, idempotent when a new run re-reads nothing."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.merge_sink import (
+        run_merge_stream,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once() -> None:
+        stream = _read_event_stream(spark, src).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        q = run_merge_stream(
+            stream, tbl,
+            keys=["user_id", "event_date"], partition_by=["event_date"],
+            order_by=[F.desc("ts"), F.desc("event_id")],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "a", "value": 1.0}\n'
+            '{"event_id": 2, "ts": "2024-01-01 11:00:00", "user_id": 7, "event_type": "a", "value": 2.0}\n'
+            '{"event_id": 3, "ts": "2024-01-01 10:30:00", "user_id": 8, "event_type": "a", "value": 3.0}\n'
+        )
+    run_once()
+    got = {(r.user_id, str(r.event_date)): r.event_id for r in spark.read.parquet(tbl).collect()}
+    # latest-wins within the batch: user 7 keeps event 2
+    assert got == {(7, "2024-01-01"): 2, (8, "2024-01-01"): 3}
+
+    # batch 2: newer row for user 7 same day + a new day
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            '{"event_id": 4, "ts": "2024-01-01 12:00:00", "user_id": 7, "event_type": "a", "value": 9.0}\n'
+            '{"event_id": 5, "ts": "2024-01-02 09:00:00", "user_id": 7, "event_type": "a", "value": 5.0}\n'
+        )
+    run_once()
+    got = {(r.user_id, str(r.event_date)): r.event_id for r in spark.read.parquet(tbl).collect()}
+    assert got == {
+        (7, "2024-01-01"): 4, (8, "2024-01-01"): 3, (7, "2024-01-02"): 5,
+    }
+
+    # re-run with no new files: checkpoint says nothing to do; table stable
+    run_once()
+    assert spark.read.parquet(tbl).count() == 3
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode + watermark: an event older than (max ts - delay) after
     the watermark advanced is excluded from its (already-final) window."""
