@@ -84,3 +84,89 @@ def extract_media_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "content_id bigint, width int, height int, resized binary"
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in for PIL Image.resize: deterministic byte resample (cycle
+    the payload to width*height bytes). Swap for a real decoder; the
+    Spark plumbing (schema, batching) does not change."""
+    if not payload:
+        raise NotImplementedError("resize of empty payload")
+    n = width * height
+    return bytes(payload[i % len(payload)] for i in range(n))
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Batch image resize via mapInPandas: binary in, fixed-shape binary
+    out. Output size is width*height per row — size maxRecordsPerBatch /
+    maxPartitionBytes so one Arrow batch of resized payloads fits in
+    executor memory at production resolutions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        resize_fn(bytes(p), width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "content_id bigint, frame_idx int, frame_sha256 string"
+
+
+def fake_frame_iter(payload: bytes, n_frames: int) -> list[bytes]:
+    """Stand-in for a video demuxer: split the payload into n_frames even
+    slices (deterministic). Real implementation: pyav/ffmpeg keyframe
+    iterator."""
+    if not payload:
+        raise NotImplementedError("frame sampling of empty payload")
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step:(i + 1) * step] or payload[-step:] for i in range(n_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 2,
+    n_frames: int = 8,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+    frame_fn: Callable[[bytes, int], list[bytes]] = fake_frame_iter,
+) -> DataFrame:
+    """Video frame sampling via mapInPandas: one row per sampled frame
+    (table-generating — output rows > input rows, which a scalar UDF
+    cannot express). Frames are hashed, not materialized, in this
+    metadata pass; swap the projection to return bytes when the
+    downstream featurizer needs pixels."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                frames = frame_fn(bytes(row[payload_col]), n_frames)
+                for i in range(0, len(frames), every_nth):
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    hashes.append(hashlib.sha256(frames[i]).hexdigest())
+            yield pd.DataFrame(
+                {"content_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -71,6 +71,29 @@ def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    in one pass."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        "l_quantity",
+    )
+    return li.cube("flag", "status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+SQL_CUBE_AGG = f"""
+SELECT flag, status, count(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty,
+       CAST(GROUPING(flag, status) AS BIGINT) AS gid
+FROM (SELECT l_returnflag AS flag, l_linestatus AS status, l_quantity FROM lineitem)
+GROUP BY CUBE(flag, status)
+"""
+
+
 SQL_ROLLUP_AGG = f"""
 SELECT year, flag, count(*) AS n_rows, {sql_dsum('l_quantity')} AS sum_qty,
        CAST(GROUPING(year, flag) AS BIGINT) AS gid
@@ -331,6 +354,7 @@ QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_asof_join": q_asof_join,
     "q_rollup_agg": q_rollup_agg,
+    "q_cube_agg": q_cube_agg,
     "q_distinct_agg": q_distinct_agg,
     "q_ann_ivf_search": q_ann_ivf_search,
     "q_skew_salted_agg": q_skew_salted_agg,
@@ -345,6 +369,7 @@ ORACLES = {
     "q_lag_lead": SQL_LAG_LEAD,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
+    "q_cube_agg": SQL_CUBE_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
     "q_ann_ivf_search": SQL_ANN_IVF_SEARCH,
     "q_skew_salted_agg": SQL_SKEW_SALTED_AGG,

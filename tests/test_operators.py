@@ -235,6 +235,33 @@ def test_multimodal_map_in_pandas(spark):
     assert out[2]["sha256"] == hashlib.sha256(b"\x00").hexdigest()
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02\x03\x04"), "image"),
+         (2, bytearray(bytes(range(64))), "video")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    resized = {r["content_id"]: r for r in resize_images(df, 4, 2).collect()}
+    assert len(resized[1]["resized"]) == 8        # width*height bytes
+    assert bytes(resized[1]["resized"])[:4] == b"\x01\x02\x03\x04"  # cycled
+
+    frames = sample_frames(df, every_nth=2, n_frames=8).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in frames:
+        by_doc.setdefault(r["content_id"], []).append(r["frame_idx"])
+    # 8 frames sampled every 2nd -> indices 0,2,4,6 for every doc
+    assert by_doc == {1: [0, 2, 4, 6], 2: [0, 2, 4, 6]}
+    # deterministic hashing: same payload slice -> same hash across rows
+    import hashlib
+    f0 = [r for r in frames if r["content_id"] == 2 and r["frame_idx"] == 0][0]
+    assert f0["frame_sha256"] == hashlib.sha256(bytes(range(8))).hexdigest()
+
+
 def test_multimodal_meta_only_never_decodes(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abc"), "video")],
