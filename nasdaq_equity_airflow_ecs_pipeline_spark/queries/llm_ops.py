@@ -582,6 +582,22 @@ FROM documents
 """
 
 
+# ----------------------------------------------------------- k-means (IVF fit)
+def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """3 Lloyd's iterations, k=8, deterministic init (lowest vec_ids).
+    Iterative — not SQL-expressible; driver records the rows-only check.
+    Output: one row per centroid with member count and centroid norm."""
+    from ..operators.kmeans import kmeans_fit
+
+    fitted = kmeans_fit(_emb(spark, sf), k=8, iters=3)
+    norm = F.aggregate(
+        "centroid_vec", F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return fitted.select(
+        "centroid_id", "n_members", F.sqrt(norm).alias("centroid_norm")
+    )
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -644,6 +660,8 @@ QUERIES = {
     "q_train_test_split": q_train_test_split,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
+    # iterative (Lloyd's); no oracle_sql -> driver rows-only check
+    "q_kmeans_centroids": q_kmeans_centroids,
 }
 
 ORACLES = {

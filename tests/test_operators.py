@@ -179,6 +179,23 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain
 
 
+def test_kmeans_separates_obvious_clusters(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.kmeans import kmeans_fit
+
+    # two tight blobs around (0,0) and (10,10); init picks ids 0 and 1,
+    # one in each blob
+    rows = [(0, [0.1, 0.0]), (1, [10.0, 10.1]), (2, [0.0, 0.2]),
+            (3, [9.9, 10.0]), (4, [0.2, 0.1]), (5, [10.1, 9.9])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_fit(df, k=2, iters=2).collect()
+    got = {r["centroid_id"]: (r["n_members"], r["centroid_vec"]) for r in out}
+    assert {n for n, _ in got.values()} == {3}
+    c0 = got[0][1]
+    c1 = got[1][1]
+    assert abs(c0[0] - 0.1) < 1e-9 and abs(c0[1] - 0.1) < 1e-9
+    assert abs(c1[0] - 10.0) < 1e-9 and abs(c1[1] - 10.0) < 1e-9
+
+
 def test_http_source_normalization(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.sources.http import (
         fetch_quotes,
