@@ -1,0 +1,62 @@
+"""Versioned-table (manifest log) semantics: atomic visibility, snapshot
+isolation, time travel, rollback, compaction, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.versioned import VersionedTable
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_versioned_upsert_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
+    v1 = t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), ["k"])
+    assert (v0, v1) == (0, 1)
+
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # time travel: version 0 still reads exactly as committed
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b")]
+
+    # rollback commits the old file list as a NEW head (history preserved)
+    v2 = t.rollback(0)
+    assert v2 == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_versioned_compact_and_vacuum(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # many small commits -> many files
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]), ["k"])
+    before = len(t.read().inputFiles())
+    v = t.compact(target_partitions=1)
+    assert len(t.read(version=v).inputFiles()) == 1
+    assert _rows(t.read()) == [(i, f"v{i}") for i in range(4)]
+    assert before > 1
+
+    removed = t.vacuum(keep_last=1)
+    assert removed  # orphaned small files deleted
+    # head still fully readable after vacuum
+    assert _rows(t.read()) == [(i, f"v{i}") for i in range(4)]
+
+
+def test_versioned_readers_see_whole_versions(spark, tmp_path):
+    """A reader resolving the table mid-write sees the previous manifest:
+    data files appear only via a manifest rename, never partially."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    snapshot = t.read()  # resolves manifest v0's file list NOW
+
+    t.commit(spark.createDataFrame([(9, "z")], ["k", "v"]))
+    # the old plan still reads v0's immutable files
+    assert _rows(snapshot) == [(1, "a")]
+    assert _rows(t.read()) == [(9, "z")]
+    # no tmp manifests left behind
+    mdir = os.path.join(str(tmp_path / "t"), "_manifests")
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
