@@ -324,6 +324,29 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# -------------------------------------------------------- exact percentiles
+def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quartiles per group (F.percentile — a sort-based
+    aggregate; both engines interpolate low + frac*(high-low) in double,
+    verified bit-identical). The approximate KLL path for 100 TB lives in
+    functions/sketches.py."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75
+FROM lineitem GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ JSON columns
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON column functions (beyond the reference's typed-read-only JSON
@@ -348,6 +371,7 @@ FROM events GROUP BY 1
 QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_json_extract": q_json_extract,
+    "q_group_quantiles": q_group_quantiles,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_semi_anti_join": q_semi_anti_join,
@@ -363,6 +387,7 @@ QUERIES = {
 ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
     "q_json_extract": SQL_JSON_EXTRACT,
+    "q_group_quantiles": SQL_GROUP_QUANTILES,
     "q_pivot": SQL_PIVOT,
     "q_unpivot": SQL_UNPIVOT,
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,

@@ -50,3 +50,29 @@ def run_merge_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_merge_stream_versioned(
+    stream: DataFrame,
+    table,  # operators.versioned.VersionedTable
+    keys: list[str],
+    order_by: list[Column],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """MERGE each micro-batch into a VersionedTable: every batch is an
+    atomic manifest commit, so a crash between data write and manifest
+    rename loses nothing visible and the checkpoint replays the batch
+    into an identical new version (idempotent by keys)."""
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.upsert(latest_wins(batch, keys, order_by), keys)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

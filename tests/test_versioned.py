@@ -46,6 +46,41 @@ def test_versioned_compact_and_vacuum(spark, tmp_path):
     assert _rows(t.read()) == [(i, f"v{i}") for i in range(4)]
 
 
+def test_versioned_streaming_merge(spark, tmp_path):
+    """Streaming MERGE into a versioned table: one atomic version per
+    micro-batch, latest-wins within a batch."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.merge_sink import (
+        run_merge_stream_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b1.json"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "value": 1.0}\n'
+            '{"event_id": 2, "ts": "2024-01-01 11:00:00", "user_id": 7, "value": 2.0}\n'
+        )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .json(src)
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    q = run_merge_stream_versioned(
+        stream, t, keys=["user_id", "event_date"],
+        order_by=[F.desc("ts"), F.desc("event_id")],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 2  # latest-wins
+    assert t.current_version() == 0
+
+
 def test_versioned_readers_see_whole_versions(spark, tmp_path):
     """A reader resolving the table mid-write sees the previous manifest:
     data files appear only via a manifest rename, never partially."""
