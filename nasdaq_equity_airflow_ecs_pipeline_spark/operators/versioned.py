@@ -68,13 +68,25 @@ class VersionedTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        version = (self.current_version() or 0) + 1 if self.versions() else 0
-        manifest = {"version": version, "files": files}
-        tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{version}.json"))
-        return version
+        return self._publish(files)
+
+    def _publish(self, files: list[str]) -> int:
+        """Optimistic-concurrency commit: claim the next version number
+        with a hard link (fails with EEXIST if a concurrent writer won the
+        race — unlike rename, which silently overwrites) and retry against
+        the new head. Matches Iceberg/Delta's compare-and-swap commit."""
+        while True:
+            version = (self.current_version() + 1) if self.versions() else 0
+            tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "files": files}, f)
+            try:
+                os.link(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{version}.json"))
+                return version
+            except FileExistsError:
+                continue  # lost the race; re-read head and retry
+            finally:
+                os.remove(tmp)
 
     # --------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
@@ -98,13 +110,7 @@ class VersionedTable:
     def rollback(self, version: int) -> int:
         """Restore an old snapshot by committing its file list as the new
         head (no data copied — manifests share immutable files)."""
-        manifest = self._manifest(version)
-        new_v = (self.current_version() or 0) + 1
-        tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump({"version": new_v, "files": manifest["files"]}, f)
-        os.rename(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{new_v}.json"))
-        return new_v
+        return self._publish(self._manifest(version)["files"])
 
     # ------------------------------------------------------------- compact
     def compact(self, target_partitions: int) -> int:

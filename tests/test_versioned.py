@@ -46,6 +46,26 @@ def test_versioned_compact_and_vacuum(spark, tmp_path):
     assert _rows(t.read()) == [(i, f"v{i}") for i in range(4)]
 
 
+def test_versioned_commit_race_loses_nothing(spark, tmp_path):
+    """Two writers racing for the same version number: the loser retries
+    onto the next version instead of silently overwriting the winner."""
+    import json
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    # simulate a concurrent winner claiming v1 between head-read and link
+    mdir = _os.path.join(str(tmp_path / "t"), "_manifests")
+    with open(_os.path.join(mdir, "v1.json"), "w") as f:
+        json.dump({"version": 1, "files": t._manifest(0)["files"]}, f)
+
+    v = t.commit(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert v == 2                               # retried past the conflict
+    assert _rows(t.read(version=1)) == [(1, "a")]  # winner intact
+    assert _rows(t.read(version=2)) == [(2, "b")]
+
+
 def test_versioned_streaming_merge(spark, tmp_path):
     """Streaming MERGE into a versioned table: one atomic version per
     micro-batch, latest-wins within a batch."""
