@@ -582,6 +582,23 @@ FROM documents
 """
 
 
+# -------------------------------------------------------- dedup clustering
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH pairs -> connected
+    components -> one canonical doc per cluster. Iterative label
+    propagation (graph diameter rounds) — not single-query SQL;
+    driver records the rows-only check, and the unit suite pins exact
+    clusters on known graphs."""
+    from ..operators.graph import dedup_clusters
+
+    d = _docs(spark, sf)
+    sigs = lsh.minhash_signatures(
+        d, parallelism=spark.sparkContext.defaultParallelism
+    )
+    pairs = lsh.lsh_candidate_pairs(sigs)
+    return dedup_clusters(d, pairs)
+
+
 # ----------------------------------------------------------- k-means (IVF fit)
 def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """3 Lloyd's iterations, k=8, deterministic init (lowest vec_ids).
@@ -660,8 +677,9 @@ QUERIES = {
     "q_train_test_split": q_train_test_split,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
-    # iterative (Lloyd's); no oracle_sql -> driver rows-only check
+    # iterative; no oracle_sql -> driver rows-only check
     "q_kmeans_centroids": q_kmeans_centroids,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {

@@ -179,6 +179,28 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain
 
 
+def test_connected_components_exact(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,6}; 9 isolated
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (5, 6)], ["id_a", "id_b"]
+    )
+    comps = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 7, 9)], ["doc_id"])
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, edges).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 7: (1, False),
+        5: (5, True), 6: (5, False), 9: (9, True),
+    }
+
+
 def test_kmeans_separates_obvious_clusters(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.operators.kmeans import kmeans_fit
 
