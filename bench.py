@@ -31,6 +31,9 @@ HEADLINE = [
     "q_scan_project_cast",
     "q_case_bucketing",
     "q_star_join",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returned_items",
     "q_group_count",
     "q_weekly_rollup",
     "q_monthly_rollup",

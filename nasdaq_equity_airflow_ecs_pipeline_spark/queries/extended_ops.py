@@ -324,6 +324,143 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# ----------------------------------------------------- TPC-H-shaped suite
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 shape: selective filters on both sides of a 3-way join, grouped
+    revenue, top-10 by revenue. Catalyst pushes the segment/date filters
+    below the joins; customer and filtered orders broadcast."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 shape: 6-way snowflake join (lineitem at the center; region ->
+    nation -> customer/supplier colocation predicate), grouped revenue.
+    All dimension legs broadcast; the only big shuffle is the final
+    groupBy."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer over a quarter,
+    4-way join, top-20 — the report query pattern (join, filter, group,
+    order, limit)."""
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_mktsegment, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_mktsegment, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # -------------------------------------------------------- exact percentiles
 def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated quartiles per group (F.percentile — a sort-based
@@ -372,6 +509,9 @@ QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_json_extract": q_json_extract,
     "q_group_quantiles": q_group_quantiles,
+    "q_tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "q_tpch_q10_returned_items": q_tpch_q10_returned_items,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_semi_anti_join": q_semi_anti_join,
@@ -388,6 +528,9 @@ ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
     "q_json_extract": SQL_JSON_EXTRACT,
     "q_group_quantiles": SQL_GROUP_QUANTILES,
+    "q_tpch_q3_shipping_priority": SQL_TPCH_Q3,
+    "q_tpch_q5_local_supplier": SQL_TPCH_Q5,
+    "q_tpch_q10_returned_items": SQL_TPCH_Q10,
     "q_pivot": SQL_PIVOT,
     "q_unpivot": SQL_UNPIVOT,
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
