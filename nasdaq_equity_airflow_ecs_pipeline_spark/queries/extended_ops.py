@@ -461,6 +461,80 @@ LIMIT 20
 """
 
 
+def q_tpch_q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery — lineitems whose quantity is
+    below 20% of their part's average. Expressed as SQL so Catalyst's
+    subquery decorrelation rewrites it to the aggregate-then-join plan
+    (the same shape the hand-written DataFrame version would build)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_partkey AS part_key,
+               count(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                 AS small_revenue
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY l_partkey
+    """)
+
+
+SQL_TPCH_Q17 = """
+SELECT l_partkey AS part_key, count(*) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8))
+         AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY l_partkey
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join: per-nation customer and supplier counts aligned,
+    keeping nations present on either side only."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("nk") % 3 != 0)  # make each side partial
+    )
+    supp = (
+        load_table(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("nk") % 3 != 1)
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nation_key"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+  GROUP BY 1 HAVING c_nationkey % 3 != 0
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+  GROUP BY 1 HAVING s_nationkey % 3 != 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nation_key,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
 # -------------------------------------------------------- exact percentiles
 def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated quartiles per group (F.percentile — a sort-based
@@ -512,6 +586,8 @@ QUERIES = {
     "q_tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "q_tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "q_tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "q_full_outer_join": q_full_outer_join,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_semi_anti_join": q_semi_anti_join,
@@ -531,6 +607,8 @@ ORACLES = {
     "q_tpch_q3_shipping_priority": SQL_TPCH_Q3,
     "q_tpch_q5_local_supplier": SQL_TPCH_Q5,
     "q_tpch_q10_returned_items": SQL_TPCH_Q10,
+    "q_tpch_q17_small_qty": SQL_TPCH_Q17,
+    "q_full_outer_join": SQL_FULL_OUTER_JOIN,
     "q_pivot": SQL_PIVOT,
     "q_unpivot": SQL_UNPIVOT,
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
