@@ -43,10 +43,13 @@ def _with_stock(fact: DataFrame, dim_stock: DataFrame) -> DataFrame:
 
 
 def _ohlc_aggs(open_col: str, close_col: str) -> dict:
-    sk = F.struct("trade_date", "stock_symbol")
+    # (stock_symbol, trade_date) is the fact's unique key and symbol is a
+    # group key in every rollup, so trade_date alone totally orders each
+    # group — min_by/max_by on the scalar day number beats struct min/max
+    days = F.datediff("trade_date", F.lit("1970-01-01"))
     return {
-        "open": F.min(F.struct(sk.alias("k"), F.col(open_col).alias("v")))["v"],
-        "close": F.max(F.struct(sk.alias("k"), F.col(close_col).alias("v")))["v"],
+        "open": F.min_by(F.col(open_col), days),
+        "close": F.max_by(F.col(close_col), days),
     }
 
 
