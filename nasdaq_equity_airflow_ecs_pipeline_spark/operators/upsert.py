@@ -32,11 +32,29 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     preserve_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Return target MERGE source on keys (WHEN MATCHED UPDATE SET *,
-    WHEN NOT MATCHED INSERT *). ``target=None`` = first run (CREATE)."""
+    WHEN NOT MATCHED INSERT *). ``target=None`` = first run (CREATE).
+
+    ``evolve_schema=True`` = Iceberg/Delta mergeSchema semantics: columns
+    new in the source are added (NULL for historical rows), columns
+    missing from the source carry NULL for inserted rows. Off by default
+    — silent widening hides producer bugs; at scale schema changes should
+    be deliberate."""
     if target is None:
         return source
+    if evolve_schema:
+        for c in source.columns:
+            if c not in target.columns:
+                target = target.withColumn(
+                    c, F.lit(None).cast(source.schema[c].dataType)
+                )
+        for c in target.columns:
+            if c not in source.columns:
+                source = source.withColumn(
+                    c, F.lit(None).cast(target.schema[c].dataType)
+                )
     if preserve_cols:
         # matched rows keep `preserve_cols` from the target
         tgt_keep = target.select(

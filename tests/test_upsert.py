@@ -81,6 +81,26 @@ def test_upsert_cow_touches_only_affected_partitions(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+def test_merge_schema_evolution(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(1, "A", 9.5), (2, "b", 1.0)], ["k", "v", "score"])
+    # default: strict — evolving source must be explicit
+    with pytest.raises(Exception):
+        merge_upsert(target, source, ["k"]).collect()
+    out = {r.k: (r.v, r.score) for r in
+           merge_upsert(target, source, ["k"], evolve_schema=True).collect()}
+    assert out == {1: ("A", 9.5), 2: ("b", 1.0)}
+
+    # narrowing source: missing column carries NULL for inserted rows
+    src2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    full = merge_upsert(
+        merge_upsert(target, source, ["k"], evolve_schema=True),
+        src2, ["k"], evolve_schema=True,
+    )
+    got = {r.k: (r.v, r.score) for r in full.collect()}
+    assert got == {1: ("A", 9.5), 2: ("b", 1.0), 3: ("c", None)}
+
+
 def test_upsert_cow_rejects_migrating_keys(spark, tmp_path):
     df = spark.createDataFrame([(1, "2024-01-01", 1.0)], ["k", "d", "v"])
     with pytest.raises(ValueError, match="must be part of the merge key"):
