@@ -12,10 +12,11 @@ from . import reference
 from . import llm_ops
 from . import streaming_ops
 from . import extended_ops
+from . import tpch_suite
 
 QUERIES = {}
 ORACLES = {}
-for _m in (reference, llm_ops, streaming_ops, extended_ops):
+for _m in (reference, llm_ops, streaming_ops, extended_ops, tpch_suite):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

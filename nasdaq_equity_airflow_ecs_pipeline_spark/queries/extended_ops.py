@@ -380,7 +380,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     supp = load_table(spark, sf, "supplier")
     orders = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = load_table(spark, sf, "lineitem")
     rev = (
@@ -413,8 +413,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """
 
@@ -426,7 +426,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer")
     nation = load_table(spark, sf, "nation")
     orders = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     rev = (
@@ -453,8 +453,8 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY c_custkey, c_name, c_mktsegment, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20

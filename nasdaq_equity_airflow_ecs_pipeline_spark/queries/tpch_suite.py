@@ -1,0 +1,549 @@
+"""Extended TPC-H-shaped analytical suite (Q4, Q6, Q7, Q8, Q12, Q14, Q18,
+Q19, Q21, Q22 analogs).
+
+The reference's analytical layer is three OHLCV rollups
+(/root/reference/glue/jobs/build_stock_aggregations.py:80-217); these
+queries prove the same engine spine (broadcast star joins, conditional
+aggregates, correlated/EXISTS subqueries, disjunctive pushdown, HAVING,
+scalar subqueries, anti joins) generalizes to the full classic analytical
+workload. Shapes are adapted to the testdata schema: there is no partsupp
+table and no l_commitdate/l_receiptdate/l_shipmode/c_phone columns, so
+Q4/Q12 use ship-lateness vs o_orderdate, Q21 uses a 60-day ship-lateness
+rule, and Q22's "country code" is c_nationkey.
+
+Scale notes (100 TB design):
+- Every dimension leg (nation, region, part at 1% of lineitem) broadcasts;
+  the only large shuffles are the final groupBys on low-cardinality keys.
+- Q17/Q21-style correlated subqueries are expressed as aggregate-then-
+  self-join on the correlation key, so both sides shuffle ONCE on the same
+  key (no nested-loop, AQE can pick sort-merge at scale).
+- Share ratios (Q8/Q14) route sums through exact decimal partials
+  (order-independent, see functions/stable.py) and do the single final
+  division in double — reproducible cluster-to-laptop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import davg, sql_davg
+from ..sources.tables import load_table
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+def _dec2dbl(c: F.Column) -> F.Column:
+    # string hop: engine-identical decimal->double (functions/stable.py)
+    return c.cast("string").cast("double")
+
+
+# --------------------------------------------------------------- Q4 analog
+def q_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join + group count. Orders in 1996Q3 that had
+    at least one lineitem shipped >90 days after the order date, counted
+    per priority. The semi join keeps the probe side small (one quarter of
+    orders) and never widens rows — no duplicate elimination needed."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------- Q6 analog
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-aggregate, no joins. All three predicates
+    push to the parquet scan (PushedFilters); the aggregate is a single
+    partial+final with one row out — the cheapest possible plan."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,4)")
+    return li.agg(
+        F.sum(disc_rev).cast("decimal(38,8)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------- Q7 analog
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship year.
+    nation joins twice under different roles (supplier's vs customer's) —
+    both broadcast; the disjunctive nation-pair predicate is applied after
+    both legs attach."""
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == n1.s_nkey)
+        .join(n2, cust.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("decimal(38,8)").alias("volume"))
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+# --------------------------------------------------------------- Q8 analog
+def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's yearly ECONOMY-part
+    revenue. Conditional numerator + total in ONE aggregate pass; the
+    share division happens once per output row in double (both operands
+    string-hopped from exact decimal sums — engine-identical)."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    nation_c = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    nation_s = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = _rev()
+    brazil_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("decimal(38,8)")
+    total_rev = F.sum(rev).cast("decimal(38,8)")
+    out = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation_c, cust.c_nationkey == nation_c.c_nkey)
+        .join(region, nation_c.c_rkey == region.r_regionkey)
+        .join(nation_s, supp.s_nationkey == nation_s.s_nkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            brazil_rev.alias("nation_rev"),
+            total_rev.alias("total_rev"),
+        )
+    )
+    return out.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (_dec2dbl(F.col("nation_rev")) / _dec2dbl(F.col("total_rev"))).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+SQL_TPCH_Q8 = f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS nation_rev,
+         CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  GROUP BY EXTRACT(year FROM o_orderdate)
+)
+SELECT o_year, nation_rev, total_rev,
+       CAST(CAST(nation_rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM base
+ORDER BY o_year
+"""
+
+
+# -------------------------------------------------------------- Q12 analog
+def q_tpch_q12_late_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape: conditional priority counts per class for late-shipped
+    lines (adapted: return-flag classes + 30-day ship lateness instead of
+    shipmode/commit/receipt dates). One join, one group, two CASE sums —
+    everything stays in whole-stage codegen."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# -------------------------------------------------------------- Q14 analog
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape: promo-revenue share for one month. part broadcasts
+    (100:1 vs lineitem); numerator and denominator in one aggregate; final
+    percentage as a single double division."""
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = _rev()
+    out = li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("decimal(38,8)")
+        .alias("promo_rev"),
+        F.sum(rev).cast("decimal(38,8)").alias("total_rev"),
+    )
+    return out.select(
+        "promo_rev",
+        "total_rev",
+        (
+            F.lit(100.0)
+            * _dec2dbl(F.col("promo_rev"))
+            / _dec2dbl(F.col("total_rev"))
+        ).alias("promo_pct"),
+    )
+
+
+SQL_TPCH_Q14 = f"""
+WITH base AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS promo_rev,
+         CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT promo_rev, total_rev,
+       100.0 * CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS promo_pct
+FROM base
+"""
+
+
+# -------------------------------------------------------------- Q18 analog
+def q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape: HAVING over a big-table aggregate, then join the
+    surviving keys back to orders/customer. The having-filter runs BEFORE
+    the dimension joins, so only ~the top permille of orders ever joins —
+    at 100 TB the post-aggregate side is tiny and broadcasts."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# -------------------------------------------------------------- Q19 analog
+def q_tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs join predicate (brand x size-range x
+    qty-range). Catalyst extracts the common l_partkey = p_partkey
+    equi-condition so this stays a hash join with a residual disjunctive
+    filter — not a nested-loop."""
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(clause).agg(
+        F.sum(_rev()).cast("decimal(38,8)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -------------------------------------------------------------- Q21 analog
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order (lateness adapted to ship-date > order
+    date + 60 days). The classic EXISTS/NOT-EXISTS pair is rewritten as
+    ONE aggregate over the order ("how many suppliers, how many late
+    suppliers") joined back on l_orderkey — both sides hash-partition on
+    the same key, so the whole query is two shuffles total (per-order agg
+    + final per-supplier agg), vs four correlated scans in the naive plan.
+    Oracle SQL keeps the EXISTS/NOT-EXISTS formulation as an independent
+    check of the rewrite."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    return (
+        lines.filter(F.col("late"))
+        .join(sole_late, "l_orderkey")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+# -------------------------------------------------------------- Q22 analog
+def q_tpch_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape: scalar subquery (global positive-balance average) +
+    NOT EXISTS anti join + final rollup. Adapted: "country code" is
+    c_nationkey (no c_phone column) and "idle" means no order since
+    1999-01-01 (every testdata customer has SOME order). The 1-row
+    average cross-joins (broadcast) onto the filter; the order list is
+    filtered and key-projected before the anti join so the build side is
+    narrow."""
+    cust = load_table(spark, sf, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    active = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(active, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("decimal(38,8)")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = f"""
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {sql_davg("c_acctbal")} FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+QUERIES = {
+    "q_tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "q_tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "q_tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "q_tpch_q8_market_share": q_tpch_q8_market_share,
+    "q_tpch_q12_late_lines": q_tpch_q12_late_lines,
+    "q_tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+    "q_tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "q_tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "q_tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "q_tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+}
+
+ORACLES = {
+    "q_tpch_q4_order_priority": SQL_TPCH_Q4,
+    "q_tpch_q6_forecast_revenue": SQL_TPCH_Q6,
+    "q_tpch_q7_volume_shipping": SQL_TPCH_Q7,
+    "q_tpch_q8_market_share": SQL_TPCH_Q8,
+    "q_tpch_q12_late_lines": SQL_TPCH_Q12,
+    "q_tpch_q14_promo_revenue": SQL_TPCH_Q14,
+    "q_tpch_q18_large_orders": SQL_TPCH_Q18,
+    "q_tpch_q19_disjunctive": SQL_TPCH_Q19,
+    "q_tpch_q21_waiting_suppliers": SQL_TPCH_Q21,
+    "q_tpch_q22_idle_customers": SQL_TPCH_Q22,
+}
