@@ -33,7 +33,10 @@ HEADLINE = [
     "q_star_join",
     "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_supplier",
+    "q_tpch_q6_forecast_revenue",
     "q_tpch_q10_returned_items",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q21_waiting_suppliers",
     "q_group_count",
     "q_weekly_rollup",
     "q_monthly_rollup",

@@ -111,3 +111,59 @@ def test_weekly_rollup_is_single_aggregate(spark, sf_dir):
     plan = _plan(q_weekly_rollup(spark, sf_dir))
     assert "Window" not in plan
     assert plan.count("Exchange") <= 1  # the single groupBy shuffle
+
+
+def test_q19_disjunctive_stays_hash_join(spark, sf_dir):
+    """Catalyst must extract the common l_partkey = p_partkey equi-condition
+    from the OR-of-ANDs predicate; a nested-loop here would be quadratic at
+    100 TB."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.tpch_suite import (
+        q_tpch_q19_disjunctive,
+    )
+
+    plan = _plan(q_tpch_q19_disjunctive(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_q18_having_filters_before_dimension_joins(spark, sf_dir):
+    """The sum(l_quantity) > 300 HAVING must apply to the aggregate output
+    BEFORE orders/customer attach, so only surviving keys join."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.tpch_suite import (
+        q_tpch_q18_large_orders,
+    )
+
+    df = q_tpch_q18_large_orders(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the filter on total_qty sits in the plan (post-agg, pre-join)
+    assert "total_qty" in opt and "300" in opt
+    join_pos = opt.index("Join")
+    agg_pos = opt.rindex("Aggregate")
+    # bottom-up text: the aggregate producing total_qty prints BELOW
+    # (after) the join that consumes it
+    assert agg_pos > join_pos
+
+
+def test_q21_decorrelated_no_nested_loop(spark, sf_dir):
+    """The sole-late-supplier rewrite must plan as hash joins on
+    l_orderkey (agg-then-join), never a correlated nested loop."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.tpch_suite import (
+        q_tpch_q21_waiting_suppliers,
+    )
+
+    plan = _plan(q_tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_never_widens(spark, sf_dir):
+    """The EXISTS probe must stay a (left-)semi join: no duplicate orders,
+    no lineitem columns surviving into the aggregate."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.tpch_suite import (
+        q_tpch_q4_order_priority,
+    )
+
+    df = q_tpch_q4_order_priority(spark, sf_dir)
+    assert "Semi" in _plan(df)
+    assert df.columns == ["o_orderpriority", "order_count"]
