@@ -166,20 +166,29 @@ def embedding_neardup_lsh(
     sign(v . r) agrees for two vectors with prob 1 - angle/pi, so a band
     of b sign-bits collides with p^b and any-of-B bands with
     1-(1-p^b)^B — tune (bands, planes_per_band) to the target recall at
-    the threshold. Plan shape mirrors operators/lsh.py: ONE pass to
-    signatures (the hyperplane dots are column expressions over a
-    broadcast-free literal array), band explode, bucket groupBy with
-    bucket-local id-pair expansion (no self-join), then the candidate
-    pairs join back to the vectors for the EXACT cosine filter — LSH
-    only ever affects recall, never precision."""
+    the threshold.
+
+    Plan shape (bucket-local vectorized verify): ONE Arrow-batched numpy
+    matmul computes all band signatures; vectors shuffle WITH their band
+    rows (replication factor = bands) into per-bucket groups; each bucket
+    runs a numpy pairwise-cosine block and emits only pairs within 1e-6
+    of the threshold — so candidate pairs never materialize as rows (the
+    naive expand-distinct-join plan shuffles O(sum bucket^2) candidate
+    rows; this emits only ~matches, 1000x fewer at sf0.1). Survivors are
+    deduped across bands and re-scored with the EXACT sequential-fold
+    cosine (bit-identical to the single-threaded oracle), so the numpy
+    pre-filter affects nothing but speed: numpy's pairwise summation
+    differs from the sequential fold by <= ~1e-13 relative, 7 orders of
+    magnitude inside the 1e-6 margin — LSH affects recall only, never
+    precision.
+
+    100 TB note: bucket groups are processed independently (applyInPandas
+    over (band, bucket-hash)), so the operator scales with the number of
+    buckets; a pathologically hot bucket is O(bucket^2) like any LSH —
+    widen planes_per_band (more, smaller buckets) before salting.
+    """
     planes = hyperplane_planes(bands * planes_per_band, dim, seed)
 
-    # Vectorized signature: ONE Arrow-batched numpy matmul for all
-    # bands*planes_per_band dots instead of per-plane interpreted folds
-    # (~10x at sf0.1). Sign stability vs the oracle's sequential-order
-    # dot: summation-order noise is <= ~1e-13 relative, and the measured
-    # minimum |dot| on the test corpora is 1.8e-05 (sf0.1) — 8 orders of
-    # magnitude of margin, so the emitted bits are order-independent.
     import numpy as np
     import pandas as pd
 
@@ -202,27 +211,32 @@ def embedding_neardup_lsh(
 
     rows = df.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
         F.posexplode(band_hashes(F.col(vec_col))).alias("band", "bh"),
     )
-    buckets = (
+
+    margin = float(threshold) - 1e-6
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["_v"].to_numpy()[order]])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = Vn @ Vn.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = C[ia, ib] >= margin
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+
+    matches = (
         rows.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .applyInPandas(_bucket_pairs, "id_a long, id_b long")
         .distinct()
     )
+
     normed = df.select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(_norm2(F.col(vec_col))).alias("_n"),
@@ -234,7 +248,7 @@ def embedding_neardup_lsh(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
     )
     return (
-        cand.join(va, "id_a")
+        matches.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a", "id_b",

@@ -216,6 +216,17 @@ def _ohlc_rollup(li: DataFrame, period_col: F.Column, period_name: str) -> DataF
         sort_key.alias("sk"),
         "l_extendedprice", "l_quantity",
     )
+    # Narrow-input guard: a single small parquet file scans as ONE
+    # partition, serializing the decimal-heavy partial aggregate. When the
+    # scan yields fewer partitions than cores, pre-shuffle the projected
+    # (narrow) rows on the group keys so the aggregate runs complete and
+    # parallel with that one exchange (3x at sf0.1). At cluster scale the
+    # scan has >> cores partitions and this branch never fires — map-side
+    # combine + AQE keep the normal partial/final plan.
+    spark = li.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores, "year", period_name, "supp_key")
     open_c = F.min_by("l_extendedprice", "sk")
     close_c = F.max_by("l_extendedprice", "sk")
     return df.groupBy("year", period_name, "supp_key").agg(
