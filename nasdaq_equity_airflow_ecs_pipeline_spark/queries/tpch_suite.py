@@ -417,12 +417,14 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier finished order (lateness adapted to ship-date > order
     date + 60 days). The classic EXISTS/NOT-EXISTS pair is rewritten as
-    ONE aggregate over the order ("how many suppliers, how many late
-    suppliers") joined back on l_orderkey — both sides hash-partition on
-    the same key, so the whole query is two shuffles total (per-order agg
-    + final per-supplier agg), vs four correlated scans in the naive plan.
-    Oracle SQL keeps the EXISTS/NOT-EXISTS formulation as an independent
-    check of the rewrite."""
+    a TWO-LEVEL aggregate over the order joined back on l_orderkey — the
+    (orderkey, suppkey) rollup then a plain per-order count/sum, instead
+    of two COUNT DISTINCTs (which Catalyst plans as an Expand that
+    triples the aggregate input). Both aggregate levels and the
+    join-back hash-partition on l_orderkey, so the query is two shuffles
+    total vs four correlated scans in the naive plan. Oracle SQL keeps
+    the EXISTS/NOT-EXISTS formulation as an independent check of the
+    rewrite."""
     orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
@@ -432,11 +434,12 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
     )
     sole_late = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
