@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dsum, sql_dsum
 from ..operators.asof import asof_join
+from ..operators.rangejoin import preceding_window_join
 from ..operators.similarity import ivf_search
 from ..operators.skew import salted_sum_count
 from ..sources.tables import load_table
@@ -52,6 +53,38 @@ v AS (  -- dedup equal (user, ts): highest event_id wins (engine tie rule)
 SELECT p.event_id, p.user_id, p.ts, p.value,
        v.event_id AS view_event_id, v.ts AS view_ts
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ------------------------------------------------------------ range join
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-interval range join: per purchase event, how many views the
+    same user made in the preceding hour (operators/rangejoin.py — hour
+    buckets turn the range predicate into an equi join + residual; the
+    oracle uses DuckDB's native inequality join as the independent
+    formulation)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined, matched = preceding_window_join(
+        purchases, views, keys=["user_id"], window_seconds=3600
+    )
+    return joined.groupBy(
+        F.col("__l.event_id").alias("event_id"),
+        F.col("__l.user_id").alias("user_id"),
+    ).agg(F.count(F.when(matched, 1)).alias("n_prior_views"))
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, count(v.ts) AS n_prior_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
 """
 
 
@@ -593,6 +626,7 @@ QUERIES = {
     "q_semi_anti_join": q_semi_anti_join,
     "q_lag_lead": q_lag_lead,
     "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_rollup_agg": q_rollup_agg,
     "q_cube_agg": q_cube_agg,
     "q_distinct_agg": q_distinct_agg,
@@ -614,6 +648,7 @@ ORACLES = {
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
     "q_lag_lead": SQL_LAG_LEAD,
     "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join": SQL_RANGE_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
     "q_cube_agg": SQL_CUBE_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,

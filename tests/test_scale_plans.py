@@ -167,3 +167,17 @@ def test_q4_semi_join_never_widens(spark, sf_dir):
     df = q_tpch_q4_order_priority(spark, sf_dir)
     assert "Semi" in _plan(df)
     assert df.columns == ["o_orderpriority", "order_count"]
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bounded-window range join must plan as a hash join on
+    (user_id, bucket) with the range predicate as residual — a
+    BroadcastNestedLoopJoin here is O(n*m) and a 100 TB non-starter."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.extended_ops import q_range_join
+
+    df = q_range_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # and the join actually finds matches (not a vacuous pass)
+    assert df.filter(F.col("n_prior_views") > 0).count() > 0
