@@ -11,7 +11,7 @@ double division (IEEE-identical everywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # whitespace tokenization + a BPE-ish regex token class
@@ -159,4 +159,40 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf * (N+1)/(df+1).
+
+    The idf factor is RATIONAL, not ln((N+1)/(df+1)): transcendental
+    functions come from libm and round differently across engines/builds,
+    while a monotone rational transform ranks identically and keeps the
+    score cross-engine bit-exact (integer-valued doubles, one IEEE
+    divide). Ties break on term asc, so top-k is fully deterministic.
+
+    Scale shape: tokens explode once; tf and document-frequency are two
+    hash aggregates; df_t joins back on term (vocabulary-sized — AQE
+    skew-split absorbs stopword-heavy terms); the per-doc top-k is a
+    row_number window partitioned by doc — partial per partition, no
+    global sort."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
     )

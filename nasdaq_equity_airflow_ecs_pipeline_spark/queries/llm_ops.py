@@ -656,11 +656,40 @@ FROM (
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document (rational-idf TF-IDF,
+    operators/text.py:tfidf_topk)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text_ops.tfidf_topk(d, k=3)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, score, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (n.n_docs + 1.0) / (dfq.df_t + 1.0) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n_docs + 1.0) / (dfq.df_t + 1.0) DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
+    "q_tfidf_topk": q_tfidf_topk,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_pairs": q_minhash_pairs,
@@ -687,6 +716,7 @@ ORACLES = {
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_lang_id": SQL_LANG_ID,
     "q_token_count": SQL_TOKEN_COUNT,
+    "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
