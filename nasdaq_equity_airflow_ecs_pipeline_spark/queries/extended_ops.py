@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import dsum, sql_dsum
+from ..functions.stable import _dec2dbl, dsum, sql_dec2dbl, sql_dsum
 from ..operators.asof import asof_join
 from ..operators.rangejoin import preceding_window_join
 from ..operators.similarity import ivf_search
@@ -222,7 +222,7 @@ SELECT
   l_linestatus AS line_status,
   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) AS sum_qty,
   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS {str_t}) AS DOUBLE) AS sum_disc_price,
   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(27,8))) AS {str_t}) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
@@ -328,29 +328,32 @@ def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
         F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
     )
     frame = w.rowsBetween(-2, 0)
+    # raw prices pass through as double; DERIVED window values (delta,
+    # frame sum) compute in decimal — DuckDB's segment-tree window agg
+    # reorders FP addition — then string-hop to double for the output
     price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
     return li.select(
         F.col("l_suppkey").alias("supp_key"),
         "l_orderkey", "l_linenumber",
-        price_dec.alias("price"),
-        F.lag(price_dec).over(w).alias("prev_price"),
-        F.lead(price_dec).over(w).alias("next_price"),
-        (price_dec - F.lag(price_dec).over(w)).alias("price_delta"),
-        F.sum(price_dec).over(frame).alias("trailing3_sum"),
+        F.col("l_extendedprice").alias("price"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+        _dec2dbl(price_dec - F.lag(price_dec).over(w)).alias("price_delta"),
+        _dec2dbl(F.sum(price_dec).over(frame)).alias("trailing3_sum"),
     )
 
 
-SQL_LAG_LEAD = """
+SQL_LAG_LEAD = f"""
 SELECT l_suppkey AS supp_key, l_orderkey, l_linenumber,
-  CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
-  lag(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS prev_price,
-  lead(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS next_price,
-  CAST(l_extendedprice AS DECIMAL(18,4))
-    - lag(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS price_delta,
-  sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+  l_extendedprice AS price,
+  lag(l_extendedprice) OVER w AS prev_price,
+  lead(l_extendedprice) OVER w AS next_price,
+  {sql_dec2dbl('''CAST(l_extendedprice AS DECIMAL(18,4))
+    - lag(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w''')} AS price_delta,
+  {sql_dec2dbl('''sum(CAST(l_extendedprice AS DECIMAL(18,4)))
     OVER (PARTITION BY l_suppkey
           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing3_sum
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS trailing3_sum
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
@@ -375,7 +378,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .agg(_dec2dbl(F.sum(rev)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select(
@@ -389,8 +392,8 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -431,14 +434,14 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .agg(_dec2dbl(F.sum(rev)).alias("revenue"))
     )
 
 
 SQL_TPCH_Q5 = """
 SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -471,7 +474,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment", F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .agg(_dec2dbl(F.sum(rev)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -479,8 +482,8 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name, c_mktsegment, n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -503,7 +506,7 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql("""
         SELECT l_partkey AS part_key,
                count(*) AS n_small,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8))
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                  AS small_revenue
         FROM lineitem l1
         WHERE l_quantity < (
@@ -516,7 +519,7 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q17 = """
 SELECT l_partkey AS part_key, count(*) AS n_small,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
          AS small_revenue
 FROM lineitem l1
 WHERE l_quantity < (

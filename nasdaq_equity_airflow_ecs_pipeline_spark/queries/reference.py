@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import (
-    davg, dstddev, dsum, sql_davg, sql_dstddev, sql_dsum,
+    _dec2dbl, davg, dstddev, dsum,
+    sql_davg, sql_dec2dbl, sql_dstddev, sql_dsum,
 )
 from ..operators.dedup import latest_wins
 from ..sources.inline import build_dim_date_frame
@@ -37,41 +38,37 @@ def q_scan_project_cast(spark: SparkSession, sf: str) -> DataFrame:
     """Typed wide projection with rename+cast (fact P1 analog,
     build_stock_fact_table.py:55-76) + derived money columns (P5)."""
     li = _li(spark, sf)
-    dec = "decimal(18,4)"
     # money math in decimal: raw 2dp doubles cast exactly, products stay
-    # exact until one final defined rounding (cross-engine-identical —
-    # computed doubles must never be re-cast to decimal, see stable.py)
+    # exact (no lossy decimal cast — Spark rounds scale-reduction HALF_UP,
+    # DuckDB half-to-even). Final OUTPUT is always double via the string
+    # hop (_dec2dbl): the driver's value hash is representation-sensitive
+    # for decimals, so no final schema may carry one.
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
     disc1 = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
     tax1 = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
     return li.select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
-        F.col("l_quantity").cast(dec).alias("quantity"),
-        F.col("l_extendedprice").cast(dec).alias("extended_price"),
-        (ep * disc1).cast(dec).alias("revenue"),
-        # scale 6 is the exact scale of the product — no rounding happens.
-        # (Spark rounds decimal scale-reduction HALF_UP, DuckDB half-to-even,
-        # so any lossy decimal cast would diverge on ties.)
-        (ep * disc1 * tax1).cast("decimal(24,6)").alias("charge"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extended_price"),
+        _dec2dbl(ep * disc1).alias("revenue"),
+        _dec2dbl(ep * disc1 * tax1).alias("charge"),
         F.to_date("l_shipdate").alias("ship_date"),
         F.col("l_returnflag").alias("return_flag"),
     )
 
 
-SQL_SCAN_PROJECT_CAST = """
+SQL_SCAN_PROJECT_CAST = f"""
 SELECT
   l_orderkey AS order_key,
   l_linenumber AS line_number,
-  CAST(l_quantity AS DECIMAL(18,4)) AS quantity,
-  CAST(l_extendedprice AS DECIMAL(18,4)) AS extended_price,
-  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+  l_quantity AS quantity,
+  l_extendedprice AS extended_price,
+  {sql_dec2dbl('''CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))''')} AS revenue,
+  {sql_dec2dbl('''CAST(l_extendedprice AS DECIMAL(12,2))
        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-       AS DECIMAL(18,4)) AS revenue,
-  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-       * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
-       AS DECIMAL(24,6)) AS charge,
+       * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))''')} AS charge,
   CAST(l_shipdate AS DATE) AS ship_date,
   l_returnflag AS return_flag
 FROM lineitem
@@ -92,7 +89,8 @@ def q_case_bucketing(spark: SparkSession, sf: str) -> DataFrame:
         .alias("size_tier"),
         F.lit("catalog").alias("source_system"),
         F.lit(True).alias("is_active"),
-        F.col("p_retailprice").cast("decimal(18,4)").alias("retail_price"),
+        # raw 2dp double passes through unchanged — no decimal in output
+        F.col("p_retailprice").alias("retail_price"),
     )
 
 
@@ -105,7 +103,7 @@ SELECT
        ELSE 'Small' END AS size_tier,
   'catalog' AS source_system,
   TRUE AS is_active,
-  CAST(p_retailprice AS DECIMAL(18,4)) AS retail_price
+  p_retailprice AS retail_price
 FROM part
 """
 
@@ -163,12 +161,10 @@ def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
-        (
+        _dec2dbl(
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
-        )
-        .cast("decimal(18,4)")
-        .alias("revenue"),
+        ).alias("revenue"),
         F.to_date("o_orderdate").alias("order_date"),
         F.col("o_orderpriority").alias("order_priority"),
         F.col("c_mktsegment").alias("mktsegment"),
@@ -176,13 +172,12 @@ def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_STAR_JOIN = """
+SQL_STAR_JOIN = f"""
 SELECT
   l.l_orderkey AS order_key,
   l.l_linenumber AS line_number,
-  CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
-       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
-       AS DECIMAL(18,4)) AS revenue,
+  {sql_dec2dbl('''CAST(l.l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))''')} AS revenue,
   CAST(o.o_orderdate AS DATE) AS order_date,
   o.o_orderpriority AS order_priority,
   c.c_mktsegment AS mktsegment,
@@ -229,11 +224,13 @@ def _ohlc_rollup(li: DataFrame, period_col: F.Column, period_name: str) -> DataF
         df = df.repartition(cores, "year", period_name, "supp_key")
     open_c = F.min_by("l_extendedprice", "sk")
     close_c = F.max_by("l_extendedprice", "sk")
+    # OHLC columns are raw l_extendedprice values — emitted as the raw
+    # double, no decimal cast (driver hash rule: no DECIMAL in output)
     return df.groupBy("year", period_name, "supp_key").agg(
-        open_c.cast("decimal(18,4)").alias("open_price"),
-        close_c.cast("decimal(18,4)").alias("close_price"),
-        F.max("l_extendedprice").cast("decimal(18,4)").alias("high_price"),
-        F.min("l_extendedprice").cast("decimal(18,4)").alias("low_price"),
+        open_c.alias("open_price"),
+        close_c.alias("close_price"),
+        F.max("l_extendedprice").alias("high_price"),
+        F.min("l_extendedprice").alias("low_price"),
         dsum("l_quantity").alias("total_qty"),
         davg("l_extendedprice").alias("avg_price"),
         dstddev("l_extendedprice").alias("price_std_dev"),
@@ -265,10 +262,10 @@ SELECT
   CAST(year(l_shipdate) AS INT) AS year,
   CAST({period_expr} AS INT) AS {period_name},
   l_suppkey AS supp_key,
-  CAST({open_e} AS DECIMAL(18,4)) AS open_price,
-  CAST({close_e} AS DECIMAL(18,4)) AS close_price,
-  CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS high_price,
-  CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS low_price,
+  {open_e} AS open_price,
+  {close_e} AS close_price,
+  max(l_extendedprice) AS high_price,
+  min(l_extendedprice) AS low_price,
   {sql_dsum('l_quantity')} AS total_qty,
   {sql_davg('l_extendedprice')} AS avg_price,
   {sql_dstddev('l_extendedprice')} AS price_std_dev,
@@ -356,7 +353,7 @@ def q_top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("cust_key"),
             F.col("o_orderkey").alias("order_key"),
-            F.col("o_totalprice").cast("decimal(18,4)").alias("total_price"),
+            F.col("o_totalprice").alias("total_price"),
             F.col("price_rank"),
         )
     )
@@ -366,7 +363,7 @@ SQL_TOP_K_PER_GROUP = """
 SELECT
   o_custkey AS cust_key,
   o_orderkey AS order_key,
-  CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+  o_totalprice AS total_price,
   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank
 FROM orders
 QUALIFY price_rank <= 3
@@ -380,7 +377,7 @@ def q_limit_sample(spark: SparkSession, sf: str) -> DataFrame:
         orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select(
             F.col("o_orderkey").alias("order_key"),
-            F.col("o_totalprice").cast("decimal(18,4)").alias("total_price"),
+            F.col("o_totalprice").alias("total_price"),
             F.col("o_orderpriority").alias("order_priority"),
         )
         .limit(10)
@@ -390,7 +387,7 @@ def q_limit_sample(spark: SparkSession, sf: str) -> DataFrame:
 SQL_LIMIT_SAMPLE = """
 SELECT
   o_orderkey AS order_key,
-  CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+  o_totalprice AS total_price,
   o_orderpriority AS order_priority
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -448,9 +445,10 @@ def q_fact_build(spark: SparkSession, sf: str) -> DataFrame:
         F.col("user_id"),
         F.col("event_date").alias("trade_date"),
         F.col("ts").alias("trade_timestamp"),
-        F.col("value").cast("decimal(18,4)").alias("close_value"),
+        F.col("value").alias("close_value"),
         F.col("event_type"),
-        (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(18,4)").alias("value_bps"),
+        # exact bps: 2dp decimal * 100 is lossless, then the string hop
+        _dec2dbl(F.col("value").cast("decimal(12,2)") * 100).alias("value_bps"),
         F.lit("2024-01-01").alias("processing_date"),
     )
 
@@ -469,9 +467,9 @@ SELECT
   user_id,
   event_date AS trade_date,
   ts AS trade_timestamp,
-  CAST(value AS DECIMAL(18,4)) AS close_value,
+  value AS close_value,
   event_type,
-  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(18,4)) AS value_bps,
+  CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS VARCHAR) AS DOUBLE) AS value_bps,
   '2024-01-01' AS processing_date
 FROM dedup
 """

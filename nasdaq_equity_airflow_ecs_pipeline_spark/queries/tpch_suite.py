@@ -99,14 +99,14 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         "l_discount"
     ).cast("decimal(18,4)")
     return li.agg(
-        F.sum(disc_rev).cast("decimal(38,8)").alias("revenue"),
+        _dec2dbl(F.sum(disc_rev)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-              * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -145,14 +145,14 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         .join(n2, cust.c_nationkey == n2.c_nkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("decimal(38,8)").alias("volume"))
+        .agg(_dec2dbl(F.sum(_rev())).alias("volume"))
     )
 
 
 SQL_TPCH_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-       CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS volume
+       CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -186,12 +186,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
     rev = _rev()
-    brazil_rev = F.sum(
+    brazil_rev = _dec2dbl(F.sum(
         F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
             F.lit(0).cast("decimal(18,4)")
         )
-    ).cast("decimal(38,8)")
-    total_rev = F.sum(rev).cast("decimal(38,8)")
+    ))
+    total_rev = _dec2dbl(F.sum(rev))
     out = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -210,18 +210,16 @@ def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         "o_year",
         "nation_rev",
         "total_rev",
-        (_dec2dbl(F.col("nation_rev")) / _dec2dbl(F.col("total_rev"))).alias(
-            "mkt_share"
-        ),
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
     ).orderBy("o_year")
 
 
 SQL_TPCH_Q8 = f"""
 WITH base AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV}
-                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS nation_rev,
-         CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS total_rev
+         CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS nation_rev,
+         CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS total_rev
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -234,8 +232,7 @@ WITH base AS (
   GROUP BY EXTRACT(year FROM o_orderdate)
 )
 SELECT o_year, nation_rev, total_rev,
-       CAST(CAST(nation_rev AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS mkt_share
+       nation_rev / total_rev AS mkt_share
 FROM base
 ORDER BY o_year
 """
@@ -291,38 +288,31 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = _rev()
     out = li.join(part, li.l_partkey == part.p_partkey).agg(
-        F.sum(
+        _dec2dbl(F.sum(
             F.when(F.col("p_type") == "PROMO", rev).otherwise(
                 F.lit(0).cast("decimal(18,4)")
             )
-        )
-        .cast("decimal(38,8)")
-        .alias("promo_rev"),
-        F.sum(rev).cast("decimal(38,8)").alias("total_rev"),
+        )).alias("promo_rev"),
+        _dec2dbl(F.sum(rev)).alias("total_rev"),
     )
     return out.select(
         "promo_rev",
         "total_rev",
-        (
-            F.lit(100.0)
-            * _dec2dbl(F.col("promo_rev"))
-            / _dec2dbl(F.col("total_rev"))
-        ).alias("promo_pct"),
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
     )
 
 
 SQL_TPCH_Q14 = f"""
 WITH base AS (
-  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
-                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS promo_rev,
-         CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS total_rev
+  SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+         CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS total_rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
 )
 SELECT promo_rev, total_rev,
-       100.0 * CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS promo_pct
+       100.0 * promo_rev / total_rev AS promo_pct
 FROM base
 """
 
@@ -398,13 +388,13 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.filter(clause).agg(
-        F.sum(_rev()).cast("decimal(38,8)").alias("revenue"),
+        _dec2dbl(F.sum(_rev())).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 SQL_TPCH_Q19 = f"""
-SELECT CAST(SUM({_SQL_REV}) AS DECIMAL(38,8)) AS revenue, count(*) AS n_lines
+SELECT CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
@@ -500,8 +490,7 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
-            .cast("decimal(38,8)")
+            _dec2dbl(F.sum(F.col("c_acctbal").cast("decimal(18,4)")))
             .alias("totacctbal"),
         )
         .orderBy("cntrycode")
@@ -510,7 +499,7 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TPCH_Q22 = f"""
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
     SELECT {sql_davg("c_acctbal")} FROM customer WHERE c_acctbal > 0

@@ -26,6 +26,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         return spark.table(name)
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark rejects by
+    # default; nanosAsLong is a runtime SQL conf, so set it here rather than
+    # at session build time — the driver supplies its own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # nanosecond timestamps arrive as long (spark.sql.legacy.parquet.nanosAsLong);
     # truncate to micros — same semantics as DuckDB's parquet reader.
