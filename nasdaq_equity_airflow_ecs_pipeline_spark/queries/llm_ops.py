@@ -585,10 +585,10 @@ FROM documents
 # -------------------------------------------------------- dedup clustering
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dup dedup: MinHash-LSH pairs -> connected
-    components -> one canonical doc per cluster. Iterative label
-    propagation (graph diameter rounds) — not single-query SQL;
-    driver records the rows-only check, and the unit suite pins exact
-    clusters on known graphs."""
+    components -> one canonical doc per cluster. The Spark side iterates
+    min-label propagation; the oracle computes the same components as a
+    recursive-CTE transitive closure over the identical LSH pair SQL, so
+    the driver value-checks the full pipeline."""
     from ..operators.graph import dedup_clusters
 
     d = _docs(spark, sf)
@@ -599,11 +599,40 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(d, pairs)
 
 
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_sql_band_rows()}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a AS v, id_b AS n FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS n FROM pairs
+),
+walk(v, label) AS (
+  SELECT v, v AS label FROM edges GROUP BY v
+  UNION
+  SELECT e.v, w.label FROM edges e JOIN walk w ON w.v = e.n
+),
+comp AS (SELECT v, min(label) AS component FROM walk GROUP BY v)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""
+
+
 # ----------------------------------------------------------- k-means (IVF fit)
 def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """3 Lloyd's iterations, k=8, deterministic init (lowest vec_ids).
-    Iterative — not SQL-expressible; driver records the rows-only check.
-    Output: one row per centroid with member count and centroid norm."""
+    Output: one row per centroid with member count and centroid norm.
+    The oracle unrolls the same 3 fixed iterations in DuckDB: distances
+    fold sequentially in dim order (list_reduce == F.aggregate), means
+    route through the same decimal sums, so results are bit-identical."""
     from ..operators.kmeans import kmeans_fit
 
     fitted = kmeans_fit(_emb(spark, sf), k=8, iters=3)
@@ -613,6 +642,69 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return fitted.select(
         "centroid_id", "n_members", F.sqrt(norm).alias("centroid_norm")
     )
+
+
+def _sql_kmeans_iter(i: int) -> str:
+    """One Lloyd round: assign to nearest centroid (squared L2, sequential
+    fold over dims — same order as Spark's F.aggregate), recenter via
+    decimal-routed per-dim means (stable.py discipline)."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT a.cid, u.i AS dim,
+         CAST(CAST(SUM(CAST(e.v[u.i + 1] AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM a{i} a JOIN e USING (vec_id),
+       unnest(generate_series(0, len(e.v) - 1)) AS u(i)
+  GROUP BY a.cid, u.i
+),
+c{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m{i} GROUP BY cid)
+"""
+
+
+SQL_KMEANS_CENTROIDS = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT 8
+),
+{_sql_kmeans_iter(1)},
+{_sql_kmeans_iter(2)},
+{_sql_kmeans_iter(3)},
+final_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c3 c
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cid, count(*) AS n_members FROM final_assign GROUP BY cid)
+SELECT c.cid AS centroid_id,
+       coalesce(s.n_members, 0) AS n_members,
+       sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b))
+         AS centroid_norm
+FROM c3 c LEFT JOIN sizes s USING (cid)
+"""
 
 
 # ------------------------------------------------------ multimodal plumbing
@@ -733,4 +825,6 @@ ORACLES = {
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_repetition_score": SQL_REPETITION_SCORE,
     "q_pii_scan": SQL_PII_SCAN,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_kmeans_centroids": SQL_KMEANS_CENTROIDS,
 }

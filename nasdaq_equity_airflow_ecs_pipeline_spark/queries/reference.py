@@ -581,8 +581,9 @@ SELECT 'returnflag_not_in_set',
 # ---------------------------------------------------------------- K5/J4
 def q_upsert_idempotent(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE idempotency invariant (K5/J4): upsert the same keyed batch
-    twice; the result must equal one application. Returns the merged
-    table. Rows-only check (MERGE is stateful, not SQL-expressible)."""
+    twice; the result must equal one application. The oracle is the
+    operation's fixed point — the latest-wins dedup of the batch itself —
+    so the driver can value-check the stateful MERGE end-to-end."""
     from ..operators.dedup import latest_wins as _lw
     from ..operators.upsert import merge_upsert
 
@@ -595,6 +596,16 @@ def q_upsert_idempotent(spark: SparkSession, sf: str) -> DataFrame:
     once = merge_upsert(None, batch, ["user_id", "event_date"])
     twice = merge_upsert(once, batch, ["user_id", "event_date"])
     return twice
+
+
+SQL_UPSERT_IDEMPOTENT = """
+SELECT user_id, CAST(ts AS DATE) AS event_date, event_id, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, CAST(ts AS DATE)
+  ORDER BY ts DESC, event_id DESC
+) = 1
+"""
 
 
 QUERIES = {
@@ -632,4 +643,5 @@ ORACLES = {
     "q_fact_build": SQL_FACT_BUILD,
     "q_dim_build": SQL_DIM_BUILD,
     "q_quality_checks": SQL_QUALITY_CHECKS,
+    "q_upsert_idempotent": SQL_UPSERT_IDEMPOTENT,
 }
