@@ -65,24 +65,33 @@ def main() -> None:
     import __spark_entry__ as contract
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
+    t_start = time.monotonic()
     spark = get_spark("bench")
     queries = contract.queries()
 
     # JVM + parquet-footer warmup outside the timed region.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+    startup = round(time.monotonic() - t_start, 3)
 
-    # two reps, best-of: shared-machine noise is +-40% run-to-run; the min
-    # is the reproducible number (JIT warm, page cache hot)
+    # two reps: rep 1 is the cold number (JIT compiling, page cache
+    # filling), the min is the reproducible warm number. Both totals are
+    # reported so a single cold run is never mistaken for a regression
+    # against a warm one (shared-machine noise is +-40% run-to-run).
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+        print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -91,6 +100,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cold_total": round(sum(cold.values()), 3),
+        "startup_sec": startup,
+        "reps": 2,
+        "timing": "best-of-2 per query; cold_total = first-rep sum; "
+                  "startup_sec = session build + first parquet touch",
     }))
 
 

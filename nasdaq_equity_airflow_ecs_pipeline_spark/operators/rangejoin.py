@@ -34,10 +34,12 @@ def preceding_window_join(
 
     Returns ``(joined, matched)`` where ``matched`` is a Column that is
     true on rows with a real right-side match (needed because with
-    ``how="left"`` the unmatched left rows survive with nulls). The left
-    side is exploded over the <=2 buckets its window overlaps, so
-    aggregate by a left-side unique key afterwards; each matching right
-    row pairs exactly once (its own bucket is unique).
+    ``how="left"`` the unmatched left rows survive with nulls). Each
+    matching right row pairs exactly once (its own bucket is unique),
+    and with ``how="left"`` each left row yields EITHER its matches or
+    exactly one all-null row — never both: the bucket explode's phantom
+    unmatched copies are removed internally (window over a per-row id),
+    so misuse by callers that forget to filter is impossible.
 
     Bucket arithmetic uses second-truncated epochs; ``floor(floor(x)/w)
     == floor(x/w)`` for integer ``w``, so truncation never moves a row
@@ -49,7 +51,14 @@ def preceding_window_join(
     b_lo = F.floor((lsec - w) / w)
     b_hi = F.floor(lsec / w)
 
-    lft = left.alias("__l").withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    # per-left-row id, assigned BEFORE the bucket explode: both exploded
+    # copies of a row share it, so phantom unmatched copies can be
+    # deduplicated after the join
+    lft = (
+        left.alias("__l")
+        .withColumn("__lid", F.monotonically_increasing_id())
+        .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    )
     rgt = right.alias("__r").withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(f"__r.{right_ts}")) / w)
     )
@@ -66,7 +75,27 @@ def preceding_window_join(
     )
     conds.append(F.col(f"__r.{right_ts}") < F.col(f"__l.{left_ts}"))
     joined = lft.join(rgt, on=_all(conds), how=how)
-    return joined, F.col(f"__r.{right_ts}").isNotNull()
+    matched = F.col(f"__r.{right_ts}").isNotNull()
+    if how == "left":
+        # A left row exploded into two buckets produces a spurious
+        # all-null row from the matchless bucket alongside real matches
+        # from the other (and two null rows when nothing matches). Keep
+        # matched rows plus, per left row, the single first row — which
+        # is a match when any exists — so exactly-one-null-or-all-matches
+        # holds. One extra shuffle keyed by __lid, left-join only.
+        from pyspark.sql import Window
+
+        rank = F.row_number().over(
+            Window.partitionBy("__lid").orderBy(
+                matched.desc(), lft["__bucket"].asc()
+            )
+        )
+        joined = (
+            joined.withColumn("__rank", rank)
+            .filter(matched | (F.col("__rank") == 1))
+            .drop("__rank")
+        )
+    return joined.drop("__lid"), matched
 
 
 def _all(conds: list[Column]) -> Column:

@@ -139,9 +139,23 @@ def upsert_parquet_cow(
         cond = cond | match
     target_slice = spark.read.parquet(path).filter(cond)
     merged = merge_upsert(target_slice, source, keys, preserve_cols=preserve_cols)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_by)
-        .parquet(path)
-    )
+    # Stage the merged slice to a sibling dir BEFORE the overwrite commits:
+    # `merged` lazily reads the same files dynamic partition overwrite is
+    # about to delete, so a task retry / AQE stage re-run racing the commit
+    # could read deleted files or lose rows. The staged copy is durable
+    # (unlike localCheckpoint, it survives executor loss) and bounded by
+    # the partitions touched, not table size.
+    tmp = f"{path}.__cow_{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.partitionBy(*partition_by).parquet(tmp)
+        (
+            # explicit schema: partition-dir type inference must not
+            # retype partition columns (e.g. numeric-looking strings)
+            spark.read.schema(merged.schema).parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -608,6 +608,55 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_merge_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's literal MERGE INTO API (K5,
+    build_stock_fact_table.py:104-111) through the SQL front
+    (operators/merge_sql.py): January history is the target, February+
+    events the source batch; matched (user, day) keys update, new keys
+    insert."""
+    from ..operators.dedup import latest_wins as _lw
+    from ..operators.merge_sql import merge_into
+
+    ev = load_table(spark, sf, "events").withColumn("event_date", F.to_date("ts"))
+    dedup = _lw(
+        ev, ["user_id", "event_date"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_date", "event_id", "value")
+    dedup.filter(F.col("event_date") < "2024-02-01").createOrReplaceTempView(
+        "merge_target"
+    )
+    dedup.filter(F.col("event_date") >= "2024-02-01").createOrReplaceTempView(
+        "merge_source"
+    )
+    return merge_into(spark, """
+        MERGE INTO merge_target t
+        USING merge_source s
+        ON t.user_id = s.user_id AND t.event_date = s.event_date
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+
+
+SQL_MERGE_SQL = """
+WITH dedup AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date, event_id, value
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, CAST(ts AS DATE)
+    ORDER BY ts DESC, event_id DESC
+  ) = 1
+),
+t AS (SELECT * FROM dedup WHERE event_date < DATE '2024-02-01'),
+s AS (SELECT * FROM dedup WHERE event_date >= DATE '2024-02-01')
+SELECT * FROM s
+UNION ALL
+SELECT * FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM s
+  WHERE s.user_id = t.user_id AND s.event_date = t.event_date
+)
+"""
+
+
 QUERIES = {
     "q_scan_project_cast": q_scan_project_cast,
     "q_upsert_idempotent": q_upsert_idempotent,
@@ -625,6 +674,7 @@ QUERIES = {
     "q_fact_build": q_fact_build,
     "q_dim_build": q_dim_build,
     "q_quality_checks": q_quality_checks,
+    "q_merge_sql": q_merge_sql,
 }
 
 ORACLES = {
@@ -644,4 +694,5 @@ ORACLES = {
     "q_dim_build": SQL_DIM_BUILD,
     "q_quality_checks": SQL_QUALITY_CHECKS,
     "q_upsert_idempotent": SQL_UPSERT_IDEMPOTENT,
+    "q_merge_sql": SQL_MERGE_SQL,
 }

@@ -309,3 +309,33 @@ def test_multimodal_meta_only_never_decodes(spark):
     r = extract_media_features(df, batch_meta_only=True).collect()[0]
     assert r["byte_len"] == 3
     assert r["feat_mean"] is None  # decode skipped
+
+
+def test_range_join_left_no_phantom_rows(spark):
+    """A left row whose window spans two buckets must yield its matches
+    only — no extra all-null row from the matchless bucket — and a fully
+    unmatched left row must yield exactly ONE null row, not one per
+    bucket."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.rangejoin import (
+        preceding_window_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 01:00:30"),   # window spans 2 buckets; 1 match
+         (2, "u2", "2024-01-01 05:00:30")],  # no matches at all
+        "event_id bigint, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:59:00")],     # in [00:00:30, 01:00:30) of e1
+        "user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    joined, matched = preceding_window_join(
+        left, right, keys=["user_id"], window_seconds=3600
+    )
+    rows = joined.select(
+        F.col("__l.event_id").alias("eid"), matched.alias("m")
+    ).collect()
+    got = sorted((r["eid"], r["m"]) for r in rows)
+    # e1: exactly its one real match, no phantom null; e2: exactly one null
+    assert got == [(1, True), (2, False)]

@@ -107,3 +107,52 @@ def test_upsert_cow_rejects_migrating_keys(spark, tmp_path):
         upsert_parquet_cow(
             spark, df, str(tmp_path / "x"), keys=["k"], partition_by=["d"]
         )
+
+
+def test_merge_into_sql_front(spark):
+    """The reference's verbatim MERGE INTO statement shape
+    (build_stock_fact_table.py:104-111) executes through the SQL front
+    with Iceberg MERGE semantics."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.merge_sql import (
+        merge_into,
+        parse_merge,
+    )
+
+    spark.createDataFrame(
+        [("AAPL", "2024-01-02", 100.0), ("MSFT", "2024-01-02", 200.0)],
+        ["stock_symbol", "trade_date", "close"],
+    ).createOrReplaceTempView("fact_target")
+    spark.createDataFrame(
+        [("AAPL", "2024-01-02", 101.0), ("NVDA", "2024-01-02", 300.0)],
+        ["stock_symbol", "trade_date", "close"],
+    ).createOrReplaceTempView("new_fact_data")
+
+    merged = merge_into(spark, """
+        MERGE INTO fact_target t
+        USING new_fact_data s
+        ON t.stock_symbol = s.stock_symbol AND t.trade_date = s.trade_date
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    rows = {r.stock_symbol: r.close for r in merged.collect()}
+    assert rows == {"AAPL": 101.0, "MSFT": 200.0, "NVDA": 300.0}
+    # the target view now sees the merged state (CoW table semantics)
+    assert spark.table("fact_target").count() == 3
+
+    # idempotent: re-running the same MERGE changes nothing
+    again = merge_into(spark, """
+        MERGE INTO fact_target t USING new_fact_data s
+        ON t.stock_symbol = s.stock_symbol AND t.trade_date = s.trade_date
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert {r.stock_symbol: r.close for r in again.collect()} == rows
+
+    # out-of-subset statements refuse loudly instead of diverging
+    with pytest.raises(ValueError):
+        parse_merge("MERGE INTO a t USING b s ON t.k = s.k "
+                    "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError):
+        parse_merge("MERGE INTO a t USING b s ON t.k > s.k "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *")
