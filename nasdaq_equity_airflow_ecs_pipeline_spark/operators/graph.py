@@ -2,14 +2,21 @@
 turns near-duplicate PAIRS into dedup GROUPS (keep one canonical doc per
 component).
 
-Algorithm: iterative minimum-label propagation on DataFrames. Each
-vertex starts labeled with itself; every round each vertex takes the
-min label among itself and its neighbors; stop when no label changes.
-Rounds needed = graph diameter — near-dup components are tiny cliques
-(diameter 1-2), so this converges in 2-3 rounds at any corpus size.
-Per round: one groupBy shuffle keyed by vertex. The classic large-graph
-alternative (alternating large/small-star, Kiveris et al.) drops in
-behind the same signature if components with large diameters appear.
+Two algorithms behind one signature:
+
+- **Min-label propagation** (default): every round each vertex takes the
+  min label among itself and its neighbors; stop when nothing changes.
+  Rounds needed = graph diameter — near-dup components are tiny cliques
+  (diameter 1-2), so this converges in 2-3 rounds at any corpus size.
+  Per round: one groupBy shuffle keyed by vertex.
+- **Alternating large-star / small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): restructures the edge
+  set toward stars rooted at component minima; converges in O(log n)
+  rounds REGARDLESS of diameter. This is the fallback when real corpora
+  produce chained near-dup components (doc A ~ B ~ C ~ ... chains) whose
+  diameter exceeds the propagation budget — ``connected_components``
+  switches to it automatically if label propagation exhausts
+  ``max_iter`` without converging.
 """
 
 from __future__ import annotations
@@ -27,13 +34,16 @@ def connected_components(
     """(vertex, component) — component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair once). Isolated vertices
-    don't appear (callers union them back as their own component)."""
+    don't appear (callers union them back as their own component).
+    Falls back to the star algorithm on non-convergence (see module
+    docstring)."""
     spark = edges.sparkSession
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
     undirected = fwd.unionByName(
         edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
     )
     labels = undirected.select("v").distinct().withColumn("label", F.col("v"))
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             undirected.join(labels.withColumnRenamed("v", "n"), "n")
@@ -56,7 +66,91 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    if changed != 0:
+        # diameter > max_iter: labels are not components yet — restart
+        # with the O(log n)-round star algorithm instead of returning
+        # silently-wrong partial labels
+        return connected_components_star(edges, src, dst)
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round:
+      large-star: for every vertex u, hang every neighbor v > u off
+        m = min(neighbors(u) + [u]).
+      small-star: for every vertex u, hang every neighbor v <= u (and u
+        itself) off that same minimum.
+    The edge set monotonically restructures into stars rooted at each
+    component's minimum; both steps are one groupBy + one join — no
+    collect, no degree blowup (edges emitted <= edges in). Converges in
+    O(log n) rounds on any topology, so a 10^6-long chain needs ~20
+    rounds where label propagation would need 10^6."""
+
+    def _canon(e: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (big, small), self-loops dropped
+        return (
+            e.filter(F.col("u") != F.col("w"))
+            .select(
+                F.greatest("u", "w").alias("u"), F.least("u", "w").alias("w")
+            )
+            .distinct()
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighbors of u (both orientations for large-star; canonical
+        # orientation u>w already lists every smaller neighbor under u)
+        nb = (
+            e.unionByName(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+            if large
+            else e
+        )
+        m = nb.groupBy("u").agg(
+            F.least(F.min("w"), F.first("u")).alias("m")
+        )
+        joined = nb.join(m, "u")
+        if large:
+            out = joined.filter(F.col("w") > F.col("u")).select(
+                F.col("w").alias("u"), F.col("m").alias("w")
+            )
+        else:
+            out = (
+                joined.select(F.col("w").alias("u"), F.col("m").alias("w"))
+                .unionByName(
+                    joined.select(F.col("u"), F.col("m").alias("w")).distinct()
+                )
+            )
+        return _canon(out)
+
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("w")))
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = _star(_star(e, large=True), large=False)
+        e = e.localCheckpoint(eager=True)
+        # convergence = edge set unchanged (order-free signature);
+        # decimal sum — a plain long sum of 64-bit hashes overflows
+        # under ANSI mode
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "w").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # stars: every non-root u carries (u, root); roots label themselves
+    members = e.select(F.col("u").alias("vertex"), F.col("w").alias("component"))
+    roots = (
+        members.select(F.col("component").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    return members.unionByName(roots)
 
 
 def dedup_clusters(

@@ -510,14 +510,30 @@ FROM customer
 
 
 # ------------------------------------------------------------------- V1-V8
+_LINEITEM_COLUMNS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
 def q_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
-    """The GX expectation suite as relational assertions (V2-V8,
+    """The GX expectation suite as relational assertions (V1-V8,
     docker/scripts/create_expectations.py): each check = one named
-    violation count."""
+    violation count. V1 (ordered column-list match) evaluates the real
+    schema via quality.expectations.columns_match on the Spark side and
+    information_schema on the oracle side."""
+    from ..quality.expectations import columns_match
+
     li = _li(spark, sf)
 
     def check(name: str, cnt: DataFrame) -> DataFrame:
         return cnt.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    v1 = columns_match(_LINEITEM_COLUMNS)
+    cols_ok = spark.range(1).select(
+        F.lit(0 if v1.schema_fn(li) else 1).cast("long").alias("violations")
+    )
 
     null_keys = li.select(
         F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("violations")
@@ -547,7 +563,8 @@ def q_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("violations")
     )
     return (
-        check("null_order_key", null_keys)
+        check("columns_match", cols_ok)
+        .unionByName(check("null_order_key", null_keys))
         .unionByName(check("quantity_out_of_range", qty_range))
         .unionByName(check("negative_extended_price", neg_price))
         .unionByName(check("duplicate_pk", dup_pk))
@@ -556,9 +573,16 @@ def q_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_QUALITY_CHECKS = """
-SELECT 'null_order_key' AS check_name,
-       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS violations FROM lineitem
+SQL_QUALITY_CHECKS = f"""
+SELECT 'columns_match' AS check_name,
+       CASE WHEN (SELECT string_agg(column_name, ',' ORDER BY ordinal_position)
+                  FROM information_schema.columns
+                  WHERE table_name = 'lineitem')
+                 = '{",".join(_LINEITEM_COLUMNS)}'
+            THEN 0 ELSE 1 END AS violations
+UNION ALL
+SELECT 'null_order_key',
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem
 UNION ALL
 SELECT 'quantity_out_of_range',
        count(CASE WHEN NOT (l_quantity BETWEEN 0 AND 100) THEN 1 END) FROM lineitem

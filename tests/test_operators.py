@@ -339,3 +339,34 @@ def test_range_join_left_no_phantom_rows(spark):
     got = sorted((r["eid"], r["m"]) for r in rows)
     # e1: exactly its one real match, no phantom null; e2: exactly one null
     assert got == [(1, True), (2, False)]
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """The O(log n)-round star algorithm and label propagation agree on
+    random graphs, and the auto-fallback solves a chain whose diameter
+    exceeds the propagation budget."""
+    import random
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    lab = {r["vertex"]: r["component"] for r in connected_components(e).collect()}
+    star = {r["vertex"]: r["component"]
+            for r in connected_components_star(e).collect()}
+    assert star == lab
+
+    # 40-long chain, diameter 39 >> max_iter=3: label propagation alone
+    # cannot converge; connected_components must fall back and still
+    # return one component rooted at 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    comps = {r["vertex"]: r["component"]
+             for r in connected_components(chain, max_iter=3).collect()}
+    assert comps == {i: 0 for i in range(41)}
