@@ -200,15 +200,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     parallelism: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
     The shingle equi-join IS the LSH-style prefilter: pairs with zero
-    overlap never materialize. At scale, cap fan-out by dropping
-    ubiquitous shingles (document-frequency cutoff) before the join —
-    exposed here as the stop-shingle filter ``max_df``."""
+    overlap never materialize. At scale, cap join fan-out with ``max_df``
+    (stop-shingle cutoff): a shingle appearing in more than ``max_df``
+    docs contributes O(df^2) join rows but almost no Jaccard signal
+    (boilerplate), so it is dropped from the JOIN ONLY — per-doc shingle
+    counts still include it, keeping denominators exact; the resulting
+    Jaccard is a <= 2*max_df/|union| underestimate only for pairs whose
+    overlap is dominated by boilerplate, which are precisely the pairs a
+    dedup pipeline wants ranked down. ``None`` (default) keeps exact
+    semantics — the correctness oracle runs with ``None``."""
     sh = _exploded_shingles(df, id_col, text_col, n, parallelism)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df_count")
+        )
+        sh = (
+            sh.join(df_counts.filter(F.col("df_count") <= max_df), "shingle")
+            .select(F.col(id_col), "shingle")
+        )
     pair_counts = (
         sh.alias("l")
         .join(

@@ -60,6 +60,31 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
 
 
+def test_ngram_jaccard_max_df_drops_boilerplate_only(spark):
+    """max_df removes ubiquitous shingles from the JOIN but keeps exact
+    per-doc denominators: the boilerplate-only pair disappears, the pair
+    that also shares rare shingles survives with an underestimated (never
+    inflated) jaccard."""
+    # shingle "x x x" appears in all 3 docs (boilerplate, df=3);
+    # docs 1 and 2 additionally share "a b c"
+    df = spark.createDataFrame(
+        [(1, "x x x a b c"), (2, "x x x a b c"), (3, "x x x q r s")],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh.ngram_jaccard_pairs(df, threshold=0.0, max_df=2).collect()
+    }
+    assert set(exact) == {(1, 2), (1, 3), (2, 3)}
+    # boilerplate-only pairs are gone; the real near-dup pair survives
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] <= exact[(1, 2)]
+
+
 def test_cosine_exact(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],

@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Scale-stress harness: replicate the sf0.1 testdata K times with
+key-space offsets (join cardinalities scale linearly, no artificial key
+collisions), then time the heaviest queries and compare per-row
+throughput against plain sf0.1 — a nonlinear blowup here is a scale bug
+the 17 MB test files can't show.
+
+Key remapping per copy i (offset = 10_000_000 * i):
+- customer/orders/lineitem/part/supplier keys all shift consistently, so
+  every FK still lands on exactly one PK and selectivities are unchanged.
+- nation/region stay fixed (real dims don't grow with fact data).
+- documents: doc_id shifts; every TOKEN gets a per-copy suffix so the
+  shingle space is disjoint across copies — near-dup structure WITHIN a
+  copy is preserved, no cross-copy mega-buckets (which would measure a
+  different, quadratic workload).
+- embeddings: vec_id shifts; vectors rotate by i positions (norms and
+  intra-copy geometry preserved, copies are not mutual near-dups).
+- events: event_id/user_id shift; timestamps shift by i days so window
+  populations stay the same shape.
+
+Usage:
+    python3 tools/scale_stress.py [K] [outdir]      # default K=10
+    python3 tools/scale_stress.py 10 /tmp/stress --run-only   # skip build
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+HEAVY = [
+    "q_minhash_pairs",
+    "q_embedding_neardup_lsh",
+    "q_weekly_rollup",
+    "q_tpch_q21_waiting_suppliers",
+    "q_dedup_clusters",
+    "q_star_join",
+    "q_sessionize",
+    "q_text_quality",
+]
+
+
+def build(spark, k: int, outdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(outdir, exist_ok=True)
+    t = {
+        name: spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        for name in (
+            "customer orders lineitem part supplier nation region "
+            "documents embeddings events".split()
+        )
+    }
+
+    def rep(df, mapper):
+        copies = [mapper(df, i) for i in range(k)]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def shift(cols):
+        def m(df, i):
+            off = F.lit(OFFSET * i)
+            return df.select(
+                *[
+                    (F.col(c) + off).alias(c) if c in cols else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return m
+
+    plans = {
+        "customer": rep(t["customer"], shift({"c_custkey"})),
+        "orders": rep(t["orders"], shift({"o_orderkey", "o_custkey"})),
+        "lineitem": rep(
+            t["lineitem"], shift({"l_orderkey", "l_partkey", "l_suppkey"})
+        ),
+        "part": rep(t["part"], shift({"p_partkey"})),
+        "supplier": rep(t["supplier"], shift({"s_suppkey"})),
+        "nation": t["nation"],
+        "region": t["region"],
+        "documents": rep(
+            t["documents"],
+            lambda df, i: df.select(
+                (F.col("doc_id") + F.lit(OFFSET * i)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", r"$1c" + str(i)).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",
+            ),
+        ),
+        "embeddings": rep(
+            t["embeddings"],
+            lambda df, i: df.select(
+                (F.col("vec_id") + F.lit(OFFSET * i)).alias("vec_id"),
+                F.concat(
+                    F.slice(F.col("embedding"), i % 64 + 1, 64),
+                    F.slice(F.col("embedding"), 1, i % 64),
+                ).alias("embedding"),
+                "label",
+            ),
+        ),
+        "events": rep(
+            t["events"],
+            lambda df, i: df.select(
+                (F.col("event_id") + F.lit(OFFSET * i)).alias("event_id"),
+                # raw read under nanosAsLong: ts is int64 nanos — shift
+                # i days in nano arithmetic
+                (F.col("ts") + F.lit(i * 86_400_000_000_000)).alias("ts"),
+                (F.col("user_id") + F.lit(OFFSET * i)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            ),
+        ),
+    }
+    for name, df in plans.items():
+        df.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(outdir, f"{name}.parquet")
+        )
+        print(f"[build] {name} written")
+
+
+def run(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries import QUERIES
+
+    times = {}
+    for name in queries:
+        start = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - start, 2)
+        print(f"[run] {name}: {times[name]}s rows={n}")
+    return times
+
+
+def main() -> None:
+    from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{k}"
+    spark = get_spark("scale_stress", cpus=32)
+    if "--run-only" not in sys.argv:
+        build(spark, k, outdir)
+    base = run(spark, SRC, HEAVY)
+    big = run(spark, outdir, HEAVY)
+    report = {
+        name: {
+            "sf0.1_s": base[name],
+            f"x{k}_s": big[name],
+            "scale_factor": round(big[name] / max(base[name], 1e-9), 1),
+        }
+        for name in HEAVY
+    }
+    print(json.dumps({"k": k, "queries": report}, indent=2))
+    # flag anything scaling worse than ~2x the data growth (allows for
+    # fixed overheads amortizing the other way)
+    bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * k}
+    if bad:
+        print(f"NONLINEAR: {sorted(bad)}")
+        sys.exit(1)
+    print("linear-or-better across the board")
+
+
+if __name__ == "__main__":
+    main()
