@@ -38,9 +38,16 @@ def connected_components(
     Falls back to the star algorithm on non-convergence (see module
     docstring)."""
     spark = edges.sparkSession
-    fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("n"))
+    # Materialize the edge set ONCE: callers pass a lazy plan (for dedup
+    # clusters it's the whole MinHash+LSH pipeline) and every round joins
+    # against it twice (neighbor-min + convergence count) — without this
+    # the upstream lineage re-executes 2x per round.
+    edges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    fwd = edges.select(F.col("s").alias("v"), F.col("d").alias("n"))
     undirected = fwd.unionByName(
-        edges.select(F.col(dst).alias("v"), F.col(src).alias("n"))
+        edges.select(F.col("d").alias("v"), F.col("s").alias("n"))
     )
     labels = undirected.select("v").distinct().withColumn("label", F.col("v"))
     changed = 1
@@ -69,8 +76,9 @@ def connected_components(
     if changed != 0:
         # diameter > max_iter: labels are not components yet — restart
         # with the O(log n)-round star algorithm instead of returning
-        # silently-wrong partial labels
-        return connected_components_star(edges, src, dst)
+        # silently-wrong partial labels (edges already checkpointed above,
+        # now under canonical names s/d)
+        return connected_components_star(edges, "s", "d")
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 
@@ -128,7 +136,12 @@ def connected_components_star(
             )
         return _canon(out)
 
-    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("w")))
+    # materialize once: each _star references its input twice (min-agg +
+    # join back), so an unmaterialized caller plan would execute 4x in
+    # the first round alone
+    e = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    ).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_rounds):
         e = _star(_star(e, large=True), large=False)
