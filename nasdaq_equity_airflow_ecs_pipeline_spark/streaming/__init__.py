@@ -8,6 +8,7 @@ batch (oracle-checked in the driver contract) and streaming (wired
 through readStream/writeStream with watermarks + checkpoints).
 """
 
+from .dedup import dedup_stream
 from .ingest import read_quotes_stream, run_ingest_available_now
 from .windows import hopping_counts, tumbling_counts
 from .sessions import session_window_agg
@@ -18,4 +19,5 @@ __all__ = [
     "tumbling_counts",
     "hopping_counts",
     "session_window_agg",
+    "dedup_stream",
 ]

@@ -110,6 +110,42 @@ def test_session_window_stream_matches_batch(spark, event_stream_dir):
     assert _rows(got, cols) == _rows(exp, cols)
 
 
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """At-least-once feed (every record delivered twice, in different
+    micro-batch files) -> dedup_stream emits each key exactly once, equal
+    to the batch dropDuplicates twin."""
+    import json as _json
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming import dedup_stream
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    recs = [
+        {"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00", "value": float(i)}
+        for i in range(20)
+    ]
+    # original deliveries in file A, full re-drive (duplicates) in file B
+    for fname, batch in (("a.json", recs), ("b.json", recs)):
+        with open(os.path.join(d, fname), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in batch))
+
+    schema = "event_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # re-drive lands in a later micro-batch
+        .json(d)
+    )
+    deduped = dedup_stream(stream, ["event_id"], within="1 hour", ts_col="ts")
+    _run_to_memory(deduped, "t_dedup", "append")
+    got = spark.table("t_dedup")
+
+    batch_twin = dedup_stream(spark.read.schema(schema).json(d), ["event_id"])
+    assert _rows(got, ["event_id", "value"]) == _rows(
+        batch_twin, ["event_id", "value"]
+    )
+    assert got.count() == 20
+
+
 def test_stream_static_dimension_join(spark, event_stream_dir, tmp_path):
     """Star-schema enrichment on a stream: the static dim side broadcasts
     into every micro-batch (the streaming form of J1/J2)."""
