@@ -502,6 +502,58 @@ FROM documents GROUP BY 1
 """
 
 
+# --------------------------------------------------- stratified sampling
+_MIX_RATES = {"en": 0.5, "de": 0.9, "fr": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix construction: per-language keep rates (upsample rare,
+    downsample dominant) with hash-threshold membership — deterministic
+    across reruns, engines, and partitionings (operators/sampling.py).
+    Emits the per-stratum sample census the mix designer checks."""
+    from ..operators.sampling import stratified_sample
+
+    d = _docs(spark, sf)
+    kept = stratified_sample(
+        d, _MIX_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=_MIX_DEFAULT,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from ..operators.sampling import sql_stratified_sample
+
+    inner = sql_stratified_sample(
+        "documents", _MIX_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=_MIX_DEFAULT,
+    )
+    return (
+        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        f"FROM ({inner}) GROUP BY lang"
+    )
+
+
+# ---------------------------------------------------- int8 quantization
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the 4x
+    memory/shuffle lever for ANN inverted lists), exploded to
+    (vec_id, dim, qval, scale) — bit-identical in both engines."""
+    from ..operators.quantize import quantize_int8
+
+    return quantize_int8(_emb(spark, sf))
+
+
+def _sql_embedding_quantize() -> str:
+    from ..operators.quantize import sql_quantize_int8
+
+    return sql_quantize_int8("embeddings")
+
+
 # ------------------------------------------------------ repetition quality
 def q_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition (Gopher-style quality signal): fraction
@@ -796,6 +848,8 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
     "q_train_test_split": q_train_test_split,
+    "q_stratified_sample": q_stratified_sample,
+    "q_embedding_quantize": q_embedding_quantize,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
     # iterative; no oracle_sql -> driver rows-only check
@@ -823,6 +877,8 @@ ORACLES = {
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "q_stratified_sample": _sql_stratified_sample(),
+    "q_embedding_quantize": _sql_embedding_quantize(),
     "q_repetition_score": SQL_REPETITION_SCORE,
     "q_pii_scan": SQL_PII_SCAN,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -395,3 +395,70 @@ def test_connected_components_star_matches_label_prop(spark):
     comps = {r["vertex"]: r["component"]
              for r in connected_components(chain, max_iter=3).collect()}
     assert comps == {i: 0 for i in range(41)}
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    """Membership is a pure function of the key: invariant under
+    repartitioning, monotone in rate, and close to the nominal fraction."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.3, "de": 0.8}
+    kept1 = sorted(
+        r["doc_id"] for r in stratified_sample(df, rates, "lang", "doc_id").collect()
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), rates, "lang", "doc_id"
+        ).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent
+    by_lang = {
+        lang: sum(1 for i in kept1 if (("en" if i % 2 else "de") == lang))
+        for lang in ("en", "de")
+    }
+    assert abs(by_lang["en"] / 1000 - 0.3) < 0.05
+    assert abs(by_lang["de"] / 1000 - 0.8) < 0.05
+    # a 30% sample is a subset of the matching 80% sample (same hash order)
+    kept_en_80 = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.8}, "lang", "doc_id").collect()
+    }
+    assert {i for i in kept1 if i % 2} <= kept_en_80
+
+
+def test_quantize_int8_reconstruction_and_edge_cases(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all qval 0
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = quantize_int8(df).collect()
+    got = {(r["vec_id"], r["dim"]): (r["qval"], r["scale"]) for r in rows}
+    assert len(rows) == 12
+    # vec 1: scale = 1/127; qval = round(v * 127)
+    assert got[(1, 0)][0] == 127 and got[(1, 1)][0] == -63 # floor(-63.5+0.5)
+    assert got[(1, 2)][0] == 32 and got[(1, 3)][0] == 0
+    # zero vector sentinel
+    assert all(got[(2, d)] == (0, 0.0) for d in range(4))
+    # reconstruction error bounded by scale/2 everywhere
+    for r in rows:
+        if r["scale"] > 0:
+            orig = {
+                1: [1.0, -0.5, 0.25, 0.0],
+                3: [-2.0, 2.0, 1.0, -1.0],
+            }[r["vec_id"]][r["dim"]]
+            assert abs(r["qval"] * r["scale"] - orig) <= r["scale"] / 2 + 1e-12
+        assert -127 <= r["qval"] <= 127
