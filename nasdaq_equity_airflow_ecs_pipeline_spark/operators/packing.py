@@ -1,0 +1,97 @@
+"""Token-budget sequence packing (concat-and-chunk) — how pretraining
+corpora become fixed-length training sequences.
+
+The standard GPT-style recipe: concatenate documents in a deterministic
+order, then cut the token stream every ``seq_len`` tokens; a document may
+straddle a cut. That rule is a pure prefix sum, which makes it the
+scalable formulation (the alternative — greedy bin packing that never
+splits a document — is an inherently sequential fold; when that semantics
+is required, run THIS operator first and re-pack only the straddling
+tail docs, a tiny fraction).
+
+Scale shape: a global token order would serialize into one partition, so
+the stream is sharded by a hash of the doc key — each shard packs an
+independent sequence space (exactly how a multi-worker tokenizer writes
+shards). Within a shard: one window prefix-sum, partitioned on the shard
+key — Spark runs every shard's window in parallel after a single hash
+shuffle. No UDF, no collect; the whole plan is window + projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every doc its span in the packed token stream of its shard.
+
+    Returns (shard, doc_id, n_tokens, start_offset, first_seq, last_seq):
+    the doc's tokens occupy [start_offset, start_offset + n_tokens) in
+    shard-local coordinates; first_seq/last_seq are the training-sequence
+    ids it lands in (straddlers differ). Deterministic: shard = uniform
+    md5 bucket of the id, order within shard = id order."""
+    sharded = docs.select(
+        hash_bucket(F.col(id_col), num_shards).alias("shard"),
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = sharded.select("shard", id_col, "n_tokens", start)
+    return out.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / seq_len
+        ).alias("last_seq"),
+    )
+
+
+def sql_pack_sequences(
+    table_expr: str,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mersenne_p: int = 2_147_483_647,
+) -> str:
+    """DuckDB twin: same md5 shard bucket, same window prefix sum.
+    ``table_expr`` must yield (id_col, tokens_col)."""
+    return f"""
+WITH sharded AS (
+  SELECT ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+           % {mersenne_p} % {num_shards} AS shard,
+         {id_col},
+         CAST({tokens_col} AS BIGINT) AS n_tokens
+  FROM ({table_expr})
+),
+spans AS (
+  SELECT shard, {id_col}, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM sharded
+)
+SELECT shard, {id_col}, n_tokens, start_offset,
+       floor(start_offset / {seq_len})::BIGINT AS first_seq,
+       floor((start_offset + greatest(n_tokens, 1) - 1) / {seq_len})::BIGINT
+         AS last_seq
+FROM spans
+"""

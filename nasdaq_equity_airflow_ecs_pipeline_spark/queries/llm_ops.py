@@ -538,6 +538,35 @@ def _sql_stratified_sample() -> str:
     )
 
 
+# ----------------------------------------------------- sequence packing
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk packing of the document corpus into fixed
+    512-token training sequences, sharded 8 ways (operators/packing.py):
+    every doc's span + the training-sequence ids it lands in."""
+    from ..operators.packing import pack_sequences
+
+    d = _docs(spark, sf)
+    with_tokens = d.select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        with_tokens, seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from ..operators.packing import sql_pack_sequences
+
+    inner = f"SELECT doc_id, {_SQL_NW} AS n_tokens FROM documents"
+    return sql_pack_sequences(
+        inner, seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS
+    )
+
+
 # ---------------------------------------------------- int8 quantization
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the 4x
@@ -850,6 +879,7 @@ QUERIES = {
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
     "q_embedding_quantize": q_embedding_quantize,
+    "q_pack_sequences": q_pack_sequences,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
     # iterative; no oracle_sql -> driver rows-only check
@@ -879,6 +909,7 @@ ORACLES = {
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_stratified_sample": _sql_stratified_sample(),
     "q_embedding_quantize": _sql_embedding_quantize(),
+    "q_pack_sequences": _sql_pack_sequences(),
     "q_repetition_score": SQL_REPETITION_SCORE,
     "q_pii_scan": SQL_PII_SCAN,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -462,3 +462,29 @@ def test_quantize_int8_reconstruction_and_edge_cases(spark):
             }[r["vec_id"]][r["dim"]]
             assert abs(r["qval"] * r["scale"] - orig) <= r["scale"] / 2 + 1e-12
         assert -127 <= r["qval"] <= 127
+
+
+def test_pack_sequences_spans_are_contiguous_per_shard(spark):
+    """Within every shard the doc spans tile [0, total_tokens) with no
+    gaps or overlaps, and seq ids match the span arithmetic."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 1 + (i * 37) % 300) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_sequences(docs, seq_len=128, num_shards=4).collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in rs:
+            assert r["start_offset"] == expect_start, (shard, r)
+            assert r["first_seq"] == r["start_offset"] // 128
+            assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 128
+            expect_start += r["n_tokens"]
