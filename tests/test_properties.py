@@ -75,3 +75,72 @@ def test_sessionize_counts_gaps(offsets, gap_s):
     n_sessions = out.agg(F.max("session_seq")).first()[0]
     expected = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > gap_s)
     assert n_sessions == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    st.integers(16, 512),
+    st.integers(1, 8),
+)
+def test_pack_sequences_tiles_every_shard(docs, seq_len, shards):
+    """For arbitrary corpora: spans tile [0, shard_total) exactly, and
+    every token of every doc lands in exactly one training sequence."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    rows = pack_sequences(df, seq_len=seq_len, num_shards=shards).collect()
+    assert len(rows) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rs:
+            assert r["start_offset"] == offset
+            assert r["first_seq"] == offset // seq_len
+            assert r["last_seq"] == (offset + r["n_tokens"] - 1) // seq_len
+            offset += r["n_tokens"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_quantize_int8_error_bound(vecs):
+    """|dequantized - original| <= scale/2 for every element of every
+    vector, including all-zero and near-zero vectors."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        quantize_int8,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = quantize_int8(df).collect()
+    assert len(rows) == 4 * len(vecs)
+    import struct as _struct
+
+    for r in rows:
+        # replicate the float32 storage round-trip the engine reads
+        orig = _struct.unpack("f", _struct.pack("f", vecs[r["vec_id"]][r["dim"]]))[0]
+        assert -127 <= r["qval"] <= 127
+        if r["scale"] == 0.0:
+            assert r["qval"] == 0 and orig == 0.0
+        else:
+            assert abs(r["qval"] * r["scale"] - orig) <= r["scale"] / 2 + 1e-9
