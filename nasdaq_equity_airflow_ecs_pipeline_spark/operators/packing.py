@@ -64,6 +64,61 @@ def pack_sequences(
     )
 
 
+def pack_greedy_no_split(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy next-fit packing that NEVER splits a document.
+
+    The instruction-tuning / eval-set variant of :func:`pack_sequences`
+    (a straddled example is a corrupted example there): walk docs in id
+    order, close the current bin when the next doc would overflow it.
+    A doc longer than ``seq_len`` gets a bin of its own (flagged
+    ``oversize`` — caller chunks or drops those).
+
+    The walk is a sequential fold, so it runs as an Arrow-batched
+    ``applyInPandas`` per shard — same md5 sharding as pack_sequences,
+    one shuffle, shards pack in parallel, bins are shard-local. Returns
+    (shard, doc_id, n_tokens, bin_id, bin_fill, oversize)."""
+    import pandas as pd
+
+    sharded = docs.select(
+        hash_bucket(F.col(id_col), num_shards).alias("shard"),
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills, oversize = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > seq_len:
+                bin_id, fill = bin_id + 1, 0
+            bins.append(bin_id)
+            fill += n
+            fills.append(fill)
+            oversize.append(n > seq_len)
+            if fill >= seq_len:
+                bin_id, fill = bin_id + 1, 0
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    return sharded.groupBy("shard").applyInPandas(
+        _pack,
+        schema=(
+            f"shard bigint, {id_col} bigint, n_tokens bigint, "
+            "bin_id bigint, bin_fill bigint, oversize boolean"
+        ),
+    )
+
+
 def sql_pack_sequences(
     table_expr: str,
     seq_len: int = 2048,

@@ -488,3 +488,35 @@ def test_pack_sequences_spans_are_contiguous_per_shard(spark):
             assert r["first_seq"] == r["start_offset"] // 128
             assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 128
             expect_start += r["n_tokens"]
+
+
+def test_pack_greedy_no_split_capacity_and_determinism(spark):
+    """No bin exceeds seq_len unless it holds a single oversize doc; no
+    doc straddles bins; result is partitioning-independent."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.packing import (
+        pack_greedy_no_split,
+    )
+
+    docs = [(i, 1 + (i * 53) % 200) for i in range(150)] + [(999, 700)]
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    out1 = sorted(
+        tuple(r) for r in pack_greedy_no_split(df, seq_len=256, num_shards=4).collect()
+    )
+    out2 = sorted(
+        tuple(r)
+        for r in pack_greedy_no_split(
+            df.repartition(11), seq_len=256, num_shards=4
+        ).collect()
+    )
+    assert out1 == out2 and len(out1) == 151
+    per_bin: dict[tuple, list] = {}
+    for shard, doc_id, n, bin_id, fill, oversize in out1:
+        per_bin.setdefault((shard, bin_id), []).append((n, oversize))
+    for (shard, bin_id), members in per_bin.items():
+        total = sum(n for n, _ in members)
+        if total > 256:
+            # only a lone oversize doc may exceed capacity
+            assert len(members) == 1 and members[0][1], (shard, bin_id, members)
+    # the 700-token doc is flagged and alone
+    big = [r for r in out1 if r[1] == 999][0]
+    assert big[5] is True
