@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import _dec2dbl, dsum, sql_dec2dbl, sql_dsum
 from ..operators.asof import asof_join
 from ..operators.rangejoin import preceding_window_join
-from ..operators.similarity import ivf_search
+from ..operators.similarity import ivf_search, ivf_search_quantized
 from ..operators.skew import salted_sum_count
 from ..sources.tables import load_table
 
@@ -173,6 +173,21 @@ def q_ann_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     )
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_search(emb, centroids, qv, k=5, nprobe=2)
+
+
+def q_ann_ivf_search_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """The same ANN probe through int8-quantized inverted lists + exact
+    re-score (operators/similarity.py ivf_search_quantized). Its contract
+    is bit-equality with the full-precision probe, so the oracle is the
+    full-precision SQL — a value mismatch means the quantized shortlist
+    lost a true top-k candidate."""
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_search_quantized(emb, centroids, qv, k=5, nprobe=2)
 
 
 SQL_ANN_IVF_SEARCH = f"""
@@ -634,6 +649,7 @@ QUERIES = {
     "q_cube_agg": q_cube_agg,
     "q_distinct_agg": q_distinct_agg,
     "q_ann_ivf_search": q_ann_ivf_search,
+    "q_ann_ivf_search_quantized": q_ann_ivf_search_quantized,
     "q_skew_salted_agg": q_skew_salted_agg,
 }
 
@@ -656,5 +672,6 @@ ORACLES = {
     "q_cube_agg": SQL_CUBE_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
     "q_ann_ivf_search": SQL_ANN_IVF_SEARCH,
+    "q_ann_ivf_search_quantized": SQL_ANN_IVF_SEARCH,
     "q_skew_salted_agg": SQL_SKEW_SALTED_AGG,
 }

