@@ -1,0 +1,154 @@
+"""End-to-end training-corpus curation — the composed pipeline a user
+actually runs, not just its individual operators.
+
+Stage chain (each one an existing, individually oracle-checked operator):
+
+    raw corpus (eval set held out)
+      -> quality filter        (operators/text.py quality_features)
+      -> exact dedup           (content-hash, min-id survivor)
+      -> near-dup dedup        (MinHash -> LSH pairs -> connected
+                                components -> canonical doc per cluster)
+      -> decontamination       (drop docs sharing any 5-gram with the
+                                eval set — equi-join, no pairwise scan)
+      -> training-mix sampling (operators/sampling.py, hash-threshold)
+      -> sequence packing      (operators/packing.py, concat-and-chunk)
+
+Everything stays one lazy DataFrame composition: Catalyst sees the whole
+chain, so column pruning flows through every stage (the text column is
+only materialized where a stage hashes it) and nothing is collected on
+the driver. The funnel census (``curate_corpus_funnel``) is the
+shape-auditing output a data engineer watches: docs/tokens surviving
+each stage, plus the final sequence count.
+
+Scale notes: the per-stage shapes are each operator's (one hash-agg for
+exact dedup, banded equi-join for LSH, broadcast for the eval-set join,
+narrow filter for sampling, one shuffle + window for packing). The chain
+introduces NO extra shuffles beyond its stages' own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import lsh
+from ..operators import text as text_ops
+from ..operators.graph import dedup_clusters
+from ..operators.packing import pack_sequences
+from ..operators.sampling import stratified_sample
+
+
+def curate_corpus(
+    docs: DataFrame,
+    mix_rates: dict[str, float],
+    mix_default: float = 0.1,
+    quality_min: float = 0.6,
+    eval_max_id: int = 10,
+    seq_len: int = 512,
+    num_shards: int = 8,
+) -> dict[str, DataFrame]:
+    """Run the curation chain; returns every stage's surviving doc set
+    (doc_id, n_tokens, lang) plus the final packed spans, keyed by stage
+    name — callers pick the frame they need, the funnel query aggregates
+    all of them."""
+    base = docs.select(
+        "doc_id", "text", "lang", text_ops.token_count("text").alias("n_tokens")
+    )
+    corpus = base.filter(F.col("doc_id") >= eval_max_id)
+
+    quality = (
+        text_ops.quality_features(corpus, "text")
+        .filter(F.col("q_score") >= quality_min)
+        .select("doc_id", "text", "lang", "n_tokens")
+    )
+
+    exact_survivors = (
+        quality.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(quality, "doc_id")
+        .select("doc_id", "text", "lang", "n_tokens")
+    )
+
+    sigs = lsh.minhash_signatures(exact_survivors)
+    pairs = lsh.lsh_candidate_pairs(sigs)
+    neardup = (
+        dedup_clusters(exact_survivors, pairs)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+        .join(exact_survivors, "doc_id")
+        .select("doc_id", "text", "lang", "n_tokens")
+    )
+
+    # eval 5-grams come from the held-out slice of the RAW input
+    ev_tok = base.filter(F.col("doc_id") < eval_max_id).select(
+        "doc_id", lsh.tokens("text").alias("toks")
+    )
+    ev_sh = (
+        ev_tok.select(
+            F.explode(lsh.shingles_from_tokens(F.col("toks"), 5)).alias("s")
+        )
+        .distinct()
+    )
+    c_tok = neardup.select("doc_id", lsh.tokens("text").alias("toks"))
+    contaminated = (
+        c_tok.select(
+            "doc_id", F.explode(lsh.shingles_from_tokens(F.col("toks"), 5)).alias("s")
+        )
+        .join(F.broadcast(ev_sh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = neardup.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+    mixed = stratified_sample(
+        clean, mix_rates, strata_col="lang", key_col="doc_id",
+        default_rate=mix_default,
+    ).select("doc_id", "lang", "n_tokens")
+
+    packed = pack_sequences(mixed, seq_len=seq_len, num_shards=num_shards)
+
+    return {
+        "raw": corpus.select("doc_id", "lang", "n_tokens"),
+        "quality": quality.select("doc_id", "lang", "n_tokens"),
+        "exact_dedup": exact_survivors.select("doc_id", "lang", "n_tokens"),
+        "neardup_dedup": neardup.select("doc_id", "lang", "n_tokens"),
+        "decontaminated": clean,
+        "mixed": mixed,
+        "packed": packed,
+    }
+
+
+_STAGE_ORDER = [
+    "raw", "quality", "exact_dedup", "neardup_dedup",
+    "decontaminated", "mixed",
+]
+
+
+def curate_corpus_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage_id, stage, n_docs, n_tokens) census over the chain; the
+    final row counts packed training sequences (n_docs = sequences,
+    n_tokens = total packed tokens)."""
+    out = None
+    for i, name in enumerate(_STAGE_ORDER):
+        census = stages[name].agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+        out = census if out is None else out.unionByName(census)
+    packed = stages["packed"]
+    seqs = (
+        packed.groupBy("shard")
+        .agg((F.max("last_seq") + 1).alias("n_seqs"), F.sum("n_tokens").alias("t"))
+        .agg(
+            F.lit(len(_STAGE_ORDER)).alias("stage_id"),
+            F.lit("packed_sequences").alias("stage"),
+            F.coalesce(F.sum("n_seqs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("t"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+    return out.unionByName(seqs)

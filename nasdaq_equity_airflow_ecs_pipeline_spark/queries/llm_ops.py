@@ -707,6 +707,121 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
 
 
+# ------------------------------------------------- composed curation funnel
+def q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED curation chain (plans/corpus.py): quality filter ->
+    exact dedup -> MinHash near-dup clusters -> decontamination ->
+    stratified mix -> sequence packing, emitted as the per-stage funnel
+    census. The oracle rebuilds the identical funnel in one SQL chain
+    from the same fragment generators, so the driver value-checks the
+    stage interactions, not just each operator alone."""
+    from ..plans.corpus import curate_corpus, curate_corpus_funnel
+
+    d = _docs(spark, sf)
+    stages = curate_corpus(
+        d, _MIX_RATES, _MIX_DEFAULT,
+        quality_min=0.6, eval_max_id=10,
+        seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS,
+    )
+    return curate_corpus_funnel(stages)
+
+
+def _sql_corpus_pipeline() -> str:
+    from ..operators.sampling import sql_stratified_sample
+
+    q_checks = f"""(
+        (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
+        + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
+        + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
+        + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+        + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
+    )"""
+    shingles_over_src = _SQL_SHINGLES.replace("FROM documents)", "FROM src)")
+    mixed_select = sql_stratified_sample(
+        "clean", _MIX_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=_MIX_DEFAULT,
+    )
+    L = _PACK_SEQ_LEN
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text, lang, {_SQL_NW} AS n_tokens FROM documents
+),
+corpus AS (SELECT * FROM base WHERE doc_id >= 10),
+quality AS (
+  SELECT * FROM corpus WHERE CAST({q_checks} AS DOUBLE) / 5 >= 0.6
+),
+exact AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+src AS (SELECT q.* FROM quality q JOIN exact USING (doc_id)),
+{shingles_over_src},
+sig AS (SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_sql_band_rows()}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a AS v, id_b AS n FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS n FROM pairs
+),
+walk(v, label) AS (
+  SELECT v, v AS label FROM edges GROUP BY v
+  UNION
+  SELECT e.v, w.label FROM edges e JOIN walk w ON w.v = e.n
+),
+comp AS (SELECT v, min(label) AS component FROM walk GROUP BY v),
+neardup AS (
+  SELECT s.* FROM src s LEFT JOIN comp c ON c.v = s.doc_id
+  WHERE c.component IS NULL OR c.component = s.doc_id
+),
+ev_tok AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM base WHERE doc_id < 10
+),
+ev_sh AS (
+  SELECT DISTINCT array_to_string(toks[i+1 : i+5], ' ') AS s
+  FROM ev_tok, unnest(generate_series(0, len(toks) - 5)) AS u(i)
+  WHERE len(toks) >= 5
+),
+nd_tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM neardup
+),
+nd_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i+1 : i+5], ' ') AS s
+  FROM nd_tok, unnest(generate_series(0, len(toks) - 5)) AS u(i)
+  WHERE len(toks) >= 5
+),
+contaminated AS (SELECT DISTINCT c.doc_id FROM nd_sh c JOIN ev_sh b USING (s)),
+clean AS (
+  SELECT doc_id, lang, n_tokens FROM neardup
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+mixed AS ({mixed_select}),
+shard_tokens AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {MP} % {_PACK_SHARDS} AS shard,
+         sum(n_tokens) AS t
+  FROM mixed GROUP BY shard
+)
+SELECT 0 AS stage_id, 'raw' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens FROM corpus
+UNION ALL SELECT 1, 'quality', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT FROM quality
+UNION ALL SELECT 2, 'exact_dedup', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT FROM src
+UNION ALL SELECT 3, 'neardup_dedup', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT FROM neardup
+UNION ALL SELECT 4, 'decontaminated', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT FROM clean
+UNION ALL SELECT 5, 'mixed', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT FROM mixed
+UNION ALL SELECT 6, 'packed_sequences',
+       coalesce(sum((t - 1) // {L} + 1), 0)::BIGINT,
+       coalesce(sum(t), 0)::BIGINT FROM shard_tokens
+"""
+
+
 # ----------------------------------------------------------- k-means (IVF fit)
 def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """3 Lloyd's iterations, k=8, deterministic init (lowest vec_ids).
@@ -880,6 +995,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_embedding_quantize": q_embedding_quantize,
     "q_pack_sequences": q_pack_sequences,
+    "q_corpus_pipeline": q_corpus_pipeline,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
     # iterative; no oracle_sql -> driver rows-only check
@@ -910,6 +1026,7 @@ ORACLES = {
     "q_stratified_sample": _sql_stratified_sample(),
     "q_embedding_quantize": _sql_embedding_quantize(),
     "q_pack_sequences": _sql_pack_sequences(),
+    "q_corpus_pipeline": _sql_corpus_pipeline(),
     "q_repetition_score": SQL_REPETITION_SCORE,
     "q_pii_scan": SQL_PII_SCAN,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
