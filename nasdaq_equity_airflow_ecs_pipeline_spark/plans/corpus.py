@@ -56,11 +56,16 @@ def curate_corpus(
     )
     corpus = base.filter(F.col("doc_id") >= eval_max_id)
 
+    # The funnel census evaluates every stage's frame AND each stage
+    # feeds the next, so the shared prefixes are consumed 2-5x — Spark
+    # does not CSE across union branches, so persist() the reused
+    # survivor sets (spill-safe MEMORY_AND_DISK; at cluster scale these
+    # are the frames you'd materialize to the lake between jobs anyway).
     quality = (
         text_ops.quality_features(corpus, "text")
         .filter(F.col("q_score") >= quality_min)
         .select("doc_id", "text", "lang", "n_tokens")
-    )
+    ).persist()
 
     exact_survivors = (
         quality.withColumn("content_hash", F.md5("text"))
@@ -68,7 +73,7 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
         .select("doc_id", "text", "lang", "n_tokens")
-    )
+    ).persist()
 
     sigs = lsh.minhash_signatures(exact_survivors)
     pairs = lsh.lsh_candidate_pairs(sigs)
@@ -78,7 +83,7 @@ def curate_corpus(
         .select("doc_id")
         .join(exact_survivors, "doc_id")
         .select("doc_id", "text", "lang", "n_tokens")
-    )
+    ).persist()
 
     # eval 5-grams come from the held-out slice of the RAW input
     ev_tok = base.filter(F.col("doc_id") < eval_max_id).select(
@@ -101,7 +106,7 @@ def curate_corpus(
     )
     clean = neardup.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens"
-    )
+    ).persist()
 
     mixed = stratified_sample(
         clean, mix_rates, strata_col="lang", key_col="doc_id",
