@@ -42,6 +42,7 @@ CARTESIAN_OK = {
     # points x k centroids, centroids broadcast (k rows)
     "q_ann_ivf": "broadcast of k centroid rows",
     "q_ann_ivf_search": "broadcast of k centroid rows",
+    "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
