@@ -514,6 +514,90 @@ ORDER BY cntrycode
 """
 
 
+
+# -------------------------------------------------------------- Q13 analog
+def q_tpch_q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 shape: outer join + double aggregation (orders per customer,
+    then customers per order-count) — the classic histogram-of-counts.
+    Adapted: the excluded-comment predicate becomes "not 1-URGENT" (no
+    o_comment column). Scale shape: one shuffle on custkey for the outer
+    join + first agg (co-partitioned), then a tiny shuffle on the count —
+    the second agg's key cardinality is the max orders-per-customer."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -------------------------------------------------------------- Q15 analog
+def q_tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: revenue view + scalar-max self-comparison (suppliers
+    whose quarterly revenue equals the global max). The revenue aggregate
+    is computed ONCE and reused for both the max and the equality filter;
+    decimal partials make the equality deterministic (double sums would
+    make "== max" partition-order-dependent). The 1-row max broadcasts."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev()).alias("total_revenue_dec")
+    )
+    max_rev = rev.agg(F.max("total_revenue_dec").alias("max_rev"))
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            _dec2dbl(F.col("total_revenue_dec")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_SQL_REV}) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_revenue_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_dec = (SELECT max(total_revenue_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q_tpch_q4_order_priority": q_tpch_q4_order_priority,
     "q_tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -525,6 +609,8 @@ QUERIES = {
     "q_tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "q_tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "q_tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+    "q_tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+    "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
 }
 
 ORACLES = {
@@ -538,4 +624,6 @@ ORACLES = {
     "q_tpch_q19_disjunctive": SQL_TPCH_Q19,
     "q_tpch_q21_waiting_suppliers": SQL_TPCH_Q21,
     "q_tpch_q22_idle_customers": SQL_TPCH_Q22,
+    "q_tpch_q13_order_distribution": SQL_TPCH_Q13,
+    "q_tpch_q15_top_supplier": SQL_TPCH_Q15,
 }

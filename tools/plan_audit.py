@@ -48,6 +48,7 @@ CARTESIAN_OK = {
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
     "q_tpch_q22_idle_customers": "scalar subquery (1-row avg) broadcast",
+    "q_tpch_q15_top_supplier": "scalar subquery (1-row max) broadcast",
 }
 
 
