@@ -598,6 +598,145 @@ ORDER BY s_suppkey
 """
 
 
+
+# ------------------------------------------------ derived partsupp (Q2/Q9)
+# The testdata has no partsupp table; its two partsupp-dependent shapes
+# are recovered with a DERIVED supplier-part relation: the distinct
+# (l_partkey, l_suppkey) pairs that actually traded, with a supply cost
+# that is a deterministic integer function of the key pair — identical
+# arithmetic in both engines, so parity is exact and the JOIN SHAPES
+# (min-cost join-back, 6-way profit rollup) are the real thing.
+def _supplycost_dec() -> F.Column:
+    # 100..149, keyed by (partkey, suppkey); decimal(18,4) for exact math
+    return (
+        F.lit(100) + (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 50
+    ).cast("decimal(18,4)")
+
+
+_SQL_SUPPLYCOST = (
+    "CAST(100 + (l_partkey * 31 + l_suppkey * 17) % 50 AS DECIMAL(18,4))"
+)
+
+
+# --------------------------------------------------------------- Q2 analog
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 shape: per-group minimum + equality join-back (the correlated
+    subquery of classic Q2, decorrelated). For every EUROPE-supplied part,
+    find the supplier(s) achieving the minimum derived supply cost.
+    Scale shape: partsupp derives from lineitem with one distinct (hash
+    agg on the pair key), region/nation broadcast into supplier, the
+    min-per-part aggregate and the join-back shuffle ONCE on partkey
+    each — no nested loop anywhere."""
+    li = load_table(spark, sf, "lineitem")
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .withColumn("supplycost_dec", _supplycost_dec())
+    )
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    euro_ps = ps.join(
+        euro_supp, ps.l_suppkey == euro_supp.s_suppkey
+    )
+    min_cost = euro_ps.groupBy("l_partkey").agg(
+        F.min("supplycost_dec").alias("min_cost_dec")
+    )
+    return (
+        euro_ps.join(min_cost, "l_partkey")
+        .filter(F.col("supplycost_dec") == F.col("min_cost_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _dec2dbl(F.col("supplycost_dec")).alias("supplycost"),
+        )
+        .orderBy(F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+psc AS (
+  SELECT l_partkey, l_suppkey, {_SQL_SUPPLYCOST} AS supplycost_dec FROM ps
+),
+euro AS (
+  SELECT psc.*, s_name, n_name
+  FROM psc
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+mins AS (
+  SELECT l_partkey, min(supplycost_dec) AS min_cost_dec FROM euro GROUP BY l_partkey
+)
+SELECT e.l_partkey AS p_partkey, e.l_suppkey AS s_suppkey, e.s_name, e.n_name,
+       CAST(CAST(e.supplycost_dec AS VARCHAR) AS DOUBLE) AS supplycost
+FROM euro e JOIN mins m
+  ON e.l_partkey = m.l_partkey AND e.supplycost_dec = m.min_cost_dec
+ORDER BY p_partkey ASC, s_suppkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- Q9 analog
+def q_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 shape: the 5-way profit rollup — lineitem x orders x supplier x
+    nation x part, profit = revenue - supplycost * quantity, grouped by
+    (supplier nation, order year). Part filter keeps the classic
+    LIKE-on-name probe. Scale shape: nation/part/supplier broadcast,
+    orders co-shuffles with lineitem on orderkey once, ONE final hash agg
+    on (nation, year) — the fact table never shuffles twice."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    profit = (_rev() - _supplycost_dec() * F.col("l_quantity").cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dec2dbl(F.sum(profit)).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       CAST(CAST(SUM({_SQL_REV} - {_SQL_SUPPLYCOST}
+                     * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
 QUERIES = {
     "q_tpch_q4_order_priority": q_tpch_q4_order_priority,
     "q_tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -611,6 +750,8 @@ QUERIES = {
     "q_tpch_q22_idle_customers": q_tpch_q22_idle_customers,
     "q_tpch_q13_order_distribution": q_tpch_q13_order_distribution,
     "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "q_tpch_q9_product_profit": q_tpch_q9_product_profit,
 }
 
 ORACLES = {
@@ -626,4 +767,6 @@ ORACLES = {
     "q_tpch_q22_idle_customers": SQL_TPCH_Q22,
     "q_tpch_q13_order_distribution": SQL_TPCH_Q13,
     "q_tpch_q15_top_supplier": SQL_TPCH_Q15,
+    "q_tpch_q2_min_cost_supplier": SQL_TPCH_Q2,
+    "q_tpch_q9_product_profit": SQL_TPCH_Q9,
 }
