@@ -1,5 +1,6 @@
-"""Extended TPC-H-shaped analytical suite (Q4, Q6, Q7, Q8, Q12, Q14, Q18,
-Q19, Q21, Q22 analogs).
+"""Extended TPC-H-shaped analytical suite (Q1, Q2, Q4, Q6-Q9, Q11-Q16,
+Q18-Q22 analogs; Q3/Q5/Q10/Q17 live in extended_ops.py — the full classic
+22 are covered).
 
 The reference's analytical layer is three OHLCV rollups
 (/root/reference/glue/jobs/build_stock_aggregations.py:80-217); these
@@ -737,7 +738,252 @@ ORDER BY nation ASC, o_year DESC
 """
 
 
+# --------------------------------------------------------------- Q1 analog
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1 shape: the classic full-scan pricing summary — one wide hash
+    aggregate over ~99% of lineitem with 8 aggregates on 2 low-cardinality
+    keys. Scale shape: single pass, partial (map-side) aggregation does
+    almost all the work, the shuffle moves |flags|x|status| rows per
+    partition. Sums route through exact decimal partials; averages are one
+    double divide at the end (order-independent, cluster==laptop)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    disc_price = price * (1 - disc)
+    charge = price * (1 - disc) * (1 + tax)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec2dbl(F.sum(qty)).alias("sum_qty"),
+            _dec2dbl(F.sum(price)).alias("sum_base_price"),
+            _dec2dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dec2dbl(F.sum(charge)).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM({_SQL_REV} * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- derived availqty (Q11/Q20)
+def _availqty() -> F.Column:
+    # 1..1000, keyed by (partkey, suppkey) — same arithmetic both engines
+    return (
+        F.lit(1) + (F.col("l_partkey") * 7 + F.col("l_suppkey") * 11) % 1000
+    ).cast("int")
+
+
+_SQL_AVAILQTY = "CAST(1 + (l_partkey * 7 + l_suppkey * 11) % 1000 AS INT)"
+
+
+# -------------------------------------------------------------- Q11 analog
+def q_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 shape: grouped value rollup filtered by a GLOBAL scalar
+    threshold (HAVING sum > fraction * total). partsupp derives from
+    lineitem (see _supplycost_dec); availqty is a deterministic key
+    function. Scale shape: the 1-row total broadcasts onto the per-part
+    aggregate (no second shuffle of the big side); nation filter broadcasts
+    into supplier. Threshold compare happens in DOUBLE on both engines
+    (string-hopped sums), so the cut is bit-identical."""
+    li = load_table(spark, sf, "lineitem")
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .withColumn("supplycost_dec", _supplycost_dec())
+        .withColumn("availqty", _availqty())
+    )
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_ps = (
+        ps.join(F.broadcast(supp.join(
+            F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+        ).select("s_suppkey")), ps.l_suppkey == F.col("s_suppkey"))
+        .withColumn(
+            "value_dec",
+            F.col("supplycost_dec") * F.col("availqty").cast("decimal(18,4)"),
+        )
+    )
+    per_part = nat_ps.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        _dec2dbl(F.sum("value_dec")).alias("value")
+    )
+    total = nat_ps.agg(_dec2dbl(F.sum("value_dec")).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * 0.001)
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+nat_ps AS (
+  SELECT l_partkey,
+         {_SQL_SUPPLYCOST} * CAST({_SQL_AVAILQTY} AS DECIMAL(18,4)) AS value_dec
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey,
+       CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) AS value
+FROM nat_ps
+GROUP BY l_partkey
+HAVING CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) >
+       (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) FROM nat_ps) * 0.001
+ORDER BY value DESC, ps_partkey ASC
+"""
+
+
+# -------------------------------------------------------------- Q16 analog
+def q_tpch_q16_supplier_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 shape: COUNT(DISTINCT) over an anti-joined many-to-many
+    relation, grouped by part attributes. Adapted: supplier has no
+    s_comment, so the "customer complaints" exclusion is negative-balance
+    suppliers — the NOT IN anti-join shape is intact. Scale shape: part
+    (1% of lineitem) and the tiny exclusion list broadcast; the only big
+    shuffle is the final distinct-count aggregate, keyed on attributes."""
+    li = load_table(spark, sf, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+SQL_TPCH_Q16 = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# -------------------------------------------------------------- Q20 analog
+def q_tpch_q20_excess_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape: the doubly-nested IN subquery (suppliers holding excess
+    stock of promotable parts), decorrelated: 1997 shipments aggregate by
+    (part, supp) once, join the derived partsupp on the same key, compare
+    availqty > 0.5 * shipped, then semi-join supplier. Scale shape: both
+    big sides shuffle ONCE on (partkey, suppkey); the part name filter
+    broadcasts; the final supplier semi join is broadcast-sized. The
+    0.5x compare is double-vs-double (string-hopped sum), bit-identical."""
+    li = load_table(spark, sf, "lineitem")
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dec2dbl(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).alias("qty_1997"))
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .withColumn("availqty", _availqty())
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    excess = (
+        ps.join(shipped, ["l_partkey", "l_suppkey"])
+        .filter(F.col("availqty") > F.lit(0.5) * F.col("qty_1997"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q20 = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+           AS qty_1997
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps
+  JOIN part ON ps.l_partkey = p_partkey
+  JOIN shipped ON ps.l_partkey = shipped.l_partkey
+              AND ps.l_suppkey = shipped.l_suppkey
+  WHERE p_name LIKE '%bolt%'
+    AND {_SQL_AVAILQTY.replace('l_partkey', 'ps.l_partkey').replace('l_suppkey', 'ps.l_suppkey')} > 0.5 * qty_1997
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "q_tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "q_tpch_q4_order_priority": q_tpch_q4_order_priority,
     "q_tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "q_tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
@@ -752,9 +998,13 @@ QUERIES = {
     "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "q_tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
     "q_tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "q_tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "q_tpch_q16_supplier_parts": q_tpch_q16_supplier_parts,
+    "q_tpch_q20_excess_stock": q_tpch_q20_excess_stock,
 }
 
 ORACLES = {
+    "q_tpch_q1_pricing_summary": SQL_TPCH_Q1,
     "q_tpch_q4_order_priority": SQL_TPCH_Q4,
     "q_tpch_q6_forecast_revenue": SQL_TPCH_Q6,
     "q_tpch_q7_volume_shipping": SQL_TPCH_Q7,
@@ -769,4 +1019,7 @@ ORACLES = {
     "q_tpch_q15_top_supplier": SQL_TPCH_Q15,
     "q_tpch_q2_min_cost_supplier": SQL_TPCH_Q2,
     "q_tpch_q9_product_profit": SQL_TPCH_Q9,
+    "q_tpch_q11_important_stock": SQL_TPCH_Q11,
+    "q_tpch_q16_supplier_parts": SQL_TPCH_Q16,
+    "q_tpch_q20_excess_stock": SQL_TPCH_Q20,
 }

@@ -43,6 +43,10 @@ def norm(v):
     return str(v)
 
 qs, oracles = ep.queries(), ep.oracle_sql()
+# optional argv filter: `python tools/driver_sim.py q_foo q_bar` or substring
+if len(sys.argv) > 1:
+    pats = sys.argv[1:]
+    qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
 ok = fail = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
