@@ -196,3 +196,74 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df_bp: int = 60,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Corpus-frequency boilerplate detection (CCNet/RefinedWeb-style,
+    re-expressed over shingles since the corpus carries no line breaks):
+    an n-gram shingle occurring in more than ``min_df_bp`` basis points
+    (bp/10000) of documents is "boilerplate"; each document scores the
+    fraction of its distinct shingles that are boilerplate and is flagged
+    when boilerplate is the majority.
+
+    Output: (id, n_shingles, n_boiler, boiler_frac, is_boilerplate) — one
+    row per input document, including shingle-less short docs (frac 0.0).
+
+    Determinism: the frequency cut is pure integer arithmetic
+    (df*10000 > bp*n_docs — no float threshold), boiler_frac is a single
+    IEEE double divide; both evaluate identically on any engine.
+
+    Scale shape (100 TB): two passes over the shingle set — a
+    document-frequency hash-aggregate, then a mark-join back. The shingle
+    frame is persisted (memory-and-disk) so the explode runs once, not
+    twice. The frequent-shingle set is bounded by construction —
+    |instances| / (bp/10000 * n_docs) — so it broadcasts; the 1-row corpus
+    count broadcasts onto the df aggregate. No shuffle touches full
+    documents; the final per-doc join is id-keyed.
+    """
+    from pyspark import StorageLevel
+
+    from .lsh import _exploded_shingles
+
+    ids = df.select(id_col, text_col)
+    sh = _exploded_shingles(ids, id_col, text_col, n, parallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df_count") * 10000 > F.lit(min_df_bp) * F.col("n_docs"))
+        .select("shingle", F.lit(1).alias("is_freq"))
+    )
+    per = (
+        sh.join(F.broadcast(freq), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_freq"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+        F.when(
+            F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+            F.col("n_boiler").cast("double") / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+        (
+            F.coalesce(F.col("n_boiler"), F.lit(0)) * 2
+            > F.coalesce(F.col("n_shingles"), F.lit(0))
+        ).alias("is_boilerplate"),
+    )

@@ -972,8 +972,49 @@ SELECT doc_id, term, score, rank FROM (
 
 
 
+# ------------------------------------------------- boilerplate detection
+BOILER_MIN_DF_BP = 60  # shingle is boilerplate above 0.6% document frequency
+
+
+def q_boilerplate_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-frequency boilerplate scoring: two passes over the shingle
+    set (df aggregate, mark-join back), frequency cut in exact integer
+    arithmetic. See operators/text.py:boilerplate_flags."""
+    return text_ops.boilerplate_flags(
+        _docs(spark, sf),
+        min_df_bp=BOILER_MIN_DF_BP,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+SQL_BOILERPLATE_SCORE = rf"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+  FROM tok, unnest(generate_series(0, len(toks)-3)) AS u(i)
+  WHERE len(toks) >= 3
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT shingle, count(*) AS df_count FROM sh GROUP BY 1),
+freq AS (SELECT shingle FROM dfc, nd WHERE df_count * 10000 > {BOILER_MIN_DF_BP} * n_docs),
+per AS (
+  SELECT s.doc_id, count(*) AS n_shingles, count(f.shingle) AS n_boiler
+  FROM sh s LEFT JOIN freq f USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_boiler, 0) AS n_boiler,
+       CASE WHEN COALESCE(n_shingles, 0) > 0
+            THEN CAST(n_boiler AS DOUBLE) / n_shingles ELSE 0.0 END AS boiler_frac,
+       COALESCE(n_boiler, 0) * 2 > COALESCE(n_shingles, 0) AS is_boilerplate
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_boilerplate_score": q_boilerplate_score,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
@@ -1005,6 +1046,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_boilerplate_score": SQL_BOILERPLATE_SCORE,
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_lang_id": SQL_LANG_ID,
     "q_token_count": SQL_TOKEN_COUNT,

@@ -542,3 +542,28 @@ def test_ivf_search_quantized_matches_full_precision(spark, sf_dir):
     exact = [(r["vec_id"], r["cosine"]) for r in ivf_search(emb, centroids, qv, k=5, nprobe=2).collect()]
     quant = [(r["vec_id"], r["cosine"]) for r in ivf_search_quantized(emb, centroids, qv, k=5, nprobe=2).collect()]
     assert quant == exact  # exact re-score -> identical values, not just ids
+
+
+def test_boilerplate_flags_exact(spark):
+    """Hand-computed corpus: shingle 'a b c' occurs in 3/4 docs (df 75% >
+    threshold), everything else is unique. Doc 3 is all-boilerplate, doc 4
+    is too short for any shingle."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shingles: abc bcd cde -> 1 boiler of 3
+            (2, "a b c x y"),      # abc bcx cxy -> 1 of 3
+            (3, "a b c"),          # abc -> 1 of 1 (majority -> flagged)
+            (4, "a b"),            # no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_shingles"], r["n_boiler"], r["boiler_frac"], r["is_boilerplate"]
+        )
+        for r in text.boilerplate_flags(df, min_df_bp=5000).collect()
+    }
+    assert out[1] == (3, 1, 1.0 / 3.0, False)
+    assert out[2] == (3, 1, 1.0 / 3.0, False)
+    assert out[3] == (1, 1, 1.0, True)
+    assert out[4] == (0, 0, 0.0, False)
