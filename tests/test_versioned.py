@@ -115,3 +115,67 @@ def test_versioned_readers_see_whole_versions(spark, tmp_path):
     # no tmp manifests left behind
     mdir = os.path.join(str(tmp_path / "t"), "_manifests")
     assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+
+
+# ------------------------------------------------- multi-table transactions
+def test_tx_multi_table_atomic_visibility(spark, tmp_path):
+    """Two tables committed in one transaction become visible together;
+    an uncommitted (staged-only) transaction publishes NOTHING even after
+    its table-version data is written."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.catalog_tx import (
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark, str(tmp_path / "cat"))
+    tx0 = (
+        cat.begin()
+        .write("fact", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        .write("weekly", spark.createDataFrame([(1, 10)], ["k", "n"]))
+        .commit()
+    )
+    assert tx0 == 0 and cat.tables() == ["fact", "weekly"]
+    assert _rows(cat.read("fact")) == [(1, "a")]
+
+    # stage a second tx but CRASH before commit: write table data directly
+    # (what commit() step 1 does), then never swap the catalog pointer
+    t2 = cat.begin().write("fact", spark.createDataFrame([(9, "z")], ["k", "v"]))
+    cat._table("fact").commit(spark.createDataFrame([(9, "z")], ["k", "v"]))
+    assert cat.current_tx() == 0
+    assert _rows(cat.read("fact")) == [(1, "a")]  # orphan stays invisible
+
+    # the still-open tx commits fine afterwards (its base pins unchanged:
+    # the orphan advanced the TABLE log, not the catalog log)
+    tx1 = t2.commit()
+    assert tx1 == 1
+    assert _rows(cat.read("fact")) == [(9, "z")]
+    # time travel at catalog level: tx0 snapshot still consistent
+    assert _rows(cat.read("fact", tx=tx0)) == [(1, "a")]
+
+
+def test_tx_write_write_conflict_and_upsert(spark, tmp_path):
+    """First committer wins; the losing transaction raises TxConflictError.
+    Upserts merge against the transaction's snapshot."""
+    import pytest
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.catalog_tx import (
+        TransactionalCatalog,
+        TxConflictError,
+    )
+
+    cat = TransactionalCatalog(spark, str(tmp_path / "cat"))
+    cat.begin().write("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])).commit()
+
+    a = cat.begin().upsert("t", spark.createDataFrame([(2, "B")], ["k", "v"]), ["k"])
+    b = cat.begin().write("t", spark.createDataFrame([(7, "x")], ["k", "v"]))
+    assert b.commit() == 1
+    with pytest.raises(TxConflictError):
+        a.commit()
+
+    # disjoint-table transactions do NOT conflict
+    c = cat.begin().write("other", spark.createDataFrame([(1, 1)], ["k", "n"]))
+    assert c.commit() == 2
+    assert _rows(cat.read("t")) == [(7, "x")]
+
+    # upsert against head merges latest-wins
+    tx = cat.begin().upsert("t", spark.createDataFrame([(7, "X"), (8, "y")], ["k", "v"]), ["k"]).commit()
+    assert _rows(cat.read("t", tx=tx)) == [(7, "X"), (8, "y")]
