@@ -1012,9 +1012,33 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+# ------------------------------------------------- global training shuffle
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle: salted md5 order key + scalable
+    two-pass global enumerate (range sort, per-partition offsets — no
+    single-partition window). See operators/ordering.py."""
+    from ..operators.ordering import global_shuffle
+
+    return global_shuffle(_docs(spark, sf).select("doc_id"))
+
+
+SQL_GLOBAL_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 15))::BIGINT % {MP}
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+FROM keyed
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_boilerplate_score": q_boilerplate_score,
+    "q_global_shuffle": q_global_shuffle,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
@@ -1047,6 +1071,7 @@ QUERIES = {
 ORACLES = {
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_boilerplate_score": SQL_BOILERPLATE_SCORE,
+    "q_global_shuffle": SQL_GLOBAL_SHUFFLE,
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_lang_id": SQL_LANG_ID,
     "q_token_count": SQL_TOKEN_COUNT,

@@ -567,3 +567,24 @@ def test_boilerplate_flags_exact(spark):
     assert out[2] == (3, 1, 1.0 / 3.0, False)
     assert out[3] == (1, 1, 1.0, True)
     assert out[4] == (0, 0, 0.0, False)
+
+
+def test_global_sort_index_matches_single_partition_window(spark):
+    """Two-pass distributed enumerate == unpartitioned row_number, and is
+    invariant to input partitioning."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.ordering import (
+        global_shuffle,
+        global_sort_index,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(101)], ["doc_id"])
+    out = {r["doc_id"]: r["pos"] for r in global_sort_index(df, ["doc_id"], partitions=5).collect()}
+    assert out == {i: i for i in range(101)}
+
+    a = sorted(tuple(r) for r in global_shuffle(df, partitions=4).collect())
+    b = sorted(tuple(r) for r in global_shuffle(df.repartition(13), partitions=7).collect())
+    assert a == b
+    poss = sorted(r[-1] for r in a)
+    assert poss == list(range(101))  # a permutation, no gaps/dupes
+    ids_in_order = [r[0] for r in sorted(a, key=lambda t: t[-1])]
+    assert ids_in_order != list(range(101))  # actually shuffled
