@@ -630,6 +630,78 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------ rolling z-score
+ROLL_FRAME = 19  # trailing 20-row frame
+
+
+def q_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling anomaly detection over the event stream: per-user trailing
+    20-row mean/stddev of `value`, z-score of the current row, flag at
+    |z| > 2.5. The time-series primitive behind price-spike / volume-spike
+    monitors (the reference's OHLCV world has no per-tick analytics).
+
+    Determinism: rolling sums accumulate in DECIMAL (DuckDB's segment-tree
+    window agg reorders FP addition; decimal is exact either way), then
+    ONE string-hop to double; variance/sqrt/divide are identical IEEE
+    expression trees on both engines — bit-exact, any partitioning.
+
+    Scale shape: one shuffle (hash by user), sort within partitions,
+    single Window node computes all three frame aggregates; the frame is
+    row-bounded so state per key is O(20) — no unbounded-preceding memory
+    growth. Hot users are bounded by the frame, not their row count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    ).rowsBetween(-ROLL_FRAME, 0)
+    vd = F.col("value").cast("decimal(16,4)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = _dec2dbl(F.sum(vd).over(w))
+    s2 = _dec2dbl(F.sum(vd * vd).over(w))
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = F.greatest((s2 - s1 * s1 / nd) / (nd - F.lit(1.0)), F.lit(0.0))
+    std = F.when(n > 1, F.sqrt(var))
+    z = F.when((n > 1) & (F.sqrt(var) > 0), (F.col("value") - mean) / F.sqrt(var))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("roll_n"),
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        z.alias("zscore"),
+        (F.abs(z) > 2.5).alias("is_anomaly"),
+    )
+
+
+def _sql_rolling_zscore() -> str:
+    cd = "CAST(value AS DECIMAL(19,4))"
+    n = "CAST(count(*) OVER w AS DOUBLE)"
+    s1 = sql_dec2dbl(f"sum({cd}) OVER w")
+    s2 = sql_dec2dbl(f"sum({cd} * {cd}) OVER w")
+    mean = f"({s1}) / ({n})"
+    var = f"GREATEST((({s2}) - ({s1}) * ({s1}) / ({n})) / (({n}) - 1.0), 0.0)"
+    std = f"CASE WHEN count(*) OVER w > 1 THEN SQRT({var}) END"
+    z = (f"CASE WHEN count(*) OVER w > 1 AND SQRT({var}) > 0 "
+         f"THEN (value - ({mean})) / SQRT({var}) END")
+    return f"""
+SELECT event_id, user_id, value,
+       count(*) OVER w AS roll_n,
+       {mean} AS roll_mean,
+       {std} AS roll_std,
+       {z} AS zscore,
+       abs({z}) > 2.5 AS is_anomaly
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW)
+"""
+
+
+SQL_ROLLING_ZSCORE = _sql_rolling_zscore()
+
+
 QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_json_extract": q_json_extract,
@@ -643,6 +715,7 @@ QUERIES = {
     "q_unpivot": q_unpivot,
     "q_semi_anti_join": q_semi_anti_join,
     "q_lag_lead": q_lag_lead,
+    "q_rolling_zscore": q_rolling_zscore,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_rollup_agg": q_rollup_agg,
@@ -666,6 +739,7 @@ ORACLES = {
     "q_unpivot": SQL_UNPIVOT,
     "q_semi_anti_join": SQL_SEMI_ANTI_JOIN,
     "q_lag_lead": SQL_LAG_LEAD,
+    "q_rolling_zscore": SQL_ROLLING_ZSCORE,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
     "q_rollup_agg": SQL_ROLLUP_AGG,
