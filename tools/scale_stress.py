@@ -45,6 +45,9 @@ HEAVY = [
     "q_star_join",
     "q_sessionize",
     "q_text_quality",
+    "q_boilerplate_score",
+    "q_global_shuffle",
+    "q_rolling_zscore",
 ]
 
 
