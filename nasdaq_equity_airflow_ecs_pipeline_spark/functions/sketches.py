@@ -8,8 +8,10 @@ constant memory per group, one narrow shuffle of sketch bytes.
 
 These wrap Spark built-ins (JVM-side, codegen-friendly) with the error
 contracts spelled out; tests pin observed error against exact results.
-Approximate results are intentionally NOT in the DuckDB oracle gate —
-two engines' sketches differ by design.
+The built-in sketch results are intentionally NOT in the DuckDB oracle
+gate — two engines' HLL/KLL internals differ by design. The KMV sketch
+below is the exception: built on a portable md5 hash, it is
+deterministic across engines and IS oracle-checked (q_distinct_kmv).
 """
 
 from __future__ import annotations
@@ -35,3 +37,62 @@ def approx_quantiles(col: Column | str, probs: list[float], accuracy: int = 10_0
 def approx_median(col: Column | str, accuracy: int = 10_000) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.percentile_approx(c, F.lit(0.5), F.lit(accuracy))
+
+
+# ----------------------------------------------------------- KMV sketch
+KMV_BITS = 60
+KMV_SPACE = float(1 << KMV_BITS)  # 2^60, exactly representable in double
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Portable 60-bit uniform hash (top 15 hex chars of md5) — the same
+    construction `operators/lsh.py` uses, so Spark and any SQL engine
+    with md5 produce identical values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_distinct(df, group_cols: list[str], value_col: str, k: int = 64):
+    """K-minimum-values distinct-count estimate per group.
+
+    Unlike HLL, KMV with a fixed hash is fully DETERMINISTIC — the same
+    inputs give the same estimate on any engine and any partitioning, so
+    it sits inside the exact-match oracle gate (the HLL wrapper above
+    cannot). Estimator: with h_(k) the k-th smallest distinct hash value
+    normalized to [0,1), E = (k-1) / (h_(k)/2^60); groups with fewer
+    than k distinct values report the exact count.
+
+    Plan: one hash-agg dedups (group, hash) with map-side combine, then
+    a per-group sort of the DISTINCT hash set takes the k smallest —
+    the window sort is over d distinct values per group, not rows. At
+    100 TB the same shape holds; if d itself is huge the k smallest
+    survive any per-partition pre-prune (min-k is algebraic), which
+    Spark's TopK/AQE handles without code changes.
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(*group_cols, kmv_hash(value_col).alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .drop("_dup")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    kd = F.lit(float(k))
+    return topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+    ).select(
+        *group_cols,
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            (kd - F.lit(1.0))
+            / (F.col("h_k").cast("double") / F.lit(KMV_SPACE))
+        )
+        .alias("distinct_est"),
+    )

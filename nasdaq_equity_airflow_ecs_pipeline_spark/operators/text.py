@@ -267,3 +267,73 @@ def boilerplate_flags(
             > F.coalesce(F.col("n_shingles"), F.lit(0))
         ).alias("is_boilerplate"),
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Exact substring-level duplication (the character-window analog of
+    Lee et al. 2022's suffix-array dedup, re-expressed as a two-pass
+    hash-aggregate): slide a ``window``-char window with ``stride`` over
+    each document, hash every window, mark the hashes that occur in two
+    or more DISTINCT documents, and report per document how much of it
+    is cross-document duplicated text.
+
+    Output: (id, n_windows, n_dup_windows, dup_frac) — one row per input
+    document; docs shorter than ``window`` chars have 0 windows.
+
+    Why windows, not suffix arrays: a distributed suffix array needs a
+    global sort of every suffix (O(total chars) shuffle rows); stride-S
+    windows find every duplicated run of length >= window+stride with
+    1/S of the rows, a standard recall/cost trade (stride 32 on window
+    64 catches any shared run >= 96 chars). Plan: one explode ->
+    hash-agg on the window hash (map-side combine; count(distinct id)
+    never materializes pairs) -> id-keyed join back. The dup-hash set is
+    output-bounded and small relative to the corpus, so it broadcasts.
+    """
+    from pyspark import StorageLevel
+
+    wins = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) >= window,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - "
+                    f"{window - 1}, {stride}), "
+                    f"i -> md5(substring({text_col}, i, {window})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        wins.join(F.broadcast(dup), "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        F.when(
+            F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

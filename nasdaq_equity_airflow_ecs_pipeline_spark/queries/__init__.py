@@ -13,10 +13,18 @@ from . import llm_ops
 from . import streaming_ops
 from . import extended_ops
 from . import tpch_suite
+from . import advanced_ops
 
 QUERIES = {}
 ORACLES = {}
-for _m in (reference, llm_ops, streaming_ops, extended_ops, tpch_suite):
+for _m in (
+    reference,
+    llm_ops,
+    streaming_ops,
+    extended_ops,
+    tpch_suite,
+    advanced_ops,
+):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 
