@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketches import kmv_distinct
+from ..functions.stable import sql_dec2dbl
 from ..operators.funnel import funnel_stages
 from ..operators.pagerank import co_order_edges, pagerank_fixed_point
 from ..operators.text import substring_dup_stats
@@ -206,11 +207,165 @@ SELECT node, rank AS rank_scaled FROM {prev}
 SQL_PAGERANK = _sql_pagerank()
 
 
+# ------------------------------------------- triangles / clustering coeff
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient on the
+    co-order part graph (operators/graph.py triangle_stats — canonical
+    a<b<c orientation finds each triangle exactly once with two hash
+    joins, no division fix-ups)."""
+    from ..operators.graph import triangle_stats
+
+    li = load_table(spark, sf, "lineitem")
+    return triangle_stats(co_order_edges(li))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey != b.l_partkey
+),
+canon AS (SELECT src, dst FROM edges WHERE src < dst),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+tris AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.dst = e2.src
+  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+),
+tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+SELECT d.node, d.deg,
+       COALESCE(n_tri, 0) AS n_tri,
+       CASE WHEN d.deg > 1
+            THEN 2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tc ON d.node = tc.node
+"""
+
+
+# ----------------------------------------------------- window rank family
+def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """The full SQL window-rank surface in one query: rank / dense_rank /
+    percent_rank / cume_dist on the VALUE ordering (ties share ranks —
+    deterministic because rank depends only on the key, not row order)
+    and row_number / ntile on a fully-tiebroken ordering (ties would
+    otherwise make both engine-dependent)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    wv = Window.partitionBy("l_returnflag").orderBy(F.asc("l_quantity"))
+    wu = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.percent_rank().over(wv).alias("prnk"),
+        F.cume_dist().over(wv).alias("cdist"),
+        F.row_number().over(wu).alias("rn"),
+        F.ntile(4).over(wu).alias("quartile"),
+    )
+
+
+SQL_WINDOW_RANKS = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       rank() OVER wv AS rnk,
+       dense_rank() OVER wv AS drnk,
+       percent_rank() OVER wv AS prnk,
+       cume_dist() OVER wv AS cdist,
+       row_number() OVER wu AS rn,
+       ntile(4) OVER wu AS quartile
+FROM lineitem
+WINDOW wv AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC),
+       wu AS (PARTITION BY l_returnflag
+              ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
+# ------------------------------------------------- fuzzy entity matching
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked edit-distance entity matching over part names
+    (operators/fuzzy.py): candidate pairs share the trailing token
+    (the category noun), verified with JVM-side levenshtein — the
+    candidate/verify shape of LSH applied to string identity."""
+    from ..operators.fuzzy import fuzzy_match_pairs
+
+    part = load_table(spark, sf, "part")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return fuzzy_match_pairs(
+        part, "p_partkey", "p_name", blk, max_dist=FUZZY_MAX_DIST
+    )
+
+
+SQL_FUZZY_MATCH = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', -1) AS blk FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+# ------------------------------------------- incremental agg maintenance
+def q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    events arrive as three disjoint batches (day-of-month mod 3);
+    each batch becomes a mergeable partial, the partials fold together,
+    and the finalized view must equal the one-shot full aggregate the
+    oracle computes — proving merge associativity at the bit level."""
+    from ..operators.incremental import (
+        finalize_rollup,
+        merge_partials,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf, "events")
+    batches = [
+        partial_rollup(
+            ev.filter(F.dayofmonth("ts") % 3 == i), ["event_type"], "value"
+        )
+        for i in range(3)
+    ]
+    return finalize_rollup(merge_partials(*batches))
+
+
+SQL_INCREMENTAL_ROLLUP = f"""
+SELECT event_type,
+       count(*) AS n,
+       {sql_dec2dbl("sum(CAST(value AS DECIMAL(38,6)))")} AS sum_v,
+       ({sql_dec2dbl("sum(CAST(value AS DECIMAL(38,6)))")})
+         / CAST(count(*) AS DOUBLE) AS avg_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_distinct_kmv": q_distinct_kmv,
     "q_substring_dedup": q_substring_dedup,
     "q_pagerank": q_pagerank,
+    "q_triangle_count": q_triangle_count,
+    "q_window_ranks": q_window_ranks,
+    "q_fuzzy_match": q_fuzzy_match,
+    "q_incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES = {
@@ -218,4 +373,8 @@ ORACLES = {
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
     "q_pagerank": SQL_PAGERANK,
+    "q_triangle_count": SQL_TRIANGLE_COUNT,
+    "q_window_ranks": SQL_WINDOW_RANKS,
+    "q_fuzzy_match": SQL_FUZZY_MATCH,
+    "q_incremental_rollup": SQL_INCREMENTAL_ROLLUP,
 }

@@ -164,3 +164,71 @@ def test_co_order_edges_symmetric_no_self_loops(spark):
     )
     edges = {(r["src"], r["dst"]) for r in co_order_edges(li).collect()}
     assert edges == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_triangle_stats_exact(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # triangle 1-2-3 plus pendant 4 attached to 3
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    out = {
+        r["node"]: (r["deg"], r["n_tri"], r["clustering_coeff"])
+        for r in triangle_stats(edges).collect()
+    }
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (2, 1, 1.0)
+    # node 3: deg 3, one triangle among 3 possible neighbor pairs
+    assert out[3] == (3, 1, 2.0 * 1 / (3 * 2))
+    assert out[4] == (1, 0, 0.0)
+
+
+def test_fuzzy_match_pairs_blocked(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.fuzzy import (
+        first_token,
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme korp"),   # dist 1, same block
+            (3, "acme international holdings"),  # same block, too far
+            (4, "zenith corp"), # different block: never compared
+        ],
+        ["id", "name"],
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_match_pairs(
+            df, "id", "name", first_token("name"), max_dist=2
+        ).collect()
+    ]
+    assert got == [(1, 2, 1)]
+
+
+def test_incremental_merge_equals_full(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.incremental import (
+        finalize_rollup,
+        merge_partials,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)]
+        + [("b", 0.1 * i) for i in range(50)],
+        ["k", "v"],
+    )
+    # three arbitrary disjoint batches, merged in a skewed tree shape
+    b0 = partial_rollup(df.filter("v < 10"), ["k"], "v")
+    b1 = partial_rollup(df.filter("v >= 10 AND v < 40"), ["k"], "v")
+    b2 = partial_rollup(df.filter("v >= 40"), ["k"], "v")
+    merged = finalize_rollup(merge_partials(merge_partials(b0, b1), b2))
+    full = finalize_rollup(partial_rollup(df, ["k"], "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
