@@ -41,3 +41,24 @@ def pct_return(open_: Column, close: Column) -> Column:
     """((close - open) / open) * 100 in double (weekly/monthly return pct,
     build_stock_aggregations.py:96,160)."""
     return (close.cast("double") - open_.cast("double")) / open_.cast("double") * 100
+
+
+def epoch_us(ts: Column | str) -> Column:
+    """Microseconds since 1970-01-01 for a TIMESTAMP_NTZ column,
+    timezone-independent.
+
+    ``unix_micros``/``unix_timestamp`` require (or implicitly convert
+    through) the session-local TIMESTAMP type, making results depend on
+    ``spark.sql.session.timeZone`` — a driver-supplied session may run in
+    any zone, and a DST transition inside the data range would even warp
+    *differences*. ``timestamp_diff`` on two NTZ operands is pure wall-clock
+    integer arithmetic, identical on every session and engine."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'"), c
+    )
+
+
+def epoch_sec(ts: Column | str) -> Column:
+    """Whole seconds since epoch (floor) for TIMESTAMP_NTZ, TZ-independent."""
+    return F.floor(epoch_us(ts) / F.lit(1_000_000)).cast("long")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_sec
+
 
 def preceding_window_join(
     left: DataFrame,
@@ -47,7 +49,7 @@ def preceding_window_join(
     in the residual predicate.
     """
     w = int(window_seconds)
-    lsec = F.unix_timestamp(F.col(f"__l.{left_ts}"))
+    lsec = epoch_sec(F.col(f"__l.{left_ts}"))
     b_lo = F.floor((lsec - w) / w)
     b_hi = F.floor(lsec / w)
 
@@ -60,7 +62,7 @@ def preceding_window_join(
         .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
     )
     rgt = right.alias("__r").withColumn(
-        "__bucket", F.floor(F.unix_timestamp(F.col(f"__r.{right_ts}")) / w)
+        "__bucket", F.floor(epoch_sec(F.col(f"__r.{right_ts}")) / w)
     )
 
     # full join condition: bucket + keys + residual range predicate (the

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -23,9 +25,10 @@ def sessionize(
 
     A new session starts when the gap to the previous event exceeds
     ``gap_seconds``. Total order (ts, id) per user for determinism.
-    Microsecond-integer comparisons — engine-portable."""
+    Microsecond-integer comparisons — engine-portable (epoch_us handles
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects)."""
     w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
     prev = F.lag(us).over(w)
     new_sess = F.when(
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1

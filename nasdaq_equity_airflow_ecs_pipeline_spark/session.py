@@ -38,8 +38,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.parquet carries TIMESTAMP(NANOS); read as long and
-        # normalize in sources.tables (truncation to micros, like DuckDB)
+        # Defensive: some writers emit TIMESTAMP(NANOS); read as long and
+        # normalize in sources.tables (truncation to micros, like DuckDB).
+        # Harmless for micros files; sources.tables also sets it at runtime
+        # so driver-supplied bare sessions behave identically.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -26,16 +26,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         return spark.table(name)
-    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark rejects by
-    # default; nanosAsLong is a runtime SQL conf, so set it here rather than
-    # at session build time — the driver supplies its own SparkSession.
+    # Writers vary in how they encode events.ts; normalize every layout to
+    # TIMESTAMP_NTZ (wall-clock, session-TZ-independent — the same thing
+    # DuckDB's reader produces, so oracle comparisons are representation-free).
+    # nanosAsLong is a runtime SQL conf, so set it here rather than at session
+    # build time — the driver supplies its own bare SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # nanosecond timestamps arrive as long (spark.sql.legacy.parquet.nanosAsLong);
-    # truncate to micros — same semantics as DuckDB's parquet reader.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer div — double division would lose precision at 1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # INT64 TIMESTAMP(NANOS) read as raw nanos under nanosAsLong:
+            # integer-div to micros (double math would lose precision at
+            # 1e18), then attach to the NTZ epoch — pure integer arithmetic,
+            # no timezone involved.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(dt, T.TimestampType):
+            # UTC-adjusted micros (isAdjustedToUTC=true): same instant as a
+            # UTC wall-clock; convert_timezone pins the zone explicitly so
+            # the result doesn't depend on spark.sql.session.timeZone.
+            df = df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+        # TimestampNTZType (isAdjustedToUTC=false micros): already canonical.
     return df
 
 
