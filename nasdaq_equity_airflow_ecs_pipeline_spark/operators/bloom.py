@@ -1,0 +1,113 @@
+"""Bloom-filter semi-join reduction, built from relational primitives.
+
+Scale pattern: reducing a huge probe side against a dimension whose raw
+rows are too big to broadcast, but whose *key set summarized as a Bloom
+filter* easily fits. Spark's own runtime bloom join
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this inside
+AQE when statistics allow; this operator is the explicit, plannable form
+(Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` as
+public SQL functions), and it works for any key expression.
+
+Construction is pure DataFrame ops — no driver-side filter object:
+
+1. build side: k hash positions per key (``xxhash64(key, seed)``, one
+   ``explode`` over a k-element array), ``% m`` bits.
+2. bitmap: positions fold into 64-bit words with one hash aggregate
+   (``bit_or(1 << pos%64)`` grouped by ``pos/64``), then a single-row
+   ``map<word_idx, bits>`` — ≤ m/64 entries, a few KiB for a million
+   keys at 10 bits/key.
+3. probe side: broadcast the one-row map (a broadcast-nested-loop of a
+   single row = free), test all k positions with ``element_at`` +
+   bitwise AND. Rows failing any probe are discarded *before* the
+   shuffle of the exact join.
+
+Membership tests can false-positive (never false-negative), so
+``bloom_semi_join`` always finishes with an exact ``left_semi`` join on
+the survivors — the Bloom stage only cuts the probe side's shuffle
+volume; correctness never depends on it. With defaults (10 bits/key,
+k=7) the false-positive rate is <1%, so the exact join shuffles ~1% of
+non-matching rows instead of all of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_KEY = 10
+NUM_HASHES = 7
+
+
+def _one_shl(n: Column) -> Column:
+    """``1L << n`` with a *column* shift amount (F.shiftleft only takes a
+    Python-int shift; the SQL function accepts expressions)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), n)
+
+
+def bloom_bitmap(keys: DataFrame, key: str, num_bits: int, k: int = NUM_HASHES) -> DataFrame:
+    """One-row DataFrame ``(bitmap: map<int,bigint>, m: int, k: int)``
+    summarizing the distinct values of ``keys[key]``."""
+    m = int(num_bits)
+    pos = (
+        keys.select(
+            F.explode(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            _one_shl((F.col("pos") % 64).cast("int")).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return pos.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bitmap"),
+        F.lit(m).alias("m"),
+        F.lit(k).alias("k"),
+    )
+
+
+def _member(key_col: Column, m: int, k: int) -> Column:
+    """All-k-positions-set test against the broadcast ``bitmap`` column."""
+    checks = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(m))
+        word = F.element_at(F.col("bitmap"), (pos / 64).cast("int"))
+        bit = _one_shl((pos % 64).cast("int"))
+        c = F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0
+        checks = c if checks is None else (checks & c)
+    return checks
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    bits_per_key: int = BITS_PER_KEY,
+    expected_keys: int | None = None,
+) -> DataFrame:
+    """``probe ⋉ build`` (left-semi) with a Bloom pre-filter on the probe
+    side. Exact result (the Bloom stage is a pure optimization).
+
+    ``expected_keys``: sizing hint for the filter; defaults to a safe
+    constant locally — at cluster scale pass the dimension's key-count
+    estimate (catalog stats) so m = keys × bits_per_key.
+    """
+    bk = build_key or probe_key
+    m = (expected_keys or 1_000_000) * bits_per_key
+    bmp = bloom_bitmap(build.select(F.col(bk).alias("__bk")), "__bk", m)
+    pruned = (
+        probe.join(F.broadcast(bmp))
+        .filter(_member(F.col(probe_key), m, NUM_HASHES))
+        .drop("bitmap", "m", "k")
+    )
+    return pruned.join(
+        build.select(F.col(bk).alias(probe_key)).distinct(),
+        on=probe_key,
+        how="left_semi",
+    )

@@ -357,6 +357,153 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------- SCD2 dim history
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd2.py): collapse each user's
+    event_type change log into validity intervals [valid_from, valid_to)
+    with version numbers and an is_current flag — gaps-and-islands over
+    one key-partitioned shuffle; the oracle is the same relational
+    formulation in DuckDB window SQL."""
+    from ..operators.scd2 import scd2_build
+
+    ev = load_table(spark, sf, "events")
+    return scd2_build(
+        ev, key="user_id", attrs=["event_type"],
+        ts_col="ts", order_tiebreak="event_id",
+    ).select(
+        "user_id", "event_type", "version", "valid_from", "valid_to",
+        "is_current", "n_events",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+              ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM ordered
+),
+vers AS (
+  SELECT user_id, version, event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, CAST(version AS BIGINT) AS version, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       (lead(valid_from) OVER wv IS NULL) AS is_current,
+       n_events
+FROM vers
+WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
+"""
+
+
+# ------------------------------------------------- CDC snapshot diff
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC between two snapshots (operators/cdc.py): new snapshot derives
+    deterministically from customer (delete key%97=0, re-balance key%13=0,
+    insert key%101=0 clones at key+1000000); the diff is one full-outer
+    join + null-safe payload compare, emitting insert/delete/update rows
+    only."""
+    from ..operators.cdc import snapshot_diff
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    old = cust.select("c_custkey", "c_name", "c_acctbal")
+    new = (
+        old.filter(~(k % 97 == 0))
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 13 == 0, F.col("c_acctbal") + 10.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.filter(k % 101 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.concat(F.col("c_name"), F.lit("_clone")).alias("c_name"),
+                "c_acctbal",
+            )
+        )
+    )
+    return snapshot_diff(old, new, key="c_custkey",
+                         payload=["c_name", "c_acctbal"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM old WHERE NOT (c_custkey % 97 = 0)
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || '_clone', c_acctbal
+  FROM old WHERE c_custkey % 101 = 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+         n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey, old_c_name, old_c_acctbal, new_c_name, new_c_acctbal,
+       CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            WHEN old_c_name IS DISTINCT FROM new_c_name
+              OR old_c_acctbal IS DISTINCT FROM new_c_acctbal THEN 'update'
+       END AS change
+FROM j
+WHERE (NOT in_old) OR (NOT in_new)
+   OR old_c_name IS DISTINCT FROM new_c_name
+   OR old_c_acctbal IS DISTINCT FROM new_c_acctbal
+"""
+
+
+# ------------------------------------------- bloom semi-join reduction
+def q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/bloom.py): orders restricted
+    to BUILDING-segment customers. The relational Bloom filter prunes the
+    probe side before the exact semi join's shuffle; the final result is
+    exact, so the oracle is the plain semi join."""
+    from ..functions.stable import dsum
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    hits = bloom_semi_join(
+        orders, cust, probe_key="o_custkey", build_key="c_custkey",
+        expected_keys=100_000,
+    )
+    return hits.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dec2dbl("sum(CAST(o_totalprice AS DECIMAL(27,8)))")} AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_distinct_kmv": q_distinct_kmv,
@@ -366,9 +513,15 @@ QUERIES = {
     "q_window_ranks": q_window_ranks,
     "q_fuzzy_match": q_fuzzy_match,
     "q_incremental_rollup": q_incremental_rollup,
+    "q_scd2_history": q_scd2_history,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_bloom_prune_join": q_bloom_prune_join,
 }
 
 ORACLES = {
+    "q_scd2_history": SQL_SCD2_HISTORY,
+    "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "q_bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,

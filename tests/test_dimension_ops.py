@@ -1,0 +1,128 @@
+"""Unit tests for SCD2 builds, CDC snapshot diff, and the Bloom
+semi-join — hand-checkable frames plus the invariants the SQL oracle
+can't express (diff round-trip losslessness, Bloom no-false-negatives,
+as-of interval lookup)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.bloom import (
+    bloom_semi_join,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.cdc import (
+    apply_changes,
+    snapshot_diff,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.scd2 import (
+    asof_dimension_lookup,
+    scd2_build,
+)
+
+
+def _ts(m: int):
+    return datetime(2024, 1, 1, 0, m, 0)
+
+
+def _changes(spark):
+    return spark.createDataFrame(
+        [
+            # u1: A -> A (merge) -> B -> A : 3 versions
+            (1, "A", _ts(0), 10),
+            (1, "A", _ts(1), 11),
+            (1, "B", _ts(2), 12),
+            (1, "A", _ts(3), 13),
+            # u2: single run
+            (2, "X", _ts(0), 20),
+            (2, "X", _ts(5), 21),
+        ],
+        ["user_id", "status", "ts", "event_id"],
+    )
+
+
+def test_scd2_runs_collapse_and_intervals(spark):
+    out = scd2_build(
+        _changes(spark), key="user_id", attrs=["status"],
+        ts_col="ts", order_tiebreak="event_id",
+    )
+    rows = {
+        (r.user_id, r.version): r for r in out.collect()
+    }
+    assert len(rows) == 4
+    v1 = rows[(1, 1)]
+    assert (v1.status, v1.n_events, v1.valid_from, v1.valid_to) == (
+        "A", 2, _ts(0), _ts(2)
+    ) and not v1.is_current
+    v3 = rows[(1, 3)]
+    assert v3.status == "A" and v3.valid_to is None and v3.is_current
+    u2 = rows[(2, 1)]
+    assert u2.n_events == 2 and u2.is_current
+
+
+def test_scd2_asof_lookup_picks_covering_version(spark):
+    dim = scd2_build(
+        _changes(spark), key="user_id", attrs=["status"],
+        ts_col="ts", order_tiebreak="event_id",
+    )
+    fact = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(2)), (1, _ts(9)), (2, _ts(7)), (3, _ts(1))],
+        ["user_id", "ts"],
+    )
+    got = {
+        (r["user_id"], r["ts"].minute): r["status"]
+        for r in asof_dimension_lookup(fact, dim, key="user_id").select(
+            F.col("__f.user_id").alias("user_id"), F.col("__f.ts").alias("ts"), "status"
+        ).collect()
+    }
+    # half-open intervals: ts(2) falls in version B's [2,3); ts(9) current A
+    assert got[(1, 1)] == "A" and got[(1, 2)] == "B" and got[(1, 9)] == "A"
+    assert got[(2, 7)] == "X"
+    assert got[(3, 1)] is None  # unmatched key survives (left join)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, ["k", "name", "bal"])
+
+
+def test_cdc_diff_classifies_and_round_trips(spark):
+    old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)])
+    new = _snap(spark, [(2, "b", 2.5), (3, "c", None), (4, "d", 4.0)])
+    diff = snapshot_diff(old, new, key="k", payload=["name", "bal"])
+    by_key = {r.k: r.change for r in diff.collect()}
+    # k=3: None == None null-safely -> unchanged, omitted
+    assert by_key == {1: "delete", 2: "update", 4: "insert"}
+
+    rebuilt = apply_changes(old, diff, key="k", payload=["name", "bal"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    probe = spark.range(0, 2000).withColumnRenamed("id", "key")
+    build = spark.range(0, 2000, 31).withColumnRenamed("id", "bkey")
+    got = bloom_semi_join(
+        probe, build, probe_key="key", build_key="bkey", expected_keys=100
+    )
+    expect = set(range(0, 2000, 31))
+    assert {r.key for r in got.collect()} == expect  # no false negatives
+
+    # the bloom prefilter alone (before the exact join) must keep every
+    # true match and, at 10 bits/key, prune the vast majority of misses
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.bloom import (
+        NUM_HASHES,
+        _member,
+        bloom_bitmap,
+    )
+
+    m = 100 * 10
+    bmp = bloom_bitmap(build.select(F.col("bkey").alias("__bk")), "__bk", m)
+    kept = (
+        probe.join(F.broadcast(bmp))
+        .filter(_member(F.col("key"), m, NUM_HASHES))
+        .count()
+    )
+    assert kept >= len(expect)
+    assert kept < 2000 * 0.2  # >80% of the probe side pruned pre-shuffle
