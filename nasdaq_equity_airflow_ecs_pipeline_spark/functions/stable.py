@@ -79,6 +79,23 @@ def dround(c: Column, scale: int = 6) -> Column:
     return F.round(c, scale)
 
 
+def dcorr(x: Column | str, y: Column | str) -> Column:
+    """Order-independent Pearson correlation: all five sums exact decimal,
+    one deterministic double-precision finish. ``F.corr`` accumulates
+    doubles in partition order and drifts across partitionings; this
+    doesn't. Magnitude contract as dstddev (|x|,|y| < 1e10 at 4dp)."""
+    cx, cy = _c(x).cast(_SD_DEC), _c(y).cast(_SD_DEC)
+    n = F.count(_c(x)).cast("double")
+    sx, sy = _dec2dbl(F.sum(cx)), _dec2dbl(F.sum(cy))
+    sxx, syy = _dec2dbl(F.sum(cx * cx)), _dec2dbl(F.sum(cy * cy))
+    sxy = _dec2dbl(F.sum(cx * cy))
+    num = n * sxy - sx * sy
+    den = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
+    return F.when(den > 0, num / den).otherwise(F.lit(None))
+
+
 # DuckDB-side SQL templates producing bit-identical results.
 def sql_dec2dbl(expr: str) -> str:
     return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
@@ -90,6 +107,21 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"{sql_dec2dbl(f'SUM(CAST(({expr}) AS DECIMAL(27,8)))')} / COUNT({expr})"
+
+
+def sql_dcorr(x: str, y: str) -> str:
+    """DuckDB twin of dcorr (DECIMAL(19,4) forces int128 storage)."""
+    cx, cy = f"CAST(({x}) AS DECIMAL(19,4))", f"CAST(({y}) AS DECIMAL(19,4))"
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    sx, sy = sql_dec2dbl(f"SUM({cx})"), sql_dec2dbl(f"SUM({cy})")
+    sxx, syy = sql_dec2dbl(f"SUM({cx} * {cx})"), sql_dec2dbl(f"SUM({cy} * {cy})")
+    sxy = sql_dec2dbl(f"SUM({cx} * {cy})")
+    num = f"({n}) * ({sxy}) - ({sx}) * ({sy})"
+    den = (
+        f"SQRT(GREATEST(({n}) * ({sxx}) - ({sx}) * ({sx}), 0.0))"
+        f" * SQRT(GREATEST(({n}) * ({syy}) - ({sy}) * ({sy}), 0.0))"
+    )
+    return f"CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) ELSE NULL END"
 
 
 def sql_dstddev(expr: str) -> str:

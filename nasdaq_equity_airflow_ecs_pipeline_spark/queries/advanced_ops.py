@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketches import kmv_distinct
-from ..functions.stable import sql_dec2dbl
+from ..functions.stable import sql_davg, sql_dcorr, sql_dec2dbl
 from ..operators.funnel import funnel_stages
 from ..operators.pagerank import co_order_edges, pagerank_fixed_point
 from ..operators.text import substring_dup_stats
@@ -504,6 +504,75 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------ decimal-exact correlation
+def q_price_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    bit-reproducible on any partitioning (functions/stable.py dcorr: the
+    five sufficient sums in exact decimal, one double finish — F.corr's
+    double accumulation would drift across partitionings and engines)."""
+    from ..functions.stable import dcorr, davg
+
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dcorr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        davg("l_quantity").alias("avg_qty"),
+    )
+
+
+SQL_PRICE_CORRELATION = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       {sql_dcorr("l_quantity", "l_extendedprice")} AS qty_price_corr,
+       {sql_davg("l_quantity")} AS avg_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+# -------------------------------------- RANGE-interval moving window
+def q_moving_window_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier 7-day moving revenue over ship dates using a RANGE
+    frame on the epoch-day order key (rows at equal days enter the frame
+    together — a ROWS frame can't express this). The windowed sum routes
+    through decimal so tie-order inside the frame can't perturb the
+    result; one shuffle keyed by supplier."""
+    from pyspark.sql import Window
+
+    from ..functions.stable import _dec2dbl
+
+    li = load_table(spark, sf, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,8)"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        _dec2dbl(F.sum(rev).over(w)).alias("mv7_revenue"),
+        F.count(F.lit(1)).over(w).alias("mv7_n"),
+    )
+
+
+SQL_MOVING_WINDOW_RANGE = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       CAST(l_shipdate AS DATE) AS ship_day,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8)))
+            OVER w AS VARCHAR) AS DOUBLE) AS mv7_revenue,
+       CAST(count(*) OVER w AS BIGINT) AS mv7_n
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY datediff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE)) ASC
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_distinct_kmv": q_distinct_kmv,
@@ -516,12 +585,16 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_snapshot_diff": q_snapshot_diff,
     "q_bloom_prune_join": q_bloom_prune_join,
+    "q_price_correlation": q_price_correlation,
+    "q_moving_window_range": q_moving_window_range,
 }
 
 ORACLES = {
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
+    "q_price_correlation": SQL_PRICE_CORRELATION,
+    "q_moving_window_range": SQL_MOVING_WINDOW_RANGE,
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
