@@ -38,6 +38,17 @@ BITS_PER_KEY = 10
 NUM_HASHES = 7
 
 
+_metric_seq = 0
+
+
+def _next_metric_name() -> str:
+    """Unique per-process observation name (Spark requires distinct
+    CollectMetrics names within a query)."""
+    global _metric_seq
+    _metric_seq += 1
+    return f"bloom_prune_{_metric_seq}"
+
+
 def _one_shl(n: Column) -> Column:
     """``1L << n`` with a *column* shift amount (F.shiftleft only takes a
     Python-int shift; the SQL function accepts expressions)."""
@@ -105,6 +116,16 @@ def bloom_semi_join(
         probe.join(F.broadcast(bmp))
         .filter(_member(F.col(probe_key), m, NUM_HASHES))
         .drop("bitmap", "m", "k")
+        # Optimizer barrier: Catalyst's semi-join pushdown rules reorder
+        # the exact LeftSemi join BELOW the bloom test (they push through
+        # Project/Repartition/joins alike — verified empirically), which
+        # runs the expensive shuffle join first and turns the bloom stage
+        # into dead weight. CollectMetrics (observe) is not transparent
+        # to those rewrites, so it pins the prune before the semi join's
+        # exchange — and it doubles as live telemetry: the survivor count
+        # per prune is exactly the number a 100 TB operator should watch
+        # to validate its bits_per_key sizing.
+        .observe(_next_metric_name(), F.count(F.lit(1)).alias("bloom_survivors"))
     )
     return pruned.join(
         build.select(F.col(bk).alias(probe_key)).distinct(),
