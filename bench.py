@@ -96,7 +96,12 @@ def main() -> None:
     # flagship composition, timed separately so the headline total stays
     # comparable across rounds (added round 2)
     extended: dict[str, float] = {}
-    for name in ("q_corpus_pipeline",):
+    for name in (
+        "q_corpus_pipeline",
+        "q_scd2_history",
+        "q_bloom_prune_join",
+        "q_moving_window_range",
+    ):
         fn = queries[name]
         best = float("inf")
         for _ in range(2):

@@ -144,3 +144,88 @@ def test_quantize_int8_error_bound(vecs):
             assert r["qval"] == 0 and orig == 0.0
         else:
             assert abs(r["qval"] * r["scale"] - orig) <= r["scale"] / 2 + 1e-9
+
+
+# ---------------------------------------------------------- SCD2 laws
+scd_logs = st.lists(
+    st.tuples(
+        st.integers(1, 3),          # key
+        st.sampled_from("ABC"),     # attribute value
+        st.integers(0, 50),         # minute offset (duplicates allowed)
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(scd_logs)
+def test_scd2_partitions_the_event_log(log):
+    """On any change log: (1) per-key version numbers are 1..V dense,
+    (2) n_events sums to the input row count, (3) intervals chain —
+    each version's valid_to equals the next version's valid_from, with
+    exactly one open (current) interval per key, (4) rebuilding the
+    per-event attribute assignment from the intervals reproduces the
+    input's attribute at every event timestamp."""
+    from datetime import datetime
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.scd2 import scd2_build
+
+    spark = _get_spark()
+    rows = [
+        (k, a, datetime(2024, 1, 1, 0, m, 0), i)
+        for i, (k, a, m) in enumerate(log)
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "eid"])
+    out = scd2_build(df, key="k", attrs=["attr"], ts_col="ts",
+                     order_tiebreak="eid").collect()
+
+    assert sum(r.n_events for r in out) == len(rows)
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vers in by_key.items():
+        vers.sort(key=lambda r: r.version)
+        assert [r.version for r in vers] == list(range(1, len(vers) + 1))
+        assert sum(1 for r in vers if r.is_current) == 1
+        assert vers[-1].is_current and vers[-1].valid_to is None
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from
+        # no two consecutive versions share the attribute (maximal runs)
+        for a, b in zip(vers, vers[1:]):
+            assert a.attr != b.attr
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8),
+    st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8),
+)
+def test_cdc_diff_apply_round_trip(old_map, new_map):
+    """apply_changes(old, snapshot_diff(old, new)) == new, for arbitrary
+    keyed snapshots (the diff is lossless), and the diff's change labels
+    partition the key space correctly."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    spark = _get_spark()
+    schema = "k int, v int"
+    old = spark.createDataFrame(list(old_map.items()) or [(None, None)], schema).filter("k is not null")
+    new = spark.createDataFrame(list(new_map.items()) or [(None, None)], schema).filter("k is not null")
+    diff = snapshot_diff(old, new, key="k", payload=["v"]).collect()
+
+    labels = {r.k: r.change for r in diff}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            assert labels[k] == "insert"
+        elif k not in new_map:
+            assert labels[k] == "delete"
+        elif old_map[k] != new_map[k]:
+            assert labels[k] == "update"
+        else:
+            assert k not in labels
+
+    diff_df = snapshot_diff(old, new, key="k", payload=["v"])
+    rebuilt = {r.k: r.v for r in apply_changes(old, diff_df, key="k", payload=["v"]).collect()}
+    assert rebuilt == new_map

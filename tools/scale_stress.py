@@ -48,6 +48,9 @@ HEAVY = [
     "q_boilerplate_score",
     "q_global_shuffle",
     "q_rolling_zscore",
+    "q_scd2_history",
+    "q_moving_window_range",
+    "q_bloom_prune_join",
 ]
 
 
@@ -119,9 +122,9 @@ def build(spark, k: int, outdir: str) -> None:
             t["events"],
             lambda df, i: df.select(
                 (F.col("event_id") + F.lit(OFFSET * i)).alias("event_id"),
-                # raw read under nanosAsLong: ts is int64 nanos — shift
-                # i days in nano arithmetic
-                (F.col("ts") + F.lit(i * 86_400_000_000_000)).alias("ts"),
+                # ts is TIMESTAMP_NTZ after load_table normalization —
+                # shift i days in calendar-free interval arithmetic
+                (F.col("ts") + F.make_interval(days=F.lit(i))).alias("ts"),
                 (F.col("user_id") + F.lit(OFFSET * i)).alias("user_id"),
                 "event_type",
                 "value",
