@@ -86,3 +86,30 @@ def finalize_rollup(partial: DataFrame) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+def incremental_join_update(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Delta propagation for an inner equi join (insert-only deltas):
+
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    so the maintained join advances by processing only the deltas against
+    the opposite side — never re-joining A_old with B_old. At 100 TB with
+    a daily delta a thousandth the base size, that's the difference
+    between three delta-sized joins (each with one small shuffled side,
+    broadcastable when the delta is small) and one full-base shuffle.
+    Returns ΔJ; the caller appends it to the stored join table (the
+    insert-only analog of upsert, operators/upsert.py).
+    """
+    on = list(keys)
+    return (
+        da.join(b_old, on, "inner")
+        .unionByName(a_old.join(db, on, "inner"))
+        .unionByName(da.join(db, on, "inner"))
+    )

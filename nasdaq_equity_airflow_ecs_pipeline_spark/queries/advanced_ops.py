@@ -573,6 +573,101 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# ------------------------------------------ incremental join (IVM)
+def q_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance for an inner join: orders/lineitem
+    each split into base (key%4 != 0) and delta; the maintained join =
+    old⋈old ∪ Δ-propagation (operators/incremental.py
+    incremental_join_update — three delta-sized joins, never a re-join
+    of the bases). The oracle computes the full join directly, proving
+    the delta algebra is lossless. Output aggregated per order status
+    so the check is compact."""
+    from ..functions.stable import dsum
+    from ..operators.incremental import incremental_join_update
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    a_old = orders.filter(F.col("o_orderkey") % 4 != 0)
+    da = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = li.filter(F.col("o_orderkey") % 3 != 0)
+    db = li.filter(F.col("o_orderkey") % 3 == 0)
+    j = a_old.join(b_old, ["o_orderkey"], "inner").unionByName(
+        incremental_join_update(a_old, da, b_old, db, ["o_orderkey"])
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("price_sum"),
+    )
+
+
+SQL_INCREMENTAL_JOIN = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       {sql_dec2dbl("sum(CAST(l_extendedprice AS DECIMAL(27,8)))")} AS price_sum
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------- z-order layout
+ZORDER_BUCKETS = 16
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering proof (operators/zorder.py): Morton-interleave
+    (l_partkey, l_suppkey), split into equi-depth buckets (the would-be
+    files of an OPTIMIZE ZORDER rewrite), and emit per-bucket min/max
+    spans — the data-skipping statistics a pruning reader would use. All
+    integer bit arithmetic, so the oracle reproduces it exactly."""
+    from ..operators.zorder import zorder_layout, zorder_skipping_stats
+
+    li = load_table(spark, sf, "lineitem")
+    layout = zorder_layout(li, "l_partkey", "l_suppkey", ZORDER_BUCKETS)
+    return zorder_skipping_stats(layout, "l_partkey", "l_suppkey")
+
+
+def _sql_morton(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH coded AS (
+  SELECT l_partkey, l_suppkey,
+         {_sql_morton("(l_partkey & 65535)", "(l_suppkey & 65535)")} AS zcode
+  FROM lineitem
+),
+counts AS (
+  SELECT zcode, count(*) AS n FROM coded GROUP BY 1
+),
+cum AS (
+  SELECT zcode,
+         COALESCE(sum(n) OVER (ORDER BY zcode ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below,
+         sum(n) OVER () AS t
+  FROM counts
+),
+buckets AS (
+  SELECT zcode,
+         LEAST(CAST(FLOOR(below * {ZORDER_BUCKETS} / t) AS INT),
+               {ZORDER_BUCKETS - 1}) AS zbucket
+  FROM cum
+)
+SELECT b.zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(c.l_partkey) AS x_min, max(c.l_partkey) AS x_max,
+       min(c.l_suppkey) AS y_min, max(c.l_suppkey) AS y_max
+FROM coded c JOIN buckets b ON c.zcode = b.zcode
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_distinct_kmv": q_distinct_kmv,
@@ -587,6 +682,8 @@ QUERIES = {
     "q_bloom_prune_join": q_bloom_prune_join,
     "q_price_correlation": q_price_correlation,
     "q_moving_window_range": q_moving_window_range,
+    "q_zorder_layout": q_zorder_layout,
+    "q_incremental_join": q_incremental_join,
 }
 
 ORACLES = {
@@ -595,6 +692,8 @@ ORACLES = {
     "q_bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "q_price_correlation": SQL_PRICE_CORRELATION,
     "q_moving_window_range": SQL_MOVING_WINDOW_RANGE,
+    "q_zorder_layout": SQL_ZORDER_LAYOUT,
+    "q_incremental_join": SQL_INCREMENTAL_JOIN,
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,

@@ -52,6 +52,7 @@ CARTESIAN_OK = {
     "q_tpch_q11_important_stock": "scalar subquery (1-row total) broadcast",
     "q_boilerplate_score": "broadcast of 1-row corpus doc count",
     "q_bloom_prune_join": "broadcast of 1-row bloom bitmap map",
+    "q_zorder_layout": "broadcast of 1-row total-count for bucket split",
 }
 
 
