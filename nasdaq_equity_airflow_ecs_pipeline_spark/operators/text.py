@@ -337,3 +337,40 @@ def substring_dup_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+) -> DataFrame:
+    """Inverted index over whitespace tokens: per term, the document
+    frequency and a truncated posting list (first ``max_postings`` doc
+    ids ascending).
+
+    Scale shape: explode → distinct (term, doc) → ONE shuffle keyed by
+    term for both the rank-truncation window and the df count (same
+    partitioning, no second exchange). The posting list is rank-filtered
+    BEFORE collect_list, so the per-group state is bounded by
+    ``max_postings`` — a stop-term with df=10^9 still aggregates only
+    ``max_postings`` ids (df itself is counted pre-truncation). Real
+    search systems shard postings further; the truncated form is the
+    relational core.
+    """
+    td = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy(F.asc(id_col))
+    ranked = td.withColumn("__r", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.max("__r").alias("df"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__r") <= max_postings, F.col(id_col)))
+            ).alias("postings"),
+        )
+    )

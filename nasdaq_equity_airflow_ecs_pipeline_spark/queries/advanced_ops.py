@@ -573,6 +573,75 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# ------------------------------------------------- inverted index
+IDX_MAX_POSTINGS = 10
+
+
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index over document tokens (operators/text.py
+    inverted_index): per-term document frequency + posting list truncated
+    to the first 10 doc ids — rank-filtered BEFORE the collect so
+    per-group state stays bounded at any corpus size."""
+    from ..operators.text import inverted_index
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return inverted_index(d, max_postings=IDX_MAX_POSTINGS)
+
+
+SQL_INVERTED_INDEX = rf"""
+WITH td AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id ASC) AS r
+  FROM td
+)
+SELECT term, CAST(max(r) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id ASC)
+         FILTER (WHERE r <= {IDX_MAX_POSTINGS}) AS postings
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------- deterministic group sample
+GS_K = 5
+GS_SALT = ":smp42"
+
+
+def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group sample: k=5 documents per language, chosen by
+    md5(doc_id + salt) order — the deterministic, engine-portable stand-in
+    for a per-group reservoir (one shuffle keyed by group; rank window,
+    no RNG state). Complements hash-threshold stratified sampling
+    (operators/sampling.py) where group quotas are fractional."""
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(GS_SALT)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.asc(key), F.asc("doc_id"))
+    return (
+        d.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= GS_K)
+        .select("lang", "doc_id", "smp_rank")
+    )
+
+
+SQL_GROUP_SAMPLE = f"""
+SELECT lang, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || '{GS_SALT}') ASC, doc_id ASC
+         ) AS smp_rank
+  FROM documents
+) WHERE smp_rank <= {GS_K}
+"""
+
+
 # ------------------------------------------ incremental join (IVM)
 def q_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental view maintenance for an inner join: orders/lineitem
@@ -684,6 +753,8 @@ QUERIES = {
     "q_moving_window_range": q_moving_window_range,
     "q_zorder_layout": q_zorder_layout,
     "q_incremental_join": q_incremental_join,
+    "q_inverted_index": q_inverted_index,
+    "q_group_sample": q_group_sample,
 }
 
 ORACLES = {
@@ -694,6 +765,8 @@ ORACLES = {
     "q_moving_window_range": SQL_MOVING_WINDOW_RANGE,
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
     "q_incremental_join": SQL_INCREMENTAL_JOIN,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_group_sample": SQL_GROUP_SAMPLE,
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
