@@ -64,3 +64,34 @@ def salted_sum_count(
         },
         buckets=buckets,
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant inner equi join: salt the skewed side, replicate
+    the other.
+
+    A hot key sends its whole volume to one reducer in a plain shuffle
+    join; AQE's skew-join splitting handles sort-merge joins it can
+    observe, but not joins hidden behind later stages or non-SMJ plans.
+    The manual form: the skewed side gets a deterministic per-row salt in
+    ``[0, buckets)`` (hash of all columns — spreads even a single hot
+    key), the small side is replicated ``buckets``× via one explode, and
+    the join runs on (keys…, salt) — each hot key now occupies ``buckets``
+    reducers. Replication costs ``buckets``× the SMALL side only; rows and
+    results are exactly a plain inner join's.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns], F.lit(7)),
+        F.lit(buckets),
+    ).cast("int")
+    lft = skewed.withColumn("__salt", salt)
+    rgt = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = lft.join(rgt, [*keys, "__salt"], "inner")
+    return out.drop("__salt")

@@ -573,6 +573,43 @@ WINDOW w AS (PARTITION BY l_suppkey
 """
 
 
+# ---------------------------------------------------- salted join
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant salted join (operators/skew.py salted_join): events
+    (user_id is power-law-ish) joined to a small per-user dimension with
+    an 8-way salt — the skewed side spreads each hot key over 8 reducers,
+    the dim replicates 8x. Result is exactly the plain inner join, which
+    is the oracle."""
+    from ..functions.stable import dsum
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    j = salted_join(ev, dim, keys=["user_id"], buckets=8)
+    return j.groupBy("user_events").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("value_sum"),
+    )
+
+
+SQL_SALTED_JOIN = f"""
+WITH dim AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+  FROM events GROUP BY 1
+)
+SELECT d.user_events, CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_dec2dbl("sum(CAST(e.value AS DECIMAL(27,8)))")} AS value_sum
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- inverted index
 IDX_MAX_POSTINGS = 10
 
@@ -755,6 +792,7 @@ QUERIES = {
     "q_incremental_join": q_incremental_join,
     "q_inverted_index": q_inverted_index,
     "q_group_sample": q_group_sample,
+    "q_salted_join": q_salted_join,
 }
 
 ORACLES = {
@@ -767,6 +805,7 @@ ORACLES = {
     "q_incremental_join": SQL_INCREMENTAL_JOIN,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_group_sample": SQL_GROUP_SAMPLE,
+    "q_salted_join": SQL_SALTED_JOIN,
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,

@@ -126,3 +126,31 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     )
     assert kept >= len(expect)
     assert kept < 2000 * 0.2  # >80% of the probe side pruned pre-shuffle
+
+
+def test_salted_join_equals_plain_join_and_spreads(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    # one mega-hot key (0) + a tail
+    big = spark.range(0, 3000).selectExpr(
+        "CASE WHEN id < 2000 THEN 0 ELSE id END AS k", "id AS payload"
+    )
+    dim = spark.createDataFrame(
+        [(0, "hot"), (2500, "cold")], ["k", "tag"]
+    )
+    got = salted_join(big, dim, keys=["k"], buckets=8)
+    plain = big.join(dim, ["k"], "inner")
+    assert sorted(map(tuple, got.select("k", "payload", "tag").collect())) == \
+        sorted(map(tuple, plain.select("k", "payload", "tag").collect()))
+
+    # the hot key's rows must actually spread across many salt buckets
+    from pyspark.sql import functions as F
+
+    salted = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(7)), F.lit(8)),
+    )
+    n_buckets = salted.filter("k = 0").select("__salt").distinct().count()
+    assert n_buckets == 8
