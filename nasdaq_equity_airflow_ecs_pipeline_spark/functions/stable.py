@@ -84,8 +84,13 @@ def dcorr(x: Column | str, y: Column | str) -> Column:
     one deterministic double-precision finish. ``F.corr`` accumulates
     doubles in partition order and drifts across partitionings; this
     doesn't. Magnitude contract as dstddev (|x|,|y| < 1e10 at 4dp)."""
-    cx, cy = _c(x).cast(_SD_DEC), _c(y).cast(_SD_DEC)
-    n = F.count(_c(x)).cast("double")
+    # Pairwise-complete exclusion (F.corr semantics): a row where either
+    # side is null contributes to NONE of the five sums nor the count —
+    # otherwise n counts rows the sums skipped and the statistic biases.
+    both = _c(x).isNotNull() & _c(y).isNotNull()
+    cx = F.when(both, _c(x)).cast(_SD_DEC)
+    cy = F.when(both, _c(y)).cast(_SD_DEC)
+    n = F.count(F.when(both, F.lit(1))).cast("double")
     sx, sy = _dec2dbl(F.sum(cx)), _dec2dbl(F.sum(cy))
     sxx, syy = _dec2dbl(F.sum(cx * cx)), _dec2dbl(F.sum(cy * cy))
     sxy = _dec2dbl(F.sum(cx * cy))
@@ -110,9 +115,12 @@ def sql_davg(expr: str) -> str:
 
 
 def sql_dcorr(x: str, y: str) -> str:
-    """DuckDB twin of dcorr (DECIMAL(19,4) forces int128 storage)."""
-    cx, cy = f"CAST(({x}) AS DECIMAL(19,4))", f"CAST(({y}) AS DECIMAL(19,4))"
-    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    """DuckDB twin of dcorr (DECIMAL(19,4) forces int128 storage).
+    Mirrors the pairwise-complete null exclusion."""
+    both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    cx = f"CAST(CASE WHEN {both} THEN ({x}) END AS DECIMAL(19,4))"
+    cy = f"CAST(CASE WHEN {both} THEN ({y}) END AS DECIMAL(19,4))"
+    n = f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE)"
     sx, sy = sql_dec2dbl(f"SUM({cx})"), sql_dec2dbl(f"SUM({cy})")
     sxx, syy = sql_dec2dbl(f"SUM({cx} * {cx})"), sql_dec2dbl(f"SUM({cy} * {cy})")
     sxy = sql_dec2dbl(f"SUM({cx} * {cy})")

@@ -84,14 +84,33 @@ def bloom_bitmap(keys: DataFrame, key: str, num_bits: int, k: int = NUM_HASHES) 
 
 def _member(key_col: Column, m: int, k: int) -> Column:
     """All-k-positions-set test against the broadcast ``bitmap`` column."""
-    checks = None
+    checks = F.lit(True)
     for i in range(k):
         pos = F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(m))
         word = F.element_at(F.col("bitmap"), (pos / 64).cast("int"))
         bit = _one_shl((pos % 64).cast("int"))
         c = F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0
-        checks = c if checks is None else (checks & c)
+        checks = checks & c
     return checks
+
+
+_INTEGRAL = {"ByteType", "ShortType", "IntegerType", "LongType"}
+
+
+def _hash_cast_type(probe: DataFrame, probe_key: str, build: DataFrame, build_key: str) -> str | None:
+    """Common type both keys must be cast to before ``xxhash64``, or None
+    if they already agree. xxhash64 is type-sensitive: hashing the same
+    value as int vs long yields different bits, which would make every
+    Bloom probe a false NEGATIVE (empty result) — violating the exact-
+    result contract. Integral pairs widen to long; anything else hashes
+    its canonical string form (identical text on both engines' sides)."""
+    pt = type(probe.schema[probe_key].dataType).__name__
+    bt = type(build.schema[build_key].dataType).__name__
+    if pt == bt:
+        return None
+    if pt in _INTEGRAL and bt in _INTEGRAL:
+        return "long"
+    return "string"
 
 
 def bloom_semi_join(
@@ -111,10 +130,13 @@ def bloom_semi_join(
     """
     bk = build_key or probe_key
     m = (expected_keys or 1_000_000) * bits_per_key
-    bmp = bloom_bitmap(build.select(F.col(bk).alias("__bk")), "__bk", m)
+    cast_to = _hash_cast_type(probe, probe_key, build, bk)
+    build_hash_key = F.col(bk).cast(cast_to) if cast_to else F.col(bk)
+    probe_hash_key = F.col(probe_key).cast(cast_to) if cast_to else F.col(probe_key)
+    bmp = bloom_bitmap(build.select(build_hash_key.alias("__bk")), "__bk", m)
     pruned = (
         probe.join(F.broadcast(bmp))
-        .filter(_member(F.col(probe_key), m, NUM_HASHES))
+        .filter(_member(probe_hash_key, m, NUM_HASHES))
         .drop("bitmap", "m", "k")
         # Optimizer barrier: Catalyst's semi-join pushdown rules reorder
         # the exact LeftSemi join BELOW the bloom test (they push through

@@ -45,10 +45,11 @@ def snapshot_diff(
         *[F.col(c).alias(f"new_{c}") for c in payload],
     )
     j = o.join(n, "__k", "full_outer")
-    same = None
+    # Seeding with True makes an empty payload degrade to key-presence
+    # diffing (insert/delete only) instead of `~None` raising at plan time.
+    same = F.lit(True)
     for c in payload:
-        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
         F.when(F.col("__in_old").isNull(), "insert")
         .when(F.col("__in_new").isNull(), "delete")

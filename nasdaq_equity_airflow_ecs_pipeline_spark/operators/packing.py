@@ -139,9 +139,9 @@ WITH sharded AS (
 ),
 spans AS (
   SELECT shard, {id_col}, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM sharded
 )
 SELECT shard, {id_col}, n_tokens, start_offset,

@@ -79,10 +79,11 @@ def scd2_build(
 def _any_attr_changed(attrs: list[str], w: Window) -> Column:
     """1 when any tracked attribute differs from the previous row (null-safe),
     else 0; the first row per key (all lags null) counts as changed."""
-    conds = None
+    # False seed: with no tracked attrs nothing ever "changes", so every
+    # key collapses to one version (instead of `~None` raising).
+    conds = F.lit(False)
     for a in attrs:
-        c = ~F.col(a).eqNullSafe(F.lag(a).over(w))
-        conds = c if conds is None else (conds | c)
+        conds = conds | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     return F.when(
         F.row_number().over(w) == 1, F.lit(1)
     ).otherwise(conds.cast("int"))

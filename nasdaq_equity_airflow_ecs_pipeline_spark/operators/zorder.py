@@ -77,7 +77,15 @@ def zorder_layout(
     # computed from the row's rank. Simpler and shuffle-free for the
     # assignment itself: percent_rank over a window ordered by zcode
     # would sort globally; instead compute cumulative counts per code.
-    counts = coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n"))
+    # persist() the small counts frame: without it the full Morton-coded
+    # scan lineage evaluates twice (once for this aggregate, once under
+    # the final join). |distinct codes| ≤ 2^(2*bits) rows — cheap to keep.
+    counts = (
+        coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n")).persist()
+    )
+    # Unpartitioned window: all distinct codes funnel through ONE task,
+    # but the input is the counts aggregate — bounded by |distinct codes|
+    # (≤ 4B at bits=16, ~65k in practice), not by |df|. Acceptable.
     w_cum = F.sum("__n").over(
         Window.orderBy("zcode").rowsBetween(Window.unboundedPreceding, -1)
     )

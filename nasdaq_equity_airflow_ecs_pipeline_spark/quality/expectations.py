@@ -1,6 +1,7 @@
 """Declarative data-quality checks — the reference's Great Expectations
-suites (V1-V8, docker/scripts/create_expectations.py, 38 checks across 4
-suites) re-expressed as Spark assertions that run in-process against the
+suites (V1-V8, docker/scripts/create_expectations.py, 35 declared check
+instances across 4 suites: fact 8 / dim_stock 9 / weekly 9 / monthly 9)
+re-expressed as Spark assertions that run in-process against the
 just-written tables instead of through Athena.
 
 Each check compiles to ONE aggregate expression; ``run_suite`` evaluates
@@ -142,8 +143,11 @@ def reference_suites() -> dict[str, list[Check]]:
             columns_match(DIM_STOCK_COLUMNS),
             not_null("stock_key"),
             not_null("symbol"),
+            not_null("company_name"),
             unique("stock_key"),
             unique("symbol"),
+            # create_expectations.py:125-133 — the pipeline's fixed universe
+            values_in_set("symbol", ["AAPL", "MSFT", "GOOGL", "AMZN", "META"]),
             values_in_set("is_active", [True, False]),
             row_count_between(1, 100),
         ],
@@ -152,6 +156,7 @@ def reference_suites() -> dict[str, list[Check]]:
             not_null("year"),
             not_null("week"),
             not_null("symbol"),
+            not_null("week_close"),
             compound_unique(["year", "week", "symbol"]),
             values_between("week", 1, 53),
             values_between("avg_price", 0, 10000),
@@ -162,6 +167,7 @@ def reference_suites() -> dict[str, list[Check]]:
             not_null("year"),
             not_null("month"),
             not_null("symbol"),
+            not_null("month_close"),
             compound_unique(["year", "month", "symbol"]),
             values_between("month", 1, 12),
             values_between("avg_price", 0, 10000),

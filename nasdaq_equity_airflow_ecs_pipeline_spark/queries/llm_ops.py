@@ -533,7 +533,8 @@ def _sql_stratified_sample() -> str:
         default_rate=_MIX_DEFAULT,
     )
     return (
-        f"SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+        f"SELECT lang, count(*) AS n_docs, "
+        f"CAST(sum(n_chars) AS BIGINT) AS total_chars "
         f"FROM ({inner}) GROUP BY lang"
     )
 
@@ -933,9 +934,9 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SESSIONIZE = """
 SELECT event_id, user_id, ts,
-  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END)
     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
 FROM (
   SELECT event_id, user_id, ts, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us

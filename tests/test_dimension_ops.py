@@ -128,6 +128,64 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     assert kept < 2000 * 0.2  # >80% of the probe side pruned pre-shuffle
 
 
+def test_bloom_semi_join_mixed_key_dtypes(spark):
+    # xxhash64 is type-sensitive: int probe key vs long build key used to
+    # yield [] (every probe a bloom false NEGATIVE). Keys must be widened
+    # to a common type before hashing.
+    probe = spark.range(0, 200).selectExpr("CAST(id AS INT) AS key")
+    build = spark.range(0, 200, 7).withColumnRenamed("id", "bkey")
+    got = bloom_semi_join(
+        probe, build, probe_key="key", build_key="bkey", expected_keys=100
+    )
+    assert {r.key for r in got.collect()} == set(range(0, 200, 7))
+
+    # string probe vs long build: falls back to canonical-string hashing
+    probe_s = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS key")
+    got_s = bloom_semi_join(
+        probe_s, build, probe_key="key", build_key="bkey", expected_keys=100
+    )
+    assert {int(r.key) for r in got_s.collect()} == set(range(0, 50, 7))
+
+
+def test_snapshot_diff_empty_payload_key_presence(spark):
+    old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    new = _snap(spark, [(2, "x", 9.0), (3, "c", 3.0)])
+    diff = snapshot_diff(old, new, key="k", payload=[])
+    by_key = {r.k: r.change for r in diff.collect()}
+    # no payload -> degrade to key-presence diffing (k=2 never "updates")
+    assert by_key == {1: "delete", 3: "insert"}
+
+
+def test_scd2_no_tracked_attrs_single_version(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.scd2 import (
+        scd2_build,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (1, "2024-01-02", "b")],
+        "k int, ts string, attr string",
+    )
+    out = scd2_build(ev, key="k", attrs=[], ts_col="ts")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].version == 1 and rows[0].n_events == 2
+
+
+def test_dcorr_pairwise_complete_nulls(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.functions.stable import (
+        dcorr,
+    )
+
+    # perfectly-correlated complete pairs + rows with one side null; the
+    # null rows must not enter n or any sum (F.corr semantics)
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (100.0, None), (None, 50.0)],
+        "x double, y double",
+    )
+    got = df.agg(dcorr("x", "y").alias("r")).collect()[0].r
+    ref = df.agg(F.corr("x", "y").alias("r")).collect()[0].r
+    assert abs(got - 1.0) < 1e-12 and abs(got - ref) < 1e-9
+
+
 def test_salted_join_equals_plain_join_and_spreads(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.operators.skew import (
         salted_join,

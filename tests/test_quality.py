@@ -45,6 +45,28 @@ def test_checks_single_scan(spark):
     assert results["pair_a_ge_b(high,low)"] == 1
 
 
+def test_reference_suites_full_parity():
+    # exact enumeration of docker/scripts/create_expectations.py:
+    # fact 8 / dim_stock 9 / weekly 9 / monthly 9 = 35 declared instances
+    from nasdaq_equity_airflow_ecs_pipeline_spark.quality.expectations import (
+        reference_suites,
+    )
+
+    suites = reference_suites()
+    sizes = {k: len(v) for k, v in suites.items()}
+    assert sizes == {
+        "fact_stock_daily_price": 8,
+        "dim_stock": 9,
+        "agg_stock_weekly_metrics": 9,
+        "agg_stock_monthly_metrics": 9,
+    }
+    names = {k: [c.name for c in v] for k, v in suites.items()}
+    assert "values_in_set(symbol)" in names["dim_stock"]
+    assert "not_null(company_name)" in names["dim_stock"]
+    assert "not_null(week_close)" in names["agg_stock_weekly_metrics"]
+    assert "not_null(month_close)" in names["agg_stock_monthly_metrics"]
+
+
 def test_assert_suite_raises(spark):
     df = spark.createDataFrame([(1,), (1,)], ["id"])
     with pytest.raises(AssertionError, match="unique"):

@@ -70,6 +70,32 @@ for name, fn in sorted(qs.items()):
         print(f"[t2] {name}: DECIMAL in output (spark={sdec} oracle={ddec}) -> fail")
         fail += 1
         continue
+    # HARD RULE: no HUGEINT either. DuckDB promotes sum(BIGINT) to HUGEINT
+    # (int128); Spark has no int128, and the real driver's value hash is
+    # type-representation-sensitive (round-2 VERDICT: all 3 hash-fails were
+    # windowed/grouped sums left as HUGEINT in the oracle SQL). Any oracle
+    # emitting HUGEINT must CAST(... AS BIGINT) explicitly.
+    dhuge = [c for c, t in zip(d.columns, d.types) if "HUGEINT" in str(t)]
+    # Cross-engine type-CLASS check: integer-vs-float mismatch per column
+    # renders differently under str() on some values, so flag it here.
+    _INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+            "USMALLINT", "UINTEGER", "UBIGINT"}
+    _SPARK_INT = {"ByteType", "ShortType", "IntegerType", "LongType"}
+    _SPARK_FLT = {"FloatType", "DoubleType"}
+    smap = {f.name: type(f.dataType).__name__ for f in sdf.schema.fields}
+    tclash = []
+    for c, t in zip(d.columns, d.types):
+        st = smap.get(c)
+        if st is None:
+            continue
+        dt = str(t)
+        if (dt in _INT and st in _SPARK_FLT) or (
+                dt in ("DOUBLE", "FLOAT") and st in _SPARK_INT):
+            tclash.append(f"{c}:spark={st}/duck={dt}")
+    if dhuge or tclash:
+        print(f"[t2] {name}: TYPE LINT (hugeint={dhuge} clash={tclash}) -> fail")
+        fail += 1
+        continue
     idx_s = sorted(range(len(scols)), key=lambda i: scols[i])
     idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
     a = sorted("|".join(norm(r[i]) for i in idx_s) for r in srows)
