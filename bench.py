@@ -77,20 +77,26 @@ def main() -> None:
     # filling), the min is the reproducible warm number. Both totals are
     # reported so a single cold run is never mistaken for a regression
     # against a warm one (shared-machine noise is +-40% run-to-run).
+    # Sub-second queries get a third rep: at <1s, scheduler jitter alone
+    # is tens of ms (>10% variance), so best-of-2 reads as noise-level
+    # regressions round-over-round (r2's q_case_bucketing +82ms). An
+    # extra sub-second rep buys the variance down for ~nothing.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for rep in range(2):
+        rep = 0
+        while rep < 2 or (best < 1.0 and rep < 3):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             if rep == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
+            rep += 1
         timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s)",
+        print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s, {rep} reps)",
               file=sys.stderr)
 
     # flagship composition, timed separately so the headline total stays
@@ -121,8 +127,9 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "extended": extended,
         "startup_sec": startup,
-        "reps": 2,
-        "timing": "best-of-2 per query; cold_total = first-rep sum; "
+        "reps": "2 (+1 when warm best <1s)",
+        "timing": "best-of-2 per query, best-of-3 when sub-second; "
+                  "cold_total = first-rep sum; "
                   "startup_sec = session build + first parquet touch",
     }))
 

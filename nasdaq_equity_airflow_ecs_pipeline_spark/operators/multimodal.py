@@ -2,10 +2,16 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schema, batch iteration, partition sizing) is
-real and tested; the actual media decode is STUBBED — the image/audio
-libraries are not in this container. ``decode_fn`` is the injection
-point: swap ``deterministic_fake_decode`` for a Pillow/torchaudio-backed
-callable in production and nothing else changes.
+real and tested. Decoding is layered (``real_decode``):
+
+1. PNG — decoded for real, in-container, by a pure zlib+numpy decoder
+   (``decode_png``: IHDR/IDAT parse, scanline unfilter, pixel stats).
+2. WAV — decoded for real by the stdlib ``wave`` module
+   (``decode_wav``: PCM frames -> amplitude stats).
+3. JPEG & everything else — ``PIL`` when importable (not in this
+   container), else the deterministic stub so the pipeline shape stays
+   testable. ``decode_fn`` remains the injection point for
+   torchaudio/pyav-class decoders in production.
 
 Scale notes: binary payloads ride the columnar format untouched until the
 decode stage; mapInPandas streams Arrow batches so peak memory is one
@@ -40,12 +46,159 @@ def deterministic_fake_decode(payload: bytes) -> dict[str, Any]:
     return {"feat_mean": sum(feats) / dim, "feat_dim": dim}
 
 
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """Real PNG decode with zlib + numpy only (no Pillow): parses IHDR,
+    inflates the IDAT stream, reverses the five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9), and reports pixel stats.
+    Supports the common cases: 8-bit grayscale / gray+alpha / RGB / RGBA,
+    non-interlaced. feat_mean = mean sample value scaled to [0,1];
+    feat_dim = channels. Raises ValueError on anything else."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros_like(lines)
+    bpp = channels
+    for y in range(height):
+        line = lines[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        f = filters[y]
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: left neighbor, sequential within the row
+            for x in range(stride):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    pixels = out.reshape(height, width, channels)
+    return {
+        "feat_mean": float(pixels.mean() / 255.0),
+        "feat_dim": int(channels),
+        "width": int(width),
+        "height": int(height),
+    }
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """Real WAV decode via the stdlib ``wave`` module: PCM frames ->
+    normalized mean-absolute amplitude. feat_dim = channel count."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    samples = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        samples -= 128.0
+    full_scale = float(2 ** (8 * sampwidth - 1))
+    mean_abs = float(np.abs(samples).mean() / full_scale) if samples.size else 0.0
+    return {
+        "feat_mean": mean_abs,
+        "feat_dim": int(n_channels),
+        "sample_rate": int(framerate),
+    }
+
+
+def real_decode(payload: bytes) -> dict[str, Any]:
+    """Magic-byte-sniffing decoder: PNG and WAV decode for real with the
+    stdlib-only decoders above; JPEG (and other PIL formats) decode when
+    Pillow is importable; anything unrecognized falls back to the
+    deterministic stub so the pipeline never dies on opaque bytes.
+    Always returns the MEDIA_META_SCHEMA feature keys."""
+    if payload is None:
+        raise NotImplementedError("media decode of NULL payload")
+    feats: dict[str, Any] | None = None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        feats = decode_png(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        feats = decode_wav(payload)
+    else:
+        try:  # PIL path: real when the lib exists (not in this container)
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as img:
+                import numpy as np
+
+                arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+                feats = {
+                    "feat_mean": float(arr.mean() / 255.0),
+                    "feat_dim": 3,
+                    "width": int(img.width),
+                    "height": int(img.height),
+                }
+        except ImportError:
+            feats = None
+        except Exception as exc:  # PIL present but payload unreadable
+            raise ValueError(f"undecodable media payload: {exc}") from None
+    if feats is None:
+        feats = deterministic_fake_decode(payload)
+    return {"feat_mean": feats["feat_mean"], "feat_dim": feats["feat_dim"]}
+
+
 def extract_media_features(
     df: DataFrame,
     id_col: str = "content_id",
     payload_col: str = "payload",
     type_col: str = "media_type",
-    decode_fn: Callable[[bytes], dict[str, Any]] = deterministic_fake_decode,
+    decode_fn: Callable[[bytes], dict[str, Any]] | None = None,
     batch_meta_only: bool = False,
 ) -> DataFrame:
     """binary payloads -> typed feature/metadata rows via mapInPandas.
@@ -64,6 +217,8 @@ def extract_media_features(
             F.lit(None).cast("int").alias("feat_dim"),
         )
 
+    if decode_fn is None:
+        decode_fn = real_decode
     names = {"id": id_col, "payload": payload_col, "type": type_col}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

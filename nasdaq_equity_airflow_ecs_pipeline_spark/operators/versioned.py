@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,7 +58,7 @@ class VersionedTable:
             return json.load(f)
 
     # -------------------------------------------------------------- write
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, ts: float | None = None) -> int:
         """Write ``df`` as the table's next version. Data lands in a fresh
         immutable subdir; the version becomes visible only when the
         manifest rename succeeds (atomic on POSIX)."""
@@ -68,18 +69,29 @@ class VersionedTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        return self._publish(files)
+        return self._publish(files, ts=ts)
 
-    def _publish(self, files: list[str]) -> int:
+    def _publish(self, files: list[str], ts: float | None = None) -> int:
         """Optimistic-concurrency commit: claim the next version number
         with a hard link (fails with EEXIST if a concurrent writer won the
         race — unlike rename, which silently overwrites) and retry against
-        the new head. Matches Iceberg/Delta's compare-and-swap commit."""
+        the new head. Matches Iceberg/Delta's compare-and-swap commit.
+
+        ``ts`` (commit wall-clock, injectable for tests) is recorded in
+        the manifest — it is what age-based snapshot expiry consults,
+        mirroring Iceberg's snapshot timestamp-ms."""
         while True:
             version = (self.current_version() + 1) if self.versions() else 0
             tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
             with open(tmp, "w") as f:
-                json.dump({"version": version, "files": files}, f)
+                json.dump(
+                    {
+                        "version": version,
+                        "files": files,
+                        "ts": time.time() if ts is None else ts,
+                    },
+                    f,
+                )
             try:
                 os.link(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{version}.json"))
                 return version
@@ -99,12 +111,32 @@ class VersionedTable:
         return self.spark.read.parquet(*files)
 
     # -------------------------------------------------------------- upsert
-    def upsert(self, source: DataFrame, keys: list[str]) -> int:
+    def upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        evolve_schema: bool = False,
+        ts: float | None = None,
+    ) -> int:
         """Keyed MERGE as a new version: read current, merge, commit.
-        Readers of the old version are unaffected (snapshot isolation)."""
+        Readers of the old version are unaffected (snapshot isolation).
+
+        ``evolve_schema=True`` = Iceberg mergeSchema-on-MERGE: a source
+        column absent from the table is added to the table schema (NULL
+        on historical rows — old snapshots keep their narrower schema,
+        exactly like Iceberg schema evolution: metadata-only, no data
+        rewrite of prior versions). A table column absent from the source
+        inserts as NULL. Off by default — silent widening hides producer
+        bugs."""
         target = self.read() if self.versions() else None
-        merged = merge_upsert(target, source, keys)
-        return self.commit(merged)
+        merged = merge_upsert(
+            target, source, keys, evolve_schema=evolve_schema
+        )
+        return self.commit(merged, ts=ts)
+
+    def schema(self, version: int | None = None):
+        """Schema of a snapshot (time travel over schema evolution)."""
+        return self.read(version).schema
 
     # ------------------------------------------------------------ rollback
     def rollback(self, version: int) -> int:
@@ -125,10 +157,43 @@ class VersionedTable:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no surviving manifest references."""
         vs = self.versions()
-        dead, live = vs[:-keep_last], vs[-keep_last:]
-        keep_files = set()
-        for v in live:
-            keep_files.update(self._manifest(v)["files"])
+        return self._expire(vs[:-keep_last])
+
+    def expire_snapshots(
+        self,
+        older_than_ts: float,
+        keep_last: int = 1,
+        now: float | None = None,
+    ) -> list[str]:
+        """Age-based snapshot expiry — Iceberg's ``expireSnapshots(
+        olderThan)`` / the reference's S3 lifecycle expiration rules
+        (terraform/modules/s3/main.tf:43-47: raw data 90 days, logs 30).
+
+        Expires every version whose commit ``ts`` predates
+        ``older_than_ts``, but always retains the newest ``keep_last``
+        versions regardless of age (a table must stay readable even if
+        nothing was written within the window). Returns removed data
+        files. Manifests written before timestamps existed are treated as
+        infinitely old."""
+        del now  # accepted for API symmetry; expiry compares commit ts only
+        vs = self.versions()
+        protected = set(vs[-keep_last:]) if keep_last else set()
+        dead = [
+            v for v in vs
+            if v not in protected
+            and self._manifest(v).get("ts", float("-inf")) < older_than_ts
+        ]
+        return self._expire(dead)
+
+    def _expire(self, dead: list[int]) -> list[str]:
+        """Remove ``dead`` manifests + any data files only they reference
+        (reachability over the SURVIVING manifests, so shared immutable
+        files — e.g. after rollback — are never deleted)."""
+        dead_set = set(dead)
+        keep_files: set[str] = set()
+        for v in self.versions():
+            if v not in dead_set:
+                keep_files.update(self._manifest(v)["files"])
         removed = []
         for v in dead:
             for f in self._manifest(v)["files"]:

@@ -326,6 +326,124 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert f0["frame_sha256"] == hashlib.sha256(bytes(range(8))).hexdigest()
 
 
+def _make_png(rows, channels, filters):
+    """Hand-rolled PNG encoder for the decode tests: ``rows`` is a list of
+    scanlines (each a list of sample ints, len = width*channels), one
+    per-row filter byte from ``filters`` (applied per PNG spec)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    width = len(rows[0]) // channels
+    height = len(rows)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    raw = bytearray()
+    prev = [0] * len(rows[0])
+    bpp = channels
+    for line, f in zip(rows, filters):
+        raw.append(f)
+        for x, v in enumerate(line):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = v - a
+            elif f == 2:
+                enc = v - b
+            elif f == 3:
+                enc = v - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = v - pred
+            raw.append(enc & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_real_all_filters():
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    # 3x5 RGB image exercising every PNG filter type (one per row)
+    rows = [
+        [10, 20, 30, 40, 50, 60, 70, 80, 90],
+        [15, 25, 35, 45, 55, 65, 75, 85, 95],
+        [200, 0, 128, 254, 1, 127, 3, 250, 60],
+        [7, 7, 7, 9, 9, 9, 11, 11, 11],
+        [0, 255, 0, 255, 0, 255, 0, 255, 0],
+    ]
+    png = _make_png(rows, channels=3, filters=[0, 1, 2, 3, 4])
+    feats = decode_png(png)
+    flat = [v for line in rows for v in line]
+    assert feats["width"] == 3 and feats["height"] == 5
+    assert feats["feat_dim"] == 3
+    assert math.isclose(feats["feat_mean"], sum(flat) / len(flat) / 255.0)
+
+
+def test_wav_decode_real():
+    import io
+    import struct
+    import wave
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    buf = io.BytesIO()
+    samples = [0, 16384, -16384, 32767, -32768, 0]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    feats = decode_wav(buf.getvalue())
+    expect = sum(abs(s) for s in samples) / len(samples) / 32768.0
+    assert feats["feat_dim"] == 1 and feats["sample_rate"] == 8000
+    assert math.isclose(feats["feat_mean"], expect)
+
+
+def test_real_decode_sniffs_and_falls_back(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    png = _make_png([[100, 200], [50, 150]], channels=1, filters=[0, 2])
+    png_mean = (100 + 200 + 50 + 150) / 4 / 255.0
+    assert math.isclose(real_decode(png)["feat_mean"], png_mean)
+    # unknown bytes -> deterministic stub (no PIL in this container)
+    stub = real_decode(b"\xff\x00")
+    assert math.isclose(stub["feat_mean"], 0.5) and stub["feat_dim"] == 8
+
+    # end-to-end through the Spark mapInPandas plumbing with real decode
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image"), (2, bytearray(b"\xff\x00"), "blob")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    out = {
+        r["content_id"]: r
+        for r in extract_media_features(df, decode_fn=real_decode).collect()
+    }
+    assert math.isclose(out[1]["feat_mean"], png_mean)
+    assert out[1]["feat_dim"] == 1 and out[2]["feat_dim"] == 8
+
+
 def test_multimodal_meta_only_never_decodes(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abc"), "video")],

@@ -46,6 +46,61 @@ def test_versioned_compact_and_vacuum(spark, tmp_path):
     assert _rows(t.read()) == [(i, f"v{i}") for i in range(4)]
 
 
+def test_versioned_schema_evolution_on_merge(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
+    wide = spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)], ["k", "v", "score"])
+
+    # without opting in, widening is rejected (unionByName mismatch)
+    with pytest.raises(Exception):
+        t.upsert(wide, ["k"])
+
+    v1 = t.upsert(wide, ["k"], evolve_schema=True)
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    # historical row backfills NULL; merged/inserted rows carry the value
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+    # old snapshot keeps its narrower schema (metadata-only evolution)
+    assert [f.name for f in t.schema(0)] == ["k", "v"]
+    assert [f.name for f in t.schema(v1)] == ["k", "v", "score"]
+
+    # narrowing direction: source missing an evolved column inserts NULL
+    t.upsert(
+        spark.createDataFrame([(4, "d")], ["k", "v"]), ["k"], evolve_schema=True
+    )
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got[4] == ("d", None) and got[2] == ("B", 9.5)
+
+
+def test_versioned_snapshot_expiry_retention(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # commit timestamps injected: v0/v1 "90+ days old", v2 recent
+    t.upsert(spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"], ts=100.0)
+    t.upsert(spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"], ts=200.0)
+    t.upsert(spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"], ts=90_000.0)
+
+    removed = t.expire_snapshots(older_than_ts=1_000.0)
+    assert removed  # v0's and v1's unshared files deleted
+    assert t.versions() == [2]
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # keep_last floor: even an ancient head survives expiry
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.upsert(spark.createDataFrame([(1, "x")], ["k", "v"]), ["k"], ts=5.0)
+    assert t2.expire_snapshots(older_than_ts=1e12) == []
+    assert t2.versions() == [0]
+
+    # shared immutable files (rollback) are never deleted while referenced
+    t3 = VersionedTable(spark, str(tmp_path / "t3"))
+    t3.upsert(spark.createDataFrame([(1, "x")], ["k", "v"]), ["k"], ts=10.0)
+    t3.upsert(spark.createDataFrame([(2, "y")], ["k", "v"]), ["k"], ts=20.0)
+    t3.rollback(0)  # head (fresh ts) shares v0's files
+    removed3 = t3.expire_snapshots(older_than_ts=1e12, keep_last=1)
+    assert t3.versions() == [2]
+    assert _rows(t3.read()) == [(1, "x")]  # shared files intact
+
+
 def test_versioned_commit_race_loses_nothing(spark, tmp_path):
     """Two writers racing for the same version number: the loser retries
     onto the next version instead of silently overwriting the winner."""

@@ -18,9 +18,17 @@ Key remapping per copy i (offset = 10_000_000 * i):
 - events: event_id/user_id shift; timestamps shift by i days so window
   populations stay the same shape.
 
+Per-query shuffle volume is captured from the Spark UI REST API
+(stage-level shuffle read/write byte deltas): a query whose wall time
+scales linearly but whose shuffle bytes scale super-linearly is a latent
+scale bug (it's borrowing from memory/spill headroom that won't exist at
+100 TB), so both are reported and gated.
+
 Usage:
     python3 tools/scale_stress.py [K] [outdir]      # default K=10
     python3 tools/scale_stress.py 10 /tmp/stress --run-only   # skip build
+    python3 tools/scale_stress.py 100 /tmp/stress100 --deep   # sf1-level,
+        adds the composed corpus pipeline + full LSH family to the set
 """
 
 from __future__ import annotations
@@ -51,6 +59,17 @@ HEAVY = [
     "q_scd2_history",
     "q_moving_window_range",
     "q_bloom_prune_join",
+]
+
+# --deep adds the composed curation chain + the rest of the LSH family —
+# the queries whose scale behavior matters most at 100 TB
+DEEP = [
+    "q_corpus_pipeline",
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_ngram_jaccard_pairs",
+    "q_decontaminate",
+    "q_pack_sequences",
 ]
 
 
@@ -132,23 +151,59 @@ def build(spark, k: int, outdir: str) -> None:
             ),
         ),
     }
+    nfiles = max(8, k // 3)
     for name, df in plans.items():
-        df.repartition(8).write.mode("overwrite").parquet(
+        df.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(outdir, f"{name}.parquet")
         )
         print(f"[build] {name} written")
 
 
-def run(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over all stages so
+    far, from the UI REST API. (0, 0) when the UI is off."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return (0, 0)
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+        ) as r:
+            stages = json.load(r)
+    except Exception as exc:  # REST hiccup: degrade to wall-time-only
+        print(f"[shuffle-metrics] unavailable: {exc}", file=sys.stderr)
+        return (0, 0)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
+
+
+def run(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
     from nasdaq_equity_airflow_ecs_pipeline_spark.queries import QUERIES
 
-    times = {}
+    out = {}
     for name in queries:
+        w0, r0 = _shuffle_totals(spark)
         start = time.time()
         n = QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.time() - start, 2)
-        print(f"[run] {name}: {times[name]}s rows={n}")
-    return times
+        dt = round(time.time() - start, 2)
+        w1, r1 = _shuffle_totals(spark)
+        out[name] = {
+            "s": dt,
+            "rows": n,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        }
+        print(
+            f"[run] {name}: {dt}s rows={n} "
+            f"shufW={out[name]['shuffle_write_mb']}MB"
+        )
+    return out
 
 
 def main() -> None:
@@ -156,27 +211,44 @@ def main() -> None:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{k}"
-    spark = get_spark("scale_stress", cpus=32)
+    queries = HEAVY + DEEP if "--deep" in sys.argv else HEAVY
+    # UI on: the REST API is the shuffle-bytes source; driver mem sized
+    # for the K=100 single-JVM run (local mode driver == all executors)
+    spark = get_spark(
+        "scale_stress", cpus=32,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+    )
     if "--run-only" not in sys.argv:
         build(spark, k, outdir)
-    base = run(spark, SRC, HEAVY)
-    big = run(spark, outdir, HEAVY)
+    base = run(spark, SRC, queries)
+    big = run(spark, outdir, queries)
     report = {
         name: {
-            "sf0.1_s": base[name],
-            f"x{k}_s": big[name],
-            "scale_factor": round(big[name] / max(base[name], 1e-9), 1),
+            "sf0.1_s": base[name]["s"],
+            f"x{k}_s": big[name]["s"],
+            "scale_factor": round(big[name]["s"] / max(base[name]["s"], 1e-9), 1),
+            "sf0.1_shufW_mb": base[name]["shuffle_write_mb"],
+            f"x{k}_shufW_mb": big[name]["shuffle_write_mb"],
+            "shuffle_scale": round(
+                big[name]["shuffle_write_mb"]
+                / max(base[name]["shuffle_write_mb"], 1e-3),
+                1,
+            ),
         }
-        for name in HEAVY
+        for name in queries
     }
     print(json.dumps({"k": k, "queries": report}, indent=2))
-    # flag anything scaling worse than ~2x the data growth (allows for
-    # fixed overheads amortizing the other way)
+    # gates: wall time worse than ~2x data growth, or shuffle volume
+    # growing super-linearly (> 1.5x data growth, min 50MB to skip noise)
     bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * k}
-    if bad:
-        print(f"NONLINEAR: {sorted(bad)}")
+    shuf_bad = {
+        n: r for n, r in report.items()
+        if r[f"x{k}_shufW_mb"] > 50 and r["shuffle_scale"] > 1.5 * k
+    }
+    if bad or shuf_bad:
+        print(f"NONLINEAR wall: {sorted(bad)}  shuffle: {sorted(shuf_bad)}")
         sys.exit(1)
-    print("linear-or-better across the board")
+    print("linear-or-better across the board (wall + shuffle bytes)")
 
 
 if __name__ == "__main__":
