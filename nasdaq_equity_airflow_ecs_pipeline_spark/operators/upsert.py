@@ -23,7 +23,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -33,6 +33,7 @@ def merge_upsert(
     keys: list[str],
     preserve_cols: list[str] | None = None,
     evolve_schema: bool = False,
+    delete_condition: Column | str | None = None,
 ) -> DataFrame:
     """Return target MERGE source on keys (WHEN MATCHED UPDATE SET *,
     WHEN NOT MATCHED INSERT *). ``target=None`` = first run (CREATE).
@@ -41,7 +42,32 @@ def merge_upsert(
     new in the source are added (NULL for historical rows), columns
     missing from the source carry NULL for inserted rows. Off by default
     — silent widening hides producer bugs; at scale schema changes should
-    be deliberate."""
+    be deliberate.
+
+    ``delete_condition``: Iceberg's ``WHEN MATCHED AND <cond> THEN
+    DELETE`` — a predicate over SOURCE rows (e.g. a CDC tombstone flag).
+    Matched target rows whose source row satisfies it are deleted, and
+    such source rows are never inserted. The same anti-join shape: one
+    extra filter, no extra shuffle."""
+    if delete_condition is not None:
+        cond = (
+            F.expr(delete_condition)
+            if isinstance(delete_condition, str)
+            else delete_condition
+        )
+        dead_keys = source.filter(cond).select(*keys)
+        source = source.filter(~cond)
+        if target is None:
+            return source
+        target = target.join(dead_keys, keys, "left_anti")
+        if not evolve_schema:
+            # CDC sources ride an op/tombstone column the table doesn't
+            # have; UPDATE SET * / INSERT * only carry target columns, so
+            # drop source-only riders (evolve_schema=True keeps them and
+            # widens the table instead).
+            riders = [c for c in source.columns if c not in target.columns]
+            if riders:
+                source = source.drop(*riders)
     if target is None:
         return source
     if evolve_schema:

@@ -116,6 +116,7 @@ class VersionedTable:
         source: DataFrame,
         keys: list[str],
         evolve_schema: bool = False,
+        delete_condition=None,
         ts: float | None = None,
     ) -> int:
         """Keyed MERGE as a new version: read current, merge, commit.
@@ -130,7 +131,9 @@ class VersionedTable:
         bugs."""
         target = self.read() if self.versions() else None
         merged = merge_upsert(
-            target, source, keys, evolve_schema=evolve_schema
+            target, source, keys,
+            evolve_schema=evolve_schema,
+            delete_condition=delete_condition,
         )
         return self.commit(merged, ts=ts)
 

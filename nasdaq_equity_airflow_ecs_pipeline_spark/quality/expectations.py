@@ -2,7 +2,10 @@
 suites (V1-V8, docker/scripts/create_expectations.py, 35 declared check
 instances across 4 suites: fact 8 / dim_stock 9 / weekly 9 / monthly 9)
 re-expressed as Spark assertions that run in-process against the
-just-written tables instead of through Athena.
+just-written tables instead of through Athena. (The reference's own
+IMPLEMENTATION_SUMMARY.md:132 advertises "38 checks", but the script it
+cites declares 35 — the enumeration here follows the code, the ground
+truth; see q_gx_census for the driver-checked census.)
 
 Each check compiles to ONE aggregate expression; ``run_suite`` evaluates
 a whole suite in a SINGLE Spark job (one pass over the table) — at 100 TB

@@ -681,6 +681,66 @@ WHERE NOT EXISTS (
 """
 
 
+def q_gx_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Census of the declared GX suites: one row per (suite, position,
+    check). The Spark side derives from the LIVE ``reference_suites()``
+    registry; the oracle is an independent hand-enumerated transcription
+    of docker/scripts/create_expectations.py — so this query goes red if
+    the engine's suite declarations ever drift from the reference's 35
+    check instances (fact 8 / dim 9 / weekly 9 / monthly 9)."""
+    from ..quality.expectations import reference_suites
+
+    rows = [
+        (suite, i, c.name)
+        for suite, checks in reference_suites().items()
+        for i, c in enumerate(checks)
+    ]
+    return spark.createDataFrame(
+        rows, "suite string, pos int, check_name string"
+    )
+
+
+SQL_GX_CENSUS = """
+SELECT * FROM (VALUES
+  ('fact_stock_daily_price', 0, 'columns_match(20)'),
+  ('fact_stock_daily_price', 1, 'not_null(fact_key)'),
+  ('fact_stock_daily_price', 2, 'not_null(stock_symbol)'),
+  ('fact_stock_daily_price', 3, 'not_null(trade_date)'),
+  ('fact_stock_daily_price', 4, 'not_null(close_price)'),
+  ('fact_stock_daily_price', 5, 'unique(fact_key)'),
+  ('fact_stock_daily_price', 6, 'compound_unique(stock_symbol,trade_date)'),
+  ('fact_stock_daily_price', 7, 'row_count_between(1,100)'),
+  ('dim_stock', 0, 'columns_match(10)'),
+  ('dim_stock', 1, 'not_null(stock_key)'),
+  ('dim_stock', 2, 'not_null(symbol)'),
+  ('dim_stock', 3, 'not_null(company_name)'),
+  ('dim_stock', 4, 'unique(stock_key)'),
+  ('dim_stock', 5, 'unique(symbol)'),
+  ('dim_stock', 6, 'values_in_set(symbol)'),
+  ('dim_stock', 7, 'values_in_set(is_active)'),
+  ('dim_stock', 8, 'row_count_between(1,100)'),
+  ('agg_stock_weekly_metrics', 0, 'columns_match(13)'),
+  ('agg_stock_weekly_metrics', 1, 'not_null(year)'),
+  ('agg_stock_weekly_metrics', 2, 'not_null(week)'),
+  ('agg_stock_weekly_metrics', 3, 'not_null(symbol)'),
+  ('agg_stock_weekly_metrics', 4, 'not_null(week_close)'),
+  ('agg_stock_weekly_metrics', 5, 'compound_unique(year,week,symbol)'),
+  ('agg_stock_weekly_metrics', 6, 'values_between(week,1,53)'),
+  ('agg_stock_weekly_metrics', 7, 'values_between(avg_price,0,10000)'),
+  ('agg_stock_weekly_metrics', 8, 'pair_a_ge_b(week_high,week_low)'),
+  ('agg_stock_monthly_metrics', 0, 'columns_match(15)'),
+  ('agg_stock_monthly_metrics', 1, 'not_null(year)'),
+  ('agg_stock_monthly_metrics', 2, 'not_null(month)'),
+  ('agg_stock_monthly_metrics', 3, 'not_null(symbol)'),
+  ('agg_stock_monthly_metrics', 4, 'not_null(month_close)'),
+  ('agg_stock_monthly_metrics', 5, 'compound_unique(year,month,symbol)'),
+  ('agg_stock_monthly_metrics', 6, 'values_between(month,1,12)'),
+  ('agg_stock_monthly_metrics', 7, 'values_between(avg_price,0,10000)'),
+  ('agg_stock_monthly_metrics', 8, 'pair_a_ge_b(month_high,month_low)')
+) AS t(suite, pos, check_name)
+"""
+
+
 QUERIES = {
     "q_scan_project_cast": q_scan_project_cast,
     "q_upsert_idempotent": q_upsert_idempotent,
@@ -698,6 +758,7 @@ QUERIES = {
     "q_fact_build": q_fact_build,
     "q_dim_build": q_dim_build,
     "q_quality_checks": q_quality_checks,
+    "q_gx_census": q_gx_census,
     "q_merge_sql": q_merge_sql,
 }
 
@@ -717,6 +778,7 @@ ORACLES = {
     "q_fact_build": SQL_FACT_BUILD,
     "q_dim_build": SQL_DIM_BUILD,
     "q_quality_checks": SQL_QUALITY_CHECKS,
+    "q_gx_census": SQL_GX_CENSUS,
     "q_upsert_idempotent": SQL_UPSERT_IDEMPOTENT,
     "q_merge_sql": SQL_MERGE_SQL,
 }

@@ -50,6 +50,40 @@ def _rowset(cols, rows):
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_SPARK_INT = {"ByteType", "ShortType", "IntegerType", "LongType"}
+_SPARK_FLT = {"FloatType", "DoubleType"}
+
+
+def type_lint(spark_df, duck_rel) -> list[str]:
+    """The driver's value hash is type-representation-sensitive. Flag the
+    classes that round-trip differently between engines even when values
+    agree: DECIMAL anywhere (r1: all 12 hash-fails), DuckDB HUGEINT —
+    sum(BIGINT) promotes to int128, Spark has no int128 (r2: all 3
+    hash-fails), and int-vs-float class clashes per shared column."""
+    problems = []
+    for f in spark_df.schema.fields:
+        if "Decimal" in type(f.dataType).__name__:
+            problems.append(f"spark DECIMAL output: {f.name}")
+    smap = {f.name: type(f.dataType).__name__ for f in spark_df.schema.fields}
+    for c, t in zip(duck_rel.columns, duck_rel.types):
+        dt = str(t)
+        if "DECIMAL" in dt:
+            problems.append(f"oracle DECIMAL output: {c}")
+        if "HUGEINT" in dt:
+            problems.append(f"oracle HUGEINT output (CAST the sum to BIGINT): {c}")
+        st = smap.get(c)
+        if st and (
+            (dt in _DUCK_INT and st in _SPARK_FLT)
+            or (dt in ("DOUBLE", "FLOAT") and st in _SPARK_INT)
+        ):
+            problems.append(f"int/float class clash on {c}: spark={st} duck={dt}")
+    return problems
+
+
 def compare(spark_df, con, sql: str) -> dict:
     sp_rows = spark_df.collect()
     sp_cols = spark_df.columns
@@ -58,6 +92,7 @@ def compare(spark_df, con, sql: str) -> dict:
     d_rows = duck.fetchall()
 
     report = {
+        "type_lint": type_lint(spark_df, duck),
         "spark_rows": len(sp_rows),
         "duck_rows": len(d_rows),
         "rows_match": len(sp_rows) == len(d_rows),

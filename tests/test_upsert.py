@@ -32,6 +32,38 @@ def test_merge_semantics(spark):
     }
 
 
+def test_merge_delete_clause(spark, tmp_path):
+    # Iceberg `WHEN MATCHED AND op='D' THEN DELETE`: tombstones delete
+    # matched rows, never insert, and the op rider column stays out
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "U"), (5, None, "D")],
+        ["k", "v", "op"],
+    )
+    out = merge_upsert(target, source, ["k"], delete_condition="op = 'D'")
+    assert out.columns == ["k", "v"]
+    rows = {r.k: r.v for r in out.collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted, 5 tombstone-no-match
+    assert rows == {1: "a", 2: "B", 4: "d"}
+
+    # first run (CREATE): tombstones simply never land
+    created = merge_upsert(None, source, ["k"], delete_condition="op = 'D'")
+    assert {r.k for r in created.collect()} == {2, 4}
+
+    # versioned table round-trip: delete produces a new snapshot, old
+    # snapshot still shows the row (snapshot isolation)
+    import pyspark.sql.functions as _F
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "del_test"))
+    t.upsert(target, ["k"])
+    t.upsert(source, ["k"], delete_condition=_F.col("op") == "D")
+    assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "B", 4: "d"}
+    assert {r.k for r in t.read(version=0).collect()} == {1, 2, 3}
+
+
 def test_upsert_parquet_idempotent(spark, tmp_path):
     path = str(tmp_path / "t")
     src = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])

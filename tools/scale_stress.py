@@ -161,19 +161,27 @@ def build(spark, k: int, outdir: str) -> None:
 
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over all stages so
-    far, from the UI REST API. (0, 0) when the UI is off."""
+    far, from the UI REST API. (0, 0) when the UI is off.
+
+    The status store updates asynchronously after an action returns, so
+    settle first: wait for active stages to drain (bounded) before
+    snapshotting, else a query's stages land in the NEXT delta."""
     import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"{ui}{path}", timeout=30) as r:
+            return json.load(r)
 
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return (0, 0)
     try:
-        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10) as r:
-            app_id = json.load(r)[0]["id"]
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
-        ) as r:
-            stages = json.load(r)
+        app_id = get("/api/v1/applications")[0]["id"]
+        for _ in range(20):  # <=2s settle
+            if not get(f"/api/v1/applications/{app_id}/stages?status=active"):
+                break
+            time.sleep(0.1)
+        stages = get(f"/api/v1/applications/{app_id}/stages?status=complete")
     except Exception as exc:  # REST hiccup: degrade to wall-time-only
         print(f"[shuffle-metrics] unavailable: {exc}", file=sys.stderr)
         return (0, 0)
