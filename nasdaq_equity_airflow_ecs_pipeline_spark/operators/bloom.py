@@ -95,6 +95,7 @@ def _member(key_col: Column, m: int, k: int) -> Column:
 
 
 _INTEGRAL = {"ByteType", "ShortType", "IntegerType", "LongType"}
+_NUMERIC = _INTEGRAL | {"FloatType", "DoubleType", "DecimalType"}
 
 
 def _hash_cast_type(probe: DataFrame, probe_key: str, build: DataFrame, build_key: str) -> str | None:
@@ -102,14 +103,19 @@ def _hash_cast_type(probe: DataFrame, probe_key: str, build: DataFrame, build_ke
     if they already agree. xxhash64 is type-sensitive: hashing the same
     value as int vs long yields different bits, which would make every
     Bloom probe a false NEGATIVE (empty result) — violating the exact-
-    result contract. Integral pairs widen to long; anything else hashes
-    its canonical string form (identical text on both engines' sides)."""
+    result contract. Integral pairs widen to long; mixed numerics widen
+    to double (value-identity, so DECIMAL 31.00 and LONG 31 hash alike —
+    a huge long collapsing onto a neighbor in double is only ever a false
+    POSITIVE, which the exact join absorbs); anything else hashes its
+    canonical string form. Same-type columns never pay a cast."""
     pt = type(probe.schema[probe_key].dataType).__name__
     bt = type(build.schema[build_key].dataType).__name__
     if pt == bt:
         return None
     if pt in _INTEGRAL and bt in _INTEGRAL:
         return "long"
+    if pt in _NUMERIC and bt in _NUMERIC:
+        return "double"
     return "string"
 
 

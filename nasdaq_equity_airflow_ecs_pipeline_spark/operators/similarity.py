@@ -302,7 +302,13 @@ def embedding_neardup_lsh(
     margin = float(threshold) - 1e-6
 
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        """Tiled pairwise verify: peak memory is one (tile x n) block, NOT
+        the full n x n cosine matrix — a hot bucket degrades to more tiles
+        (linear slowdown), never to an O(bucket^2) allocation (a 31k-row
+        bucket would otherwise need a 7.7 GB matrix per task; with 32
+        concurrent tasks that is an instant OOM at scale)."""
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
         order = np.argsort(pdf["id"].to_numpy())
@@ -310,10 +316,21 @@ def embedding_neardup_lsh(
         V = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["_v"].to_numpy()[order]])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        C = Vn @ Vn.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = C[ia, ib] >= margin
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+        # ~32 MB of C-block per task regardless of bucket size
+        tile = max(64, 4_000_000 // n)
+        out_a, out_b = [], []
+        for i0 in range(0, n - 1, tile):
+            i1 = min(i0 + tile, n)
+            C = Vn[i0:i1] @ Vn.T  # (tile, n)
+            ia, ib = np.nonzero(C >= margin)
+            ga = ia + i0
+            keep = ib > ga  # upper triangle only, in global coordinates
+            out_a.append(ids[ga[keep]])
+            out_b.append(ids[ib[keep]])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+        })
 
     matches = (
         rows.groupBy("band", "bh")

@@ -146,6 +146,14 @@ def test_bloom_semi_join_mixed_key_dtypes(spark):
     )
     assert {int(r.key) for r in got_s.collect()} == set(range(0, 50, 7))
 
+    # decimal probe vs long build: widens to double on value identity
+    # (string form '14.00' vs '14' would false-negative everything)
+    probe_d = spark.range(0, 50).selectExpr("CAST(id AS DECIMAL(10,2)) AS key")
+    got_d = bloom_semi_join(
+        probe_d, build, probe_key="key", build_key="bkey", expected_keys=100
+    )
+    assert {int(r.key) for r in got_d.collect()} == set(range(0, 50, 7))
+
 
 def test_snapshot_diff_empty_payload_key_presence(spark):
     old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0)])

@@ -29,6 +29,11 @@ Usage:
     python3 tools/scale_stress.py 10 /tmp/stress --run-only   # skip build
     python3 tools/scale_stress.py 100 /tmp/stress100 --deep   # sf1-level,
         adds the composed corpus pipeline + full LSH family to the set
+    python3 tools/scale_stress.py 100 /tmp/s100 --run-only \
+        --queries q_tpch_q21_waiting_suppliers --base /tmp/s10 --base-k 10
+        # compare x10 -> x100 for specific queries: distinguishes a
+        # broadcast->shuffle plan transition (baseline shuffle artificially
+        # ~0 at sf0.1) from genuinely super-linear shuffle growth
 """
 
 from __future__ import annotations
@@ -217,25 +222,40 @@ def run(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
 def main() -> None:
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{k}"
-    queries = HEAVY + DEEP if "--deep" in sys.argv else HEAVY
+    value_flags = {"--queries", "--base", "--base-k"}
+    opts, args, it = {}, [], iter(sys.argv[1:])
+    for a in it:
+        if a in value_flags:
+            opts[a] = next(it)
+        elif a.startswith("--"):
+            opts[a] = True
+        else:
+            args.append(a)
+    k = int(args[0]) if args else 10
+    outdir = args[1] if len(args) > 1 else f"/tmp/stress_x{k}"
+    queries = HEAVY + DEEP if "--deep" in opts else HEAVY
+    if "--queries" in opts:
+        queries = opts["--queries"].split(",")
+    base_dir = opts.get("--base", SRC)
+    base_k = int(opts.get("--base-k", 1))  # data multiple of baseline dir
     # UI on: the REST API is the shuffle-bytes source; driver mem sized
     # for the K=100 single-JVM run (local mode driver == all executors)
     spark = get_spark(
         "scale_stress", cpus=32,
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
     )
-    if "--run-only" not in sys.argv:
+    if "--run-only" not in opts:
         build(spark, k, outdir)
-    base = run(spark, SRC, queries)
+    growth = k / base_k  # data-volume multiple between the two runs
+    blabel = f"x{base_k}" if base_k > 1 else "sf0.1"
+    base = run(spark, base_dir, queries)
     big = run(spark, outdir, queries)
     report = {
         name: {
-            "sf0.1_s": base[name]["s"],
+            f"{blabel}_s": base[name]["s"],
             f"x{k}_s": big[name]["s"],
             "scale_factor": round(big[name]["s"] / max(base[name]["s"], 1e-9), 1),
-            "sf0.1_shufW_mb": base[name]["shuffle_write_mb"],
+            f"{blabel}_shufW_mb": base[name]["shuffle_write_mb"],
             f"x{k}_shufW_mb": big[name]["shuffle_write_mb"],
             "shuffle_scale": round(
                 big[name]["shuffle_write_mb"]
@@ -245,13 +265,13 @@ def main() -> None:
         }
         for name in queries
     }
-    print(json.dumps({"k": k, "queries": report}, indent=2))
+    print(json.dumps({"k": k, "base_k": base_k, "queries": report}, indent=2))
     # gates: wall time worse than ~2x data growth, or shuffle volume
     # growing super-linearly (> 1.5x data growth, min 50MB to skip noise)
-    bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * k}
+    bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * growth}
     shuf_bad = {
         n: r for n, r in report.items()
-        if r[f"x{k}_shufW_mb"] > 50 and r["shuffle_scale"] > 1.5 * k
+        if r[f"x{k}_shufW_mb"] > 50 and r["shuffle_scale"] > 1.5 * growth
     }
     if bad or shuf_bad:
         print(f"NONLINEAR wall: {sorted(bad)}  shuffle: {sorted(shuf_bad)}")
