@@ -411,10 +411,13 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     a TWO-LEVEL aggregate over the order joined back on l_orderkey — the
     (orderkey, suppkey) rollup then a plain per-order count/sum, instead
     of two COUNT DISTINCTs (which Catalyst plans as an Expand that
-    triples the aggregate input). Both aggregate levels and the
-    join-back hash-partition on l_orderkey, so the query is two shuffles
-    total vs four correlated scans in the naive plan. Oracle SQL keeps
-    the EXISTS/NOT-EXISTS formulation as an independent check of the
+    triples the aggregate input). The join-back probes per_supp (one row
+    per (order, supp), supp_late already computed) rather than re-scanning
+    lineitem — the big table is scanned, joined, and shuffled exactly
+    ONCE, with the shuffled exchange reused across both consumers; and
+    since a sole-late order contributes exactly one (order, supp) row,
+    numwait is a plain count, no distinct Expand. Oracle SQL keeps the
+    EXISTS/NOT-EXISTS formulation as an independent check of the
     rewrite."""
     orders = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf, "lineitem")
@@ -434,11 +437,11 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     sole_late = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
-        lines.filter(F.col("late"))
+        per_supp.filter(F.col("supp_late") == 1)
         .join(sole_late, "l_orderkey")
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )

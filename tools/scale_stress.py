@@ -240,10 +240,14 @@ def main() -> None:
     base_k = int(opts.get("--base-k", 1))  # data multiple of baseline dir
     # UI on: the REST API is the shuffle-bytes source; driver mem sized
     # for the K=100 single-JVM run (local mode driver == all executors)
-    spark = get_spark(
-        "scale_stress", cpus=32,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
-    )
+    conf = {"spark.ui.enabled": "true", "spark.ui.port": "4050"}
+    if "--no-broadcast" in opts:
+        # Force the 100 TB-shape plan at every scale: with broadcast off,
+        # no join flips broadcast->SMJ between the two runs, so the
+        # shuffle ratio isolates algorithmic scaling from plan transitions.
+        conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+        conf["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+    spark = get_spark("scale_stress", cpus=32, extra_conf=conf)
     if "--run-only" not in opts:
         build(spark, k, outdir)
     growth = k / base_k  # data-volume multiple between the two runs
