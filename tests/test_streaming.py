@@ -110,6 +110,37 @@ def test_session_window_stream_matches_batch(spark, event_stream_dir):
     assert _rows(got, cols) == _rows(exp, cols)
 
 
+def test_interval_join_stream_matches_batch(spark, event_stream_dir):
+    """Stream-stream interval join (clicks x purchases within 1h, same
+    user): two watermarked streams over the same feed, inner append-mode
+    join — result equals the batch run of the same function body."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.joins import interval_join
+
+    def split(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        return c, p
+
+    sc, sp = split(_read_event_stream(spark, event_stream_dir))
+    joined = interval_join(sc, sp, tolerance="1 hour", watermark="2 hours")
+    _run_to_memory(joined, "t_sjoin", "append")
+    got = spark.table("t_sjoin")
+
+    batch = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).json(event_stream_dir)
+    bc, bp = split(batch)
+    exp = interval_join(bc, bp, tolerance="1 hour")
+    cols = ["user_id", "l_event_id", "r_event_id", "r_value"]
+    assert _rows(got, cols) == _rows(exp, cols)
+    assert got.count() > 0
+
+
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     """At-least-once feed (every record delivered twice, in different
     micro-batch files) -> dedup_stream emits each key exactly once, equal
