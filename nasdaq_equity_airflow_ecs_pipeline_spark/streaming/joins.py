@@ -44,17 +44,30 @@ def interval_join(
     tolerance: str = "1 hour",
     watermark: str | None = None,
     prefixes: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-key + interval join: rows of ``right`` within
     ``[left.ts, left.ts + tolerance]`` for the same key. Pass
     ``watermark`` when the inputs are streams (applied to both sides;
     required by Spark for state cleanup in stream-stream joins).
 
+    ``how``: inner | left_outer | right_outer | full_outer. Outer
+    semantics in streaming differ from batch BY DESIGN: an unmatched row
+    is emitted (null-padded) only once the other side's watermark has
+    passed its interval — i.e. when a match has become impossible. Rows
+    still inside the final watermark window at end-of-stream are held
+    back, so a batch left join is a SUPERSET of the streamed one; the
+    matched subsets are identical. (This is Spark's contract, not a
+    quirk of this wrapper — it is what makes outer results correct
+    instead of speculative.)
+
     Columns are disambiguated by prefixing every non-key column, so the
     output schema is stable regardless of overlapping input names:
     (key, l_<cols...>, r_<cols...>).
     """
     lp, rp = prefixes
+    if how not in {"inner", "left_outer", "right_outer", "full_outer"}:
+        raise ValueError(f"unsupported join type {how!r}")
     if watermark is not None:
         left = left.withWatermark(ts_col, watermark)
         right = right.withWatermark(ts_col, watermark)
@@ -72,4 +85,10 @@ def interval_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {tolerance}"))
     )
-    return lren.join(rren, cond).drop(f"{rp}{key_col}")
+    out = lren.join(rren, cond, how)
+    if how in {"right_outer", "full_outer"}:
+        # key_col is null for right-only rows; surface the surviving key
+        out = out.withColumn(
+            key_col, F.coalesce(F.col(key_col), F.col(f"{rp}{key_col}"))
+        )
+    return out.drop(f"{rp}{key_col}")

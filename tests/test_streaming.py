@@ -141,6 +141,46 @@ def test_interval_join_stream_matches_batch(spark, event_stream_dir):
     assert got.count() > 0
 
 
+def test_interval_left_outer_stream_join(spark, event_stream_dir):
+    """Left-outer stream-stream join: matched rows equal the batch run;
+    null-padded unmatched clicks are a subset of the batch unmatched set
+    (rows inside the final watermark window are held back — Spark's
+    outer-join contract, documented in streaming/joins.py)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.joins import interval_join
+
+    def split(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        return c, p
+
+    sc, sp = split(_read_event_stream(spark, event_stream_dir))
+    joined = interval_join(
+        sc, sp, tolerance="1 hour", watermark="2 hours", how="left_outer"
+    )
+    _run_to_memory(joined, "t_sjoin_lo", "append")
+    got = spark.table("t_sjoin_lo")
+
+    batch = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ).json(event_stream_dir)
+    bc, bp = split(batch)
+    exp = interval_join(bc, bp, tolerance="1 hour", how="left_outer")
+
+    cols = ["user_id", "l_event_id", "r_event_id"]
+    matched = lambda df: df.filter(F.col("r_event_id").isNotNull())  # noqa: E731
+    unmatched = lambda df: df.filter(F.col("r_event_id").isNull())  # noqa: E731
+    assert _rows(matched(got), cols) == _rows(matched(exp), cols)
+    got_un = set(_rows(unmatched(got), ["l_event_id"]))
+    exp_un = set(_rows(unmatched(exp), ["l_event_id"]))
+    assert got_un <= exp_un
+    assert len(got_un) > 0  # watermark did release past-horizon unmatched rows
+
+
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     """At-least-once feed (every record delivered twice, in different
     micro-batch files) -> dedup_stream emits each key exactly once, equal
