@@ -774,8 +774,46 @@ GROUP BY 1
 """
 
 
+def q_zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-skipping read over the Z-ordered layout (sources/skipping.py):
+    write lineitem clustered on (l_partkey, l_suppkey) with zbucket as a
+    partition dir + a min/max manifest, then answer a 2-D range filter by
+    reading only manifest-overlapping buckets. Results are identical to a
+    full scan + filter (the oracle IS that full scan); the pruning proof
+    (inputFiles strictly shrinks) is pinned in tests/test_dimension_ops.py."""
+    import os
+
+    from ..sources.skipping import pruned_scan, write_zordered
+
+    li = load_table(spark, sf, "lineitem")
+    path = f"/tmp/zskip_{os.path.basename(os.path.normpath(sf))}"
+    write_zordered(
+        li.select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
+        path, "l_partkey", "l_suppkey", ZORDER_BUCKETS,
+    )
+    scan = pruned_scan(
+        spark, path, x_range=(100, 300), y_range=(10, 40),
+        x_col="l_partkey", y_col="l_suppkey",
+    )
+    return scan.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+SQL_ZORDER_PRUNED_SCAN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300
+  AND l_suppkey BETWEEN 10 AND 40
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
+    "q_zorder_pruned_scan": q_zorder_pruned_scan,
     "q_distinct_kmv": q_distinct_kmv,
     "q_substring_dedup": q_substring_dedup,
     "q_pagerank": q_pagerank,
@@ -802,6 +840,7 @@ ORACLES = {
     "q_price_correlation": SQL_PRICE_CORRELATION,
     "q_moving_window_range": SQL_MOVING_WINDOW_RANGE,
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
+    "q_zorder_pruned_scan": SQL_ZORDER_PRUNED_SCAN,
     "q_incremental_join": SQL_INCREMENTAL_JOIN,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_group_sample": SQL_GROUP_SAMPLE,

@@ -155,6 +155,40 @@ def test_bloom_semi_join_mixed_key_dtypes(spark):
     assert {int(r.key) for r in got_d.collect()} == set(range(0, 50, 7))
 
 
+def test_zorder_pruned_scan_skips_files(spark, tmp_path):
+    """The manifest-driven scan must (a) return exactly the full-scan
+    result and (b) list strictly fewer input files — real skipping, not
+    just a row filter."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.skipping import (
+        pruned_scan,
+        write_zordered,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zdata")
+    write_zordered(li, path, "l_partkey", "l_suppkey", n_buckets=16)
+
+    got = pruned_scan(
+        spark, path, x_range=(0, 120), y_range=(0, 12),
+        x_col="l_partkey", y_col="l_suppkey",
+    )
+    exp = li.filter(
+        F.col("l_partkey").between(0, 120) & F.col("l_suppkey").between(0, 12)
+    )
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, exp.select(*cols).collect())
+    )
+    n_all = len(spark.read.parquet(path).inputFiles())
+    n_pruned = len(got.inputFiles())
+    assert 0 < n_pruned < n_all
+
+
 def test_snapshot_diff_empty_payload_key_presence(spark):
     old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0)])
     new = _snap(spark, [(2, "x", 9.0), (3, "c", 3.0)])
