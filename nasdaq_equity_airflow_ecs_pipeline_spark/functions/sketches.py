@@ -96,3 +96,93 @@ def kmv_distinct(df, group_cols: list[str], value_col: str, k: int = 64):
         )
         .alias("distinct_est"),
     )
+
+
+# ----------------------------------------------------- count-min sketch
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(col: Column | str, seed: int, width: int = CMS_WIDTH) -> Column:
+    """Portable bucket index for hash row ``seed``: the KMV md5
+    construction over 'seed|value', mod width — identical on any engine
+    with md5 (DuckDB twin: ``('0x' || substr(md5(...), 1, 15))::BIGINT %
+    width``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Count-min counter matrix as a (row_i, bucket, cnt) frame —
+    depth*width rows max, regardless of input size.
+
+    Like KMV (and unlike HLL), the fixed portable hash makes the sketch
+    fully DETERMINISTIC: same inputs -> bit-identical counters on any
+    engine/partitioning, so it sits inside the exact-match oracle gate.
+    The counters are an algebraic SUM, so Spark partial-aggregates
+    map-side and the shuffle moves at most depth*width partial rows per
+    task — the sketch is mergeable by construction (union two sketches =
+    sum matching cells), which is what makes it a 100 TB operator: build
+    per partition/day/shard, merge by addition, never rescan.
+
+    Point-query guarantee: est >= true count, and with prob 1-(1/2)^depth
+    the overestimate is < 2N/width (N = total count).
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cms_bucket(value_col, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row_i").alias("row_i"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    counters,
+    probes,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Estimate counts for each distinct probe value: min over the
+    depth counters the value hashes to. ``counters`` is cms_build's
+    output (broadcast-sized: <= depth*width rows); the join is therefore
+    a broadcast hash join against the probe set, no shuffle of probes."""
+    pb = probes.select(value_col).distinct()
+    cells = pb.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        cms_bucket(value_col, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, F.col("rb.row_i").alias("row_i"), F.col("rb.bucket").alias("bucket"))
+    return (
+        cells.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("est_n"))
+    )

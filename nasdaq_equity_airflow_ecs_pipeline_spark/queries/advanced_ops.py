@@ -774,6 +774,60 @@ GROUP BY 1
 """
 
 
+def q_count_min_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch heavy-hitter check (functions/sketches.py):
+    build the depth×width counter matrix over all document tokens (a
+    mergeable, engine-portable sum — see cms_build docstring), then
+    point-query the exact top-20 tokens and report estimated vs true
+    count. est_n >= n_true always; the deterministic md5 hashing makes
+    the whole sketch oracle-exact, unlike HLL."""
+    from ..functions.sketches import cms_build, cms_estimate
+    from ..operators.lsh import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    counters = cms_build(toks, "tok")
+    true_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("tok"))
+        .limit(20)
+    )
+    est = cms_estimate(counters, true_top, "tok")
+    return true_top.join(est, "tok").select("tok", "n_true", "est_n")
+
+
+_SQL_CMS_BUCKET = (
+    "('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 15))::BIGINT % 1024"
+)
+
+SQL_COUNT_MIN_FREQ = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+cells AS (
+  SELECT tok, i, {_SQL_CMS_BUCKET} AS bucket
+  FROM tok, range(0, 4) t(i)
+),
+counters AS (
+  SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+),
+true_top AS (
+  SELECT tok, count(*) AS n_true FROM tok GROUP BY 1
+  ORDER BY n_true DESC, tok ASC LIMIT 20
+),
+probe AS (
+  SELECT tt.tok, i, {_SQL_CMS_BUCKET.replace("tok", "tt.tok")} AS bucket
+  FROM true_top tt, range(0, 4) t(i)
+)
+SELECT p.tok, t.n_true, min(c.cnt) AS est_n
+FROM probe p
+JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+JOIN true_top t ON t.tok = p.tok
+GROUP BY 1, 2
+"""
+
+
 def q_zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Data-skipping read over the Z-ordered layout (sources/skipping.py):
     write lineitem clustered on (l_partkey, l_suppkey) with zbucket as a
@@ -814,6 +868,7 @@ GROUP BY 1
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_zorder_pruned_scan": q_zorder_pruned_scan,
+    "q_count_min_freq": q_count_min_freq,
     "q_distinct_kmv": q_distinct_kmv,
     "q_substring_dedup": q_substring_dedup,
     "q_pagerank": q_pagerank,
@@ -841,6 +896,7 @@ ORACLES = {
     "q_moving_window_range": SQL_MOVING_WINDOW_RANGE,
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
     "q_zorder_pruned_scan": SQL_ZORDER_PRUNED_SCAN,
+    "q_count_min_freq": SQL_COUNT_MIN_FREQ,
     "q_incremental_join": SQL_INCREMENTAL_JOIN,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_group_sample": SQL_GROUP_SAMPLE,

@@ -96,6 +96,52 @@ def test_kmv_exact_below_k_and_close_above(spark):
     assert re == got
 
 
+def test_count_min_overestimates_and_merges(spark):
+    """CMS invariants: est >= true for every probed value; counters are
+    partitioning-invariant (mergeable sum); a union's sketch equals the
+    cell-wise sum of the parts' sketches."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"w{i % 50}",) for i in range(3000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["tok"])
+    counters = cms_build(df, "tok", depth=4, width=256)
+    true = {r["tok"]: r["n"] for r in df.groupBy("tok").count().withColumnRenamed("count", "n").collect()}
+    est = {
+        r["tok"]: r["est_n"]
+        for r in cms_estimate(counters, df, "tok", depth=4, width=256).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[t] >= true[t] for t in true)
+    assert est["hot"] < 500 + 2 * 3500 / 256 * 4  # loose CMS bound
+
+    # partitioning invariance
+    re = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_build(df.repartition(7, "tok"), "tok", depth=4, width=256).collect()
+    }
+    base = {
+        (r["row_i"], r["bucket"]): r["cnt"] for r in counters.collect()
+    }
+    assert re == base
+
+    # mergeability: sketch(a union b) == sketch(a) + sketch(b) cell-wise
+    a = df.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("tok")) % 2 == 1)
+    merged = (
+        cms_build(a, "tok", depth=4, width=256)
+        .unionByName(cms_build(b, "tok", depth=4, width=256))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got_m = {
+        (r["row_i"], r["bucket"]): r["cnt"] for r in merged.collect()
+    }
+    assert got_m == base
+
+
 def test_substring_dup_stats_exact(spark):
     shared = "S" * 100  # shared run >= window+stride -> must be caught
     docs = spark.createDataFrame(
