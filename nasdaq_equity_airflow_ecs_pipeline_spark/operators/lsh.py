@@ -126,6 +126,17 @@ def lsh_candidate_pairs(
     fan-out is governed by the LSH collision probability, not n^2; a
     pathological mega-bucket (e.g. boilerplate docs) is the signal to
     raise ROWS_PER_BAND, not a plan problem."""
+    return (
+        _bucket_pairs_from_rows(lsh_band_rows(sigs, id_col))
+        .distinct()
+    )
+
+
+def lsh_band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_hash) rows — the materializable LSH *index*.
+    Persist this frame (or write it to the lake) to support incremental
+    maintenance: new documents only need their own band rows plus an
+    equi-join against this index (see ``incremental_lsh_pairs``)."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -138,9 +149,14 @@ def lsh_candidate_pairs(
         )
         for b in range(BANDS)
     ])
-    rows = sigs.select(F.col(id_col), F.explode(band_structs).alias("bh")).select(
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bh")).select(
         F.col(id_col).alias("id"), "bh.band", "bh.band_hash"
     )
+
+
+def _bucket_pairs_from_rows(rows: DataFrame) -> DataFrame:
+    """Bucket-local pair expansion over (id, band, band_hash) rows;
+    NOT distinct — callers dedup after unioning sources."""
     buckets = (
         rows.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -158,8 +174,41 @@ def lsh_candidate_pairs(
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    index_rows: DataFrame, delta_sigs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Add a document delta to an existing LSH index WITHOUT recomputing
+    the corpus: returns (new_pairs, updated_index_rows).
+
+    new_pairs = (delta × index) bucket collisions ∪ (delta × delta)
+    collisions — the corpus' own pairs are already known. The delta×index
+    part is an equi-join on (band, band_hash): with a daily-sized delta
+    the delta side broadcasts, so the standing index is probed in place
+    with NO shuffle of the corpus — the property that makes daily corpus
+    refresh O(|delta| + collisions) instead of O(|corpus|). The
+    delta×delta part reuses the bucket-local combinatorics.
+
+    Union with the standing pair set to maintain a full dedup state
+    incrementally (pairs(index ∪ delta) = pairs(index) ∪ new_pairs —
+    exactly; tested against the full recompute in the oracle gate).
+    """
+    delta_rows = lsh_band_rows(delta_sigs, id_col)
+    cross = (
+        delta_rows.join(
+            index_rows.withColumnRenamed("id", "id_x"), ["band", "band_hash"]
+        )
+        .select(
+            F.least("id", "id_x").alias("id_a"),
+            F.greatest("id", "id_x").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    dd = _bucket_pairs_from_rows(delta_rows)
+    new_pairs = cross.unionByName(dd).distinct()
+    return new_pairs, index_rows.unionByName(delta_rows)
 
 
 def simhash(

@@ -208,6 +208,26 @@ FROM bands l JOIN bands r
 """
 
 
+def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental LSH index maintenance (operators/lsh.py
+    incremental_lsh_pairs): 90% of the corpus is the standing index, the
+    doc_id%10==0 slice arrives as a delta. Result = standing pairs ∪
+    delta-induced pairs, computed WITHOUT re-pairing the corpus (the
+    delta broadcasts into an equi-join against the index's band rows).
+    The oracle is the FULL-corpus recompute — equality proves
+    pairs(index ∪ delta) = pairs(index) ∪ new_pairs exactly."""
+    docs = _docs(spark, sf)
+    par = spark.sparkContext.defaultParallelism
+    index_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    index_sigs = lsh.minhash_signatures(index_docs, parallelism=par)
+    delta_sigs = lsh.minhash_signatures(delta_docs, parallelism=par)
+    index_rows = lsh.lsh_band_rows(index_sigs)
+    standing = lsh.lsh_candidate_pairs(index_sigs)
+    new_pairs, _updated = lsh.incremental_lsh_pairs(index_rows, delta_sigs)
+    return standing.unionByName(new_pairs).distinct()
+
+
 # ----------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return lsh.simhash(
@@ -1047,6 +1067,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_incremental_lsh": q_incremental_lsh,
     "q_simhash": q_simhash,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_embedding_topk": q_embedding_topk,
@@ -1080,6 +1101,7 @@ ORACLES = {
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
+    "q_incremental_lsh": SQL_MINHASH_PAIRS,
     "q_simhash": SQL_SIMHASH,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
