@@ -30,6 +30,11 @@ class Check:
     # schema-level checks evaluated without a scan
     violations: Column | None = None
     schema_fn: Callable[[DataFrame], bool] | None = None
+    # per-row violation predicate, for checks whose failure is a property
+    # of a single row (not_null / in_set / between / pair) — powers
+    # quarantine_split; table-level checks (unique, row counts) leave it
+    # None because no single row "is" the violation
+    row_pred: Column | None = None
 
 
 def columns_match(expected: list[str]) -> Check:
@@ -42,7 +47,11 @@ def columns_match(expected: list[str]) -> Check:
 
 def not_null(col: str) -> Check:
     """V2: expect_column_values_to_not_be_null."""
-    return Check(f"not_null({col})", F.count(F.when(F.col(col).isNull(), 1)))
+    return Check(
+        f"not_null({col})",
+        F.count(F.when(F.col(col).isNull(), 1)),
+        row_pred=F.col(col).isNull(),
+    )
 
 
 def unique(col: str) -> Check:
@@ -77,6 +86,7 @@ def values_in_set(col: str, allowed: list) -> Check:
     return Check(
         f"values_in_set({col})",
         F.count(F.when(~F.col(col).isin(allowed), 1)),
+        row_pred=~F.col(col).isin(allowed),
     )
 
 
@@ -85,12 +95,50 @@ def values_between(col: str, lo, hi) -> Check:
     return Check(
         f"values_between({col},{lo},{hi})",
         F.count(F.when(~F.col(col).between(lo, hi), 1)),
+        row_pred=~F.col(col).between(lo, hi),
     )
 
 
 def pair_a_ge_b(a: str, b: str) -> Check:
     """V8: expect_column_pair_values_A_to_be_greater_than_B (or equal)."""
-    return Check(f"pair_a_ge_b({a},{b})", F.count(F.when(F.col(a) < F.col(b), 1)))
+    return Check(
+        f"pair_a_ge_b({a},{b})",
+        F.count(F.when(F.col(a) < F.col(b), 1)),
+        row_pred=F.col(a) < F.col(b),
+    )
+
+
+def quarantine_split(
+    df: DataFrame, checks: list[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows instead of failing the table: returns (valid, invalid)
+    where ``invalid`` carries a ``_violations`` array naming every
+    row-level check the row failed (the badRecordsPath pattern, but with
+    machine-readable reasons and no side-channel files).
+
+    Only checks with a ``row_pred`` participate; table-level checks
+    belong in run_suite/assert_suite. One pass, pure column expressions
+    — the split is two filters over the same scan (at the lake boundary
+    you write both outputs from one job; Spark reuses the scan via
+    exchange reuse or you persist() the flagged frame).
+
+    Null semantics follow SQL three-valued logic: a NULL comparison is
+    not a violation (only ``not_null`` flags nulls) — identical on the
+    DuckDB oracle side, which is what makes q_quarantine_split exact.
+    """
+    preds = [(c.name, c.row_pred) for c in checks if c.row_pred is not None]
+    if not preds:
+        raise ValueError("no row-level checks (row_pred) in suite")
+    reasons = F.filter(
+        F.array(*[
+            F.when(p, F.lit(name)).otherwise(F.lit(None)) for name, p in preds
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    flagged = df.withColumn("_violations", reasons)
+    valid = flagged.filter(F.size("_violations") == 0).drop("_violations")
+    invalid = flagged.filter(F.size("_violations") > 0)
+    return valid, invalid
 
 
 def run_suite(df: DataFrame, checks: list[Check]) -> dict[str, int]:

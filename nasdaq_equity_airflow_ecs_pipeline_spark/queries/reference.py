@@ -681,6 +681,47 @@ WHERE NOT EXISTS (
 """
 
 
+def q_quarantine_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level validation routing (quality/expectations.py
+    quarantine_split): route lineitem rows by which row-level checks they
+    fail instead of failing the whole table — the badRecordsPath pattern
+    with machine-readable reasons. Returns per-reason violation counts
+    plus the surviving '_valid' count; SQL-three-valued-logic null
+    handling keeps it oracle-exact."""
+    from ..quality.expectations import quarantine_split, values_between
+
+    li = load_table(spark, sf, "lineitem")
+    checks = [
+        values_between("l_quantity", 1, 45),
+        values_between("l_discount", 0.0, 0.05),
+    ]
+    valid, invalid = quarantine_split(li, checks)
+    per_reason = (
+        invalid.select(F.explode("_violations").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    valid_row = valid.agg(
+        F.lit("_valid").alias("reason"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return per_reason.unionByName(valid_row)
+
+
+SQL_QUARANTINE_SPLIT = """
+SELECT 'values_between(l_quantity,1,45)' AS reason,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE NOT (l_quantity BETWEEN 1 AND 45)
+UNION ALL
+SELECT 'values_between(l_discount,0.0,0.05)' AS reason,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE NOT (l_discount BETWEEN 0.0 AND 0.05)
+UNION ALL
+SELECT '_valid' AS reason, CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE (l_quantity BETWEEN 1 AND 45) AND (l_discount BETWEEN 0.0 AND 0.05)
+"""
+
+
 def q_gx_census(spark: SparkSession, sf: str) -> DataFrame:
     """Census of the declared GX suites: one row per (suite, position,
     check). The Spark side derives from the LIVE ``reference_suites()``
@@ -759,6 +800,7 @@ QUERIES = {
     "q_dim_build": q_dim_build,
     "q_quality_checks": q_quality_checks,
     "q_gx_census": q_gx_census,
+    "q_quarantine_split": q_quarantine_split,
     "q_merge_sql": q_merge_sql,
 }
 
@@ -779,6 +821,7 @@ ORACLES = {
     "q_dim_build": SQL_DIM_BUILD,
     "q_quality_checks": SQL_QUALITY_CHECKS,
     "q_gx_census": SQL_GX_CENSUS,
+    "q_quarantine_split": SQL_QUARANTINE_SPLIT,
     "q_upsert_idempotent": SQL_UPSERT_IDEMPOTENT,
     "q_merge_sql": SQL_MERGE_SQL,
 }

@@ -71,3 +71,29 @@ def test_assert_suite_raises(spark):
     df = spark.createDataFrame([(1,), (1,)], ["id"])
     with pytest.raises(AssertionError, match="unique"):
         assert_suite(df, [unique("id")])
+
+
+def test_quarantine_split_routes_rows(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.quality.expectations import (
+        not_null,
+        quarantine_split,
+        values_between,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (4, None)],
+        "id int, v double",
+    )
+    valid, invalid = quarantine_split(
+        df, [not_null("v"), values_between("v", 0, 50)]
+    )
+    assert {r["id"] for r in valid.collect()} == {1}
+    inv = {r["id"]: list(r["_violations"]) for r in invalid.collect()}
+    # NULL v: flagged by not_null only (between on NULL is not a violation
+    # under three-valued logic); 99 flagged by the range check only
+    assert inv == {
+        2: ["not_null(v)"],
+        3: ["values_between(v,0,50)"],
+        4: ["not_null(v)"],
+    }
+    assert valid.count() + invalid.count() == df.count()
