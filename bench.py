@@ -107,6 +107,10 @@ def main() -> None:
         "q_scd2_history",
         "q_bloom_prune_join",
         "q_moving_window_range",
+        "q_incremental_lsh",
+        "q_zorder_pruned_scan",
+        "q_count_min_freq",
+        "q_stream_interval_join",
     ):
         fn = queries[name]
         best = float("inf")

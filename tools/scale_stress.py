@@ -75,6 +75,8 @@ DEEP = [
     "q_ngram_jaccard_pairs",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_incremental_lsh",
+    "q_count_min_freq",
 ]
 
 
