@@ -48,7 +48,11 @@ def run_pipeline(
     """Run the full daily pipeline for one date into ``warehouse``.
 
     ``raw_root``: dir of Hive-partitioned raw JSONL; None -> mock extract
-    (writes the mock feed to <warehouse>/raw first, like the Lambda K1).
+    (writes the mock feed to <warehouse>/raw first, like the Lambda K1);
+    ``"quotefeed"`` -> ingest through the registered custom Python
+    DataSource (sources/quotefeed.py) instead of driver-side mock gen —
+    the executor-parallel extract path, landed to the same raw layout so
+    everything downstream (and re-runs over raw) is identical.
     Returns {table: path}.
     """
     os.makedirs(warehouse, exist_ok=True)
@@ -66,7 +70,19 @@ def run_pipeline(
     }
 
     # -- extract (Lambda parity: fetch or mock, land JSONL in date= dirs)
-    if raw_root is None:
+    if raw_root == "quotefeed":
+        from ..sources.quotefeed import QuoteFeedDataSource
+
+        spark.dataSource.register(QuoteFeedDataSource)
+        raw_root = os.path.join(warehouse, "raw")
+        feed = (
+            spark.read.format("quotefeed")
+            .option("date", processing_date)
+            .load()
+            .withColumn("date", F.lit(processing_date))
+        )
+        write_quotes_jsonl(feed, raw_root)
+    elif raw_root is None:
         raw_root = os.path.join(warehouse, "raw")
         mock = generate_mock_quotes(spark, processing_date)
         write_quotes_jsonl(mock, raw_root)

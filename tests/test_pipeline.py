@@ -85,3 +85,19 @@ def test_dim_date_values(spark):
     assert row.week == 9  # ISO week of 2024-02-29
     assert row.day_of_week == "Thursday"
     assert row.is_trading_day is True
+
+
+def test_pipeline_quotefeed_ingest(spark, tmp_path):
+    """raw_root='quotefeed' ingests through the custom Python DataSource
+    and lands the same raw layout; the full pipeline (dims, fact, aggs,
+    quality gates) runs green on it."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.plans.pipeline import run_pipeline
+
+    wh = str(tmp_path / "wh")
+    paths = run_pipeline(
+        spark, wh, processing_date="2024-03-05", raw_root="quotefeed"
+    )
+    fact = spark.read.parquet(paths["fact_stock_daily_price"])
+    assert fact.count() == fact.select("stock_symbol").distinct().count() > 0
+    raw = spark.read.json(f"{wh}/raw/date=2024-03-05")
+    assert raw.count() > 0 and "symbol" in raw.columns
