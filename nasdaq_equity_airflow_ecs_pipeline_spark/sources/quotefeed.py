@@ -29,6 +29,7 @@ partition shape, offsets, and schema stay identical.
 from __future__ import annotations
 
 import hashlib
+import math
 from dataclasses import dataclass
 from datetime import date, timedelta
 
@@ -45,14 +46,24 @@ from ..schemas import RAW_QUOTE_SCHEMA
 _FIELDS = [f.name for f in RAW_QUOTE_SCHEMA.fields]
 
 
+def _t2(x: float) -> float:
+    """Truncate to 2 decimals via floor — unlike Python's banker's
+    round(), floor(x*100)/100 is bit-identical in every SQL engine, which
+    is what keeps the generated feed inside the exact oracle gate
+    (q_quotefeed)."""
+    return math.floor(x * 100.0) / 100.0
+
+
 def _u(symbol: str, day: str, field: str, lo: float, hi: float) -> float:
     """Deterministic uniform value in [lo, hi): md5-seeded by identity —
     the same quote is produced no matter which partition/executor/run
-    generates it (idempotent re-reads, replayable streams)."""
+    generates it (idempotent re-reads, replayable streams). The DuckDB
+    twin is ('0x' || substr(md5(...), 1, 16))::UBIGINT / 2^64 with the
+    identical double arithmetic."""
     h = int.from_bytes(
         hashlib.md5(f"{symbol}|{day}|{field}".encode()).digest()[:8], "big"
     )
-    return round(lo + (h / 2**64) * (hi - lo), 2)
+    return _t2(lo + (h / 2**64) * (hi - lo))
 
 
 def _fetch_quote(symbol: str, day: str) -> tuple:
@@ -74,10 +85,10 @@ def _fetch_quote(symbol: str, day: str) -> tuple:
         hi,
         _u(symbol, day, "ylow", 50, lo),
         _u(symbol, day, "yhigh", hi, 600),
-        round(price - _u(symbol, day, "prev", lo, hi), 2),
+        _t2(price - _u(symbol, day, "prev", lo, hi)),
         _u(symbol, day, "chgpct", -5, 5),
-        int(_u(symbol, day, "volume", 500_000, 2_000_000)),
-        int(_u(symbol, day, "mcap", 1e9, 3e12)),
+        math.floor(_u(symbol, day, "volume", 500_000, 2_000_000)),
+        math.floor(_u(symbol, day, "mcap", 1e9, 3e12)),
         _u(symbol, day, "avg50", lo, hi),
         _u(symbol, day, "avg200", lo, hi),
         epoch,
