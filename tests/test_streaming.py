@@ -352,6 +352,60 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert captured == [(7, 3, 13.5)]  # state survived the restart
 
 
+def test_stateful_v2_transform_with_state(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas processor: same cross-batch +
+    cross-restart totals contract as the classic API. Skips where the
+    protobuf package the TWS driver worker needs is absent (the
+    environment gate documented in streaming/stateful_v2.py)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.streaming.stateful_v2 import (
+        TWS_AVAILABLE,
+        running_totals_v2,
+    )
+
+    if not TWS_AVAILABLE:
+        with pytest.raises(ImportError):
+            running_totals_v2(_read_event_stream(spark, str(tmp_path)))
+        pytest.skip("google.protobuf absent: transformWithState cannot run here")
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    captured: list[tuple] = []
+
+    def run_once() -> None:
+        stream = _read_event_stream(spark, src)
+        out = running_totals_v2(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _id: captured.extend(
+                    (r["user_id"], r["n_events"], r["sum_value"]) for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(
+            '{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "a", "value": 1.5}\n'
+            '{"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "a", "value": 2.0}\n'
+            '{"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 8, "event_type": "a", "value": 4.0}\n'
+        )
+    run_once()
+    assert (7, 2, 3.5) in captured and (8, 1, 4.0) in captured
+
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            '{"event_id": 4, "ts": "2024-01-01 11:00:00", "user_id": 7, "event_type": "a", "value": 10.0}\n'
+        )
+    captured.clear()
+    run_once()
+    assert captured == [(7, 3, 13.5)]
+
+
 def test_streaming_merge_sink(spark, tmp_path):
     """foreachBatch MERGE: latest-wins within a batch, upsert across
     batches, idempotent when a new run re-reads nothing."""
