@@ -291,9 +291,14 @@ def ngram_jaccard_pairs(
     b_sizes = sizes.select(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
     )
+    # NOTE: no broadcast hint — a_sizes/b_sizes are one row PER CORPUS
+    # DOCUMENT (unbounded at scale; 10^9 docs = multi-GB driver
+    # materialization).  The joins are id-keyed equi-joins over the
+    # already-aggregated pair frame, so AQE picks broadcast when the
+    # corpus is actually small and sort-merge when it is not.
     out = (
-        pair_counts.join(F.broadcast(a_sizes), "id_a")
-        .join(F.broadcast(b_sizes), "id_b")
+        pair_counts.join(a_sizes, "id_a")
+        .join(b_sizes, "id_b")
         .select(
             "id_a",
             "id_b",

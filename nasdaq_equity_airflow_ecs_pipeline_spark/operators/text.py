@@ -293,7 +293,10 @@ def substring_dup_stats(
     64 catches any shared run >= 96 chars). Plan: one explode ->
     hash-agg on the window hash (map-side combine; count(distinct id)
     never materializes pairs) -> id-keyed join back. The dup-hash set is
-    output-bounded and small relative to the corpus, so it broadcasts.
+    NOT hinted for broadcast: on a heavily duplicated corpus (the very
+    thing this operator measures) every window of every cloned document
+    lands in it, so it is corpus-scale in the worst case — AQE chooses
+    broadcast only when runtime stats show it actually fits.
     """
     from pyspark import StorageLevel
 
@@ -317,7 +320,7 @@ def substring_dup_stats(
         .select("wh", F.lit(1).alias("is_dup"))
     )
     per = (
-        wins.join(F.broadcast(dup), "wh", "left")
+        wins.join(dup, "wh", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

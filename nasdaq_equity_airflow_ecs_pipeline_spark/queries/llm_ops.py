@@ -281,6 +281,43 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOL
 """
 
 
+# Stop-shingle cutoff for the SCALE path: shingles in > MAX_DF docs are
+# dropped from the JOIN ONLY (denominators stay exact).  This is the
+# variant the x100 scale-stress runs — without the cap the shingle
+# self-join has O(df^2) fan-out on boilerplate shingles.
+NGRAM_MAX_DF = 50
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """`ngram_jaccard_pairs` with the `max_df` stop-shingle cap — the
+    designated 100 TB shape (operators/lsh.py ngram_jaccard_pairs
+    docstring).  Oracle-expressible because the cap is a deterministic
+    doc-frequency filter on the join side only."""
+    return lsh.ngram_jaccard_pairs(
+        _docs(spark, sf),
+        threshold=JACCARD_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+SQL_NGRAM_JACCARD_CAPPED = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_MAX_DF}),
+shj AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+pc AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM shj l JOIN shj r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM pc JOIN sizes sa ON pc.id_a = sa.doc_id JOIN sizes sb ON pc.id_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
 # ----------------------------------------------------- embedding similarity
 _SQL_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
@@ -1070,6 +1107,7 @@ QUERIES = {
     "q_incremental_lsh": q_incremental_lsh,
     "q_simhash": q_simhash,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_neardup_pairs": q_embedding_neardup_pairs,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1104,6 +1142,7 @@ ORACLES = {
     "q_incremental_lsh": SQL_MINHASH_PAIRS,
     "q_simhash": SQL_SIMHASH,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_ngram_jaccard_capped": SQL_NGRAM_JACCARD_CAPPED,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
     "q_embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,

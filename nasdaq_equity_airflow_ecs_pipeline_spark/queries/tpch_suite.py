@@ -711,8 +711,11 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     profit = (_rev() - _supplycost_dec() * F.col("l_quantity").cast("decimal(18,4)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier scale with SF (unbounded at 100 TB) — no hint,
+        # AQE broadcasts them when runtime stats say they fit.  nation
+        # is 25 rows by spec: hint is provably bounded.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -820,9 +823,11 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
     nat_ps = (
-        ps.join(F.broadcast(supp.join(
+        # the one-nation supplier set still scales with SF — unhinted
+        # (AQE decides); the 25-row nation frame keeps its hint.
+        ps.join(supp.join(
             F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
-        ).select("s_suppkey")), ps.l_suppkey == F.col("s_suppkey"))
+        ).select("s_suppkey"), ps.l_suppkey == F.col("s_suppkey"))
         .withColumn(
             "value_dec",
             F.col("supplycost_dec") * F.col("availqty").cast("decimal(18,4)"),
@@ -883,8 +888,10 @@ def q_tpch_q16_supplier_parts(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        # part and the negative-balance supplier set both scale with SF
+        # — unhinted, AQE chooses the physical join per runtime size.
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -936,7 +943,7 @@ def q_tpch_q20_excess_stock(spark: SparkSession, sf: str) -> DataFrame:
     ps = (
         li.select("l_partkey", "l_suppkey").distinct()
         .withColumn("availqty", _availqty())
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)  # SF-scaled: no hint
     )
     excess = (
         ps.join(shipped, ["l_partkey", "l_suppkey"])

@@ -56,6 +56,88 @@ CARTESIAN_OK = {
 }
 
 
+# Source-level lint: every explicit ``F.broadcast(...)`` hint in the
+# package must appear here, keyed "relpath::enclosing_function", with the
+# reason the hinted frame is PROVABLY BOUNDED (1-row aggregate, k-row
+# centroids, spec-bounded dimension, df-capped set, benchmark set, ...).
+# A hint on an unbounded frame (one row per corpus document, a dup-window
+# set, an SF-scaled table) is a driver OOM at 100 TB that small-SF benches
+# can never see — so it is a lint error, not a style nit.  AQE already
+# broadcasts any frame whose RUNTIME size fits; a hint only ever needs to
+# exist for frames whose boundedness we know statically.
+BROADCAST_OK = {
+    "plans/aggregations.py::_with_dates": "dim_date: calendar-bounded (2557 rows)",
+    "plans/aggregations.py::_with_stock": "dim_stock: symbol-universe-bounded",
+    "plans/corpus.py::curate_corpus": "benchmark shingle set: eval suite is small by definition",
+    "operators/bloom.py::bloom_semi_join": "1-row relational bitmap",
+    "operators/ordering.py::global_sort_index": "per-partition counts: numPartitions rows",
+    "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
+    "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/similarity.py::ivf_search": "nprobe centroid rows",
+    "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
+    "operators/text.py::tfidf_topk": "1-row corpus doc count",
+    "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
+    "operators/zorder.py::zorder_layout": "1-row total + n_buckets rows",
+    "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
+    "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
+    "queries/llm_ops.py::q_decontaminate": "benchmark shingle set: eval suite is small by definition",
+    "queries/reference.py::q_star_join": "reference star-schema dim side (dim_stock symbol universe / dim_date calendar are bounded; testdata miniatures them)",
+    "queries/reference.py::q_sector_rollup": "reference star-schema dim side (customer plays symbol-bounded dim_stock)",
+    "queries/tpch_suite.py::q_tpch_q22_idle_customers": "1-row avg acctbal",
+    "queries/tpch_suite.py::q_tpch_q15_top_supplier": "1-row max revenue",
+    "queries/tpch_suite.py::q_tpch_q2_min_cost_supplier": "nation=25 / region=5 rows by TPC-H spec",
+    "queries/tpch_suite.py::q_tpch_q9_product_profit": "nation=25 rows by TPC-H spec",
+    "queries/tpch_suite.py::q_tpch_q11_important_stock": "nation=25 rows + 1-row total",
+    "queries/tpch_suite.py::q_tpch_q20_excess_stock": "nation=25 rows by TPC-H spec",
+}
+
+
+def audit_broadcast_hints(pkg_root: str | None = None) -> list[str]:
+    """AST-scan the package for ``*.broadcast(...)`` calls and flag every
+    one whose ``relpath::enclosing_function`` key is not justified in
+    ``BROADCAST_OK``.  Returns violation strings (empty = clean)."""
+    import ast
+
+    if pkg_root is None:
+        pkg_root = os.path.join(REPO, "nasdaq_equity_airflow_ecs_pipeline_spark")
+    violations: list[str] = []
+    for root, _dirs, files in os.walk(pkg_root):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg_root)
+            try:
+                tree = ast.parse(open(path).read())
+            except SyntaxError as exc:
+                violations.append(f"{rel}: unparseable ({exc})")
+                continue
+
+            def visit(node, fname):
+                for child in ast.iter_child_nodes(node):
+                    nf = (
+                        child.name
+                        if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef))
+                        else fname
+                    )
+                    if (
+                        isinstance(child, ast.Call)
+                        and isinstance(child.func, ast.Attribute)
+                        and child.func.attr == "broadcast"
+                    ):
+                        key = f"{rel}::{fname}"
+                        if key not in BROADCAST_OK:
+                            violations.append(
+                                f"{rel}:{child.lineno} broadcast hint in "
+                                f"{fname}() has no boundedness justification "
+                                f"in BROADCAST_OK"
+                            )
+                    visit(child, nf)
+
+            visit(tree, "<module>")
+    return violations
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -93,6 +175,9 @@ def main() -> None:
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    hint_violations = audit_broadcast_hints()
+    for v in hint_violations:
+        print(f"HINT   {v}")
     spark = get_spark("plan_audit", cpus=8)
     report = audit(spark, sf)
     bad = 0
@@ -109,7 +194,11 @@ def main() -> None:
                 f"ok     {name} (bhj={j['broadcast']} smj={j['sortmerge']} "
                 f"xchg={j['exchanges']})"
             )
-    print(f"RESULT: {len(report)} queries, {bad} flagged")
+    bad += len(hint_violations)
+    print(
+        f"RESULT: {len(report)} queries, {bad} flagged "
+        f"({len(hint_violations)} broadcast-hint lint)"
+    )
     sys.exit(1 if bad else 0)
 
 

@@ -72,7 +72,8 @@ DEEP = [
     "q_corpus_pipeline",
     "q_minhash_signatures",
     "q_simhash",
-    "q_ngram_jaccard_pairs",
+    "q_ngram_jaccard_capped",  # max_df scale path (uncapped twin is the oracle baseline)
+    "q_substring_dedup",
     "q_decontaminate",
     "q_pack_sequences",
     "q_incremental_lsh",
