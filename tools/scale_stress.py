@@ -202,11 +202,23 @@ def _shuffle_totals(spark) -> tuple[int, int]:
 def run(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
     from nasdaq_equity_airflow_ecs_pipeline_spark.queries import QUERIES
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     out = {}
     for name in queries:
         w0, r0 = _shuffle_totals(spark)
         start = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
+        # noop write + observe, NOT .count(): count() lets Catalyst
+        # eliminate whole subtrees (e.g. an aggregated unique-key left
+        # join never changes cardinality, so q_substring_dedup's entire
+        # operator optimized away and "scaled" perfectly).  The noop
+        # sink materializes every output column; the observation rides
+        # along for the row count at zero extra passes.
+        obs = Observation(f"rows_{name}")
+        df = QUERIES[name](spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.format("noop").mode("overwrite").save()
+        n = obs.get["n"]
         dt = round(time.time() - start, 2)
         w1, r1 = _shuffle_totals(spark)
         out[name] = {
@@ -282,7 +294,14 @@ def main() -> None:
     # /tmp/stress_x10 --base-k 10` probe (10.0x/10.5x shuffle for 10x
     # data; see EXPLAIN.md "Scale-stress"). The exemption applies ONLY
     # to the sf0.1 baseline (base_k == 1) — a two-scale run still gates.
-    plan_transition_ok = {"q_tpch_q21_waiting_suppliers", "q_corpus_pipeline"}
+    plan_transition_ok = {
+        "q_tpch_q21_waiting_suppliers",
+        "q_corpus_pipeline",
+        # probe-verified r4: shuffle 11.4x for 10x data with broadcast
+        # pinned off (x10 -> x100); the sf0.1-baseline ratio is the tiny
+        # dup-window set broadcasting at toy scale only
+        "q_substring_dedup",
+    }
     bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * growth}
     shuf_bad = {
         n: r for n, r in report.items()
