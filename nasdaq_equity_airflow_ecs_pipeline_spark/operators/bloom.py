@@ -107,11 +107,19 @@ def _hash_cast_type(probe: DataFrame, probe_key: str, build: DataFrame, build_ke
     to double (value-identity, so DECIMAL 31.00 and LONG 31 hash alike —
     a huge long collapsing onto a neighbor in double is only ever a false
     POSITIVE, which the exact join absorbs); anything else hashes its
-    canonical string form. Same-type columns never pay a cast."""
-    pt = type(probe.schema[probe_key].dataType).__name__
-    bt = type(build.schema[build_key].dataType).__name__
-    if pt == bt:
+    canonical string form. Same-type columns never pay a cast.
+
+    Equality is FULL dataType equality, not class name: DECIMAL(10,2) vs
+    DECIMAL(12,4) hash different unscaled longs for the same value, so a
+    class-name compare would skip the cast and every probe would false-
+    negative (silently empty result) — mismatched decimals widen to
+    double like any other mixed-numeric pair."""
+    pdt = probe.schema[probe_key].dataType
+    bdt = build.schema[build_key].dataType
+    if pdt == bdt:
         return None
+    pt = type(pdt).__name__
+    bt = type(bdt).__name__
     if pt in _INTEGRAL and bt in _INTEGRAL:
         return "long"
     if pt in _NUMERIC and bt in _NUMERIC:

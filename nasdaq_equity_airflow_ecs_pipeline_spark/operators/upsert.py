@@ -55,8 +55,13 @@ def merge_upsert(
             if isinstance(delete_condition, str)
             else delete_condition
         )
-        dead_keys = source.filter(cond).select(*keys)
-        source = source.filter(~cond)
+        # Iceberg NULL semantics for WHEN MATCHED AND cond THEN DELETE:
+        # a NULL predicate is NOT a delete and falls through to UPDATE/
+        # INSERT.  A naive filter(cond)/filter(~cond) split excludes
+        # NULL rows from BOTH arms — the row silently vanishes.
+        cond_true = F.coalesce(cond, F.lit(False))
+        dead_keys = source.filter(cond_true).select(*keys)
+        source = source.filter(~cond_true)
         if target is None:
             return source
         target = target.join(dead_keys, keys, "left_anti")

@@ -54,6 +54,7 @@ def zorder_layout(
     col_y: str,
     n_buckets: int,
     bits: int = ZBITS,
+    cache_counts: bool = True,
 ) -> DataFrame:
     """Assign each row a Z-order bucket (its would-be output file).
 
@@ -80,9 +81,15 @@ def zorder_layout(
     # persist() the small counts frame: without it the full Morton-coded
     # scan lineage evaluates twice (once for this aggregate, once under
     # the final join). |distinct codes| ≤ 2^(2*bits) rows — cheap to keep.
-    counts = (
-        coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n")).persist()
-    )
+    # The handle rides on the returned frame as ``_zorder_cached`` so the
+    # caller that materializes the layout can unpersist (write_zordered
+    # does); cache_counts=False skips the cache entirely for callers that
+    # can't hook post-materialization (the driver-contract query runs in
+    # a long-lived bench session where an uncollectable cache per call is
+    # a leak, and its double-eval cost is one cheap aggregate).
+    counts = coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n"))
+    if cache_counts:
+        counts = counts.persist()
     # Unpartitioned window: all distinct codes funnel through ONE task,
     # but the input is the counts aggregate — bounded by |distinct codes|
     # (≤ 4B at bits=16, ~65k in practice), not by |df|. Acceptable.
@@ -102,7 +109,9 @@ def zorder_layout(
         )
         .select("zcode", "zbucket")
     )
-    return coded.join(F.broadcast(buckets), "zcode", "left")
+    out = coded.join(F.broadcast(buckets), "zcode", "left")
+    out._zorder_cached = counts if cache_counts else None
+    return out
 
 
 def zorder_skipping_stats(

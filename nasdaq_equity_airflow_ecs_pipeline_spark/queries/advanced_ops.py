@@ -731,7 +731,12 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.zorder import zorder_layout, zorder_skipping_stats
 
     li = load_table(spark, sf, "lineitem")
-    layout = zorder_layout(li, "l_partkey", "l_suppkey", ZORDER_BUCKETS)
+    # cache_counts=False: this query's DataFrame outlives the call (the
+    # driver materializes it), so an internal persist() could never be
+    # released — in the bench loop that leaks a cached frame per run
+    layout = zorder_layout(
+        li, "l_partkey", "l_suppkey", ZORDER_BUCKETS, cache_counts=False
+    )
     return zorder_skipping_stats(layout, "l_partkey", "l_suppkey")
 
 

@@ -718,7 +718,11 @@ FROM lineitem WHERE NOT (l_discount BETWEEN 0.0 AND 0.05)
 UNION ALL
 SELECT '_valid' AS reason, CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
-WHERE (l_quantity BETWEEN 1 AND 45) AND (l_discount BETWEEN 0.0 AND 0.05)
+-- null-symmetric with quarantine_split: a NULL comparison is NOT a
+-- violation, so NULL-bearing rows count as valid (a bare `x BETWEEN a
+-- AND b` predicate would silently drop them from this arm)
+WHERE NOT coalesce(NOT (l_quantity BETWEEN 1 AND 45), FALSE)
+  AND NOT coalesce(NOT (l_discount BETWEEN 0.0 AND 0.05), FALSE)
 """
 
 

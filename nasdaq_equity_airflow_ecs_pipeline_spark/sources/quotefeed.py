@@ -126,13 +126,27 @@ class QuoteFeedReader(DataSourceReader):
 
 
 class QuoteFeedStreamReader(DataSourceStreamReader):
-    """One micro-batch per trading day. Offsets are day ordinals relative
-    to start_date; latestOffset stops at end_date so AvailableNow drains
-    a bounded backlog and a continuous trigger would idle at the head."""
+    """Day-granular feed: offsets are day ordinals relative to start_date
+    and ``partitions()`` emits one split per (day, symbol-chunk), so
+    every day is fetched in parallel. ``latestOffset`` exposes the whole
+    remaining backlog, so a default or AvailableNow trigger drains ALL
+    days in ONE micro-batch (of per-day splits) and then idles at the
+    head. Per-day micro-batch throttling is deliberately NOT attempted:
+    the Python DataSourceStreamReader never learns the checkpointed
+    offset (a fresh reader's call-counting cursor would regress behind
+    the checkpoint on restart — the engine compares offsets by equality
+    only, yielding stuck or duplicate batches), and read-limit admission
+    control is not exposed to Python sources."""
 
     def __init__(self, options):
         self.start = date.fromisoformat(options.get("start_date", "2024-01-02"))
         self.end = date.fromisoformat(options.get("end_date", "2024-01-04"))
+        if self.end < self.start:
+            raise ValueError(
+                f"quotefeed: end_date {self.end} is before start_date "
+                f"{self.start} (latestOffset would precede initialOffset, "
+                f"which Spark rejects with an opaque error)"
+            )
         self.symbols = (
             options["symbols"].split(",") if "symbols" in options else config.SYMBOLS
         )

@@ -154,6 +154,18 @@ def test_bloom_semi_join_mixed_key_dtypes(spark):
     )
     assert {int(r.key) for r in got_d.collect()} == set(range(0, 50, 7))
 
+    # DECIMAL(10,2) probe vs DECIMAL(12,4) build: a class-name-only type
+    # compare would skip the cast, xxhash64 would hash different unscaled
+    # longs for the same value, and every probe would false-negative
+    # (silently empty result). Full dataType equality must trigger the
+    # double widening.
+    probe_dd = spark.range(0, 50).selectExpr("CAST(id AS DECIMAL(10,2)) AS key")
+    build_dd = spark.range(0, 200, 7).selectExpr("CAST(id AS DECIMAL(12,4)) AS bkey")
+    got_dd = bloom_semi_join(
+        probe_dd, build_dd, probe_key="key", build_key="bkey", expected_keys=100
+    )
+    assert {int(r.key) for r in got_dd.collect()} == set(range(0, 50, 7))
+
 
 def test_zorder_pruned_scan_skips_files(spark, tmp_path):
     """The manifest-driven scan must (a) return exactly the full-scan
@@ -187,6 +199,35 @@ def test_zorder_pruned_scan_skips_files(spark, tmp_path):
     n_all = len(spark.read.parquet(path).inputFiles())
     n_pruned = len(got.inputFiles())
     assert 0 < n_pruned < n_all
+
+
+def test_zorder_does_not_leak_cached_frames(spark, tmp_path):
+    """zorder_layout persists a small counts frame; write_zordered must
+    release it after the write, and the driver-contract query must not
+    cache at all — a long-lived bench session would otherwise accumulate
+    one pinned frame per call."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.advanced_ops import (
+        q_zorder_layout,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.skipping import (
+        write_zordered,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zordered(li, str(tmp_path / "zleak"), "l_partkey", "l_suppkey")
+    assert n_cached() == before, "write_zordered left a cached frame behind"
+
+    q_zorder_layout(spark, SF_SMALL).collect()
+    assert n_cached() == before, "q_zorder_layout cached an unreleasable frame"
 
 
 def test_snapshot_diff_empty_payload_key_presence(spark):

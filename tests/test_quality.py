@@ -73,6 +73,54 @@ def test_assert_suite_raises(spark):
         assert_suite(df, [unique("id")])
 
 
+def test_quarantine_split_sql_oracle_null_symmetric(spark):
+    """SQL_QUARANTINE_SPLIT must agree with quarantine_split on NULL-
+    bearing data: a NULL comparison is not a violation, so NULL rows
+    count as _valid in BOTH implementations (the oracle's exactness must
+    not silently rest on lineitem being null-free)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.quality.expectations import (
+        quarantine_split,
+        values_between,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.reference import (
+        SQL_QUARANTINE_SPLIT,
+    )
+
+    rows = [(10.0, 0.02), (None, 0.02), (50.0, None), (None, None), (50.0, 0.9)]
+    df = spark.createDataFrame(rows, "l_quantity double, l_discount double")
+    valid, invalid = quarantine_split(
+        df,
+        [values_between("l_quantity", 1, 45), values_between("l_discount", 0.0, 0.05)],
+    )
+    got = {("_valid", valid.count())}
+    for r in (
+        invalid.select(F.explode("_violations").alias("reason"))
+        .groupBy("reason")
+        .count()
+        .collect()
+    ):
+        got.add((r["reason"], r["count"]))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({'NULL' if q is None else q}, {'NULL' if d is None else d})"
+            for q, d in rows
+        )
+        + ") t(l_quantity, l_discount)"
+    )
+    oracle = set(con.execute(SQL_QUARANTINE_SPLIT).fetchall())
+    # NULL rows: 3 of 5 have a NULL in some checked column, none of those
+    # comparisons is a violation -> (None,None) and (None,0.02) and
+    # (50,None)... 50 violates quantity. Expected: _valid = rows with no
+    # TRUE violation.
+    assert got == oracle
+
+
 def test_quarantine_split_routes_rows(spark):
     from nasdaq_equity_airflow_ecs_pipeline_spark.quality.expectations import (
         not_null,

@@ -143,9 +143,9 @@ def test_quotefeed_datasource_batch(spark):
 
 
 def test_quotefeed_datasource_stream_drains_days(spark, tmp_path):
-    """DataSourceStreamReader: AvailableNow drains one micro-batch per
-    day between start_date and end_date with checkpointed offsets; a
-    restart re-processes nothing."""
+    """DataSourceStreamReader: AvailableNow drains the whole day-backlog
+    (one batch of per-day splits) with checkpointed offsets; a restart
+    re-processes nothing."""
     from nasdaq_equity_airflow_ecs_pipeline_spark.sources.quotefeed import (
         QuoteFeedDataSource,
     )
@@ -177,6 +177,21 @@ def test_quotefeed_datasource_stream_drains_days(spark, tmp_path):
     }
     drain()  # offsets checkpointed: nothing new
     assert spark.read.parquet(out).count() == 6
+
+
+def test_quotefeed_stream_rejects_inverted_dates():
+    """end_date < start_date must fail fast with a directed message, not
+    surface as Spark's opaque 'latest offset precedes initial offset'."""
+    import pytest
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.quotefeed import (
+        QuoteFeedStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="before start_date"):
+        QuoteFeedStreamReader(
+            {"start_date": "2024-03-06", "end_date": "2024-03-04"}
+        )
 
 
 def test_interval_join_stream_matches_batch(spark, event_stream_dir):

@@ -50,6 +50,17 @@ def test_merge_delete_clause(spark, tmp_path):
     created = merge_upsert(None, source, ["k"], delete_condition="op = 'D'")
     assert {r.k for r in created.collect()} == {2, 4}
 
+    # NULL predicate rows follow Iceberg WHEN MATCHED AND cond THEN
+    # DELETE semantics: NULL is NOT a delete — the row falls through to
+    # UPDATE/INSERT. (A naive cond / ~cond split loses them from BOTH
+    # arms: k=2 would neither update nor delete, k=6 would never insert.)
+    src_null = spark.createDataFrame(
+        [(2, "B2", None), (3, None, "D"), (6, "f", None)],
+        "k int, v string, op string",
+    )
+    out_null = merge_upsert(target, src_null, ["k"], delete_condition="op = 'D'")
+    assert {r.k: r.v for r in out_null.collect()} == {1: "a", 2: "B2", 6: "f"}
+
     # versioned table round-trip: delete produces a new snapshot, old
     # snapshot still shows the row (snapshot isolation)
     import pyspark.sql.functions as _F
