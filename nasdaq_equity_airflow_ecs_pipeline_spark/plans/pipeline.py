@@ -44,6 +44,8 @@ def run_pipeline(
     processing_date: str,
     raw_root: str | None = None,
     validate: bool = True,
+    catalog=None,
+    database: str = "nasdaq_warehouse",
 ) -> dict[str, str]:
     """Run the full daily pipeline for one date into ``warehouse``.
 
@@ -53,21 +55,32 @@ def run_pipeline(
     DataSource (sources/quotefeed.py) instead of driver-side mock gen —
     the executor-parallel extract path, landed to the same raw layout so
     everything downstream (and re-runs over raw) is identical.
+
+    ``catalog``: a ``sources.catalog.NameCatalog`` — when given, every
+    table is addressed by its 3-level name ``catalog.database.table`` and
+    the path comes from the catalog resolver, mirroring the reference's
+    ``glue_catalog.nasdaq_airflow_warehouse_dev.<table>`` addressing
+    (build_stock_fact_table.py:84, terraform/modules/glue/main.tf:79).
+    The keyed upserts below keep their existence-probe-driven CREATE vs
+    MERGE branch (reference K7) — only name resolution changes.
     Returns {table: path}.
     """
     os.makedirs(warehouse, exist_ok=True)
-    paths = {
-        t: os.path.join(warehouse, t)
-        for t in (
-            "fact_stock_daily_price",
-            "dim_stock",
-            "dim_date",
-            "dim_exchange",
-            "agg_stock_weekly_metrics",
-            "agg_stock_monthly_metrics",
-            "agg_sector_performance",
-        )
-    }
+    tables = (
+        "fact_stock_daily_price",
+        "dim_stock",
+        "dim_date",
+        "dim_exchange",
+        "agg_stock_weekly_metrics",
+        "agg_stock_monthly_metrics",
+        "agg_sector_performance",
+    )
+    if catalog is not None:
+        paths = {t: catalog.resolve(f"{database}.{t}") for t in tables}
+        for p in paths.values():
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+    else:
+        paths = {t: os.path.join(warehouse, t) for t in tables}
 
     # -- extract (Lambda parity: fetch or mock, land JSONL in date= dirs)
     if raw_root == "quotefeed":
@@ -87,7 +100,25 @@ def run_pipeline(
         mock = generate_mock_quotes(spark, processing_date)
         write_quotes_jsonl(mock, raw_root)
     quotes = read_quotes_jsonl(spark, raw_root, processing_date).drop("date")
+    land_quotes(spark, quotes, processing_date, paths, validate=validate)
+    return paths
 
+
+def land_quotes(
+    spark: SparkSession,
+    quotes,
+    processing_date: str,
+    paths: dict[str, str],
+    validate: bool = True,
+) -> None:
+    """Transform + land one day's normalized quotes into the star schema:
+    dims upsert, fact cow-MERGE, scoped aggregate maintenance, GX gate.
+
+    This is the shared per-day body of the DAG — ``run_pipeline`` calls
+    it after a batch extract, and the streaming form
+    (streaming/pipeline.py) calls it from ``foreachBatch`` per day in
+    each micro-batch, so both paths produce identical tables by
+    construction."""
     # -- dimensions (Glue job 1): dim_stock upsert preserves first_seen_date
     dim_stock = build_dim_stock(quotes, processing_date)
     upsert_parquet(
@@ -120,7 +151,7 @@ def run_pipeline(
     # 100 TB.
     fact_all = spark.read.parquet(paths["fact_stock_daily_price"])
     if fact_all.isEmpty():
-        return paths
+        return
     dim_date = spark.read.parquet(paths["dim_date"])
     dim_stock_all = spark.read.parquet(paths["dim_stock"])
     pd_date = F.to_date(F.lit(processing_date))
@@ -164,4 +195,3 @@ def run_pipeline(
         suites = reference_suites()
         for table, cols in order.items():
             assert_suite(spark.read.parquet(paths[table]).select(*cols), suites[table])
-    return paths
