@@ -65,8 +65,16 @@ def main() -> None:
     import __spark_entry__ as contract
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scale_stress import _shuffle_totals
+
     t_start = time.monotonic()
-    spark = get_spark("bench")
+    # UI on: the REST API is the per-query shuffle-bytes source — plan-
+    # shape regressions (a lost broadcast, a new exchange) show up in
+    # shufW even when wall-clock noise hides them
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4052"}
+    )
     queries = contract.queries()
 
     # JVM + parquet-footer warmup outside the timed region.
@@ -83,10 +91,15 @@ def main() -> None:
     # extra sub-second rep buys the variance down for ~nothing.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    shufw: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
         rep = 0
+        # shuffle delta brackets the whole rep loop (the REST settle wait
+        # stays OUTSIDE the timed region); bytes are plan-deterministic,
+        # so per-execution volume = delta / reps
+        w0, _ = _shuffle_totals(spark)
         while rep < 2 or (best < 1.0 and rep < 3):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -95,8 +108,11 @@ def main() -> None:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
             rep += 1
+        w1, _ = _shuffle_totals(spark)
+        shufw[name] = round((w1 - w0) / 1e6 / rep, 1)
         timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s, {rep} reps)",
+        print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s, {rep} reps, "
+              f"shufW {shufw[name]}MB)",
               file=sys.stderr)
 
     # flagship composition, timed separately so the headline total stays
@@ -114,12 +130,16 @@ def main() -> None:
     ):
         fn = queries[name]
         best = float("inf")
+        w0, _ = _shuffle_totals(spark)
         for _ in range(2):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
+        w1, _ = _shuffle_totals(spark)
+        shufw[name] = round((w1 - w0) / 1e6 / 2, 1)
         extended[name] = round(best, 3)
-        print(f"[bench] extended {name}: {extended[name]}s", file=sys.stderr)
+        print(f"[bench] extended {name}: {extended[name]}s "
+              f"(shufW {shufw[name]}MB)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -130,6 +150,7 @@ def main() -> None:
         "sf": sf,
         "cold_total": round(sum(cold.values()), 3),
         "extended": extended,
+        "shufW_mb": shufw,
         "startup_sec": startup,
         "reps": "2 (+1 when warm best <1s)",
         "timing": "best-of-2 per query, best-of-3 when sub-second; "
