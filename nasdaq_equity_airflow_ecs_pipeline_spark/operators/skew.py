@@ -10,6 +10,15 @@ is the hand-rolled counterpart for ``groupBy``.
 
 Only algebraic aggregates decompose this way; the helpers below cover
 the sum/count/min/max family (avg = merged sum / merged count).
+
+Measured guidance (tools/skew_stress.py, 60 M rows, 29 %-hot Zipf key,
+EXPLAIN.md "Skew-stress"): ``salted_join`` cuts the naive shuffle
+join's max task 13.7 s -> 3.5 s (straggler 8.7x -> 1.7x) at the cost of
+``buckets x small-side`` replication; plain algebraic ``groupBy`` shows
+NO straggler (map-side partial aggregation collapses the hot key before
+the shuffle), so reach for ``salted_agg`` only when partials are
+ineffective, and give the salted join ~3x cores shuffle partitions so
+the salt combos don't ball-in-bin onto too few reducers.
 """
 
 from __future__ import annotations

@@ -1,0 +1,309 @@
+#!/usr/bin/env python3
+"""Skew-stress harness: prove ``operators/skew.py`` bounds the straggler.
+
+Synthesizes a Zipf-skewed fact (truncated-Pareto key draw, s=1.5: the
+hottest key holds ~29% of all rows, the top-5 ~60% — the power-law shape
+of real user/symbol activity) at x100-of-sf0.1 row count, joins it to a
+non-broadcastable dim, and times three physical strategies over the SAME
+parquet input:
+
+  plain_noskew   shuffle join, AQE skew-split OFF — the naive plan; the
+                 hot key's entire volume lands on one reducer (straggler).
+  plain_aqe      shuffle join, AQE skew-split ON — what Spark fixes for
+                 free when the skew is visible to AQE (plain SMJ).
+  salted         ``salted_join`` (buckets=32), AQE skew-split OFF — the
+                 structural fix that works even where AQE cannot see the
+                 skew (joins feeding later stages, non-SMJ plans).
+
+Per variant we record wall, shuffle read/write, and — the point — the
+MAX single-task time of the heaviest stage vs its MEDIAN, from the UI
+REST taskSummary API. A bounded straggler means max/median stays near 1;
+the naive plan's max is ~the hot-key share of the whole join.
+
+An aggregation leg runs the same comparison for groupBy (plain vs
+``salted_sum_count``) and reports an honest NEGATIVE result: for
+ALGEBRAIC aggregates Spark's map-side partial aggregation already
+collapses a hot key to one row per map task, so plain groupBy is
+skew-safe and the salted path only pays a second shuffle (measured
+~3.7x slower at 60M rows / 29% hot key). The leg exists to document
+that guidance with numbers — salting is for JOINS (and for aggs whose
+partials carry full row volume, e.g. collect_list, where no
+partitioning trick fixes the single hot output row anyway).
+
+Broadcast is pinned off throughout: at 100 TB the dim side is tens of
+GB, not broadcastable; letting the 60 MB test dim broadcast would
+measure nothing.
+
+Usage:
+    python3 tools/skew_stress.py [n_rows] [outdir]   # default 60M rows
+    python3 tools/skew_stress.py 60000000 /tmp/skew --run-only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_KEYS = 200_000  # dim cardinality: ~14 MB parquet, >64MB in-mem plan est.
+
+
+def _get(ui: str, path: str):
+    import urllib.request
+
+    with urllib.request.urlopen(f"{ui}{path}", timeout=30) as r:
+        return json.load(r)
+
+
+def _stage_ids(spark, app_id: str) -> set[int]:
+    ui = spark.sparkContext.uiWebUrl
+    try:
+        return {
+            s["stageId"]
+            for s in _get(ui, f"/api/v1/applications/{app_id}/stages?status=complete")
+        }
+    except Exception:
+        return set()
+
+
+def _settle(spark, app_id: str) -> None:
+    ui = spark.sparkContext.uiWebUrl
+    for _ in range(20):
+        try:
+            if not _get(ui, f"/api/v1/applications/{app_id}/stages?status=active"):
+                return
+        except Exception:
+            return
+        time.sleep(0.1)
+
+
+def _stage_metrics(spark, app_id: str, new_ids: set[int]) -> dict:
+    """Shuffle totals + straggler profile of the REDUCE stage.
+
+    The hot key lands in the stage that READS the keyed shuffle (the
+    join/agg reducer), so the straggler is measured there: taskSummary
+    quantiles of executorRunTime give its median vs max task time. Map
+    stages (scans) are uniform by construction and would mask the signal
+    if picked by raw max-task-time."""
+    ui = spark.sparkContext.uiWebUrl
+    stages = [
+        s
+        for s in _get(ui, f"/api/v1/applications/{app_id}/stages?status=complete")
+        if s["stageId"] in new_ids
+    ]
+    shuf_w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    shuf_r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    worst = {"max_task_s": 0.0, "med_task_s": 0.0, "stage": None, "n_tasks": 0}
+    reducers = [s for s in stages if s.get("shuffleReadBytes", 0) > 0] or stages
+    for s in reducers:
+        try:
+            q = _get(
+                ui,
+                f"/api/v1/applications/{app_id}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0",
+            )
+            med, mx = (v / 1000.0 for v in q["executorRunTime"])
+        except Exception:
+            continue
+        if mx > worst["max_task_s"]:
+            worst = {
+                "max_task_s": round(mx, 2),
+                "med_task_s": round(med, 2),
+                "stage": s["stageId"],
+                "n_tasks": s.get("numCompleteTasks", 0),
+            }
+    return {
+        "shuffle_write_mb": round(shuf_w / 1e6, 1),
+        "shuffle_read_mb": round(shuf_r / 1e6, 1),
+        **worst,
+        "straggler_ratio": round(
+            worst["max_task_s"] / max(worst["med_task_s"], 1e-3), 1
+        ),
+    }
+
+
+def build(spark, n_rows: int, outdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(outdir, exist_ok=True)
+    # Truncated Pareto inverse-CDF: u^(-1/(s-1)) with s=1.5 -> u^-2.
+    # P(key=1) ~ 0.29, P(key<=5) ~ 0.55 — a genuinely hot head, and a
+    # long tail out to N_KEYS so the dim join is selective everywhere.
+    fact = (
+        spark.range(n_rows)
+        .select(
+            F.least(
+                F.pow(F.rand(seed=11), F.lit(-2.0)).cast("long"), F.lit(N_KEYS)
+            ).alias("key"),
+            (F.rand(seed=12) * 100).alias("value"),
+            # 36-char payload: gives rows realistic width so shuffle and
+            # reducer memory are meaningful, not register-sized
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+    )
+    fact.repartition(64).write.mode("overwrite").parquet(f"{outdir}/fact.parquet")
+    dim = spark.range(1, N_KEYS + 1).select(
+        F.col("id").alias("key"),
+        F.md5(F.col("id").cast("string")).alias("attr"),
+        (F.col("id") % 50).alias("segment"),
+    )
+    dim.repartition(4).write.mode("overwrite").parquet(f"{outdir}/dim.parquet")
+    print(f"[build] fact {n_rows} rows (Zipf s=1.5 head), dim {N_KEYS} rows")
+
+
+def run_variant(spark, app_id: str, name: str, df_fn) -> dict:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    before = _stage_ids(spark, app_id)
+    obs = Observation(f"n_{name}_{time.monotonic_ns()}")
+    t0 = time.time()
+    df = df_fn().observe(obs, F.count(F.lit(1)).alias("n"))
+    df.write.format("noop").mode("overwrite").save()
+    n = obs.get["n"]
+    wall = round(time.time() - t0, 2)
+    _settle(spark, app_id)
+    after = _stage_ids(spark, app_id)
+    m = {"wall_s": wall, "rows": n, **_stage_metrics(spark, app_id, after - before)}
+    print(
+        f"[{name}] wall={wall}s rows={n} maxTask={m['max_task_s']}s "
+        f"medTask={m['med_task_s']}s straggler={m['straggler_ratio']}x "
+        f"shufW={m['shuffle_write_mb']}MB"
+    )
+    return m
+
+
+def main() -> None:
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.skew import (
+        salted_join,
+        salted_sum_count,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 60_000_000
+    outdir = args[1] if len(args) > 1 else "/tmp/skew_stress"
+    spark = get_spark(
+        "skew_stress",
+        cpus=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4051",
+            # at 100 TB the dim is not broadcastable — pin the shuffle plan
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            # 3x cores: the salted join multiplies distinct key-combos by
+            # `buckets`, so reducers need headroom beyond 1 partition per
+            # core or the salt combos ball-in-bin onto too few reducers
+            # (32 combos over 32 partitions leaves some with 2-3 hot
+            # combos, measured 8.1s max task vs 2.9s at 96). The naive
+            # plan is unaffected: the hot key is ONE partition at any
+            # partition count. Cluster guidance is the same: high initial
+            # partitions, AQE coalesces the small ones back.
+            "spark.sql.shuffle.partitions": "96",
+        },
+    )
+    if "--run-only" not in sys.argv:
+        build(spark, n_rows, outdir)
+    app_id = _get(spark.sparkContext.uiWebUrl, "/api/v1/applications")[0]["id"]
+
+    fact = spark.read.parquet(f"{outdir}/fact.parquet")
+    dim = spark.read.parquet(f"{outdir}/dim.parquet")
+    # warm the OS page cache so variant 1 doesn't pay the cold read the
+    # later variants skip — the comparison is plan shape, not disk IO.
+    # (A bare count() is parquet-metadata-only; aggregate real columns
+    # to force the data pages through the page cache.)
+    fact.agg(F.sum("value"), F.sum(F.length("payload"))).collect()
+    dim.agg(F.sum("segment"), F.sum(F.length("attr"))).collect()
+    # JIT/codegen + shuffle-machinery warmup, unrecorded: the first
+    # exchange in a fresh JVM pays one-time compilation the later
+    # variants don't
+    fact.limit(2_000_000).join(dim, "key", "inner").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def set_skew(on: bool) -> None:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(on).lower())
+
+    report: dict[str, dict] = {}
+
+    # --- join leg: same logical join, three physical strategies
+    set_skew(False)
+    report["join_plain_noskew"] = run_variant(
+        spark, app_id, "join_plain_noskew", lambda: fact.join(dim, "key", "inner")
+    )
+    set_skew(True)
+    report["join_plain_aqe"] = run_variant(
+        spark, app_id, "join_plain_aqe", lambda: fact.join(dim, "key", "inner")
+    )
+    set_skew(False)
+    report["join_salted"] = run_variant(
+        spark,
+        app_id,
+        "join_salted",
+        lambda: salted_join(fact, dim, keys=["key"], buckets=32),
+    )
+
+    # --- aggregation leg: algebraic agg (partials make plain skew-safe;
+    # salted must match it, proving zero-cost insurance)
+    report["agg_plain"] = run_variant(
+        spark,
+        app_id,
+        "agg_plain",
+        lambda: fact.groupBy("key").agg(
+            F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_rows")
+        ),
+    )
+    report["agg_salted"] = run_variant(
+        spark,
+        app_id,
+        "agg_salted",
+        lambda: salted_sum_count(fact, ["key"], F.col("value"), buckets=32),
+    )
+
+    print(json.dumps({"n_rows": n_rows, "variants": report}, indent=2))
+
+    # gates. Straggler evidence is CROSS-variant max task time (the
+    # within-stage max/median ratio understates skew when sort/spill
+    # inflates the median): salting must cut the naive plan's longest
+    # task >=3x, and stay competitive with AQE's own skew fix.
+    naive, aqe, salted = (
+        report["join_plain_noskew"],
+        report["join_plain_aqe"],
+        report["join_salted"],
+    )
+    ok = True
+    if naive["max_task_s"] < 3 * salted["max_task_s"]:
+        print("FAIL: salted join does not bound the naive plan's straggler")
+        ok = False
+    if salted["wall_s"] > 0.8 * naive["wall_s"]:
+        print("FAIL: salted join does not beat the straggled naive wall")
+        ok = False
+    print(
+        f"note: AQE skew-split wall {aqe['wall_s']}s vs salted "
+        f"{salted['wall_s']}s — AQE wins when it can see the skew (plain "
+        f"SMJ); salting is for the plans it cannot (non-terminal joins, "
+        f"hinted/bucketed plans), at {round(salted['wall_s']/aqe['wall_s'], 2)}x "
+        f"its wall and an equally bounded max task"
+    )
+    if report["agg_salted"]["rows"] != report["agg_plain"]["rows"]:
+        print("FAIL: salted agg row count diverges from plain")
+        ok = False
+    ratio = report["agg_salted"]["wall_s"] / max(report["agg_plain"]["wall_s"], 1e-9)
+    print(
+        f"note: algebraic agg needs NO salting (partial agg collapses the "
+        f"hot key map-side); salted/plain wall = {ratio:.1f}x — reserve "
+        f"salted_agg for partial-ineffective plans"
+    )
+    print("skew gates PASS" if ok else "skew gates FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
