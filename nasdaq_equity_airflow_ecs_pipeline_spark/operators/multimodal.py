@@ -8,9 +8,12 @@ real and tested. Decoding is layered (``real_decode``):
    (``decode_png``: IHDR/IDAT parse, scanline unfilter, pixel stats).
 2. WAV — decoded for real by the stdlib ``wave`` module
    (``decode_wav``: PCM frames -> amplitude stats).
-3. JPEG & everything else — ``PIL`` when importable (not in this
-   container), else the deterministic stub so the pipeline shape stays
-   testable. ``decode_fn`` remains the injection point for
+3. Baseline JPEG — decoded for real by a pure stdlib+numpy decoder
+   (``decode_jpeg``: Huffman entropy decode, dequantize, vectorized
+   IDCT, chroma upsample, YCbCr->RGB).
+4. Progressive JPEG & everything else — ``PIL`` when importable (not in
+   this container), else the deterministic stub so the pipeline shape
+   stays testable. ``decode_fn`` remains the injection point for
    torchaudio/pyav-class decoders in production.
 
 Scale notes: binary payloads ride the columnar format untouched until the
@@ -127,6 +130,248 @@ def decode_png(payload: bytes) -> dict[str, Any]:
     }
 
 
+_ZIGZAG = [  # zigzag scan order -> natural (row-major) index, JPEG spec fig A.6
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment (already
+    byte-unstuffed). Running out of bits mid-symbol is a decode error."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos = data, 0
+
+    def bit(self) -> int:
+        byte, off = divmod(self.pos, 8)
+        if byte >= len(self.data):
+            raise ValueError("JPEG scan data exhausted")
+        self.pos += 1
+        return (self.data[byte] >> (7 - off)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code, length = (code << 1) | bits.bit(), length + 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND (spec F.2.2.1): t-bit magnitude -> signed coefficient."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """Real baseline JPEG decode with stdlib + numpy only (no Pillow):
+    segment parse (DQT/SOF0/DHT/DRI/SOS), canonical Huffman decode of the
+    entropy-coded scan (byte unstuffing, restart-marker DC resets),
+    dequantize + dezigzag, vectorized 8x8 IDCT, chroma upsampling for
+    4:2:0/4:2:2, YCbCr->RGB. Supports baseline sequential (SOF0/SOF1),
+    8-bit, 1- or 3-component images; raises ValueError on progressive /
+    arithmetic / 12-bit variants so ``real_decode`` can route those to
+    PIL or the disclosed stub."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG signature")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict[str, int]] = []
+    width = height = 0
+    restart_interval = 0
+    scan: bytes | None = None
+    scan_sel: list[tuple[int, int]] = []  # per scan comp: (dc table, ac table)
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:  # 16-bit precision
+                    vals = list(struct.unpack(f">{64}H", data[i:i + 128]))
+                    i += 128
+                else:
+                    vals = list(data[i:i + 64])
+                    i += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            for c in range(n_comp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC4:  # DHT: canonical tables, possibly several
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = data[i + 1:i + 17]
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = data[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS: scan header, then entropy-coded data
+            n_scan = data[0]
+            for c in range(n_scan):
+                _cid, tables = data[1 + 2 * c], data[2 + 2 * c]
+                scan_sel.append((tables >> 4, tables & 15))
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00, *range(0xD0, 0xD8)
+                ):
+                    break
+                end += 1
+            scan = payload[pos:end]
+            break
+        # APPn/COM/etc: skipped
+    if scan is None or not comps or not width:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    # split on restart markers; unstuff FF00 within each interval
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF and i + 1 < len(scan):
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: new interval, DC predictors reset
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    chunks.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1)u*pi/16); spatial = A.T @ F @ A
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    A[0, :] *= 1 / np.sqrt(2)
+
+    bits = _JpegBits(chunks[0])
+    chunk_idx = 0
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunk_idx += 1
+            if chunk_idx >= len(chunks):
+                raise ValueError("missing JPEG restart interval")
+            bits = _JpegBits(chunks[chunk_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, comp in enumerate(comps):
+            dc_tbl = huff[(0, scan_sel[ci][0])]
+            ac_tbl = huff[(1, scan_sel[ci][1])]
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coef = np.zeros(64, dtype=np.float64)
+                    t = _huff_decode(bits, dc_tbl)
+                    preds[ci] += _extend(bits.bits(t), t)
+                    coef[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:  # EOB
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[_ZIGZAG[k]] = _extend(bits.bits(s), s) * q[k]
+                        k += 1
+                    block = A.T @ coef.reshape(8, 8) @ A + 128.0
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    # upsample each component to full resolution, crop to (height, width)
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if comp["h"] != hmax:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        if comp["v"] != vmax:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        rgb = np.clip(full[0], 0, 255)
+        channels = 1
+    elif len(full) == 3:  # YCbCr (JFIF) -> RGB, ITU-R BT.601
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.clip(
+            np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        )
+        channels = 3
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    return {
+        "feat_mean": float(rgb.mean() / 255.0),
+        "feat_dim": channels,
+        "width": int(width),
+        "height": int(height),
+    }
+
+
 def decode_wav(payload: bytes) -> dict[str, Any]:
     """Real WAV decode via the stdlib ``wave`` module: PCM frames ->
     normalized mean-absolute amplitude. feat_dim = channel count."""
@@ -156,11 +401,12 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
 
 
 def real_decode(payload: bytes) -> dict[str, Any]:
-    """Magic-byte-sniffing decoder: PNG and WAV decode for real with the
-    stdlib-only decoders above; JPEG (and other PIL formats) decode when
-    Pillow is importable; anything unrecognized falls back to the
-    deterministic stub so the pipeline never dies on opaque bytes.
-    Always returns the MEDIA_META_SCHEMA feature keys."""
+    """Magic-byte-sniffing decoder: PNG, baseline JPEG, and WAV decode
+    for real with the stdlib+numpy decoders above; non-baseline JPEG and
+    other PIL formats decode when Pillow is importable; anything
+    unrecognized falls back to the deterministic stub so the pipeline
+    never dies on opaque bytes. Always returns the MEDIA_META_SCHEMA
+    feature keys."""
     if payload is None:
         raise NotImplementedError("media decode of NULL payload")
     feats: dict[str, Any] | None = None
@@ -168,7 +414,14 @@ def real_decode(payload: bytes) -> dict[str, Any]:
         feats = decode_png(payload)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         feats = decode_wav(payload)
-    else:
+    elif payload[:2] == b"\xff\xd8":
+        try:
+            feats = decode_jpeg(payload)
+        except ValueError:
+            # progressive/12-bit/arithmetic variant: PIL path below, or
+            # the disclosed stub when PIL is absent
+            feats = None
+    if feats is None:
         try:  # PIL path: real when the lib exists (not in this container)
             import io
 

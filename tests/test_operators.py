@@ -4,6 +4,9 @@
 from __future__ import annotations
 
 import math
+import struct
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -442,6 +445,234 @@ def test_real_decode_sniffs_and_falls_back(spark):
     }
     assert math.isclose(out[1]["feat_mean"], png_mean)
     assert out[1]["feat_dim"] == 1 and out[2]["feat_dim"] == 8
+
+
+class _JpegWriter:
+    """Minimal spec-side baseline-JPEG builder for fixtures: emits the
+    segment stream and Huffman-encodes block coefficients with tables of
+    the test's choosing. Independent of the decoder under test — it
+    writes straight from JPEG spec annexes B (syntax) and F (encoder
+    procedure), so agreement decoder<->builder checks both against the
+    spec, not against each other."""
+
+    def __init__(self, width, height, comps, dc_counts, dc_syms, ac_counts,
+                 ac_syms, quant=None, restart=0):
+        # comps: list of (h, v) sampling factors; quant table defaults to
+        # all-1s so dequantized coefficients equal the raw ones.
+        self.width, self.height, self.comps = width, height, comps
+        self.quant = quant or [1] * 64
+        self.restart = restart
+        self.dc = self._canonical(dc_counts, dc_syms)
+        self.ac = self._canonical(ac_counts, ac_syms)
+        self.bits = []
+        self.segments = bytearray(b"\xff\xd8")
+        self._seg(0xDB, bytes([0]) + bytes(self.quant))
+        sof = struct.pack(">BHHB", 8, height, width, len(comps))
+        for i, (h, v) in enumerate(comps):
+            sof += bytes([i + 1, (h << 4) | v, 0])
+        self._seg(0xC0, sof)
+        self._seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+        self._seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+        if restart:
+            self._seg(0xDD, struct.pack(">H", restart))
+        sos = bytes([len(comps)])
+        for i in range(len(comps)):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        self._seg(0xDA, sos)
+
+    @staticmethod
+    def _canonical(counts, syms):
+        table, code, it = {}, 0, iter(syms)
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[next(it)] = (length, code)
+                code += 1
+            code <<= 1
+        return table
+
+    def _seg(self, marker, data):
+        self.segments += bytes([0xFF, marker]) + struct.pack(
+            ">H", len(data) + 2) + data
+
+    def put(self, sym_table, sym):
+        length, code = sym_table[sym]
+        self.bits += [(code >> (length - 1 - i)) & 1 for i in range(length)]
+
+    def put_value(self, v):
+        """Category bits of a signed coefficient (spec F.1.2.1.2)."""
+        t = max(v, -v).bit_length()
+        self.put(self.dc if self._in_dc else self.ac, (self._run << 4) | t)
+        if t:
+            raw = v if v >= 0 else v + (1 << t) - 1
+            self.bits += [(raw >> (t - 1 - i)) & 1 for i in range(t)]
+
+    def dc_coef(self, diff):
+        self._in_dc, self._run = True, 0
+        self.put_value(diff)
+
+    def ac_coef(self, run, v):
+        self._in_dc, self._run = False, run
+        self.put_value(v)
+
+    def eob(self):
+        self.put(self.ac, 0x00)
+
+    def flush_interval(self, n):
+        """Pad to byte boundary with 1s; append RSTn before next data."""
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = int("".join(map(str, self.bits[i:i + 8])), 2)
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.bits = []
+        self.segments += out
+        if n is not None:
+            self.segments += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def tobytes(self):
+        self.flush_interval(None)
+        return bytes(self.segments + b"\xff\xd9")
+
+
+# shared fixture tables: DC cats 0-9 at len 4 except cat 0 at len 2;
+# AC: EOB len 2, then (run<<4|size) symbols the tests use at len 4-5
+_DC_COUNTS = [0, 1, 0, 9] + [0] * 12
+_DC_SYMS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+_AC_COUNTS = [0, 1, 0, 6, 6] + [0] * 11
+_AC_SYMS = [0x00, 0x01, 0x02, 0x03, 0x11, 0x21, 0xF0, 0x04, 0x05, 0x06,
+            0x12, 0x26, 0x31]
+
+
+def test_jpeg_decode_flat_grayscale():
+    """One flat 8x8 gray block: pixel = DC/8 + 128 exactly (only the
+    (0,0) basis function is non-zero), checked to float precision."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w = _JpegWriter(8, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS)
+    w.dc_coef(256)  # F(0,0)=256 -> every pixel 256/8 + 128 = 160
+    w.eob()
+    feats = decode_jpeg(w.tobytes())
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["feat_dim"] == 1
+    assert math.isclose(feats["feat_mean"], 160 / 255.0, rel_tol=1e-9)
+
+
+def test_jpeg_decode_ac_idct_against_direct_cosine_sum():
+    """A block with DC + two AC coefficients (one behind a zero-run) must
+    match an independently computed direct cosine-sum IDCT."""
+    import numpy as np
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    coeffs = {(0, 0): 80, (0, 1): 60, (1, 1): -35}  # (row u, col v) natural
+    w = _JpegWriter(8, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS)
+    w.dc_coef(80)
+    # zigzag index 1 = natural (0,1); index 4 = natural (1,1): run of 2 zeros
+    w.ac_coef(0, 60)
+    w.ac_coef(2, -35)
+    w.eob()
+    feats = decode_jpeg(w.tobytes())
+
+    # reference: direct double cosine sum straight from the IDCT formula
+    def c(k):
+        return 1 / np.sqrt(2) if k == 0 else 1.0
+
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            ref[y, x] = 0.25 * sum(
+                c(u) * c(v) * f
+                * np.cos((2 * y + 1) * u * np.pi / 16)
+                * np.cos((2 * x + 1) * v * np.pi / 16)
+                for (u, v), f in coeffs.items()
+            )
+    expect = float(np.clip(ref + 128, 0, 255).mean() / 255.0)
+    assert math.isclose(feats["feat_mean"], expect, rel_tol=1e-9)
+
+
+def test_jpeg_decode_420_color_and_dc_prediction():
+    """16x16 YCbCr 4:2:0: four Y blocks (DC differentially coded), one
+    Cb and one Cr block upsampled 2x2; verify the RGB mean against the
+    hand-computed BT.601 conversion, and width/height cropping."""
+    import numpy as np
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w = _JpegWriter(
+        16, 16, [(2, 2), (1, 1), (1, 1)],
+        _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS,
+    )
+    y_dcs = [80, 160, -80, 240]  # absolute DC per Y block
+    prev = 0
+    for dc in y_dcs:  # 4 Y blocks inside the single MCU
+        w.dc_coef(dc - prev)
+        prev = dc
+        w.eob()
+    w.dc_coef(64)   # Cb
+    w.eob()
+    w.dc_coef(-48)  # Cr
+    w.eob()
+    feats = decode_jpeg(w.tobytes())
+    assert feats["width"] == 16 and feats["height"] == 16
+    assert feats["feat_dim"] == 3
+
+    ys = np.repeat([v / 8 + 128 for v in y_dcs], 64).astype(float)
+    cb, cr = 64 / 8, -48 / 8  # flat chroma offsets after IDCT (minus 128)
+    r = np.clip(ys + 1.402 * cr, 0, 255)
+    g = np.clip(ys - 0.344136 * cb - 0.714136 * cr, 0, 255)
+    b = np.clip(ys + 1.772 * cb, 0, 255)
+    expect = float(np.concatenate([r, g, b]).mean() / 255.0)
+    assert math.isclose(feats["feat_mean"], expect, rel_tol=1e-9)
+
+
+def test_jpeg_decode_restart_markers_reset_dc():
+    """Two MCUs with DRI=1: the second interval's DC predictor restarts
+    from 0, so equal DC diffs give equal (not accumulated) pixels."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w = _JpegWriter(16, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS,
+                    _AC_SYMS, restart=1)
+    w.dc_coef(128)  # MCU 0: pixels 128/8+128 = 144
+    w.eob()
+    w.flush_interval(0)
+    w.dc_coef(128)  # MCU 1: predictor reset -> also 144 (not 160)
+    w.eob()
+    feats = decode_jpeg(w.tobytes())
+    assert math.isclose(feats["feat_mean"], 144 / 255.0, rel_tol=1e-9)
+
+
+def test_jpeg_progressive_rejected_and_real_decode_falls_back():
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        real_decode,
+    )
+
+    # progressive SOF2 -> ValueError from decode_jpeg, stub from real_decode
+    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+    assert real_decode(prog)["feat_dim"] == 8  # disclosed stub path
+
+    # baseline JPEG routes through the real decoder in real_decode
+    w = _JpegWriter(8, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS)
+    w.dc_coef(256)
+    w.eob()
+    feats = real_decode(w.tobytes())
+    assert feats["feat_dim"] == 1
+    assert math.isclose(feats["feat_mean"], 160 / 255.0, rel_tol=1e-9)
 
 
 def test_multimodal_meta_only_never_decodes(spark):
