@@ -127,6 +127,9 @@ def main() -> None:
         "q_zorder_pruned_scan",
         "q_count_min_freq",
         "q_stream_interval_join",
+        "q_line_dedup",
+        "q_importance_weights",
+        "q_mv_refresh",
     ):
         fn = queries[name]
         best = float("inf")

@@ -1,0 +1,245 @@
+"""Corpus-curation operators for web-scale training-data pipelines:
+URL canonicalization + dedup, target-mixture reweighting, exact
+line-level dedup (RefinedWeb-style), and hashed-bucket importance
+weighting (DSIR-lite).
+
+All four are pure DataFrame compositions — no UDFs, no driver loops —
+and every shuffle is keyed on a high-cardinality column (canonical URL,
+line hash, doc id) or a constant-bounded one (hash bucket, source), so
+each operator's plan is linear in corpus size. No ``F.broadcast`` hints:
+the bounded frames (bucket stats <= n_buckets rows, source counts <=
+n_sources rows) auto-broadcast under AQE when they fit, and nothing
+unbounded is ever hinted (tools/plan_audit.py enforces this class).
+
+Cross-engine exactness: hashing is the repo's portable 60-bit md5
+construction; scores stay in exact integer/decimal arithmetic until one
+final deterministic double division (functions/stable.py discipline), so
+every operator is DuckDB-oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an http(s) URL, as one column expression:
+
+    - scheme and host lowercased; leading ``www.`` and default ports
+      (``:80`` http, ``:443`` https) stripped from the host
+    - fragment dropped
+    - path kept case-sensitive, trailing slashes stripped
+    - query params: tracking params (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``ref``) and empties dropped, the rest sorted
+
+    The same rules CommonCrawl-style dedup applies before URL-keyed
+    dedup; mirrored 1:1 by the DuckDB oracle in queries/curation_ops.py.
+    """
+    u = F.regexp_replace(F.trim(F.col(col) if isinstance(col, str) else col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed exact dedup: one group per canonical URL, min-id
+    survivor, duplicate count. One hash aggregation keyed on the
+    canonical URL — high cardinality, partial-aggregated map-side, no
+    skew concern beyond what AQE handles."""
+    return (
+        df.withColumn("canonical_url", canonicalize_url(url_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame, source_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Per-source sampling weights that reshape the corpus toward a
+    target mixture (The-Pile/DoReMi-style domain reweighting).
+
+    ``sample_weight = target_share / actual_share``: sampling each
+    source's documents with probability proportional to its weight
+    yields the target mixture in expectation. Exact-arithmetic note:
+    ``actual_share`` and ``sample_weight`` are single double divisions
+    of exact integers, so results are bit-identical cross-engine.
+
+    One k-row aggregation (k = #sources) + one empty-frame window over
+    those k rows — nothing here scales with corpus size.
+    """
+    if abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError("target shares must sum to 1")
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / total.cast("double")).alias("actual_share"),
+        F.coalesce(tmap[F.col("source")], F.lit(0.0)).alias("target_share"),
+        (
+            F.coalesce(tmap[F.col("source")], F.lit(0.0))
+            * total.cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("sample_weight"),
+        F.round(F.coalesce(tmap[F.col("source")], F.lit(0.0)) * total.cast("double"))
+        .cast("bigint")
+        .alias("planned_docs"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 2,
+) -> DataFrame:
+    """Exact line-level dedup across the corpus (RefinedWeb/CCNet
+    pattern): any line occurring in more than ``max_docs`` distinct
+    documents is boilerplate (nav bars, cookie banners, license
+    headers) and is removed from EVERY document; the per-document
+    remainder is reassembled in original line order.
+
+    Plan shape at scale: explode to lines (linear), hash-aggregate line
+    frequency keyed on md5(line) (high cardinality — the hot empty-line
+    case is why lines are md5'd rather than joined raw), equi-join back
+    (no broadcast hint: the duplicated-line set is corpus-scale on a
+    duplicated corpus, the same class as substring-dedup's dup set), and
+    a per-document ``collect_list`` bounded by document line count.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5("line"))
+    freq = lines.groupBy("line_key").agg(
+        F.count_distinct("_id").alias("n_docs_with_line")
+    )
+    kept = lines.join(freq, "line_key").filter(
+        F.col("n_docs_with_line") <= max_docs
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        df.withColumn("n_lines", F.size(F.split(F.col(text_col), "\n")))
+        .join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-lite importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score each document by how much its hashed-unigram profile resembles
+    a target subset (``target_cond`` rows) relative to the raw corpus.
+
+    This variant is log-free so it stays cross-engine exact: with
+    Laplace-smoothed bucket counts t_b+1 (target) and a_b+1 (all), a
+    document's ``target_mass = sum over tokens of (t_b+1)`` and
+    ``corpus_mass = sum of (a_b+1)`` are exact integers;
+    ``importance = (target_mass * total_corpus) / (corpus_mass *
+    total_target)`` is one deterministic double expression, > 1 when the
+    document leans toward the target distribution. (True DSIR sums log
+    ratios — same ordering signal, but float log sums are not
+    bit-reproducible across engines, so the contract query uses the
+    rational form.)
+
+    Plan: one explode (linear), one bucket aggregation (<= n_buckets
+    rows out), one equi-join of tokens to the bounded bucket table
+    (auto-broadcast — bounded by construction), one per-doc sum.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        target_cond.alias("is_target"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    toks = toks.withColumn("bucket", bucket)
+    stats = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.count(F.lit(1)).alias("a_cnt"),
+    )
+    totals = toks.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("total_target"),
+        F.count(F.lit(1)).alias("total_corpus"),
+    )
+    return (
+        toks.join(stats, "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("t_cnt") + 1).alias("target_mass"),
+            F.sum(F.col("a_cnt") + 1).alias("corpus_mass"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .crossJoin(totals)  # 1-row totals frame: broadcast by size
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "target_mass",
+            "corpus_mass",
+            (
+                F.col("target_mass").cast("double")
+                * F.col("total_corpus").cast("double")
+                / (
+                    F.col("corpus_mass").cast("double")
+                    * F.col("total_target").cast("double")
+                )
+            ).alias("importance"),
+        )
+    )

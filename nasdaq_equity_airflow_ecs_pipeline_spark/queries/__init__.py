@@ -14,6 +14,7 @@ from . import streaming_ops
 from . import extended_ops
 from . import tpch_suite
 from . import advanced_ops
+from . import curation_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -24,6 +25,7 @@ for _m in (
     extended_ops,
     tpch_suite,
     advanced_ops,
+    curation_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

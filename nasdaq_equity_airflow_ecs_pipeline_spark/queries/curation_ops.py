@@ -1,0 +1,261 @@
+"""Corpus-curation contract queries: URL canonicalization dedup, domain
+mixture reweighting, line-level dedup, and DSIR-lite importance weights
+(operators/curation.py), each with a mirrored DuckDB oracle.
+
+Fixture note: the ``documents`` table carries no URL column and no
+newlines, so ``q_url_dedup`` synthesizes URL variants (case / www /
+default-port / tracking-param / fragment noise over a shared canonical
+target) and ``q_line_dedup`` re-lines the text every 8 tokens — both
+with expressions evaluated identically in Spark and DuckDB, so the
+operator logic (not the fixture) is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    TRACKING_PARAM_RE,
+    importance_weights,
+    line_dedup,
+    mixture_weights,
+    url_dedup,
+)
+from ..sources.tables import load_table
+
+IMPORTANCE_BUCKETS = 1024
+LINE_DEDUP_MAX_DOCS = 2
+# target mixture: linearly tilted toward the higher-numbered sources;
+# shares (i+1)/210 sum to exactly 1 over the 20 fixture sources
+MIX_TARGETS = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+# -------------------------------------------------------------- URL dedup
+def _with_urls(d: DataFrame) -> DataFrame:
+    """Three URL spellings per doc; variants 0 and 1 share a canonical
+    form (case, www, :443, trailing slash, tracking param, param order),
+    variant 2 differs (no query; :80 + fragment noise of its own)."""
+    n = (F.col("doc_id") % 250).cast("string")
+    v = F.col("doc_id") % 3
+    return d.select(
+        "doc_id",
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/Docs/"), n,
+                F.lit("/?b=2&utm_source=feed&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/Docs/"), n, F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com:80/Docs/"), n, F.lit("/#section"),
+            ),
+        )
+        .alias("url"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalize-then-dedup keyed on the canonical URL."""
+    return url_dedup(_with_urls(_docs(spark, sf)))
+
+
+_SQL_URL_FIXTURE = """
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+                  || CAST(doc_id % 250 AS VARCHAR) || '/?b=2&utm_source=feed&a=1'
+      WHEN 1 THEN 'https://' || source || '.example.com/Docs/'
+                  || CAST(doc_id % 250 AS VARCHAR) || '?a=1&b=2'
+      ELSE 'http://' || source || '.example.com:80/Docs/'
+                  || CAST(doc_id % 250 AS VARCHAR) || '/#section'
+    END AS url
+  FROM documents
+"""
+
+SQL_URL_DEDUP = f"""
+WITH urls AS ({_SQL_URL_FIXTURE}),
+s1 AS (
+  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM urls
+),
+s2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\\.', '') AS host0,
+         regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path,
+         regexp_extract(rest, '\\?(.*)$', 1) AS query
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, scheme, path,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&') AS params
+  FROM s3
+)
+SELECT scheme || '://' || host || path
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url,
+       min(doc_id) AS survivor_id,
+       count(*) AS dup_count
+FROM s4
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- mixture weights
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain reweighting toward the MIX_TARGETS target mixture."""
+    return mixture_weights(_docs(spark, sf), "source", MIX_TARGETS)
+
+
+def _sql_mixture_weights() -> str:
+    values = ",\n    ".join(
+        f"('{s}', '{t!r}'::DOUBLE)" for s, t in MIX_TARGETS.items()
+    )
+    return f"""
+WITH t(source, target_share) AS (VALUES
+    {values}
+),
+c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+SELECT c.source,
+       c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(tot.total AS DOUBLE) AS actual_share,
+       coalesce(t.target_share, 0.0) AS target_share,
+       coalesce(t.target_share, 0.0) * CAST(tot.total AS DOUBLE)
+         / CAST(c.n_docs AS DOUBLE) AS sample_weight,
+       CAST(round(coalesce(t.target_share, 0.0) * CAST(tot.total AS DOUBLE))
+            AS BIGINT) AS planned_docs
+FROM c LEFT JOIN t USING (source), tot
+"""
+
+
+# ----------------------------------------------------------- line dedup
+_RELINE_PAT = r"((?:\S+ ){7}\S+) "  # break after every 8th token
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style exact line dedup over the re-lined corpus: lines
+    appearing in > LINE_DEDUP_MAX_DOCS docs are removed everywhere."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+    )
+    return line_dedup(d, max_docs=LINE_DEDUP_MAX_DOCS)
+
+
+SQL_LINE_DEDUP = f"""
+WITH relined AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM relined),
+lines AS (
+  SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+  FROM ls
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f USING (line)
+  WHERE f.nd <= {LINE_DEDUP_MAX_DOCS}
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT ls.doc_id,
+       coalesce(reb.kept_text, '') AS kept_text,
+       CAST(len(ls.arr) AS INT) AS n_lines,
+       CAST(len(ls.arr) - coalesce(reb.n_kept, 0) AS INT) AS n_removed
+FROM ls LEFT JOIN reb USING (doc_id)
+"""
+
+
+# ---------------------------------------------------- importance weights
+def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-lite importance of every document against the English-subset
+    target distribution (hashed unigrams, 1024 buckets)."""
+    return importance_weights(
+        _docs(spark, sf),
+        F.col("lang") == "en",
+        n_buckets=IMPORTANCE_BUCKETS,
+    )
+
+
+SQL_IMPORTANCE_WEIGHTS = f"""
+WITH tk AS (
+  SELECT doc_id, lang = 'en' AS is_target, tok,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {IMPORTANCE_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         count(*) AS a_cnt
+  FROM tk GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS total_target,
+         count(*) AS total_corpus
+  FROM tk
+),
+per AS (
+  SELECT tk.doc_id,
+         CAST(sum(s.t_cnt + 1) AS BIGINT) AS target_mass,
+         CAST(sum(s.a_cnt + 1) AS BIGINT) AS corpus_mass,
+         count(*) AS n_tokens
+  FROM tk JOIN stats s USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, target_mass, corpus_mass,
+       CAST(target_mass AS DOUBLE) * CAST(tot.total_corpus AS DOUBLE)
+         / (CAST(corpus_mass AS DOUBLE) * CAST(tot.total_target AS DOUBLE))
+         AS importance
+FROM per, tot
+"""
+
+
+QUERIES = {
+    "q_url_dedup": q_url_dedup,
+    "q_mixture_weights": q_mixture_weights,
+    "q_line_dedup": q_line_dedup,
+    "q_importance_weights": q_importance_weights,
+}
+
+ORACLES = {
+    "q_url_dedup": SQL_URL_DEDUP,
+    "q_mixture_weights": _sql_mixture_weights(),
+    "q_line_dedup": SQL_LINE_DEDUP,
+    "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
+}

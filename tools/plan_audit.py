@@ -53,6 +53,7 @@ CARTESIAN_OK = {
     "q_boilerplate_score": "broadcast of 1-row corpus doc count",
     "q_bloom_prune_join": "broadcast of 1-row bloom bitmap map",
     "q_zorder_layout": "broadcast of 1-row total-count for bucket split",
+    "q_importance_weights": "broadcast of 1-row token-totals frame",
 }
 
 

@@ -78,6 +78,9 @@ DEEP = [
     "q_pack_sequences",
     "q_incremental_lsh",
     "q_count_min_freq",
+    "q_line_dedup",
+    "q_importance_weights",
+    "q_url_dedup",
 ]
 
 
