@@ -44,6 +44,12 @@ def get_spark(
         # so driver-supplied bare sessions behave identically.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # ad-hoc config experiments without code edits, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.initialPartitionNum=128"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
