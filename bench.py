@@ -130,6 +130,7 @@ def main() -> None:
         "q_line_dedup",
         "q_importance_weights",
         "q_mv_refresh",
+        "q_corpus_pipeline_v2",
     ):
         fn = queries[name]
         best = float("inf")

@@ -174,6 +174,45 @@ def line_dedup(
     )
 
 
+def weighted_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic mixture resample: keep each row iff its md5 hash
+    bucket falls under ``min(1, alpha * sample_weight(source))`` — the
+    doc-level application of :func:`mixture_weights` (alpha globally
+    downsamples so per-source probabilities stay < 1 and the target
+    mixture is reachable for over-represented sources).
+
+    Membership is a pure function of (key, source weight): reproducible
+    across partitionings and engines — the same basis-point hash-bucket
+    construction as ``operators/sampling.py``, with the threshold
+    computed from exact counts in a fixed-order double expression. The
+    k-row weights frame auto-broadcasts."""
+    from .sampling import _BPS, hash_bucket
+
+    w = weights.select(
+        F.col("source").alias(source_col),
+        "sample_weight",
+    )
+    return (
+        df.join(w, source_col, "left")
+        .filter(
+            hash_bucket(F.col(key_col)).cast("double")
+            < F.least(
+                F.lit(float(_BPS)),
+                F.lit(alpha)
+                * F.coalesce("sample_weight", F.lit(0.0))
+                * F.lit(float(_BPS)),
+            )
+        )
+        .drop("sample_weight")
+    )
+
+
 def importance_weights(
     df: DataFrame,
     target_cond: Column,

@@ -126,6 +126,103 @@ def curate_corpus(
     }
 
 
+def curate_corpus_v2(
+    docs: DataFrame,
+    targets: dict[str, float],
+    importance_min: float = 1.0,
+    alpha: float = 0.5,
+    max_line_docs: int = 2,
+    n_buckets: int = 1024,
+) -> dict[str, DataFrame]:
+    """The round-4 curation family composed end-to-end — the web-crawl
+    front half that runs BEFORE ``curate_corpus``'s near-dup/packing
+    back half:
+
+        raw (doc_id, url, text, lang, source)
+          -> URL dedup            (canonical-URL min-id survivor)
+          -> line dedup           (cross-corpus boilerplate lines removed;
+                                   docs emptied entirely leave the corpus)
+          -> importance filter    (DSIR-lite score vs the 'en' target
+                                   distribution, keep >= importance_min)
+          -> mixture resample     (deterministic hash sample toward the
+                                   target source mixture)
+
+    Returns each stage's surviving (doc_id, text, lang, source) frame.
+    Stage plans are the operators' own (one hash-agg + survivor join,
+    line-hash join, bucket-table join, k-row weights join) — the chain
+    adds no extra shuffles; reused stage frames persist() at the
+    boundaries a production pipeline would materialize to the lake."""
+    from ..operators.curation import (
+        canonicalize_url,
+        importance_weights,
+        line_dedup,
+        mixture_weights,
+        weighted_resample,
+    )
+
+    base = docs.select("doc_id", "url", "text", "lang", "source")
+    with_canon = base.withColumn("canonical_url", canonicalize_url("url"))
+    url_surv = (
+        with_canon.groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(base, "doc_id")
+        .select("doc_id", "text", "lang", "source")
+    ).persist()
+
+    ld = line_dedup(url_surv, max_docs=max_line_docs)
+    line_kept = (
+        ld.filter(F.col("n_removed") < F.col("n_lines"))
+        .join(url_surv.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", F.col("kept_text").alias("text"), "lang", "source")
+    ).persist()
+
+    imp = importance_weights(
+        line_kept, F.col("lang") == "en", n_buckets=n_buckets
+    )
+    important = (
+        line_kept.join(
+            imp.filter(F.col("importance") >= importance_min).select("doc_id"),
+            "doc_id",
+        )
+    ).persist()
+
+    weights = mixture_weights(important, "source", targets)
+    resampled = weighted_resample(
+        important, weights, source_col="source", key_col="doc_id", alpha=alpha
+    )
+
+    return {
+        "raw": base.select("doc_id", "text", "lang", "source"),
+        "url_dedup": url_surv,
+        "line_dedup": line_kept,
+        "importance": important,
+        "resampled": resampled,
+    }
+
+
+_STAGE_ORDER_V2 = ["raw", "url_dedup", "line_dedup", "importance", "resampled"]
+
+
+def curate_corpus_v2_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage_id, stage, n_docs, n_tokens) census over the v2 chain;
+    n_tokens counts each stage's SURVIVING text (so the line-dedup row
+    shows tokens removed line-wise, not just docs dropped)."""
+    from ..operators import text as text_ops
+
+    out = None
+    for i, name in enumerate(_STAGE_ORDER_V2):
+        census = stages[name].agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(text_ops.token_count("text")), F.lit(0)
+            ).alias("n_tokens"),
+        )
+        out = census if out is None else out.unionByName(census)
+    return out
+
+
 _STAGE_ORDER = [
     "raw", "quality", "exact_dedup", "neardup_dedup",
     "decontaminated", "mixed",

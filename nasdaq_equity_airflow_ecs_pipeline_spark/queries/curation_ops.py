@@ -36,14 +36,13 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # -------------------------------------------------------------- URL dedup
-def _with_urls(d: DataFrame) -> DataFrame:
+def _url_expr() -> F.Column:
     """Three URL spellings per doc; variants 0 and 1 share a canonical
     form (case, www, :443, trailing slash, tracking param, param order),
     variant 2 differs (no query; :80 + fragment noise of its own)."""
-    n = (F.col("doc_id") % 250).cast("string")
+    n = (F.col("doc_id") % 100).cast("string")
     v = F.col("doc_id") % 3
-    return d.select(
-        "doc_id",
+    return (
         F.when(
             v == 0,
             F.concat(
@@ -65,32 +64,31 @@ def _with_urls(d: DataFrame) -> DataFrame:
                 F.lit(".example.com:80/Docs/"), n, F.lit("/#section"),
             ),
         )
-        .alias("url"),
     )
 
 
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonicalize-then-dedup keyed on the canonical URL."""
-    return url_dedup(_with_urls(_docs(spark, sf)))
+    d = _docs(spark, sf).select("doc_id", _url_expr().alias("url"))
+    return url_dedup(d)
 
 
-_SQL_URL_FIXTURE = """
-  SELECT doc_id,
-    CASE CAST(doc_id % 3 AS INT)
+_SQL_URL_CASE = """CASE CAST(doc_id % 3 AS INT)
       WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
-                  || CAST(doc_id % 250 AS VARCHAR) || '/?b=2&utm_source=feed&a=1'
+                  || CAST(doc_id % 100 AS VARCHAR) || '/?b=2&utm_source=feed&a=1'
       WHEN 1 THEN 'https://' || source || '.example.com/Docs/'
-                  || CAST(doc_id % 250 AS VARCHAR) || '?a=1&b=2'
+                  || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2'
       ELSE 'http://' || source || '.example.com:80/Docs/'
-                  || CAST(doc_id % 250 AS VARCHAR) || '/#section'
-    END AS url
-  FROM documents
-"""
+                  || CAST(doc_id % 100 AS VARCHAR) || '/#section'
+    END"""
 
-SQL_URL_DEDUP = f"""
-WITH urls AS ({_SQL_URL_FIXTURE}),
-s1 AS (
-  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM urls
+
+def _sql_canon_ctes(src: str) -> str:
+    """CTE chain ``s1..s4`` mirroring ``canonicalize_url`` over a table
+    ``src(doc_id, url)``; the canonical form is
+    ``scheme || '://' || host || path || ('?' params)?`` over s4."""
+    return f"""s1 AS (
+  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM {src}
 ),
 s2 AS (
   SELECT doc_id,
@@ -113,7 +111,12 @@ s4 AS (
          array_to_string(list_sort(list_filter(string_split(query, '&'),
              p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&') AS params
   FROM s3
-)
+)"""
+
+
+SQL_URL_DEDUP = f"""
+WITH urls AS (SELECT doc_id, {_SQL_URL_CASE} AS url FROM documents),
+{_sql_canon_ctes("urls")}
 SELECT scheme || '://' || host || path
          || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url,
        min(doc_id) AS survivor_id,
@@ -246,11 +249,150 @@ FROM per, tot
 """
 
 
+# ------------------------------------------------- composed v2 pipeline
+V2_IMPORTANCE_MIN = 1.0
+V2_ALPHA = 0.5
+
+
+def q_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-4 curation family COMPOSED (plans/corpus.py
+    curate_corpus_v2): URL dedup -> line dedup -> DSIR-lite importance
+    filter -> deterministic mixture resample, emitted as the per-stage
+    funnel census. The oracle rebuilds the whole chain in one SQL
+    statement from the same fragments, value-checking the stage
+    interactions (survivor joins, emptied-doc drops, weight propagation)
+    rather than each operator alone."""
+    from ..plans.corpus import curate_corpus_v2, curate_corpus_v2_funnel
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        _url_expr().alias("url"),
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    stages = curate_corpus_v2(
+        d,
+        MIX_TARGETS,
+        importance_min=V2_IMPORTANCE_MIN,
+        alpha=V2_ALPHA,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        n_buckets=IMPORTANCE_BUCKETS,
+    )
+    return curate_corpus_v2_funnel(stages)
+
+
+def _sql_corpus_pipeline_v2() -> str:
+    from ..operators.lsh import MERSENNE_P
+
+    values = ",\n    ".join(
+        f"('{s}', '{t!r}'::DOUBLE)" for s, t in MIX_TARGETS.items()
+    )
+    ntok = r"CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_URL_CASE} AS url,
+         regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text,
+         lang, source
+  FROM documents
+),
+{_sql_canon_ctes("base")},
+url_surv AS (
+  SELECT b.doc_id, b.text, b.lang, b.source
+  FROM (
+    SELECT min(doc_id) AS doc_id
+    FROM (
+      SELECT doc_id, scheme || '://' || host || path
+               || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS cu
+      FROM s4
+    ) GROUP BY cu
+  ) s JOIN base b USING (doc_id)
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM url_surv),
+lines AS (
+  SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+  FROM ls
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f USING (line)
+  WHERE f.nd <= {LINE_DEDUP_MAX_DOCS}
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY 1
+),
+line_kept AS (
+  SELECT r.doc_id, r.text, u.lang, u.source
+  FROM reb r JOIN url_surv u USING (doc_id)
+),
+tk AS (
+  SELECT doc_id, lang = 'en' AS is_target, tok,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {IMPORTANCE_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM line_kept
+  )
+  WHERE tok <> ''
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         count(*) AS a_cnt
+  FROM tk GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS total_target,
+         count(*) AS total_corpus
+  FROM tk
+),
+per AS (
+  SELECT tk.doc_id,
+         CAST(sum(s.t_cnt + 1) AS BIGINT) AS target_mass,
+         CAST(sum(s.a_cnt + 1) AS BIGINT) AS corpus_mass
+  FROM tk JOIN stats s USING (bucket)
+  GROUP BY 1
+),
+important AS (
+  SELECT lk.* FROM line_kept lk JOIN per p USING (doc_id), tot
+  WHERE CAST(p.target_mass AS DOUBLE) * CAST(tot.total_corpus AS DOUBLE)
+          / (CAST(p.corpus_mass AS DOUBLE) * CAST(tot.total_target AS DOUBLE))
+        >= {V2_IMPORTANCE_MIN!r}
+),
+t(source, target_share) AS (VALUES
+    {values}
+),
+c AS (SELECT source, count(*) AS n_docs FROM important GROUP BY 1),
+ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+w AS (
+  SELECT c.source,
+         coalesce(t.target_share, 0.0) * CAST(ctot.total AS DOUBLE)
+           / CAST(c.n_docs AS DOUBLE) AS sample_weight
+  FROM c LEFT JOIN t USING (source), ctot
+),
+resampled AS (
+  SELECT i.* FROM important i JOIN w USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {MERSENNE_P} % 10000 AS DOUBLE)
+        < least(10000.0, {V2_ALPHA!r} * sample_weight * 10000.0)
+)
+SELECT 0 AS stage_id, 'raw' AS stage, count(*)::BIGINT AS n_docs,
+       {ntok} AS n_tokens FROM base
+UNION ALL SELECT 1, 'url_dedup', count(*)::BIGINT, {ntok} FROM url_surv
+UNION ALL SELECT 2, 'line_dedup', count(*)::BIGINT, {ntok} FROM line_kept
+UNION ALL SELECT 3, 'importance', count(*)::BIGINT, {ntok} FROM important
+UNION ALL SELECT 4, 'resampled', count(*)::BIGINT, {ntok} FROM resampled
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_mixture_weights": q_mixture_weights,
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
+    "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
 }
 
 ORACLES = {
@@ -258,4 +400,5 @@ ORACLES = {
     "q_mixture_weights": _sql_mixture_weights(),
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
+    "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
 }

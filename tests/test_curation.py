@@ -117,6 +117,35 @@ def test_line_dedup_fully_removed_doc_yields_empty(spark):
     assert out[1]["n_lines"] == 1 and out[1]["n_removed"] == 1
 
 
+def test_weighted_resample_hits_target_mixture(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        weighted_resample,
+    )
+
+    # 900 'web' docs vs 100 'books' docs; target 50/50 with alpha=0.5:
+    # expected keep ~ 0.5*0.5/0.9 = 27.8% of web, 0.5*0.5/0.1 = 100%+ (capped)
+    # of books -> resampled mixture ~ 250 web : 100 books
+    rows = [(i, "web" if i % 10 else "books") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    w = mixture_weights(df, "source", {"web": 0.5, "books": 0.5})
+    out = weighted_resample(df, w, alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # books: weight 0.5*1000/100 = 5, capped at 1 -> all 100 kept
+    assert counts["books"] == 100
+    # web: p = 0.5 * 0.5*1000/900 ~ 0.2778 -> about 250 of 900 (hash noise)
+    assert 200 < counts["web"] < 310
+    # deterministic: same inputs -> identical survivor set
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  weighted_resample(df, w, alpha=0.5).select("doc_id").collect())
+    assert ids1 == ids2
+
+
 def test_importance_weights_orders_target_like_docs_first(spark):
     # target docs speak 'alpha beta'; the off-target doc speaks 'omega'
     df = spark.createDataFrame(

@@ -54,6 +54,7 @@ CARTESIAN_OK = {
     "q_bloom_prune_join": "broadcast of 1-row bloom bitmap map",
     "q_zorder_layout": "broadcast of 1-row total-count for bucket split",
     "q_importance_weights": "broadcast of 1-row token-totals frame",
+    "q_corpus_pipeline_v2": "broadcast of 1-row token-totals frame (importance stage)",
 }
 
 

@@ -81,6 +81,7 @@ DEEP = [
     "q_line_dedup",
     "q_importance_weights",
     "q_url_dedup",
+    "q_corpus_pipeline_v2",
 ]
 
 
