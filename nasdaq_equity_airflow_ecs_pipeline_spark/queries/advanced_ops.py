@@ -870,6 +870,65 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ time gap-fill
+def q_time_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style daily gap-fill (operators/gapfill.py): per-user
+    daily average click value densified over each user's active span,
+    with LOCF and linear-interpolation fills — Timescale's
+    ``time_bucket_gapfill + locf() + interpolate()`` surface."""
+    from ..functions.stable import davg
+    from ..operators.gapfill import bucket_gapfill
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    return bucket_gapfill(
+        ev, key_cols=["user_id"], ts_col="ts",
+        value_agg=davg("value"), unit="day",
+    )
+
+
+SQL_TIME_GAPFILL = f"""
+WITH actual AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, {sql_davg('value')} AS v
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM actual GROUP BY 1),
+scaffold AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM span
+),
+dense AS (
+  SELECT s.user_id, s.bucket, a.v
+  FROM scaffold s LEFT JOIN actual a USING (user_id, bucket)
+),
+f AS (
+  SELECT user_id, bucket, v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM dense
+)
+SELECT user_id, bucket, v,
+  pv AS v_locf,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE pv + (nv - pv) * (CAST(date_diff('day', pt, bucket) AS DOUBLE)
+                              / CAST(date_diff('day', pt, nt) AS DOUBLE))
+  END AS v_interp
+FROM f
+"""
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_zorder_pruned_scan": q_zorder_pruned_scan,
@@ -891,9 +950,11 @@ QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_group_sample": q_group_sample,
     "q_salted_join": q_salted_join,
+    "q_time_gapfill": q_time_gapfill,
 }
 
 ORACLES = {
+    "q_time_gapfill": SQL_TIME_GAPFILL,
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,

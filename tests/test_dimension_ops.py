@@ -295,3 +295,32 @@ def test_salted_join_equals_plain_join_and_spreads(spark):
     )
     n_buckets = salted.filter("k = 0").select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_bucket_gapfill_locf_and_interpolation(spark):
+    """Gap between day 1 (v=10) and day 4 (v=40): locf carries 10, the
+    interpolation walks 20, 30; leading/trailing gaps use the one-sided
+    neighbor."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.gapfill import (
+        bucket_gapfill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 05:00:00", 10.0),
+            ("u1", "2024-01-04 07:00:00", 40.0),
+            ("u2", "2024-01-02 01:00:00", 7.0),  # single-bucket key
+        ],
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = bucket_gapfill(
+        df, ["user_id"], "ts", F.avg("value"), unit="day"
+    ).collect()
+    rows = {(r["user_id"], str(r["bucket"])[:10]): r for r in out}
+    assert len(rows) == 5  # u1: 4 days, u2: 1 day
+    g2 = rows[("u1", "2024-01-02")]
+    g3 = rows[("u1", "2024-01-03")]
+    assert g2["v"] is None and g2["v_locf"] == 10.0 and g2["v_interp"] == 20.0
+    assert g3["v_locf"] == 10.0 and g3["v_interp"] == 30.0
+    assert rows[("u1", "2024-01-04")]["v_locf"] == 40.0
+    assert rows[("u2", "2024-01-02")]["v_interp"] == 7.0
