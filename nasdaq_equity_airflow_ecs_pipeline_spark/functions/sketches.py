@@ -186,3 +186,76 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+# ---------------------------------------- histogram quantile sketch
+def hist_build(
+    df: "DataFrame",
+    group_cols: list[str],
+    value_col: str,
+    width: float,
+) -> "DataFrame":
+    """Fixed-grid histogram sketch: (groups..., bucket, n) with
+    ``bucket = floor(value / width)``.
+
+    The distributed-quantile path at 100 TB: state is bounded by
+    value-range/width (input-size-independent), partials merge by
+    summing ``n`` (map-side combine does the heavy lifting), and —
+    unlike t-digest/KLL — the sketch is DETERMINISTIC (no sampling, no
+    order dependence), so it is exactly reproducible cluster-to-laptop
+    and DuckDB-oracle-checkable. Accuracy: any quantile estimate is
+    within one bucket width of an exact interpolated quantile."""
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return df.groupBy(*group_cols, b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def hist_quantiles(
+    hist: "DataFrame",
+    group_cols: list[str],
+    width: float,
+    qs: list[float],
+) -> "DataFrame":
+    """Quantile estimates from a ``hist_build`` sketch (or a sum-merge of
+    many): per group and q, find the bucket holding 1-based rank
+    ``r = floor(q*(N-1)) + 1`` in the cumulative histogram and place the
+    estimate proportionally inside it. Integer ranks/counts end in ONE
+    fixed-order double expression, so results are bit-identical
+    cross-engine."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.select(
+        *group_cols,
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("n_rows"),
+    )
+    c = c.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    r = (
+        F.floor(F.col("q") * (F.col("n_rows") - 1).cast("double")).cast("long")
+        + 1
+    )
+    cand = c.withColumn("r", r).filter(F.col("cum") >= F.col("r"))
+    pick = cand.groupBy(*group_cols, "q").agg(
+        F.min_by(
+            F.struct("bucket", "n", "cum", "r", "n_rows"), F.col("bucket")
+        ).alias("s")
+    )
+    est = F.col("s.bucket").cast("double") * F.lit(width) + F.lit(width) * (
+        (F.col("s.r") - (F.col("s.cum") - F.col("s.n"))).cast("double")
+        / F.col("s.n").cast("double")
+    )
+    return pick.select(
+        *group_cols,
+        "q",
+        est.alias("est_quantile"),
+        F.col("s.n_rows").alias("n_rows"),
+    )

@@ -590,8 +590,8 @@ FROM c FULL OUTER JOIN s ON c.nk = s.nk
 def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated quartiles per group (F.percentile — a sort-based
     aggregate; both engines interpolate low + frac*(high-low) in double,
-    verified bit-identical). The approximate KLL path for 100 TB lives in
-    functions/sketches.py."""
+    verified bit-identical). The mergeable sketch path for 100 TB is
+    functions/sketches.py hist_build/hist_quantiles (q_hist_quantiles)."""
     li = load_table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.25).alias("p25"),
@@ -606,6 +606,60 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50,
        quantile_cont(l_extendedprice, 0.75) AS p75
 FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------- histogram quantile sketch
+HIST_WIDTH = 100.0
+HIST_QS = [0.5, 0.95, 0.99]
+
+
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable fixed-grid histogram quantile sketch (the 100 TB twin
+    of q_group_quantiles): bucket counts are input-size-independent
+    state merged by sum; estimates land within one bucket width of the
+    exact quantile. Deterministic — no t-digest/KLL sampling — so the
+    whole estimator is DuckDB-oracle-exact."""
+    from ..functions.sketches import hist_build, hist_quantiles
+
+    li = load_table(spark, sf, "lineitem")
+    h = hist_build(li, ["l_returnflag"], "l_extendedprice", HIST_WIDTH)
+    return hist_quantiles(h, ["l_returnflag"], HIST_WIDTH, HIST_QS)
+
+
+def _sql_hist_quantiles() -> str:
+    w = repr(HIST_WIDTH)
+    qlist = ", ".join(f"'{q!r}'::DOUBLE" for q in HIST_QS)
+    return f"""
+WITH hist AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / {w}) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows
+  FROM hist
+),
+cq AS (SELECT c.*, q FROM c, (SELECT unnest([{qlist}]) AS q)),
+cand AS (
+  SELECT *, CAST(floor(q * CAST(n_rows - 1 AS DOUBLE)) AS BIGINT) + 1 AS r
+  FROM cq
+),
+pick AS (
+  SELECT l_returnflag, q, min(bucket) AS bucket
+  FROM cand WHERE cum >= r GROUP BY 1, 2
+)
+SELECT p.l_returnflag, p.q,
+       CAST(a.bucket AS DOUBLE) * {w}
+         + {w} * (CAST(a.r - (a.cum - a.n) AS DOUBLE) / CAST(a.n AS DOUBLE))
+         AS est_quantile,
+       a.n_rows
+FROM pick p
+JOIN cand a ON a.l_returnflag = p.l_returnflag AND a.q = p.q
+            AND a.bucket = p.bucket
 """
 
 
@@ -706,6 +760,7 @@ QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_json_extract": q_json_extract,
     "q_group_quantiles": q_group_quantiles,
+    "q_hist_quantiles": q_hist_quantiles,
     "q_tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "q_tpch_q10_returned_items": q_tpch_q10_returned_items,
@@ -730,6 +785,7 @@ ORACLES = {
     "q_sql_entry": SQL_SQL_ENTRY,
     "q_json_extract": SQL_JSON_EXTRACT,
     "q_group_quantiles": SQL_GROUP_QUANTILES,
+    "q_hist_quantiles": _sql_hist_quantiles(),
     "q_tpch_q3_shipping_priority": SQL_TPCH_Q3,
     "q_tpch_q5_local_supplier": SQL_TPCH_Q5,
     "q_tpch_q10_returned_items": SQL_TPCH_Q10,

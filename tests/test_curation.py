@@ -166,3 +166,37 @@ def test_importance_weights_orders_target_like_docs_first(spark):
     assert out[3]["n_tokens"] == 4
     # docs with identical token multisets score identically
     assert out[1]["importance"] == out[2]["importance"] == out[3]["importance"]
+
+
+def test_hist_sketch_merges_and_bounds_error(spark):
+    """Core sketch property: build on two halves, merge by summing
+    bucket counts -> identical to a single build; estimates within one
+    bucket width of the exact quantile."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.functions.sketches import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    rows = [(i, "g", float(i % 97) + (i % 7) * 0.13) for i in range(2000)]
+    df = spark.createDataFrame(rows, "i bigint, g string, x double")
+    h_full = hist_build(df, ["g"], "x", 5.0)
+    h1 = hist_build(df.filter(F.col("i") % 2 == 0), ["g"], "x", 5.0)
+    h2 = hist_build(df.filter(F.col("i") % 2 == 1), ["g"], "x", 5.0)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("g", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = {r["bucket"]: r["n"] for r in h_full.collect()}
+    mrg = {r["bucket"]: r["n"] for r in merged.collect()}
+    assert full == mrg
+
+    est = {
+        r["q"]: r["est_quantile"]
+        for r in hist_quantiles(h_full, ["g"], 5.0, [0.5, 0.9]).collect()
+    }
+    exact = df.agg(
+        F.percentile("x", 0.5).alias("p50"), F.percentile("x", 0.9).alias("p90")
+    ).collect()[0]
+    assert abs(est[0.5] - exact["p50"]) <= 5.0
+    assert abs(est[0.9] - exact["p90"]) <= 5.0
