@@ -870,6 +870,68 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------ retention cohorts
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by the ISO week of their
+    first event; each (cohort_week, week_offset) cell counts distinct
+    users from that cohort active that week, with the retention rate
+    against cohort size. Two aggregations + one distinct projection —
+    all keyed on (user) or (cohort, offset), linear and skew-free."""
+    ev = load_table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.timestamp_diff("WEEK", F.col("cohort_week"), F.col("wk")).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("retention_rate"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+),
+cells AS (
+  SELECT f.cohort_week,
+         date_diff('week', f.cohort_week, a.wk) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention_rate
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
+
+
 # ------------------------------------------------------ time gap-fill
 def q_time_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style daily gap-fill (operators/gapfill.py): per-user
@@ -951,10 +1013,12 @@ QUERIES = {
     "q_group_sample": q_group_sample,
     "q_salted_join": q_salted_join,
     "q_time_gapfill": q_time_gapfill,
+    "q_retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES = {
     "q_time_gapfill": SQL_TIME_GAPFILL,
+    "q_retention_cohorts": SQL_RETENTION_COHORTS,
     "q_scd2_history": SQL_SCD2_HISTORY,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
