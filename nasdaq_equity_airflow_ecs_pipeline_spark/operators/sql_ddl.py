@@ -1,0 +1,143 @@
+"""SQL DDL/DML front over the name-addressed catalog — the last piece of
+the "a user types SQL against named tables" story (reference K2/K3/K7:
+``CREATE TABLE glue_catalog.db.t``, ``CREATE OR REPLACE``, the
+existence-probed write branch; glue/jobs/build_stock_fact_table.py:84-111
+and build_stock_dimensions.py:60-75).
+
+Statements (regex-parsed like ``operators/merge_sql.py`` — a thin front,
+not a SQL engine; anything heavier goes through ``spark.sql`` directly):
+
+- ``CREATE [OR REPLACE] TABLE <name> AS <select>``      (CTAS)
+- ``INSERT INTO <name> <select>``                       (append commit)
+- ``DROP TABLE [IF EXISTS] <name>``
+- ``SHOW TABLES [IN <db>]``
+- ``SELECT ... FROM <name> [FOR VERSION AS OF <n>] ...``(time travel)
+
+Catalog-qualified names inside any SELECT body are resolved by
+registering each referenced table as a temp view of its committed state
+and rewriting the name — so a CTAS can read other catalog tables, and
+plain ``spark.sql`` handles everything downstream of name resolution
+(Catalyst sees one plan; pushdown/pruning apply as usual).
+
+Versioning semantics ride ``operators/versioned.py``: CREATE commits
+version 0, CREATE OR REPLACE and INSERT INTO commit new versions (old
+snapshots stay readable — time travel works across both), and DROP is
+the only operation that destroys history.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import NameCatalog
+
+_CTAS = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_SHOW = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*$", re.IGNORECASE
+)
+_SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.IGNORECASE)
+_TIME_TRAVEL = re.compile(
+    r"([\w.]+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
+
+
+class SqlFront:
+    """Execute catalog-addressed SQL statements; every method returns a
+    DataFrame (DDL returns a one-row status frame, like ``spark.sql``'s
+    command output)."""
+
+    def __init__(self, catalog: NameCatalog):
+        self.cat = catalog
+        self.spark: SparkSession = catalog.spark
+        self._view_n = 0
+
+    # ------------------------------------------------- name resolution
+    def _resolve_names(self, body: str) -> str:
+        """Register temp views for every catalog table referenced in a
+        SELECT body and rewrite the references. Handles optional
+        ``FOR VERSION AS OF n`` time travel per reference."""
+
+        def sub_tt(m: re.Match) -> str:
+            name, version = m.group(1), int(m.group(2))
+            return self._as_view(name, version)
+
+        body = _TIME_TRAVEL.sub(sub_tt, body)
+        # longest (most-qualified) names first so `cat.db.t` never
+        # partially matches as `db.t`
+        pat = re.compile(
+            rf"\b{re.escape(self.cat.catalog_name)}\.(\w+)\.(\w+)\b"
+        )
+        return pat.sub(
+            lambda m: self._as_view(f"{m.group(1)}.{m.group(2)}"), body
+        )
+
+    def _as_view(self, name: str, version: int | None = None) -> str:
+        if not self.cat.table_exists(name):
+            raise ValueError(f"table {name!r} does not exist")
+        self._view_n += 1
+        view = f"__cat_view_{self._view_n}"
+        self.cat.read(name, version=version).createOrReplaceTempView(view)
+        return view
+
+    def _status(self, **kv) -> DataFrame:
+        cols = ", ".join(f"{k} string" for k in kv)
+        return self.spark.createDataFrame([tuple(kv.values())], cols)
+
+    # --------------------------------------------------------- execute
+    def execute(self, sql: str) -> DataFrame:
+        sql = sql.strip().rstrip(";")
+        if m := _CTAS.match(sql):
+            replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
+            if self.cat.table_exists(name) and not replace:
+                raise ValueError(
+                    f"table {name!r} already exists (use CREATE OR REPLACE)"
+                )
+            df = self.spark.sql(self._resolve_names(body))
+            v = self.cat.table(name).commit(df)
+            return self._status(op="CREATE", table=name, version=str(v))
+        if m := _INSERT.match(sql):
+            name, body = m.group(1), m.group(2)
+            if not self.cat.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+            df = self.spark.sql(self._resolve_names(body))
+            t = self.cat.table(name)
+            # SQL INSERT ... SELECT is by POSITION: arity must match, the
+            # select's columns take the table's names (standard behavior)
+            tcols = [f.name for f in t.schema().fields]
+            if len(df.columns) != len(tcols):
+                raise ValueError(
+                    f"INSERT arity {len(df.columns)} does not match table "
+                    f"{name!r} schema {tcols}"
+                )
+            v = t.append(df.toDF(*tcols))
+            return self._status(op="INSERT", table=name, version=str(v))
+        if m := _DROP.match(sql):
+            if_exists, name = bool(m.group(1)), m.group(2)
+            exists = self.cat.table_exists(name)
+            if not exists and not if_exists:
+                raise ValueError(f"table {name!r} does not exist")
+            if exists:
+                shutil.rmtree(self.cat.resolve(name), ignore_errors=True)
+            return self._status(
+                op="DROP", table=name, dropped=str(exists).lower()
+            )
+        if m := _SHOW.match(sql):
+            names = self.cat.list_tables(m.group(1))
+            return self.spark.createDataFrame(
+                [(n,) for n in names] or [], "table_name string"
+            )
+        if _SELECT.match(sql):
+            return self.spark.sql(self._resolve_names(sql))
+        raise ValueError(f"unsupported statement: {sql[:60]!r}")

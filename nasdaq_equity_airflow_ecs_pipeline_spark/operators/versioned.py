@@ -71,6 +71,26 @@ class VersionedTable:
         )
         return self._publish(files, ts=ts)
 
+    def append(self, df: DataFrame, ts: float | None = None) -> int:
+        """Fast append: write only the NEW rows' files and publish them
+        alongside the current version's files — existing data is never
+        rewritten (Iceberg/Delta append semantics: a metadata-only commit
+        over immutable files). The whole-table rewrite path is
+        ``commit``; MERGE is ``upsert``."""
+        snap_dir = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex[:12])
+        df.write.parquet(snap_dir)
+        new_files = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        prior = (
+            self._manifest(self.current_version())["files"]
+            if self.versions()
+            else []
+        )
+        return self._publish(prior + new_files, ts=ts)
+
     def _publish(self, files: list[str], ts: float | None = None) -> int:
         """Optimistic-concurrency commit: claim the next version number
         with a hard link (fails with EEXIST if a concurrent writer won the

@@ -756,11 +756,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 SQL_ROLLING_ZSCORE = _sql_rolling_zscore()
 
 
+# ---------------------------------------------------------- SQL DDL front
+def q_sql_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CTAS + INSERT-append + read back through the SQL DDL front
+    (operators/sql_ddl.py) over a scratch name-addressed catalog: the
+    reference's CREATE / CREATE-OR-REPLACE / write-branch surface as the
+    SQL a user would type. The oracle recomputes the final table state
+    straight from lineitem, so the round-trip (two commits, positional
+    INSERT rename, catalog name resolution) is value-checked."""
+    import tempfile
+
+    from ..operators.sql_ddl import SqlFront
+    from ..sources.catalog import NameCatalog
+
+    front = SqlFront(
+        NameCatalog(
+            spark, tempfile.mkdtemp(prefix="sqlddl_"),
+            catalog_name="local_catalog",
+        )
+    )
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("li_src")
+    cols = "l_orderkey, l_linenumber, l_returnflag, l_quantity"
+    front.execute(
+        f"CREATE TABLE local_catalog.wh.flagged AS SELECT {cols} "
+        f"FROM li_src WHERE l_returnflag = 'R'"
+    )
+    front.execute(
+        f"INSERT INTO local_catalog.wh.flagged SELECT {cols} "
+        f"FROM li_src WHERE l_returnflag = 'A'"
+    )
+    return front.execute(
+        "SELECT l_returnflag, count(*) AS n_rows, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM local_catalog.wh.flagged GROUP BY l_returnflag"
+    )
+
+
+SQL_SQL_DDL_ROUNDTRIP = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_returnflag IN ('R', 'A')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_sql_entry": q_sql_entry,
     "q_json_extract": q_json_extract,
     "q_group_quantiles": q_group_quantiles,
     "q_hist_quantiles": q_hist_quantiles,
+    "q_sql_ddl_roundtrip": q_sql_ddl_roundtrip,
     "q_tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "q_tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "q_tpch_q10_returned_items": q_tpch_q10_returned_items,
@@ -786,6 +831,7 @@ ORACLES = {
     "q_json_extract": SQL_JSON_EXTRACT,
     "q_group_quantiles": SQL_GROUP_QUANTILES,
     "q_hist_quantiles": _sql_hist_quantiles(),
+    "q_sql_ddl_roundtrip": SQL_SQL_DDL_ROUNDTRIP,
     "q_tpch_q3_shipping_priority": SQL_TPCH_Q3,
     "q_tpch_q5_local_supplier": SQL_TPCH_Q5,
     "q_tpch_q10_returned_items": SQL_TPCH_Q10,

@@ -1,0 +1,93 @@
+"""SQL DDL front (operators/sql_ddl.py) over the name-addressed catalog:
+CTAS / CREATE OR REPLACE / INSERT append / DROP / SHOW / time travel."""
+
+from __future__ import annotations
+
+import pytest
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.sql_ddl import SqlFront
+from nasdaq_equity_airflow_ecs_pipeline_spark.sources.catalog import NameCatalog
+
+
+@pytest.fixture()
+def front(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id bigint, grp string, v double",
+    ).createOrReplaceTempView("src_rows")
+    return SqlFront(NameCatalog(spark, str(tmp_path), catalog_name="cat"))
+
+
+def test_ctas_select_and_duplicate_rejected(front):
+    st = front.execute(
+        "CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows"
+    ).collect()[0]
+    assert st["op"] == "CREATE" and st["version"] == "0"
+    got = front.execute("SELECT sum(v) AS s FROM cat.db1.t").collect()[0]["s"]
+    assert got == 60.0
+    with pytest.raises(ValueError, match="already exists"):
+        front.execute("CREATE TABLE cat.db1.t AS SELECT * FROM src_rows")
+    # OR REPLACE commits a new version over the same name
+    st = front.execute(
+        "CREATE OR REPLACE TABLE cat.db1.t AS "
+        "SELECT id, grp, v FROM src_rows WHERE grp = 'a'"
+    ).collect()[0]
+    assert st["version"] == "1"
+    assert front.execute("SELECT count(*) AS n FROM cat.db1.t").collect()[0]["n"] == 2
+
+
+def test_insert_appends_without_rewriting(front):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    t = front.cat.table("db1.t")
+    files_v0 = set(t._manifest(0)["files"])
+    front.execute(
+        "INSERT INTO cat.db1.t SELECT id + 10, grp, v * 2 FROM src_rows"
+    )
+    files_v1 = set(t._manifest(1)["files"])
+    # append = old files + new files, nothing rewritten
+    assert files_v0 < files_v1
+    assert front.execute("SELECT count(*) AS n FROM cat.db1.t").collect()[0]["n"] == 6
+    # arity mismatch rejected up front
+    with pytest.raises(ValueError, match="arity"):
+        front.execute("INSERT INTO cat.db1.t SELECT id, grp FROM src_rows")
+
+
+def test_time_travel_and_joins_across_catalog_tables(front):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    front.execute("INSERT INTO cat.db1.t SELECT id + 10, grp, v FROM src_rows")
+    n0 = front.execute(
+        "SELECT count(*) AS n FROM cat.db1.t FOR VERSION AS OF 0"
+    ).collect()[0]["n"]
+    assert n0 == 3
+    # a second table + a join across catalog names in one statement
+    front.execute(
+        "CREATE TABLE cat.db1.dims AS SELECT DISTINCT grp FROM src_rows"
+    )
+    j = front.execute(
+        "SELECT d.grp, count(*) AS n FROM cat.db1.t t "
+        "JOIN cat.db1.dims d ON t.grp = d.grp GROUP BY d.grp"
+    ).collect()
+    assert {r["grp"]: r["n"] for r in j} == {"a": 4, "b": 2}
+
+
+def test_drop_and_show(front):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT * FROM src_rows")
+    front.execute("CREATE TABLE cat.db1.u AS SELECT * FROM src_rows")
+    names = [r["table_name"] for r in front.execute("SHOW TABLES IN db1").collect()]
+    assert names == ["cat.db1.t", "cat.db1.u"]
+    assert front.execute("DROP TABLE cat.db1.u").collect()[0]["dropped"] == "true"
+    assert [r["table_name"] for r in front.execute("SHOW TABLES IN db1").collect()] == [
+        "cat.db1.t"
+    ]
+    with pytest.raises(ValueError, match="does not exist"):
+        front.execute("DROP TABLE cat.db1.u")
+    # IF EXISTS swallows the missing table
+    assert (
+        front.execute("DROP TABLE IF EXISTS cat.db1.u").collect()[0]["dropped"]
+        == "false"
+    )
+
+
+def test_unsupported_statement_rejected(front):
+    with pytest.raises(ValueError, match="unsupported"):
+        front.execute("ALTER TABLE cat.db1.t ADD COLUMN x INT")
