@@ -9,6 +9,7 @@ not a SQL engine; anything heavier goes through ``spark.sql`` directly):
 
 - ``CREATE [OR REPLACE] TABLE <name> AS <select>``      (CTAS)
 - ``INSERT INTO <name> <select>``                       (append commit)
+- ``ALTER TABLE <name> ADD COLUMN <col> <type>``       (metadata-only)
 - ``DROP TABLE [IF EXISTS] <name>``
 - ``SHOW TABLES [IN <db>]``
 - ``SELECT ... FROM <name> [FOR VERSION AS OF <n>] ...``(time travel)
@@ -43,6 +44,10 @@ _INSERT = re.compile(
 )
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)\s*$",
+    re.IGNORECASE,
 )
 _SHOW = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*$", re.IGNORECASE
@@ -123,6 +128,12 @@ class SqlFront:
                 )
             v = t.append(df.toDF(*tcols))
             return self._status(op="INSERT", table=name, version=str(v))
+        if m := _ALTER_ADD.match(sql):
+            name, col, ddl_type = m.group(1), m.group(2), m.group(3)
+            if not self.cat.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+            v = self.cat.table(name).add_column(col, ddl_type)
+            return self._status(op="ALTER", table=name, version=str(v))
         if m := _DROP.match(sql):
             if_exists, name = bool(m.group(1)), m.group(2)
             exists = self.cat.table_exists(name)

@@ -24,6 +24,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .dedup import latest_wins  # noqa: F401  (re-exported convenience)
 from .upsert import merge_upsert
@@ -84,14 +85,19 @@ class VersionedTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        prior = (
-            self._manifest(self.current_version())["files"]
-            if self.versions()
-            else []
+        head = self._manifest(self.current_version()) if self.versions() else {}
+        return self._publish(
+            head.get("files", []) + new_files,
+            ts=ts,
+            added_columns=head.get("added_columns"),
         )
-        return self._publish(prior + new_files, ts=ts)
 
-    def _publish(self, files: list[str], ts: float | None = None) -> int:
+    def _publish(
+        self,
+        files: list[str],
+        ts: float | None = None,
+        added_columns: list[list[str]] | None = None,
+    ) -> int:
         """Optimistic-concurrency commit: claim the next version number
         with a hard link (fails with EEXIST if a concurrent writer won the
         race — unlike rename, which silently overwrites) and retry against
@@ -109,6 +115,10 @@ class VersionedTable:
                         "version": version,
                         "files": files,
                         "ts": time.time() if ts is None else ts,
+                        # metadata-only schema evolution: [name, ddl_type]
+                        # pairs appended by add_column(); realized at read
+                        # time, no data files rewritten
+                        "added_columns": added_columns or [],
                     },
                     f,
                 )
@@ -120,15 +130,40 @@ class VersionedTable:
             finally:
                 os.remove(tmp)
 
+    def add_column(self, name: str, ddl_type: str, ts: float | None = None) -> int:
+        """Iceberg-style metadata-only ALTER TABLE ADD COLUMN: republish
+        the current files with the new column recorded in the manifest —
+        zero data rewritten; readers see typed NULLs on historical rows,
+        and later appends may populate it (mixed-file schemas merge at
+        read). Old snapshots keep their narrower schema."""
+        if not self.versions():
+            raise FileNotFoundError(f"versioned table {self.root} has no commits")
+        head = self._manifest(self.current_version())
+        if name in [f.name for f in self.schema().fields]:
+            raise ValueError(f"column {name!r} already exists")
+        return self._publish(
+            head["files"],
+            ts=ts,
+            added_columns=head.get("added_columns", []) + [[name, ddl_type]],
+        )
+
     # --------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"versioned table {self.root} has no commits")
-        files = self._manifest(v)["files"]
+        m = self._manifest(v)
+        files = m["files"]
         if not files:
             raise FileNotFoundError(f"version {v} committed no files")
-        return self.spark.read.parquet(*files)
+        # mergeSchema: evolved tables legitimately hold files of mixed
+        # width (append after add_column); columns absent from a file
+        # read as NULL
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        for name, ddl_type in m.get("added_columns", []):
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(ddl_type))
+        return df
 
     # -------------------------------------------------------------- upsert
     def upsert(

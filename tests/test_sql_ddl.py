@@ -88,6 +88,30 @@ def test_drop_and_show(front):
     )
 
 
+def test_alter_add_column_is_metadata_only(front):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    t = front.cat.table("db1.t")
+    st = front.execute("ALTER TABLE cat.db1.t ADD COLUMN score DOUBLE").collect()[0]
+    assert st["op"] == "ALTER" and st["version"] == "1"
+    # zero data rewritten: v1 references exactly v0's files
+    assert t._manifest(1)["files"] == t._manifest(0)["files"]
+    rows = front.execute("SELECT id, score FROM cat.db1.t").collect()
+    assert all(r["score"] is None for r in rows) and len(rows) == 3
+    # later INSERT populates the evolved column; historical rows stay NULL
+    front.execute(
+        "INSERT INTO cat.db1.t SELECT id + 10, grp, v, v * 0.1 FROM src_rows"
+    )
+    got = front.execute(
+        "SELECT count(*) AS n, count(score) AS ns FROM cat.db1.t"
+    ).collect()[0]
+    assert got["n"] == 6 and got["ns"] == 3
+    # old snapshot keeps the narrower schema
+    v0 = front.execute("SELECT * FROM cat.db1.t FOR VERSION AS OF 0")
+    assert "score" not in v0.columns
+    with pytest.raises(ValueError, match="already exists"):
+        front.execute("ALTER TABLE cat.db1.t ADD COLUMN score DOUBLE")
+
+
 def test_unsupported_statement_rejected(front):
     with pytest.raises(ValueError, match="unsupported"):
-        front.execute("ALTER TABLE cat.db1.t ADD COLUMN x INT")
+        front.execute("TRUNCATE TABLE cat.db1.t")
