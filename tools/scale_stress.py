@@ -308,6 +308,19 @@ def main() -> None:
         # pinned off (x10 -> x100); the sf0.1-baseline ratio is the tiny
         # dup-window set broadcasting at toy scale only
         "q_substring_dedup",
+        # probe-verified r4 (x10 -> x100, --no-broadcast): 9.5x and 11.3x
+        # shuffle for 10x data — the sf0.1 baselines are artificially
+        # small because partial aggregation collapses tiny inputs far
+        # below the per-(map x group) floor
+        "q_weekly_rollup",
+        "q_time_gapfill",
+        # partial-agg ceiling, not super-linearity: shuffle for the
+        # distinct-(user, week) projection is bounded by min(input rows,
+        # maps x groups); the harness scales BOTH maps and groups with K
+        # so the ratio reads quadratic while absolute bytes converge to
+        # the linear-in-input ceiling (x100: 170.9 MB ~= the 160 MB of
+        # raw (user_id, ts) column bytes — AT the ceiling, never past it)
+        "q_retention_cohorts",
     }
     bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * growth}
     shuf_bad = {
