@@ -81,6 +81,22 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
     startup = round(time.monotonic() - t_start, 3)
 
+    # machine-speed canary: fixed-size single-thread Python hash + JVM
+    # range-sum, identical work every round. Shared-VM throughput swings
+    # 1.2-1.9x between rounds (measured r4); the canary makes that
+    # visible so a cross-round headline delta can be read against the
+    # machine, not assumed to be the code.
+    import hashlib
+    t0 = time.monotonic()
+    h = hashlib.md5()
+    blk = b"x" * (1 << 20)
+    for _ in range(64):
+        h.update(blk)
+    py_canary = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    spark.range(50_000_000).selectExpr("sum(id)").collect()
+    jvm_canary = round(time.monotonic() - t0, 3)
+
     # two reps: rep 1 is the cold number (JIT compiling, page cache
     # filling), the min is the reproducible warm number. Both totals are
     # reported so a single cold run is never mistaken for a regression
@@ -156,6 +172,7 @@ def main() -> None:
         "extended": extended,
         "shufW_mb": shufw,
         "startup_sec": startup,
+        "cpu_canary_sec": {"py_md5_64mb": py_canary, "jvm_range_sum_50m": jvm_canary},
         "reps": "2 (+1 when warm best <1s)",
         "timing": "best-of-2 per query, best-of-3 when sub-second; "
                   "cold_total = first-rep sum; "
