@@ -11,6 +11,8 @@ not a SQL engine; anything heavier goes through ``spark.sql`` directly):
 - ``INSERT INTO <name> <select>``                       (append commit)
 - ``ALTER TABLE <name> ADD COLUMN <col> <type>``       (metadata-only)
 - ``DROP TABLE [IF EXISTS] <name>``
+- ``OPTIMIZE <name> [INTO <n> PARTITIONS]``            (compaction)
+- ``VACUUM <name> [RETAIN <n> VERSIONS]``              (snapshot expiry)
 - ``SHOW TABLES [IN <db>]``
 - ``SELECT ... FROM <name> [FOR VERSION AS OF <n>] ...``(time travel)
 
@@ -47,6 +49,14 @@ _DROP = re.compile(
 )
 _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+PARTITIONS)?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
 _SHOW = re.compile(
@@ -143,6 +153,20 @@ class SqlFront:
                 shutil.rmtree(self.cat.resolve(name), ignore_errors=True)
             return self._status(
                 op="DROP", table=name, dropped=str(exists).lower()
+            )
+        if m := _OPTIMIZE.match(sql):
+            name, nparts = m.group(1), int(m.group(2) or 8)
+            if not self.cat.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+            v = self.cat.table(name).compact(nparts)
+            return self._status(op="OPTIMIZE", table=name, version=str(v))
+        if m := _VACUUM.match(sql):
+            name, keep = m.group(1), int(m.group(2) or 2)
+            if not self.cat.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+            removed = self.cat.table(name).vacuum(keep_last=keep)
+            return self._status(
+                op="VACUUM", table=name, files_removed=str(len(removed))
             )
         if m := _SHOW.match(sql):
             names = self.cat.list_tables(m.group(1))

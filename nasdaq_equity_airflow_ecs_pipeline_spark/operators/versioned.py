@@ -165,6 +165,22 @@ class VersionedTable:
                 df = df.withColumn(name, F.lit(None).cast(ddl_type))
         return df
 
+    def table_changes(
+        self, key: str, payload: list[str],
+        from_version: int, to_version: int | None = None,
+    ) -> DataFrame:
+        """Delta-style change data feed between two committed versions:
+        row-level insert/delete/update records derived by diffing the
+        snapshots (operators/cdc.py snapshot_diff — null-safe payload
+        comparison). ``to_version`` defaults to the current head."""
+        from .cdc import snapshot_diff
+
+        v2 = self.current_version() if to_version is None else to_version
+        return snapshot_diff(
+            self.read(version=from_version), self.read(version=v2),
+            key=key, payload=payload,
+        )
+
     # -------------------------------------------------------------- upsert
     def upsert(
         self,

@@ -937,3 +937,24 @@ def test_global_sort_index_matches_single_partition_window(spark):
     assert poss == list(range(101))  # a permutation, no gaps/dupes
     ids_in_order = [r[0] for r in sorted(a, key=lambda t: t[-1])]
     assert ids_in_order != list(range(101))  # actually shuffled
+
+
+def test_jpeg_end_to_end_through_spark_plumbing(spark):
+    """A real baseline JPEG rides the binary column through mapInPandas
+    and decodes with the stdlib decoder inside the executor."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode,
+    )
+
+    w = _JpegWriter(8, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS)
+    w.dc_coef(256)  # flat gray 160
+    w.eob()
+    jpeg = w.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg), "image/jpeg")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    r = extract_media_features(df, decode_fn=real_decode).collect()[0]
+    assert r["feat_dim"] == 1
+    assert math.isclose(r["feat_mean"], 160 / 255.0, rel_tol=1e-9)

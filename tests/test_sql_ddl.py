@@ -115,3 +115,32 @@ def test_alter_add_column_is_metadata_only(front):
 def test_unsupported_statement_rejected(front):
     with pytest.raises(ValueError, match="unsupported"):
         front.execute("TRUNCATE TABLE cat.db1.t")
+
+
+def test_optimize_vacuum_and_table_changes(front, spark):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    front.execute("INSERT INTO cat.db1.t SELECT id + 10, grp, v FROM src_rows")
+    front.execute(
+        "CREATE OR REPLACE TABLE cat.db1.t AS "
+        "SELECT id, grp, v * 2 AS v FROM src_rows"
+    )
+    t = front.cat.table("db1.t")
+    # change data feed v1 -> v2 (head): every surviving id's v doubled
+    # (update), the v1-appended ids (11..13) deleted by the replace
+    ch = {
+        (r["id"], r["change"])
+        for r in t.table_changes("id", ["v"], from_version=1).collect()
+    }
+    assert (1, "update") in ch and (11, "delete") in ch
+    # v0 -> v2: the appended ids never existed at v0 -> updates only
+    ch0 = {r["change"] for r in t.table_changes("id", ["v"], 0).collect()}
+    assert ch0 == {"update"}
+    # OPTIMIZE compacts into the requested layout as a new version
+    st = front.execute("OPTIMIZE cat.db1.t INTO 2 PARTITIONS").collect()[0]
+    assert st["op"] == "OPTIMIZE"
+    assert front.execute("SELECT count(*) AS n FROM cat.db1.t").collect()[0]["n"] == 3
+    # VACUUM RETAIN 2 drops the older snapshots' files
+    st = front.execute("VACUUM cat.db1.t RETAIN 2 VERSIONS").collect()[0]
+    assert int(st["files_removed"]) > 0
+    # head still readable after vacuum
+    assert front.execute("SELECT count(*) AS n FROM cat.db1.t").collect()[0]["n"] == 3
