@@ -218,11 +218,15 @@ def hist_quantiles(
     qs: list[float],
 ) -> "DataFrame":
     """Quantile estimates from a ``hist_build`` sketch (or a sum-merge of
-    many): per group and q, find the bucket holding 1-based rank
-    ``r = floor(q*(N-1)) + 1`` in the cumulative histogram and place the
-    estimate proportionally inside it. Integer ranks/counts end in ONE
-    fixed-order double expression, so results are bit-identical
-    cross-engine."""
+    many): per group and q, find the bucket holding the nearest-rank
+    order statistic (1-based ``r = max(1, ceil(q*N))``) in the
+    cumulative histogram and place the estimate proportionally inside
+    it. PROVABLE bound: the exact order statistic x_(r) lies in the
+    picked bucket, so |estimate - x_(r)| < width always (an interpolated
+    quantile can additionally differ by the gap between adjacent order
+    statistics — a data property no bounded sketch controls). Integer
+    ranks/counts end in ONE fixed-order double expression, so results
+    are bit-identical cross-engine."""
     from pyspark.sql import Window
 
     w_cum = (
@@ -239,9 +243,9 @@ def hist_quantiles(
         F.sum("n").over(w_all).alias("n_rows"),
     )
     c = c.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
-    r = (
-        F.floor(F.col("q") * (F.col("n_rows") - 1).cast("double")).cast("long")
-        + 1
+    r = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("q") * F.col("n_rows").cast("double")).cast("long"),
     )
     cand = c.withColumn("r", r).filter(F.col("cum") >= F.col("r"))
     pick = cand.groupBy(*group_cols, "q").agg(

@@ -617,9 +617,10 @@ HIST_QS = [0.5, 0.95, 0.99]
 def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable fixed-grid histogram quantile sketch (the 100 TB twin
     of q_group_quantiles): bucket counts are input-size-independent
-    state merged by sum; estimates land within one bucket width of the
-    exact quantile. Deterministic — no t-digest/KLL sampling — so the
-    whole estimator is DuckDB-oracle-exact."""
+    state merged by sum; each estimate lands within one bucket width of
+    the exact nearest-rank order statistic (the provable sketch bound).
+    Deterministic — no t-digest/KLL sampling — so the whole estimator is
+    DuckDB-oracle-exact."""
     from ..functions.sketches import hist_build, hist_quantiles
 
     li = load_table(spark, sf, "lineitem")
@@ -645,7 +646,7 @@ c AS (
 ),
 cq AS (SELECT c.*, q FROM c, (SELECT unnest([{qlist}]) AS q)),
 cand AS (
-  SELECT *, CAST(floor(q * CAST(n_rows - 1 AS DOUBLE)) AS BIGINT) + 1 AS r
+  SELECT *, greatest(CAST(1 AS BIGINT), CAST(ceil(q * CAST(n_rows AS DOUBLE)) AS BIGINT)) AS r
   FROM cq
 ),
 pick AS (

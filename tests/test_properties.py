@@ -229,3 +229,88 @@ def test_cdc_diff_apply_round_trip(old_map, new_map):
     diff_df = snapshot_diff(old, new, key="k", payload=["v"])
     rebuilt = {r.k: r.v for r in apply_changes(old, diff_df, key="k", payload=["v"]).collect()}
     assert rebuilt == new_map
+
+
+# --------------------------------------------------- round-4 operators
+_url_chars = st.text(
+    alphabet="abXY09._-/?&=#:", min_size=0, max_size=24
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_url_chars, min_size=1, max_size=8))
+def test_canonicalize_url_is_idempotent(paths):
+    """canon(canon(u)) == canon(u): the canonical form must be a fixed
+    point, else dedup keys depend on how many times a pipeline stage
+    normalized the column."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        canonicalize_url,
+    )
+
+    spark = _get_spark()
+    urls = [(f"https://Ex.com{('/' + p) if p else ''}",) for p in paths]
+    df = spark.createDataFrame(urls, ["url"])
+    once = df.select(canonicalize_url("url").alias("url"))
+    twice = once.select(canonicalize_url("url").alias("url"))
+    assert [r["url"] for r in once.collect()] == [
+        r["url"] for r in twice.collect()
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5),
+        min_size=1, max_size=6,
+    ),
+    st.integers(1, 3),
+)
+def test_line_dedup_conservation_and_order(doc_lines, max_docs):
+    """Kept lines are a subsequence of the original lines, and
+    n_kept + n_removed == n_lines for every document."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        line_dedup,
+    )
+
+    spark = _get_spark()
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=max_docs).collect()}
+    for i, ls in enumerate(doc_lines):
+        r = out[i]
+        assert r["n_lines"] == len(ls)
+        kept = r["kept_text"].split("\n") if r["kept_text"] else []
+        assert len(kept) == r["n_lines"] - r["n_removed"]
+        it = iter(ls)  # subsequence check preserves order
+        assert all(any(k == x for x in it) for k in kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(0, 1000, allow_nan=False), min_size=2, max_size=60))
+def test_hist_quantile_estimates_are_monotone_and_bounded(xs):
+    """Estimates are non-decreasing in q and within one bucket width of
+    the exact NEAREST-RANK order statistic — the sketch's provable
+    bound (an interpolated quantile can differ further by the gap
+    between adjacent order statistics; hypothesis found the [0, 112]
+    falsifier for the stronger interpolated claim)."""
+    import math as _math
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.functions.sketches import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    spark = _get_spark()
+    width = 50.0
+    qs = [0.25, 0.5, 0.9]
+    df = spark.createDataFrame([("g", float(x)) for x in xs], "g string, x double")
+    h = hist_build(df, ["g"], "x", width)
+    est = {
+        r["q"]: r["est_quantile"]
+        for r in hist_quantiles(h, ["g"], width, qs).collect()
+    }
+    assert est[0.25] <= est[0.5] <= est[0.9]
+    s_xs = sorted(xs)
+    for q in qs:
+        r = max(1, _math.ceil(q * len(s_xs)))
+        assert abs(est[q] - s_xs[r - 1]) <= width
