@@ -73,7 +73,17 @@ def main() -> None:
     # shape regressions (a lost broadcast, a new exchange) show up in
     # shufW even when wall-clock noise hides them
     spark = get_spark(
-        "bench", extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4052"}
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4052",
+            # the shuffle deltas difference cumulative stage sums; the
+            # status store must retain every stage of the run or late
+            # queries under-count (default retainedStages=1000 < a full
+            # bench's stage count)
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+        },
     )
     queries = contract.queries()
 

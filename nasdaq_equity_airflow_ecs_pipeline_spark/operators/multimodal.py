@@ -417,9 +417,11 @@ def real_decode(payload: bytes) -> dict[str, Any]:
     elif payload[:2] == b"\xff\xd8":
         try:
             feats = decode_jpeg(payload)
-        except ValueError:
-            # progressive/12-bit/arithmetic variant: PIL path below, or
-            # the disclosed stub when PIL is absent
+        except Exception:
+            # progressive/12-bit/arithmetic variant (ValueError) or a
+            # corrupt/truncated stream (IndexError/KeyError/struct.error
+            # mid-parse): PIL path below, or the disclosed stub when PIL
+            # is absent — the pipeline must never die on opaque bytes
             feats = None
     if feats is None:
         try:  # PIL path: real when the lib exists (not in this container)

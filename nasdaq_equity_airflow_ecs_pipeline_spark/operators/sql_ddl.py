@@ -30,8 +30,10 @@ the only operation that destroys history.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,6 +78,11 @@ class SqlFront:
     def __init__(self, catalog: NameCatalog):
         self.cat = catalog
         self.spark: SparkSession = catalog.spark
+        # session-unique prefix: temp views are session-GLOBAL, so two
+        # SqlFront instances sharing a session must never reuse a name
+        # (a lazily-held result frame would silently re-read the other
+        # front's table)
+        self._view_prefix = f"__cat_view_{uuid.uuid4().hex[:8]}"
         self._view_n = 0
 
     # ------------------------------------------------- name resolution
@@ -102,9 +109,30 @@ class SqlFront:
         if not self.cat.table_exists(name):
             raise ValueError(f"table {name!r} does not exist")
         self._view_n += 1
-        view = f"__cat_view_{self._view_n}"
+        view = f"{self._view_prefix}_{self._view_n}"
         self.cat.read(name, version=version).createOrReplaceTempView(view)
         return view
+
+    def _versioned_table(self, name: str):
+        """VersionedTable handle for DML/maintenance, migrating a
+        plain-parquet table (the pipeline's cow-upsert layout) into the
+        versioned layout on first touch: its current content becomes
+        version 0 and the loose files are removed once the commit is
+        durable — after which every statement (INSERT/ALTER/OPTIMIZE/
+        VACUUM/time travel) has the transaction log it needs."""
+        if not self.cat.table_exists(name):
+            raise ValueError(f"table {name!r} does not exist")
+        path = self.cat.resolve(name)
+        if not self.cat._is_versioned(path):
+            df = self.spark.read.parquet(path)
+            t = self.cat.table(name)
+            t.commit(df)  # durable v0 of the existing content
+            for entry in os.listdir(path):
+                if entry.endswith(".parquet") or "=" in entry:
+                    full = os.path.join(path, entry)
+                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+            return t
+        return self.cat.table(name)
 
     def _status(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
@@ -124,10 +152,8 @@ class SqlFront:
             return self._status(op="CREATE", table=name, version=str(v))
         if m := _INSERT.match(sql):
             name, body = m.group(1), m.group(2)
-            if not self.cat.table_exists(name):
-                raise ValueError(f"table {name!r} does not exist")
+            t = self._versioned_table(name)
             df = self.spark.sql(self._resolve_names(body))
-            t = self.cat.table(name)
             # SQL INSERT ... SELECT is by POSITION: arity must match, the
             # select's columns take the table's names (standard behavior)
             tcols = [f.name for f in t.schema().fields]
@@ -140,9 +166,7 @@ class SqlFront:
             return self._status(op="INSERT", table=name, version=str(v))
         if m := _ALTER_ADD.match(sql):
             name, col, ddl_type = m.group(1), m.group(2), m.group(3)
-            if not self.cat.table_exists(name):
-                raise ValueError(f"table {name!r} does not exist")
-            v = self.cat.table(name).add_column(col, ddl_type)
+            v = self._versioned_table(name).add_column(col, ddl_type)
             return self._status(op="ALTER", table=name, version=str(v))
         if m := _DROP.match(sql):
             if_exists, name = bool(m.group(1)), m.group(2)
@@ -156,15 +180,11 @@ class SqlFront:
             )
         if m := _OPTIMIZE.match(sql):
             name, nparts = m.group(1), int(m.group(2) or 8)
-            if not self.cat.table_exists(name):
-                raise ValueError(f"table {name!r} does not exist")
-            v = self.cat.table(name).compact(nparts)
+            v = self._versioned_table(name).compact(nparts)
             return self._status(op="OPTIMIZE", table=name, version=str(v))
         if m := _VACUUM.match(sql):
             name, keep = m.group(1), int(m.group(2) or 2)
-            if not self.cat.table_exists(name):
-                raise ValueError(f"table {name!r} does not exist")
-            removed = self.cat.table(name).vacuum(keep_last=keep)
+            removed = self._versioned_table(name).vacuum(keep_last=keep)
             return self._status(
                 op="VACUUM", table=name, files_removed=str(len(removed))
             )

@@ -85,12 +85,34 @@ class VersionedTable:
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        head = self._manifest(self.current_version()) if self.versions() else {}
-        return self._publish(
-            head.get("files", []) + new_files,
+        # the head is re-read INSIDE the commit loop: if a concurrent
+        # writer wins the version race, the retry must append onto ITS
+        # file list, not the stale pre-race head (else the winner's rows
+        # silently vanish from the new head)
+        return self._publish_rebased(
+            lambda head: (
+                (head or {}).get("files", []) + new_files,
+                (head or {}).get("added_columns"),
+            ),
             ts=ts,
-            added_columns=head.get("added_columns"),
         )
+
+    def _publish_rebased(self, build, ts: float | None = None) -> int:
+        """CAS commit whose content is a FUNCTION of the current head:
+        ``build(head_manifest_or_None) -> (files, added_columns)`` is
+        re-evaluated on every retry, so losing the version race rebases
+        the change onto the winner's state instead of clobbering it
+        (append/add_column must compose with concurrent commits; a full
+        rewrite like ``commit`` is rebase-invariant and uses _publish)."""
+        while True:
+            cur = self.current_version()
+            head = self._manifest(cur) if cur is not None else None
+            files, added = build(head)
+            v = self._try_publish(
+                (cur + 1) if cur is not None else 0, files, ts, added
+            )
+            if v is not None:
+                return v
 
     def _publish(
         self,
@@ -108,27 +130,40 @@ class VersionedTable:
         mirroring Iceberg's snapshot timestamp-ms."""
         while True:
             version = (self.current_version() + 1) if self.versions() else 0
-            tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "version": version,
-                        "files": files,
-                        "ts": time.time() if ts is None else ts,
-                        # metadata-only schema evolution: [name, ddl_type]
-                        # pairs appended by add_column(); realized at read
-                        # time, no data files rewritten
-                        "added_columns": added_columns or [],
-                    },
-                    f,
-                )
-            try:
-                os.link(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{version}.json"))
-                return version
-            except FileExistsError:
-                continue  # lost the race; re-read head and retry
-            finally:
-                os.remove(tmp)
+            v = self._try_publish(version, files, ts, added_columns)
+            if v is not None:
+                return v
+
+    def _try_publish(
+        self,
+        version: int,
+        files: list[str],
+        ts: float | None,
+        added_columns: list[list[str]] | None,
+    ) -> int | None:
+        """One CAS attempt: link the manifest for ``version``; None means
+        a concurrent writer claimed it (caller re-reads head and retries)."""
+        tmp = os.path.join(self.root, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "files": files,
+                    "ts": time.time() if ts is None else ts,
+                    # metadata-only schema evolution: [name, ddl_type]
+                    # pairs appended by add_column(); realized at read
+                    # time, no data files rewritten
+                    "added_columns": added_columns or [],
+                },
+                f,
+            )
+        try:
+            os.link(tmp, os.path.join(self.root, _MANIFEST_DIR, f"v{version}.json"))
+            return version
+        except FileExistsError:
+            return None  # lost the race
+        finally:
+            os.remove(tmp)
 
     def add_column(self, name: str, ddl_type: str, ts: float | None = None) -> int:
         """Iceberg-style metadata-only ALTER TABLE ADD COLUMN: republish
@@ -138,13 +173,14 @@ class VersionedTable:
         read). Old snapshots keep their narrower schema."""
         if not self.versions():
             raise FileNotFoundError(f"versioned table {self.root} has no commits")
-        head = self._manifest(self.current_version())
         if name in [f.name for f in self.schema().fields]:
             raise ValueError(f"column {name!r} already exists")
-        return self._publish(
-            head["files"],
+        return self._publish_rebased(
+            lambda head: (
+                (head or {}).get("files", []),
+                (head or {}).get("added_columns", []) + [[name, ddl_type]],
+            ),
             ts=ts,
-            added_columns=head.get("added_columns", []) + [[name, ddl_type]],
         )
 
     # --------------------------------------------------------------- read

@@ -37,6 +37,29 @@ from ..operators.graph import dedup_clusters
 from ..operators.packing import pack_sequences
 from ..operators.sampling import stratified_sample
 
+# Stage frames persist() at reuse boundaries; a bench/stress loop calls
+# these builders repeatedly in one session, so without cleanup each call
+# pins its caches for the session lifetime (the zorder leak class,
+# ADVICE r3). The registry bounds that: entering a builder unpersists
+# the frames its PREVIOUS invocation cached — at most one call's frames
+# stay resident, and the frames a caller is still consuming lazily are
+# only released once it asks for a fresh pipeline.
+_CACHED: dict[str, list] = {"v1": [], "v2": []}
+
+
+def _persist(frame, slot: str):
+    _CACHED[slot].append(frame.persist())
+    return frame
+
+
+def _release(slot: str) -> None:
+    for f in _CACHED[slot]:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _CACHED[slot].clear()
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -51,6 +74,7 @@ def curate_corpus(
     (doc_id, n_tokens, lang) plus the final packed spans, keyed by stage
     name — callers pick the frame they need, the funnel query aggregates
     all of them."""
+    _release("v1")
     base = docs.select(
         "doc_id", "text", "lang", text_ops.token_count("text").alias("n_tokens")
     )
@@ -65,7 +89,8 @@ def curate_corpus(
         text_ops.quality_features(corpus, "text")
         .filter(F.col("q_score") >= quality_min)
         .select("doc_id", "text", "lang", "n_tokens")
-    ).persist()
+    )
+    quality = _persist(quality, "v1")
 
     exact_survivors = (
         quality.withColumn("content_hash", F.md5("text"))
@@ -73,7 +98,8 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
         .select("doc_id", "text", "lang", "n_tokens")
-    ).persist()
+    )
+    exact_survivors = _persist(exact_survivors, "v1")
 
     sigs = lsh.minhash_signatures(exact_survivors)
     pairs = lsh.lsh_candidate_pairs(sigs)
@@ -83,7 +109,8 @@ def curate_corpus(
         .select("doc_id")
         .join(exact_survivors, "doc_id")
         .select("doc_id", "text", "lang", "n_tokens")
-    ).persist()
+    )
+    neardup = _persist(neardup, "v1")
 
     # eval 5-grams come from the held-out slice of the RAW input
     ev_tok = base.filter(F.col("doc_id") < eval_max_id).select(
@@ -104,9 +131,12 @@ def curate_corpus(
         .select("doc_id")
         .distinct()
     )
-    clean = neardup.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "lang", "n_tokens"
-    ).persist()
+    clean = _persist(
+        neardup.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id", "lang", "n_tokens"
+        ),
+        "v1",
+    )
 
     mixed = stratified_sample(
         clean, mix_rates, strata_col="lang", key_col="doc_id",
@@ -160,6 +190,7 @@ def curate_corpus_v2(
         weighted_resample,
     )
 
+    _release("v2")
     base = docs.select("doc_id", "url", "text", "lang", "source")
     with_canon = base.withColumn("canonical_url", canonicalize_url("url"))
     url_surv = (
@@ -167,24 +198,27 @@ def curate_corpus_v2(
         .agg(F.min("doc_id").alias("doc_id"))
         .join(base, "doc_id")
         .select("doc_id", "text", "lang", "source")
-    ).persist()
+    )
+    url_surv = _persist(url_surv, "v2")
 
     ld = line_dedup(url_surv, max_docs=max_line_docs)
     line_kept = (
         ld.filter(F.col("n_removed") < F.col("n_lines"))
         .join(url_surv.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", F.col("kept_text").alias("text"), "lang", "source")
-    ).persist()
+    )
+    line_kept = _persist(line_kept, "v2")
 
     imp = importance_weights(
         line_kept, F.col("lang") == "en", n_buckets=n_buckets
     )
-    important = (
+    important = _persist(
         line_kept.join(
             imp.filter(F.col("importance") >= importance_min).select("doc_id"),
             "doc_id",
-        )
-    ).persist()
+        ),
+        "v2",
+    )
 
     weights = mixture_weights(important, "source", targets)
     resampled = weighted_resample(

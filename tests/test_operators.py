@@ -958,3 +958,19 @@ def test_jpeg_end_to_end_through_spark_plumbing(spark):
     r = extract_media_features(df, decode_fn=real_decode).collect()[0]
     assert r["feat_dim"] == 1
     assert math.isclose(r["feat_mean"], 160 / 255.0, rel_tol=1e-9)
+
+
+def test_corrupt_jpeg_falls_back_not_crashes():
+    """Truncated/corrupt JPEG streams (IndexError/KeyError mid-parse, not
+    just clean ValueErrors) must route to the stub, never kill the task —
+    the 'pipeline never dies on opaque bytes' contract."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    for payload in (
+        b"\xff\xd8\xff\xc4\x00\x05\x00",        # truncated DHT
+        b"\xff\xd8\xff\xda\x00\x04\x01\x00",    # SOS with no tables
+        b"\xff\xd8\xff",                          # bare marker fragment
+    ):
+        assert real_decode(payload)["feat_dim"] == 8  # disclosed stub

@@ -144,3 +144,26 @@ def test_optimize_vacuum_and_table_changes(front, spark):
     assert int(st["files_removed"]) > 0
     # head still readable after vacuum
     assert front.execute("SELECT count(*) AS n FROM cat.db1.t").collect()[0]["n"] == 3
+
+
+def test_dml_migrates_plain_parquet_table(front, spark, tmp_path):
+    """run_pipeline-style plain-parquet tables upgrade to the versioned
+    layout on first DML: content becomes version 0, loose files are
+    swept, and INSERT/OPTIMIZE/time travel work from then on."""
+    path = front.cat.resolve("db9.plain")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, grp string, v double"
+    ).write.parquet(path)
+    assert front.cat.table_exists("db9.plain")
+    front.execute("INSERT INTO cat.db9.plain SELECT id + 10, grp, v FROM src_rows")
+    assert (
+        front.execute("SELECT count(*) AS n FROM cat.db9.plain").collect()[0]["n"]
+        == 5
+    )
+    # migration v0 preserved the pre-DML content for time travel
+    assert (
+        front.execute(
+            "SELECT count(*) AS n FROM cat.db9.plain FOR VERSION AS OF 0"
+        ).collect()[0]["n"]
+        == 2
+    )

@@ -262,7 +262,13 @@ def main() -> None:
     base_k = int(opts.get("--base-k", 1))  # data multiple of baseline dir
     # UI on: the REST API is the shuffle-bytes source; driver mem sized
     # for the K=100 single-JVM run (local mode driver == all executors)
-    conf = {"spark.ui.enabled": "true", "spark.ui.port": "4050"}
+    conf = {
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "4050",
+        # shuffle deltas need every stage retained (see bench.py)
+        "spark.ui.retainedStages": "50000",
+        "spark.ui.retainedJobs": "50000",
+    }
     if "--no-broadcast" in opts:
         # Force the 100 TB-shape plan at every scale: with broadcast off,
         # no join flips broadcast->SMJ between the two runs, so the
