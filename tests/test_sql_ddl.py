@@ -167,3 +167,35 @@ def test_dml_migrates_plain_parquet_table(front, spark, tmp_path):
         ).collect()[0]["n"]
         == 2
     )
+
+
+def test_append_rebases_onto_concurrent_winner(spark, tmp_path):
+    """Two interleaved appends must BOTH survive: when writer A loses the
+    version CAS to writer B, A's retry rebases onto B's file list instead
+    of republishing the stale pre-race head (which would silently drop
+    B's rows)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "t")
+    a = VersionedTable(spark, root)
+    a.commit(spark.createDataFrame([(0,)], "id bigint"))
+    b = VersionedTable(spark, root)
+
+    orig = a._try_publish
+    state = {"raced": False}
+
+    def racing(version, files, ts, added):
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer B claims this exact version first
+            b.append(spark.createDataFrame([(100,)], "id bigint"))
+        return orig(version, files, ts, added)
+
+    a._try_publish = racing
+    a.append(spark.createDataFrame([(200,)], "id bigint"))
+
+    got = sorted(r["id"] for r in a.read().collect())
+    assert got == [0, 100, 200]  # nobody's rows vanished
+    assert a.current_version() == 2  # v1 = B's win, v2 = A's rebase
