@@ -14,6 +14,7 @@ not a SQL engine; anything heavier goes through ``spark.sql`` directly):
 - ``OPTIMIZE <name> [INTO <n> PARTITIONS]``            (compaction)
 - ``VACUUM <name> [RETAIN <n> VERSIONS]``              (snapshot expiry)
 - ``SHOW TABLES [IN <db>]``
+- ``DESCRIBE <name>`` / ``DESCRIBE HISTORY <name>``    (schema / commits)
 - ``SELECT ... FROM <name> [FOR VERSION AS OF <n>] ...``(time travel)
 
 Catalog-qualified names inside any SELECT body are resolved by
@@ -63,6 +64,9 @@ _VACUUM = re.compile(
 )
 _SHOW = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*$", re.IGNORECASE
+)
+_DESCRIBE = re.compile(
+    r"^\s*DESCRIBE\s+(HISTORY\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.IGNORECASE)
 _TIME_TRAVEL = re.compile(
@@ -187,6 +191,30 @@ class SqlFront:
             removed = self._versioned_table(name).vacuum(keep_last=keep)
             return self._status(
                 op="VACUUM", table=name, files_removed=str(len(removed))
+            )
+        if m := _DESCRIBE.match(sql):
+            history, name = bool(m.group(1)), m.group(2)
+            if not self.cat.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+            if history:  # Delta DESCRIBE HISTORY analog: one row per commit
+                t = self._versioned_table(name)
+                rows = [
+                    (
+                        v,
+                        float(t._manifest(v)["ts"]),
+                        len(t._manifest(v)["files"]),
+                        len(t._manifest(v).get("added_columns", [])),
+                    )
+                    for v in t.versions()
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "version int, commit_ts double, n_files int, n_added_columns int",
+                )
+            schema = self.cat.read(name).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in schema.fields],
+                "col_name string, data_type string",
             )
         if m := _SHOW.match(sql):
             names = self.cat.list_tables(m.group(1))

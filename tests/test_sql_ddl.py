@@ -199,3 +199,17 @@ def test_append_rebases_onto_concurrent_winner(spark, tmp_path):
     got = sorted(r["id"] for r in a.read().collect())
     assert got == [0, 100, 200]  # nobody's rows vanished
     assert a.current_version() == 2  # v1 = B's win, v2 = A's rebase
+
+
+def test_describe_table_and_history(front):
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    front.execute("ALTER TABLE cat.db1.t ADD COLUMN score DOUBLE")
+    cols = {r["col_name"]: r["data_type"]
+            for r in front.execute("DESCRIBE cat.db1.t").collect()}
+    assert cols == {"id": "bigint", "grp": "string", "v": "double",
+                    "score": "double"}
+    hist = front.execute("DESCRIBE HISTORY cat.db1.t").orderBy("version").collect()
+    assert [r["version"] for r in hist] == [0, 1]
+    assert hist[1]["n_added_columns"] == 1
+    # metadata-only ALTER: same file count, no rewrite
+    assert hist[0]["n_files"] == hist[1]["n_files"]
