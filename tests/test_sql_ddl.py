@@ -213,3 +213,18 @@ def test_describe_table_and_history(front):
     assert hist[1]["n_added_columns"] == 1
     # metadata-only ALTER: same file count, no rewrite
     assert hist[0]["n_files"] == hist[1]["n_files"]
+
+
+def test_ctas_from_time_traveled_read(front):
+    """Time travel composes inside CTAS bodies: snapshot an old version
+    into a new table."""
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    front.execute("INSERT INTO cat.db1.t SELECT id + 10, grp, v FROM src_rows")
+    front.execute(
+        "CREATE TABLE cat.db1.snap AS "
+        "SELECT * FROM cat.db1.t FOR VERSION AS OF 0"
+    )
+    assert (
+        front.execute("SELECT count(*) AS n FROM cat.db1.snap").collect()[0]["n"]
+        == 3
+    )
