@@ -121,6 +121,38 @@ def mixture_weights(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame, source_col: str
+) -> DataFrame:
+    """Temperature-scaled sampling weights at tau = 0.5 (the standard
+    multilingual rebalancing: sample source s proportionally to
+    share_s^(1/tau's inverse) — sqrt flattens the distribution so
+    low-resource sources are upsampled relative to their share; used by
+    mBERT/XLM-style corpus mixing).
+
+    Exactness: tau is fixed at 0.5 because ``sqrt`` is correctly rounded
+    in every IEEE engine while general ``pow`` is not — and weights are
+    normalized by the MAX (order-independent) rather than the sum (a
+    float sum's value depends on accumulation order), so every output is
+    bit-identical cross-engine. ``rel_weight`` = 1 for the largest
+    source, > share ratio for smaller ones."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    share = F.col("n_docs").cast("double") / total.cast("double")
+    with_share = counts.select("source", "n_docs", share.alias("share"))
+    sqrt_share = F.sqrt(F.col("share"))
+    max_sqrt = F.max(sqrt_share).over(Window.partitionBy())
+    return with_share.select(
+        "source",
+        "n_docs",
+        "share",
+        sqrt_share.alias("sqrt_share"),
+        (sqrt_share / max_sqrt).alias("rel_weight"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

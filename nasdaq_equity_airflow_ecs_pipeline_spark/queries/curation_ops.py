@@ -20,6 +20,7 @@ from ..operators.curation import (
     importance_weights,
     line_dedup,
     mixture_weights,
+    temperature_mixture_weights,
     url_dedup,
 )
 from ..sources.tables import load_table
@@ -151,6 +152,28 @@ SELECT c.source,
        CAST(round(coalesce(t.target_share, 0.0) * CAST(tot.total AS DOUBLE))
             AS BIGINT) AS planned_docs
 FROM c LEFT JOIN t USING (source), tot
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """tau=0.5 temperature sampling weights over document sources (the
+    multilingual upsampling trick), max-normalized for cross-engine
+    exactness."""
+    return temperature_mixture_weights(_docs(spark, sf), "source")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+sh AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+  FROM c, tot
+),
+mx AS (SELECT max(sqrt(share)) AS m FROM sh)
+SELECT source, n_docs, share, sqrt(share) AS sqrt_share,
+       sqrt(share) / mx.m AS rel_weight
+FROM sh, mx
 """
 
 
@@ -390,6 +413,7 @@ UNION ALL SELECT 4, 'resampled', count(*)::BIGINT, {ntok} FROM resampled
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_mixture_weights": q_mixture_weights,
+    "q_temperature_mixture": q_temperature_mixture,
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
@@ -398,6 +422,7 @@ QUERIES = {
 ORACLES = {
     "q_url_dedup": SQL_URL_DEDUP,
     "q_mixture_weights": _sql_mixture_weights(),
+    "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
