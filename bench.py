@@ -11,6 +11,11 @@ Runs the representative queries from ``__spark_entry__.queries()`` at
 Each query is forced end-to-end with the ``noop`` datasource writer
 (full computation, no driver collect, no disk) so the timing measures
 the Spark plan, not Python-side result handling.
+
+The stdout line is kept COMPACT (headline timings only) so the driver's
+tail-capture window always holds it; per-query shuffle bytes, the
+extended-query timings, and methodology notes go to ``BENCH_DETAIL.json``
+next to this script.
 """
 
 from __future__ import annotations
@@ -172,7 +177,7 @@ def main() -> None:
               f"(shufW {shufw[name]}MB)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -187,6 +192,24 @@ def main() -> None:
         "timing": "best-of-2 per query, best-of-3 when sub-second; "
                   "cold_total = first-rep sum; "
                   "startup_sec = session build + first parquet touch",
+    }
+    # Full detail goes to a file; stdout's LAST line is a COMPACT summary
+    # the driver's tail-capture window can always hold (VERDICT r4 #2:
+    # the full per-query map outgrew the window and BENCH_r04.json came
+    # back with "parsed": null — the headline evidence was lost).
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total": detail["cold_total"],
+        "startup_sec": startup,
+        "cpu_canary_sec": {"py_md5_64mb": py_canary, "jvm_range_sum_50m": jvm_canary},
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

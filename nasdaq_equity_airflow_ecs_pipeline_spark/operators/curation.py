@@ -212,6 +212,7 @@ def weighted_resample(
     source_col: str = "source",
     key_col: str = "doc_id",
     alpha: float = 0.5,
+    strict: bool = True,
 ) -> DataFrame:
     """Deterministic mixture resample: keep each row iff its md5 hash
     bucket falls under ``min(1, alpha * sample_weight(source))`` — the
@@ -223,25 +224,46 @@ def weighted_resample(
     across partitionings and engines — the same basis-point hash-bucket
     construction as ``operators/sampling.py``, with the threshold
     computed from exact counts in a fixed-order double expression. The
-    k-row weights frame auto-broadcasts."""
+    k-row weights frame auto-broadcasts.
+
+    ``strict=True`` (default) fails the job — via ``raise_error``, no
+    extra pass over the data — on the first row whose source is absent
+    from the weights frame; a missing source is almost always a stale
+    weights table, and silently dropping its documents is the worst
+    failure mode a mixture pipeline can have. ``strict=False`` restores
+    the drop (weight 0.0) for intentional allow-listing. The weight is
+    joined under a collision-safe internal name so an existing
+    ``sample_weight`` column on ``df`` passes through untouched."""
     from .sampling import _BPS, hash_bucket
 
     w = weights.select(
         F.col("source").alias(source_col),
-        "sample_weight",
+        F.col("sample_weight").alias("__wr_weight"),
     )
+    if strict:
+        weight = F.when(
+            F.col("__wr_weight").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted_resample: source absent from weights frame: "
+                    ),
+                    F.col(source_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("__wr_weight"))
+    else:
+        weight = F.coalesce(F.col("__wr_weight"), F.lit(0.0))
     return (
         df.join(w, source_col, "left")
         .filter(
             hash_bucket(F.col(key_col)).cast("double")
             < F.least(
                 F.lit(float(_BPS)),
-                F.lit(alpha)
-                * F.coalesce("sample_weight", F.lit(0.0))
-                * F.lit(float(_BPS)),
+                F.lit(alpha) * weight * F.lit(float(_BPS)),
             )
         )
-        .drop("sample_weight")
+        .drop("__wr_weight")
     )
 
 

@@ -90,14 +90,16 @@ class SqlFront:
         self._view_n = 0
 
     # ------------------------------------------------- name resolution
-    def _resolve_names(self, body: str) -> str:
+    def _resolve_names(self, body: str, created: list[str]) -> str:
         """Register temp views for every catalog table referenced in a
         SELECT body and rewrite the references. Handles optional
-        ``FOR VERSION AS OF n`` time travel per reference."""
+        ``FOR VERSION AS OF n`` time travel per reference. View names
+        are appended to ``created`` so the caller can drop them once the
+        statement is analyzed."""
 
         def sub_tt(m: re.Match) -> str:
             name, version = m.group(1), int(m.group(2))
-            return self._as_view(name, version)
+            return self._as_view(name, created, version)
 
         body = _TIME_TRAVEL.sub(sub_tt, body)
         # longest (most-qualified) names first so `cat.db.t` never
@@ -106,16 +108,35 @@ class SqlFront:
             rf"\b{re.escape(self.cat.catalog_name)}\.(\w+)\.(\w+)\b"
         )
         return pat.sub(
-            lambda m: self._as_view(f"{m.group(1)}.{m.group(2)}"), body
+            lambda m: self._as_view(f"{m.group(1)}.{m.group(2)}", created),
+            body,
         )
 
-    def _as_view(self, name: str, version: int | None = None) -> str:
+    def _as_view(
+        self, name: str, created: list[str], version: int | None = None
+    ) -> str:
         if not self.cat.table_exists(name):
             raise ValueError(f"table {name!r} does not exist")
         self._view_n += 1
         view = f"{self._view_prefix}_{self._view_n}"
         self.cat.read(name, version=version).createOrReplaceTempView(view)
+        created.append(view)
         return view
+
+    def _sql_resolved(self, body: str) -> DataFrame:
+        """``spark.sql`` over a name-resolved body, dropping the statement's
+        temp views right after analysis. ``spark.sql`` binds view plans
+        eagerly during analysis, so the returned (still lazy) DataFrame
+        stays valid — without the drop, a long-lived session (bench loop,
+        REPL) accumulates one session-global view per table reference per
+        statement, each pinning a snapshot's file listing (ADVICE r4)."""
+        created: list[str] = []
+        sql = self._resolve_names(body, created)
+        try:
+            return self.spark.sql(sql)
+        finally:
+            for v in created:
+                self.spark.catalog.dropTempView(v)
 
     def _versioned_table(self, name: str):
         """VersionedTable handle for DML/maintenance, migrating a
@@ -151,13 +172,13 @@ class SqlFront:
                 raise ValueError(
                     f"table {name!r} already exists (use CREATE OR REPLACE)"
                 )
-            df = self.spark.sql(self._resolve_names(body))
+            df = self._sql_resolved(body)
             v = self.cat.table(name).commit(df)
             return self._status(op="CREATE", table=name, version=str(v))
         if m := _INSERT.match(sql):
             name, body = m.group(1), m.group(2)
             t = self._versioned_table(name)
-            df = self.spark.sql(self._resolve_names(body))
+            df = self._sql_resolved(body)
             # SQL INSERT ... SELECT is by POSITION: arity must match, the
             # select's columns take the table's names (standard behavior)
             tcols = [f.name for f in t.schema().fields]
@@ -197,7 +218,18 @@ class SqlFront:
             if not self.cat.table_exists(name):
                 raise ValueError(f"table {name!r} does not exist")
             if history:  # Delta DESCRIBE HISTORY analog: one row per commit
-                t = self._versioned_table(name)
+                # read-only statement: must NOT trigger the versioned-
+                # layout migration (_versioned_table rewrites storage and
+                # deletes the loose parquet files — reserved for actual
+                # DML). An unversioned table simply has no commit log yet:
+                # empty history frame (ADVICE r4).
+                if not self.cat._is_versioned(self.cat.resolve(name)):
+                    return self.spark.createDataFrame(
+                        [],
+                        "version int, commit_ts double, n_files int, "
+                        "n_added_columns int",
+                    )
+                t = self.cat.table(name)
                 rows = [
                     (
                         v,
@@ -222,5 +254,5 @@ class SqlFront:
                 [(n,) for n in names] or [], "table_name string"
             )
         if _SELECT.match(sql):
-            return self.spark.sql(self._resolve_names(sql))
+            return self._sql_resolved(sql)
         raise ValueError(f"unsupported statement: {sql[:60]!r}")

@@ -251,8 +251,12 @@ class VersionedTable:
     # ------------------------------------------------------------ rollback
     def rollback(self, version: int) -> int:
         """Restore an old snapshot by committing its file list as the new
-        head (no data copied — manifests share immutable files)."""
-        return self._publish(self._manifest(version)["files"])
+        head (no data copied — manifests share immutable files). The full
+        target manifest is republished — files AND its recorded
+        added_columns — so rolling back past (or onto) a metadata-only
+        ALTER TABLE ADD COLUMN restores exactly that snapshot's schema."""
+        m = self._manifest(version)
+        return self._publish(m["files"], added_columns=m.get("added_columns"))
 
     # ------------------------------------------------------------- compact
     def compact(self, target_partitions: int) -> int:

@@ -20,10 +20,17 @@ shuffle); bucket boundaries come from one small aggregate over the code
 (exact at testdata scale; at 100 TB swap in ``approx_percentile`` — the
 boundaries only steer layout, their exactness is not a correctness
 matter); the final ``repartitionByRange`` is the one unavoidable shuffle
-any clustering rewrite pays.
+any clustering rewrite pays.  The bucket ASSIGNMENT is driven by at most
+``n_buckets - 1`` range boundaries — bounded by construction, collected
+as k-row metadata (the k-means-centroid class) and baked into a pure
+column expression, never a per-distinct-code map (which could reach
+2^(2*bits) rows and blow any broadcast).  This matches Iceberg's
+sort-order rewrite, whose metadata is file-count-bounded, never per-key.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -62,6 +69,26 @@ def zorder_layout(
     and ``zbucket`` (0..n_buckets-1, equi-depth on the code). Bucket
     boundaries are exact type-1 quantiles of the code distribution, so
     the assignment is a pure deterministic function of the input set.
+
+    How the assignment scales: equi-depth bucket of code z is
+    ``f(z) = min(floor(below(z) * n_buckets / total), n_buckets - 1)``
+    where ``below(z)`` counts rows with a strictly smaller code.  Since
+    ``f`` is non-decreasing in z, it is fully described by its at most
+    ``n_buckets - 1`` step positions ``boundary_b = min{z : f(z) >= b}``,
+    and ``f(z) = #{b : boundary_b <= z}``.  We compute the cumulative
+    counts distributed (one hash-agg + one window over the |distinct
+    code| aggregate), reduce them to the <= n_buckets achieved step
+    positions, collect THOSE (k-row metadata, the k-means-centroid
+    class), and assign buckets with a pure whole-stage-codegen'd column
+    expression.  Nothing per-distinct-code is ever broadcast or joined —
+    at dense code spaces (2^(2*bits) distinct values) the old per-code
+    bucket map would exceed any broadcast budget; the boundary list
+    cannot, by construction.
+
+    ``cache_counts`` is retained for API compatibility; the counts frame
+    is now always persisted for the duration of the (eager) boundary
+    computation and released before this function returns, so no cache
+    ever outlives the call.
     """
     mask = (1 << bits) - 1
     coded = df.withColumn(
@@ -72,45 +99,72 @@ def zorder_layout(
             bits,
         ),
     )
-    # exact equi-depth split points: rank over distinct codes weighted by
-    # frequency — one small aggregate (|distinct codes| rows), collected
-    # nowhere; joined back as a broadcast range lookup via bucket index
-    # computed from the row's rank. Simpler and shuffle-free for the
-    # assignment itself: percent_rank over a window ordered by zcode
-    # would sort globally; instead compute cumulative counts per code.
-    # persist() the small counts frame: without it the full Morton-coded
-    # scan lineage evaluates twice (once for this aggregate, once under
-    # the final join). |distinct codes| ≤ 2^(2*bits) rows — cheap to keep.
-    # The handle rides on the returned frame as ``_zorder_cached`` so the
-    # caller that materializes the layout can unpersist (write_zordered
-    # does); cache_counts=False skips the cache entirely for callers that
-    # can't hook post-materialization (the driver-contract query runs in
-    # a long-lived bench session where an uncollectable cache per call is
-    # a leak, and its double-eval cost is one cheap aggregate).
+    # One small aggregate: |distinct codes| rows (<= 2^(2*bits), ~65k in
+    # practice).  persist() so the full Morton-coded scan lineage
+    # evaluates once across the two actions below, then release.
     counts = coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n"))
-    if cache_counts:
-        counts = counts.persist()
-    # Unpartitioned window: all distinct codes funnel through ONE task,
-    # but the input is the counts aggregate — bounded by |distinct codes|
-    # (≤ 4B at bits=16, ~65k in practice), not by |df|. Acceptable.
-    w_cum = F.sum("__n").over(
-        Window.orderBy("zcode").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    total = counts.agg(F.sum("__n").alias("__t"))
-    cum = counts.withColumn("__below", F.coalesce(w_cum, F.lit(0)))
-    buckets = (
-        cum.join(F.broadcast(total))
-        .withColumn(
-            "zbucket",
-            F.least(
-                F.floor(F.col("__below") * n_buckets / F.col("__t")).cast("int"),
-                F.lit(n_buckets - 1),
-            ),
+    counts = counts.persist()
+    try:
+        total_row = counts.agg(F.sum("__n").alias("__t")).collect()
+        total = total_row[0]["__t"] or 0
+        if total == 0:
+            out = coded.withColumn("zbucket", F.lit(None).cast("int"))
+            out._zorder_cached = None
+            return out
+        # Unpartitioned window: all distinct codes funnel through ONE
+        # task, but the input is the counts aggregate — bounded by
+        # |distinct codes|, not by |df|. Acceptable.
+        w_cum = F.sum("__n").over(
+            Window.orderBy("zcode").rowsBetween(Window.unboundedPreceding, -1)
         )
-        .select("zcode", "zbucket")
+        achieved = (
+            counts.withColumn("__below", F.coalesce(w_cum, F.lit(0)))
+            .withColumn(
+                "__fb",
+                F.least(
+                    F.floor(
+                        F.col("__below") * n_buckets / F.lit(total)
+                    ).cast("int"),
+                    F.lit(n_buckets - 1),
+                ),
+            )
+            # <= n_buckets rows by construction: __fb ranges over
+            # 0..n_buckets-1, one row per achieved value.
+            .groupBy("__fb")
+            .agg(F.min("zcode").alias("__minz"))
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    # boundary_b = min{z : f(z) >= b} = suffix-min of the achieved step
+    # positions over fb >= b.  Walk descending once; buckets that no code
+    # reaches simply contribute no boundary (and so are never assigned —
+    # exactly the old per-code map's behavior).
+    pairs = sorted((r["__fb"], r["__minz"]) for r in achieved)
+    suffix_min: dict[int, int] = {}
+    running = None
+    for fb, minz in reversed(pairs):
+        running = minz if running is None else min(running, minz)
+        suffix_min[fb] = running
+    achieved_fbs = [fb for fb, _ in pairs]
+    boundaries = []
+    for b in range(1, n_buckets):
+        ge = [fb for fb in achieved_fbs if fb >= b]
+        if not ge:
+            break
+        boundaries.append(suffix_min[ge[0]])
+    if boundaries:
+        bucket_expr = reduce(
+            lambda a, c: a + c,
+            [(F.col("zcode") >= F.lit(v)).cast("int") for v in boundaries],
+        )
+    else:
+        bucket_expr = F.lit(0)
+    out = coded.withColumn(
+        "zbucket",
+        F.when(F.col("zcode").isNotNull(), bucket_expr).cast("int"),
     )
-    out = coded.join(F.broadcast(buckets), "zcode", "left")
-    out._zorder_cached = counts if cache_counts else None
+    out._zorder_cached = None
     return out
 
 

@@ -765,16 +765,20 @@ def q_sql_ddl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     SQL a user would type. The oracle recomputes the final table state
     straight from lineitem, so the round-trip (two commits, positional
     INSERT rename, catalog name resolution) is value-checked."""
-    import tempfile
+    import os
+    import shutil
 
     from ..operators.sql_ddl import SqlFront
     from ..sources.catalog import NameCatalog
 
+    # deterministic per-sf scratch warehouse, wiped on entry: the DDL
+    # writes ARE the query, so they re-run each invocation, but at most
+    # ONE table copy per sf ever exists on disk — a fresh mkdtemp per
+    # call leaked one full lineitem copy per bench rep (ADVICE r4)
+    root = f"/tmp/sqlddl_wh_{os.path.basename(os.path.normpath(sf))}"
+    shutil.rmtree(root, ignore_errors=True)
     front = SqlFront(
-        NameCatalog(
-            spark, tempfile.mkdtemp(prefix="sqlddl_"),
-            catalog_name="local_catalog",
-        )
+        NameCatalog(spark, root, catalog_name="local_catalog")
     )
     load_table(spark, sf, "lineitem").createOrReplaceTempView("li_src")
     cols = "l_orderkey, l_linenumber, l_returnflag, l_quantity"

@@ -49,11 +49,6 @@ def write_zordered(
     coded = zorder_layout(df, col_x, col_y, n_buckets)
     layout = coded.drop("zcode")
     layout.write.mode("overwrite").partitionBy("zbucket").parquet(path)
-    if coded._zorder_cached is not None:
-        # the write materialized the layout; the cached counts frame has
-        # served its double-eval purpose — release it (it would otherwise
-        # pin executor storage for the session lifetime)
-        coded._zorder_cached.unpersist()
     # re-read what was written so the manifest describes the files as
     # they exist on disk (one extra metadata-cheap pass, no staleness)
     written = layout.sparkSession.read.parquet(path)

@@ -146,6 +146,32 @@ def test_weighted_resample_hits_target_mixture(spark):
     assert ids1 == ids2
 
 
+def test_weighted_resample_strict_on_missing_source(spark):
+    """ADVICE r4: a source absent from the weights frame must fail the
+    job (strict default), not silently drop its documents; strict=False
+    restores the documented drop; a pre-existing sample_weight column on
+    df must survive untouched (collision-safe internal join name)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        weighted_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", 9.9), (2, "books", 8.8)],
+        "doc_id bigint, source string, sample_weight double",
+    )
+    w = spark.createDataFrame([("web", 1.0)], "source string, sample_weight double")
+    with pytest.raises(SparkRuntimeException, match="books"):
+        weighted_resample(df, w, alpha=1.0).collect()
+
+    out = weighted_resample(df, w, alpha=1.0, strict=False)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]  # books dropped, weight 0
+    # df's own sample_weight column passed through unmodified
+    assert rows[0]["sample_weight"] == 9.9
+
+
 def test_importance_weights_orders_target_like_docs_first(spark):
     # target docs speak 'alpha beta'; the off-target doc speaks 'omega'
     df = spark.createDataFrame(

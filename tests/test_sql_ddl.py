@@ -215,6 +215,41 @@ def test_describe_table_and_history(front):
     assert hist[0]["n_files"] == hist[1]["n_files"]
 
 
+def test_describe_history_is_read_only_on_plain_parquet(front, spark):
+    """ADVICE r4: DESCRIBE HISTORY must never trigger the destructive
+    versioned-layout migration — a read-only statement returning an
+    empty history frame, leaving the loose parquet files untouched."""
+    import os
+
+    path = front.cat.resolve("db9.plain")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, grp string, v double"
+    ).write.parquet(path)
+    before = sorted(os.listdir(path))
+    hist = front.execute("DESCRIBE HISTORY cat.db9.plain")
+    assert hist.count() == 0
+    assert [f.name for f in hist.schema.fields] == [
+        "version", "commit_ts", "n_files", "n_added_columns",
+    ]
+    assert sorted(os.listdir(path)) == before, "DESCRIBE HISTORY mutated storage"
+
+
+def test_statement_temp_views_are_dropped(front, spark):
+    """ADVICE r4: per-statement name-resolution views must not accumulate
+    in the session catalog — a bench loop over SqlFront would otherwise
+    pin one snapshot file listing per table reference per statement."""
+    front.execute("CREATE TABLE cat.db1.t AS SELECT id, grp, v FROM src_rows")
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    for _ in range(3):
+        df = front.execute(
+            "SELECT t1.id FROM cat.db1.t t1 JOIN cat.db1.t t2 ON t1.id = t2.id"
+        )
+        # the lazily-returned frame still executes after the view drop
+        assert df.count() == 3
+    after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    assert after == before, f"leaked views: {sorted(after - before)}"
+
+
 def test_ctas_from_time_traveled_read(front):
     """Time travel composes inside CTAS bodies: snapshot an old version
     into a new table."""

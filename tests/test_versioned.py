@@ -29,6 +29,25 @@ def test_versioned_upsert_and_time_travel(spark, tmp_path):
     assert _rows(t.read(version=1)) == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_versioned_rollback_preserves_added_columns(spark, tmp_path):
+    """ADVICE r4: rollback must republish the target manifest's
+    added_columns, not just its files — rolling back onto a snapshot
+    whose schema came from a metadata-only ALTER TABLE ADD COLUMN must
+    restore that evolved schema, not silently narrow it."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], ["k", "v"]))          # v0
+    v1 = t.add_column("score", "double")                              # v1
+    t.commit(spark.createDataFrame([(9, "z")], ["k", "v"]))           # v2 (plain)
+    assert "score" in [f.name for f in t.schema(v1).fields]
+
+    v3 = t.rollback(v1)
+    assert v3 == 3
+    head = t.read()
+    assert "score" in head.columns, "rollback dropped the evolved column"
+    assert _rows(head) == [(1, "a")]
+    assert [r["score"] for r in head.collect()] == [None]
+
+
 def test_versioned_compact_and_vacuum(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     # many small commits -> many files

@@ -52,7 +52,6 @@ CARTESIAN_OK = {
     "q_tpch_q11_important_stock": "scalar subquery (1-row total) broadcast",
     "q_boilerplate_score": "broadcast of 1-row corpus doc count",
     "q_bloom_prune_join": "broadcast of 1-row bloom bitmap map",
-    "q_zorder_layout": "broadcast of 1-row total-count for bucket split",
     "q_importance_weights": "broadcast of 1-row token-totals frame",
     "q_corpus_pipeline_v2": "broadcast of 1-row token-totals frame (importance stage)",
 }
@@ -79,7 +78,6 @@ BROADCAST_OK = {
     "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
     "operators/text.py::tfidf_topk": "1-row corpus doc count",
     "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
-    "operators/zorder.py::zorder_layout": "1-row total + n_buckets rows",
     "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
     "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
     "queries/llm_ops.py::q_decontaminate": "benchmark shingle set: eval suite is small by definition",
