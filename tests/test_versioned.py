@@ -29,6 +29,49 @@ def test_versioned_upsert_and_time_travel(spark, tmp_path):
     assert _rows(t.read(version=1)) == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_versioned_many_racing_writers_lose_nothing(spark, tmp_path):
+    """VERDICT r4 #4: the 100 TB story is MANY writers doing metadata-only
+    commits concurrently (Iceberg optimistic-concurrency retry). 8 threads
+    x 4 appends each, plus 2 concurrent metadata-only ALTERs, all racing
+    on one table: every commit must land exactly once (no lost updates),
+    the version history must be linear with no gaps, and the final state
+    must equal the serial result — all rows present, both added columns
+    recorded."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(-1, "seed")], ["k", "v"]))
+
+    n_threads, n_commits = 8, 4
+
+    def appender(tid: int) -> None:
+        w = VersionedTable(spark, str(tmp_path / "t"))  # own handle
+        for i in range(n_commits):
+            w.append(
+                spark.createDataFrame([(tid * 100 + i, f"t{tid}c{i}")], ["k", "v"])
+            )
+
+    def alterer(name: str) -> None:
+        VersionedTable(spark, str(tmp_path / "t")).add_column(name, "double")
+
+    with ThreadPoolExecutor(max_workers=n_threads + 2) as pool:
+        futs = [pool.submit(appender, tid) for tid in range(n_threads)]
+        futs += [pool.submit(alterer, c) for c in ("extra_a", "extra_b")]
+        for f in futs:
+            f.result()  # surface any thread exception
+
+    total_commits = 1 + n_threads * n_commits + 2
+    assert t.versions() == list(range(total_commits)), "non-linear history"
+
+    head = t.read()
+    got = sorted(r["k"] for r in head.collect())
+    expect = sorted(
+        [-1] + [tid * 100 + i for tid in range(n_threads) for i in range(n_commits)]
+    )
+    assert got == expect, "a racing commit's rows were lost"
+    assert {"extra_a", "extra_b"} <= set(head.columns), "a racing ALTER was lost"
+
+
 def test_versioned_rollback_preserves_added_columns(spark, tmp_path):
     """ADVICE r4: rollback must republish the target manifest's
     added_columns, not just its files — rolling back onto a snapshot

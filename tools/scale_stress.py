@@ -85,6 +85,16 @@ DEEP = [
     "q_hist_quantiles",
     "q_time_gapfill",
     "q_retention_cohorts",
+    # ANN/similarity family (r5): embeddings table scales with K, the 8
+    # centroids / 1-row query vector stay fixed — expected linear scans
+    "q_ann_ivf",
+    "q_ann_ivf_search",
+    "q_ann_ivf_search_quantized",
+    "q_embedding_topk",
+    # zorder layout (r5): lineitem key shifts mask into the 16-bit code
+    # space, so the code distribution densifies with K — the boundary
+    # collect stays <= n_buckets rows at any density by construction
+    "q_zorder_layout",
 ]
 
 
