@@ -8,13 +8,14 @@ real and tested. Decoding is layered (``real_decode``):
    (``decode_png``: IHDR/IDAT parse, scanline unfilter, pixel stats).
 2. WAV — decoded for real by the stdlib ``wave`` module
    (``decode_wav``: PCM frames -> amplitude stats).
-3. Baseline JPEG — decoded for real by a pure stdlib+numpy decoder
-   (``decode_jpeg``: Huffman entropy decode, dequantize, vectorized
-   IDCT, chroma upsample, YCbCr->RGB).
-4. Progressive JPEG & everything else — ``PIL`` when importable (not in
-   this container), else the deterministic stub so the pipeline shape
-   stays testable. ``decode_fn`` remains the injection point for
-   torchaudio/pyav-class decoders in production.
+3. JPEG, baseline AND progressive — decoded for real by a pure
+   stdlib+numpy decoder (``decode_jpeg``: multi-scan Huffman entropy
+   decode incl. spectral selection / successive approximation,
+   dequantize, vectorized IDCT, chroma upsample, YCbCr->RGB).
+4. Everything else (arithmetic-coded JPEG, other formats) — ``PIL``
+   when importable (not in this container), else the deterministic stub
+   so the pipeline shape stays testable. ``decode_fn`` remains the
+   injection point for torchaudio/pyav-class decoders in production.
 
 Scale notes: binary payloads ride the columnar format untouched until the
 decode stage; mapInPandas streams Arrow batches so peak memory is one
@@ -49,13 +50,13 @@ def deterministic_fake_decode(payload: bytes) -> dict[str, Any]:
     return {"feat_mean": sum(feats) / dim, "feat_dim": dim}
 
 
-def decode_png(payload: bytes) -> dict[str, Any]:
+def png_pixels(payload: bytes):
     """Real PNG decode with zlib + numpy only (no Pillow): parses IHDR,
     inflates the IDAT stream, reverses the five scanline filters
-    (None/Sub/Up/Average/Paeth, PNG spec §9), and reports pixel stats.
-    Supports the common cases: 8-bit grayscale / gray+alpha / RGB / RGBA,
-    non-interlaced. feat_mean = mean sample value scaled to [0,1];
-    feat_dim = channels. Raises ValueError on anything else."""
+    (None/Sub/Up/Average/Paeth, PNG spec §9), and returns the pixel
+    array, shape (height, width, channels) uint8. Supports the common
+    cases: 8-bit grayscale / gray+alpha / RGB / RGBA, non-interlaced.
+    Raises ValueError on anything else."""
     import struct
     import zlib
 
@@ -121,7 +122,14 @@ def decode_png(payload: bytes) -> dict[str, Any]:
             out[y] = line
         else:
             raise ValueError(f"bad PNG filter {f}")
-    pixels = out.reshape(height, width, channels)
+    return out.reshape(height, width, channels).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """PNG pixel stats via :func:`png_pixels`: feat_mean = mean sample
+    value scaled to [0,1]; feat_dim = channels."""
+    pixels = png_pixels(payload)
+    height, width, channels = pixels.shape
     return {
         "feat_mean": float(pixels.mean() / 255.0),
         "feat_dim": int(channels),
@@ -174,93 +182,9 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg(payload: bytes) -> dict[str, Any]:
-    """Real baseline JPEG decode with stdlib + numpy only (no Pillow):
-    segment parse (DQT/SOF0/DHT/DRI/SOS), canonical Huffman decode of the
-    entropy-coded scan (byte unstuffing, restart-marker DC resets),
-    dequantize + dezigzag, vectorized 8x8 IDCT, chroma upsampling for
-    4:2:0/4:2:2, YCbCr->RGB. Supports baseline sequential (SOF0/SOF1),
-    8-bit, 1- or 3-component images; raises ValueError on progressive /
-    arithmetic / 12-bit variants so ``real_decode`` can route those to
-    PIL or the disclosed stub."""
-    import struct
-
-    import numpy as np
-
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG signature")
-    qt: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    comps: list[dict[str, int]] = []
-    width = height = 0
-    restart_interval = 0
-    scan: bytes | None = None
-    scan_sel: list[tuple[int, int]] = []  # per scan comp: (dc table, ac table)
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker desync")
-        marker = payload[pos + 1]
-        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
-        data = payload[pos + 4:pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT: one or more tables per segment
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 15
-                i += 1
-                if pq:  # 16-bit precision
-                    vals = list(struct.unpack(f">{64}H", data[i:i + 128]))
-                    i += 128
-                else:
-                    vals = list(data[i:i + 64])
-                    i += 64
-                qt[tq] = vals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline sequential
-            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit JPEG supported")
-            for c in range(n_comp):
-                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
-        elif marker == 0xC4:  # DHT: canonical tables, possibly several
-            i = 0
-            while i < len(data):
-                tc, th = data[i] >> 4, data[i] & 15
-                counts = data[i + 1:i + 17]
-                i += 17
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = data[i]
-                        code += 1
-                        i += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS: scan header, then entropy-coded data
-            n_scan = data[0]
-            for c in range(n_scan):
-                _cid, tables = data[1 + 2 * c], data[2 + 2 * c]
-                scan_sel.append((tables >> 4, tables & 15))
-            end = pos
-            while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] not in (
-                    0x00, *range(0xD0, 0xD8)
-                ):
-                    break
-                end += 1
-            scan = payload[pos:end]
-            break
-        # APPn/COM/etc: skipped
-    if scan is None or not comps or not width:
-        raise ValueError("truncated JPEG (no SOF/SOS)")
-
-    # split on restart markers; unstuff FF00 within each interval
+def _unstuff_split(scan: bytes) -> list[bytes]:
+    """Split an entropy-coded segment on restart markers and unstuff the
+    FF00 sequences inside each interval."""
     chunks: list[bytes] = []
     cur = bytearray()
     i = 0
@@ -280,65 +204,335 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
         cur.append(b)
         i += 1
     chunks.append(bytes(cur))
+    return chunks
+
+
+class _ScanCtx:
+    """Mutable entropy-decode state threaded through one scan: current
+    restart interval's bit reader, the EOB run (progressive AC), and the
+    per-component DC predictors."""
+
+    def __init__(self, chunks: list[bytes], n_comps: int) -> None:
+        self.chunks = chunks
+        self.chunk_idx = 0
+        self.bits = _JpegBits(chunks[0])
+        self.eobrun = 0
+        self.preds = [0] * n_comps
+
+    def restart(self) -> None:
+        self.chunk_idx += 1
+        if self.chunk_idx >= len(self.chunks):
+            raise ValueError("missing JPEG restart interval")
+        self.bits = _JpegBits(self.chunks[self.chunk_idx])
+        self.eobrun = 0
+        self.preds = [0] * len(self.preds)
+
+
+def _full_block(ctx: _ScanCtx, blk, dc_tbl, ac_tbl, ci: int) -> None:
+    """Sequential (baseline) block: DC diff + AC run-length, raw
+    coefficients stored in zigzag order (dequantized at reconstruction)."""
+    bits = ctx.bits
+    t = _huff_decode(bits, dc_tbl)
+    ctx.preds[ci] += _extend(bits.bits(t), t)
+    blk[0] = ctx.preds[ci]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOB
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        blk[k] = _extend(bits.bits(s), s)
+        k += 1
+
+
+def _dc_prog_block(ctx: _ScanCtx, blk, dc_tbl, ci: int, ah: int, al: int) -> None:
+    """Progressive DC scan (spec G.1.2.1): first pass delivers the
+    point-transformed DC (diff << al); refinement appends one bit per
+    block at position al (two's-complement |= — correct for negative
+    values because Python/numpy ints are two's-complement under |)."""
+    bits = ctx.bits
+    if ah == 0:
+        t = _huff_decode(bits, dc_tbl)
+        ctx.preds[ci] += _extend(bits.bits(t), t)
+        blk[0] = ctx.preds[ci] << al
+    elif bits.bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_block(ctx: _ScanCtx, blk, ac_tbl, ss: int, se: int, al: int) -> None:
+    """Progressive AC first pass (spec G.1.2.2): spectral band
+    [ss, se], values point-transformed by al, EOBn codes skip whole
+    blocks via the scan-persistent EOB run."""
+    if ctx.eobrun > 0:
+        ctx.eobrun -= 1
+        return
+    bits = ctx.bits
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: this block done, (2^r - 1 + bits) more follow
+                ctx.eobrun = (1 << r) - 1
+                if r:
+                    ctx.eobrun += bits.bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        blk[k] = _extend(bits.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(ctx: _ScanCtx, blk, ac_tbl, ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement (spec G.1.2.3): each already-nonzero
+    coefficient in the band receives a correction bit; zero-history runs
+    position at most one NEW +-(1<<al) coefficient per symbol."""
+    bits = ctx.bits
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if bits.bit() and not (int(blk[k]) & p1):
+            blk[k] += p1 if blk[k] > 0 else -p1
+
+    if ctx.eobrun > 0:
+        ctx.eobrun -= 1
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                correct(k)
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn: correct the rest of this block, then run
+                ctx.eobrun = (1 << r) - 1
+                if r:
+                    ctx.eobrun += bits.bits(r)
+                r = 64  # no new coefficient placed; sweep to se below
+            # r == 15 (ZRL): skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("bad JPEG AC refinement symbol")
+            newval = p1 if bits.bit() else -p1
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _jpeg_reconstruct(payload: bytes):
+    """Real JPEG decode with stdlib + numpy only (no Pillow): segment
+    parse (DQT/SOF/DHT/DRI/multi-SOS), canonical Huffman decode of each
+    entropy-coded scan (byte unstuffing, restart-marker resets),
+    dequantize + dezigzag, vectorized 8x8 IDCT, chroma upsampling for
+    4:2:0/4:2:2, YCbCr->RGB. Returns (float pixel array — (H, W) gray or
+    (H, W, 3) RGB — plus channels, width, height).
+
+    Supports baseline sequential (SOF0/SOF1) AND progressive (SOF2) with
+    spectral selection + successive approximation — DC first/refine
+    scans (interleaved or not) and AC first/refine scans with EOB-run
+    semantics, per ITU-T T.81 Annexes F and G. 8-bit, 1- or 3-component
+    images; raises ValueError on arithmetic-coded / lossless / 12-bit
+    variants so ``real_decode`` can route those to PIL or the disclosed
+    stub."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG signature")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict[str, int]] = []
+    width = height = 0
+    progressive = False
+    restart_interval = 0
+    scans: list[dict[str, Any]] = []
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:  # 16-bit precision
+                    vals = list(struct.unpack(f">{64}H", data[i:i + 128]))
+                    i += 128
+                else:
+                    vals = list(data[i:i + 64])
+                    i += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            precision, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            for c in range(n_comp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCC, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/progressive Huffman JPEG supported")
+        elif marker == 0xC4:  # DHT: canonical tables, possibly several
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = data[i + 1:i + 17]
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = data[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS: scan header, then entropy-coded data
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            n_scan = data[0]
+            sel: list[tuple[int, int, int]] = []
+            for c in range(n_scan):
+                cid, tables = data[1 + 2 * c], data[2 + 2 * c]
+                ci = next(
+                    (i for i, cm in enumerate(comps) if cm["id"] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("JPEG scan references unknown component")
+                sel.append((ci, tables >> 4, tables & 15))
+            ss = data[1 + 2 * n_scan]
+            se = data[2 + 2 * n_scan]
+            ahal = data[3 + 2 * n_scan]
+            end = pos
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00, *range(0xD0, 0xD8)
+                ):
+                    break
+                end += 1
+            scans.append({
+                "sel": sel, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 15,
+                "data": payload[pos:end], "ri": restart_interval,
+                # tables may be redefined between scans: snapshot bindings
+                "huff": dict(huff),
+            })
+            pos = end
+        # APPn/COM/DNL/etc: skipped
+    if not scans or not comps or not width:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+    for comp in comps:
+        # non-interleaved scans iterate the component's OWN block grid:
+        # ceil(ceil(dim * sampling / max_sampling) / 8), spec A.2.2
+        sx = -(-(width * comp["h"]) // hmax)
+        sy = -(-(height * comp["v"]) // vmax)
+        comp["nx"] = -(-sx // 8)
+        comp["ny"] = -(-sy // 8)
+    # coefficients in zigzag order, int32 (progressive refinement needs
+    # exact bit-level integer state); the interleaved grid is the larger
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
         for c in comps
     ]
+
+    for scan in scans:
+        chunks = _unstuff_split(scan["data"])
+        ctx = _ScanCtx(chunks, len(comps))
+        sel = scan["sel"]
+        shuff = scan["huff"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        ri = scan["ri"]
+        if len(sel) > 1:  # interleaved: MCU order (baseline, or prog DC)
+            if progressive and ss != 0:
+                raise ValueError("progressive AC scan cannot be interleaved")
+            for mcu in range(mcus_x * mcus_y):
+                if ri and mcu and mcu % ri == 0:
+                    ctx.restart()
+                my, mx = divmod(mcu, mcus_x)
+                for ci, dth, ath in sel:
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = coefs[ci][my * comp["v"] + by,
+                                            mx * comp["h"] + bx]
+                            if progressive:
+                                _dc_prog_block(ctx, blk, shuff[(0, dth)], ci, ah, al)
+                            else:
+                                _full_block(ctx, blk, shuff[(0, dth)],
+                                            shuff[(1, ath)], ci)
+        else:  # single-component scan: the component's own block raster
+            ci, dth, ath = sel[0]
+            comp = comps[ci]
+            for bi in range(comp["ny"] * comp["nx"]):
+                if ri and bi and bi % ri == 0:
+                    ctx.restart()
+                row, col = divmod(bi, comp["nx"])
+                blk = coefs[ci][row, col]
+                if not progressive:
+                    _full_block(ctx, blk, shuff[(0, dth)], shuff[(1, ath)], ci)
+                elif ss == 0:
+                    _dc_prog_block(ctx, blk, shuff[(0, dth)], ci, ah, al)
+                elif ah == 0:
+                    _ac_first_block(ctx, blk, shuff[(1, ath)], ss, se, al)
+                else:
+                    _ac_refine_block(ctx, blk, shuff[(1, ath)], ss, se, al)
+
+    # reconstruction: dequantize (zigzag x zigzag), dezigzag, one
+    # vectorized IDCT over every block, assemble planes.
     # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1)u*pi/16); spatial = A.T @ F @ A
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     A = np.cos((2 * x + 1) * u * np.pi / 16) / 2
     A[0, :] *= 1 / np.sqrt(2)
-
-    bits = _JpegBits(chunks[0])
-    chunk_idx = 0
-    preds = [0] * len(comps)
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            chunk_idx += 1
-            if chunk_idx >= len(chunks):
-                raise ValueError("missing JPEG restart interval")
-            bits = _JpegBits(chunks[chunk_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, comp in enumerate(comps):
-            dc_tbl = huff[(0, scan_sel[ci][0])]
-            ac_tbl = huff[(1, scan_sel[ci][1])]
-            q = qt[comp["tq"]]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coef = np.zeros(64, dtype=np.float64)
-                    t = _huff_decode(bits, dc_tbl)
-                    preds[ci] += _extend(bits.bits(t), t)
-                    coef[0] = preds[ci] * q[0]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(bits, ac_tbl)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:  # EOB
-                                break
-                            k += 16  # ZRL
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        coef[_ZIGZAG[k]] = _extend(bits.bits(s), s) * q[k]
-                        k += 1
-                    block = A.T @ coef.reshape(8, 8) @ A + 128.0
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-    # upsample each component to full resolution, crop to (height, width)
+    zig = np.array(_ZIGZAG)
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
+        q = np.array(qt[comp["tq"]], dtype=np.float64)
+        deq = coefs[ci].astype(np.float64) * q  # both zigzag-ordered
+        nat = np.zeros_like(deq)
+        nat[..., zig] = deq  # natural[ZIGZAG[k]] = zig[k]
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ab,yxbc,cd->yxad", A.T, blocks, A) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if comp["h"] != hmax:
             p = np.repeat(p, hmax // comp["h"], axis=1)
         if comp["v"] != vmax:
@@ -364,12 +558,27 @@ def decode_jpeg(payload: bytes) -> dict[str, Any]:
         channels = 3
     else:
         raise ValueError(f"unsupported JPEG component count {len(full)}")
+    return rgb, channels, int(width), int(height)
+
+
+def decode_jpeg(payload: bytes) -> dict[str, Any]:
+    """JPEG pixel stats via :func:`_jpeg_reconstruct` (stats are taken
+    over the float reconstruction, before uint8 rounding)."""
+    rgb, channels, width, height = _jpeg_reconstruct(payload)
     return {
         "feat_mean": float(rgb.mean() / 255.0),
         "feat_dim": channels,
-        "width": int(width),
-        "height": int(height),
+        "width": width,
+        "height": height,
     }
+
+
+def jpeg_pixels(payload: bytes):
+    """Decoded JPEG pixels as uint8, shape (height, width, channels)."""
+    import numpy as np
+
+    rgb, channels, width, height = _jpeg_reconstruct(payload)
+    return np.round(rgb).astype(np.uint8).reshape(height, width, channels)
 
 
 def decode_wav(payload: bytes) -> dict[str, Any]:
@@ -401,12 +610,12 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
 
 
 def real_decode(payload: bytes) -> dict[str, Any]:
-    """Magic-byte-sniffing decoder: PNG, baseline JPEG, and WAV decode
-    for real with the stdlib+numpy decoders above; non-baseline JPEG and
-    other PIL formats decode when Pillow is importable; anything
-    unrecognized falls back to the deterministic stub so the pipeline
-    never dies on opaque bytes. Always returns the MEDIA_META_SCHEMA
-    feature keys."""
+    """Magic-byte-sniffing decoder: PNG, JPEG (baseline + progressive),
+    and WAV decode for real with the stdlib+numpy decoders above;
+    arithmetic-coded/12-bit JPEG and other PIL formats decode when
+    Pillow is importable; anything unrecognized falls back to the
+    deterministic stub so the pipeline never dies on opaque bytes.
+    Always returns the MEDIA_META_SCHEMA feature keys."""
     if payload is None:
         raise NotImplementedError("media decode of NULL payload")
     feats: dict[str, Any] | None = None
@@ -418,8 +627,8 @@ def real_decode(payload: bytes) -> dict[str, Any]:
         try:
             feats = decode_jpeg(payload)
         except Exception:
-            # progressive/12-bit/arithmetic variant (ValueError) or a
-            # corrupt/truncated stream (IndexError/KeyError/struct.error
+            # arithmetic/12-bit variant (ValueError) or a corrupt/
+            # truncated stream (IndexError/KeyError/struct.error
             # mid-parse): PIL path below, or the disclosed stub when PIL
             # is absent — the pipeline must never die on opaque bytes
             feats = None
@@ -500,13 +709,41 @@ RESIZED_SCHEMA = "content_id bigint, width int, height int, resized binary"
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Stand-in for PIL Image.resize: deterministic byte resample (cycle
-    the payload to width*height bytes). Swap for a real decoder; the
-    Spark plumbing (schema, batching) does not change."""
+    """Deterministic byte-resample fallback for payloads no real decoder
+    accepts (cycle the payload to width*height bytes) — keeps the
+    pipeline alive on opaque bytes; NOT an image kernel."""
     if not payload:
         raise NotImplementedError("resize of empty payload")
     n = width * height
     return bytes(payload[i % len(payload)] for i in range(n))
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize over the decoded pixel array (PNG or
+    JPEG via the in-container decoders): index mapping
+    ``src = floor((dst + 0.5) * src_dim / dst_dim)`` per axis, returning
+    the raw interleaved uint8 bytes (width * height * channels).
+    Falls back to :func:`fake_resize` for undecodable payloads so the
+    batch never dies on opaque bytes."""
+    import numpy as np
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = png_pixels(payload)
+        elif payload[:2] == b"\xff\xd8":
+            px = jpeg_pixels(payload)
+        else:
+            return fake_resize(payload, width, height)
+    except Exception:
+        return fake_resize(payload, width, height)
+    src_h, src_w = px.shape[:2]
+    ys = np.minimum(
+        ((np.arange(height) + 0.5) * src_h / height).astype(int), src_h - 1
+    )
+    xs = np.minimum(
+        ((np.arange(width) + 0.5) * src_w / width).astype(int), src_w - 1
+    )
+    return px[np.ix_(ys, xs)].tobytes()
 
 
 def resize_images(
@@ -515,12 +752,14 @@ def resize_images(
     height: int,
     id_col: str = "content_id",
     payload_col: str = "payload",
-    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+    resize_fn: Callable[[bytes, int, int], bytes] = real_resize,
 ) -> DataFrame:
     """Batch image resize via mapInPandas: binary in, fixed-shape binary
-    out. Output size is width*height per row — size maxRecordsPerBatch /
-    maxPartitionBytes so one Arrow batch of resized payloads fits in
-    executor memory at production resolutions."""
+    out — REAL nearest-neighbor resample over decoded PNG/JPEG pixels by
+    default (``real_resize``), byte-cycle fallback for undecodable
+    payloads. Output size is width*height*channels per row — size
+    maxRecordsPerBatch / maxPartitionBytes so one Arrow batch of resized
+    payloads fits in executor memory at production resolutions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -542,9 +781,12 @@ FRAMES_SCHEMA = "content_id bigint, frame_idx int, frame_sha256 string"
 
 
 def fake_frame_iter(payload: bytes, n_frames: int) -> list[bytes]:
-    """Stand-in for a video demuxer: split the payload into n_frames even
-    slices (deterministic). Real implementation: pyav/ffmpeg keyframe
-    iterator."""
+    """METADATA-PLAN STAND-IN, not a video demuxer: splits the payload
+    into n_frames even byte slices (deterministic) so the table-
+    generating Spark shape of ``sample_frames`` is testable. No video
+    codec ships in this container; in production inject a pyav/ffmpeg
+    keyframe iterator via ``frame_fn`` — the operator's schema,
+    batching, and row-explosion plumbing are what this module owns."""
     if not payload:
         raise NotImplementedError("frame sampling of empty payload")
     step = max(len(payload) // n_frames, 1)

@@ -23,8 +23,54 @@ the salt combos don't ball-in-bin onto too few reducers.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def derive_salt_buckets(
+    df: DataFrame,
+    keys: list[str],
+    n_cores: int,
+    sample_fraction: float = 0.001,
+    headroom: float = 2.0,
+    seed: int = 7,
+    max_buckets: int | None = None,
+) -> int:
+    """Data-driven salt factor from a cheap sampled key histogram.
+
+    The rule (EXPLAIN.md "Skew-stress"): the hottest key holds
+    ``top_share`` of the rows, so splitting it into
+    ``top_share * n_cores`` salt buckets caps each bucket's volume at
+    ~1/n_cores of the table — the load a single even reducer would
+    carry anyway. ``headroom`` (default 2x) absorbs ball-in-bin
+    variance when salt combos hash onto reducers (measured: 32 combos
+    over 32 partitions left some reducers with 2-3 hot combos).
+
+    Cost: one aggregate over a ``sample_fraction`` sample (~0.1% of
+    rows), collected as TWO scalars — at 100 TB that is a 100 GB scan's
+    worth of sampled rows through a map-side partial agg, the same
+    cost class as AQE's own runtime statistics. A sample this size
+    resolves top-key shares down to ~1% with thousands of sampled rows
+    per percent; keys too cold to sample are keys too cold to salt.
+
+    Clamped to [4, max_buckets or 4*n_cores]: below 4 salting is not
+    worth the replication; above ~4x cores the small-side replication
+    cost grows with no straggler left to cut.
+    """
+    row = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__top"), F.sum("__n").alias("__tot"))
+        .collect()[0]
+    )
+    cap = max_buckets or 4 * n_cores
+    if not row["__tot"]:
+        return min(max(4, n_cores // 4), cap)  # empty sample: mild default
+    top_share = row["__top"] / row["__tot"]
+    return max(4, min(math.ceil(top_share * n_cores * headroom), cap))
 
 
 def salted_agg(
@@ -79,7 +125,7 @@ def salted_join(
     skewed: DataFrame,
     small: DataFrame,
     keys: list[str],
-    buckets: int = 8,
+    buckets: int | None = 8,
 ) -> DataFrame:
     """Skew-resistant inner equi join: salt the skewed side, replicate
     the other.
@@ -93,7 +139,15 @@ def salted_join(
     the join runs on (keys…, salt) — each hot key now occupies ``buckets``
     reducers. Replication costs ``buckets``× the SMALL side only; rows and
     results are exactly a plain inner join's.
+
+    ``buckets=None`` derives the factor from the data via
+    :func:`derive_salt_buckets` (sampled top-key share × cores ×
+    headroom) — no hand tuning per key distribution.
     """
+    if buckets is None:
+        buckets = derive_salt_buckets(
+            skewed, keys, skewed.sparkSession.sparkContext.defaultParallelism
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns], F.lit(7)),
         F.lit(buckets),

@@ -335,6 +335,40 @@ def test_salted_join_equals_plain_join_and_spreads(spark):
     assert n_buckets == 8
 
 
+def test_derive_salt_buckets_tracks_top_key_share(spark):
+    """VERDICT r4 #7: the salt factor comes from a sampled key histogram
+    (top-key share x cores x headroom), not a hand-tuned constant — a
+    hotter head must yield more buckets, clamped to [4, 4*cores]."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.skew import (
+        derive_salt_buckets,
+        salted_join,
+    )
+
+    # ~50% hot key vs ~10% hot key (sample the whole frame: exactness)
+    hot = spark.range(0, 10_000).selectExpr(
+        "CASE WHEN id < 5000 THEN 0 ELSE id END AS k"
+    )
+    mild = spark.range(0, 10_000).selectExpr(
+        "CASE WHEN id < 1000 THEN 0 ELSE id END AS k"
+    )
+    b_hot = derive_salt_buckets(hot, ["k"], n_cores=32, sample_fraction=1.0)
+    b_mild = derive_salt_buckets(mild, ["k"], n_cores=32, sample_fraction=1.0)
+    assert b_hot == 32  # ceil(0.5 * 32 * 2.0)
+    assert b_mild == 7  # ceil(0.1 * 32 * 2.0) = 7 (rounding up 6.4)
+    assert b_hot > b_mild
+    # clamps: uniform data floors at 4; a 100%-hot key caps at 4*cores
+    uni = spark.range(0, 1000).selectExpr("id AS k")
+    assert derive_salt_buckets(uni, ["k"], 32, sample_fraction=1.0) == 4
+    one = spark.range(0, 1000).selectExpr("0 AS k")
+    assert derive_salt_buckets(one, ["k"], 4, sample_fraction=1.0) == 8  # 4*2 <= 16 cap
+
+    # buckets=None flows the derived factor through salted_join and
+    # still returns exactly the plain join's rows
+    dim = spark.createDataFrame([(0, "hot")], ["k", "tag"])
+    got = salted_join(hot, dim, keys=["k"], buckets=None)
+    assert got.count() == 5000
+
+
 def test_bucket_gapfill_locf_and_interpolation(spark):
     """Gap between day 1 (v=10) and day 4 (v=40): locf carries 10, the
     interpolation walks 20, 30; leading/trailing gaps use the one-sided
