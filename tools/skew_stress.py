@@ -320,12 +320,13 @@ def main() -> None:
             print(f"FAIL: {vname} wall {v['wall_s']}s exceeds "
                   f"bound {round(wall_bound, 2)}s")
             ok = False
+    sw = report["join_salted"]["wall_s"]
     print(
-        f"note: AQE skew-split wall {aqe['wall_s']}s vs salted "
-        f"{salted['wall_s']}s — AQE wins when it can see the skew (plain "
-        f"SMJ); salting is for the plans it cannot (non-terminal joins, "
-        f"hinted/bucketed plans), at {round(salted['wall_s']/aqe['wall_s'], 2)}x "
-        f"its wall and an equally bounded max task"
+        f"note: AQE skew-split wall {aqe['wall_s']}s vs salted {sw}s — "
+        f"AQE wins when it can see the skew (plain SMJ); salting is for "
+        f"the plans it cannot (non-terminal joins, hinted/bucketed "
+        f"plans), at {round(sw / aqe['wall_s'], 2)}x its wall and an "
+        f"equally bounded max task"
     )
     if report["agg_salted"]["rows"] != report["agg_plain"]["rows"]:
         print("FAIL: salted agg row count diverges from plain")
