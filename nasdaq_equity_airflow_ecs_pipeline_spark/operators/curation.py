@@ -336,3 +336,65 @@ def importance_weights(
             ).alias("importance"),
         )
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    partitions: int | None = None,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Fill a token budget in priority order: keep rows, walking the
+    total order given by ``order_cols`` (must be a unique key), while
+    the INCLUSIVE running sum of ``token_col`` stays <= ``budget`` —
+    the standard "take the best N tokens" final cut of a curated
+    training mix.
+
+    The naive spelling — ``sum(tokens) OVER (ORDER BY ...)`` with no
+    partition — collapses the corpus into ONE task. This is the
+    ``global_sort_index`` two-pass shape instead (operators/ordering.py):
+    distributed range sort, per-partition token sums collected as k rows
+    (k = partition count), driver prefix-sum into per-partition offsets,
+    broadcast back, partition-local window cumsum + offset. Equal to the
+    single-task window bit-for-bit (integer arithmetic), but the only
+    serial work is the k-row prefix sum; at 100 TB a production variant
+    also prunes whole partitions whose OFFSET already exceeds the budget
+    (their every row fails the filter) before scanning them.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the sampled range boundaries: pass 2/3 must see the same
+        # partition assignment (the global_sort_index precedent)
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        (r["_pid"], r["_s"] or 0)
+        for r in parts.groupBy("_pid").agg(F.sum(token_col).alias("_s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += s
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off bigint"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            cum_col, F.sum(F.col(token_col)).over(w) + F.col("_off")
+        )
+        .filter(F.col(cum_col) <= budget)
+        .drop("_pid", "_off")
+    )

@@ -395,3 +395,40 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embeddings, compare
+    pairs ONLY within a cluster, and drop every vector that has a
+    lower-id near-duplicate (cosine >= threshold) in its cluster —
+    deterministic lowest-id-wins, applied regardless of whether that
+    lower-id neighbor itself survives (a defined, order-free policy; the
+    paper keeps one representative per dup set, which this refines to an
+    engine-portable rule).
+
+    Scale shape: the clustering bounds the pair blowup exactly like an
+    LSH band join — ``ivf_assign`` is a map-side broadcast of k centroid
+    rows, the pair generation is an EQUI-join on ``centroid_id`` (never
+    all-pairs), and the final survivor filter is a left-anti join on the
+    id. At 100 TB, k grows with the corpus so per-cluster populations
+    stay bounded; the quadratic work is per-cluster, not global.
+
+    Returns the surviving rows of ``df`` plus their ``centroid_id``.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    clustered = df.join(assigned, id_col)
+    pairs = embedding_neardup_pairs(
+        clustered, threshold, id_col, vec_col, bucket_col="centroid_id"
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return clustered.join(dups, [id_col], "left_anti")

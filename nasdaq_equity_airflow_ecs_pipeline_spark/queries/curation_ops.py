@@ -410,8 +410,58 @@ UNION ALL SELECT 4, 'resampled', count(*)::BIGINT, {ntok} FROM resampled
 """
 
 
+# ------------------------------------------------- token-budget selection
+TOKEN_BUDGET = 10_000
+
+
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus cut (operators/curation.py
+    token_budget_select): walk the documents in a deterministic
+    pseudo-random priority order (the portable md5 shuffle key) and keep
+    rows while the inclusive running whitespace-token sum stays within
+    the budget — the final "take the best N tokens" step of a curated
+    mix. Executes as the distributed two-pass prefix sum
+    (global_sort_index shape), bit-equal to the oracle's single window."""
+    from ..operators.curation import token_budget_select
+    from ..operators.ordering import shuffle_key
+    from ..operators.text import token_count
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    out = token_budget_select(d, TOKEN_BUDGET, ["pri", "doc_id"])
+    return out.select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
+
+
+def _sql_token_budget() -> str:
+    from ..operators.lsh import MERSENNE_P
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
+           % {MERSENNE_P} AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
+    "q_token_budget": q_token_budget,
     "q_mixture_weights": q_mixture_weights,
     "q_temperature_mixture": q_temperature_mixture,
     "q_line_dedup": q_line_dedup,
@@ -421,6 +471,7 @@ QUERIES = {
 
 ORACLES = {
     "q_url_dedup": SQL_URL_DEDUP,
+    "q_token_budget": _sql_token_budget(),
     "q_mixture_weights": _sql_mixture_weights(),
     "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "q_line_dedup": SQL_LINE_DEDUP,

@@ -455,6 +455,51 @@ FROM scored GROUP BY vec_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): cluster via
+    the IVF assignment (centroids = first 8 vectors, the q_ann_ivf
+    convention), drop every vector with a lower-id near-duplicate
+    (cosine >= threshold) in its cluster, return the survivors with
+    their cluster. The pair generation is cluster-equi-joined — the
+    oracle recomputes the identical policy exactly."""
+    emb = _emb(spark, sf)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = similarity.semantic_dedup(
+        emb, centroids, threshold=EMB_NEARDUP_THRESHOLD
+    )
+    return out.select("vec_id", "centroid_id")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT e.vec_id,
+         (min(struct_pack(
+           d2 := list_sum(list_transform(generate_series(1, len(v)),
+                                         i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           cid := c.centroid_id
+         ))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY e.vec_id
+),
+dups AS (
+  SELECT DISTINCT bb.vec_id
+  FROM e a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e bb ON bb.vec_id = ab.vec_id
+  WHERE list_dot_product(a.v, bb.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {EMB_NEARDUP_THRESHOLD}
+)
+SELECT aa.vec_id, aa.centroid_id FROM assign aa
+WHERE aa.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 # ----------------------------------------------------------- chunking
 _CHUNK_SIZE = 50
 _CHUNK_OVERLAP = 10
@@ -1112,6 +1157,7 @@ QUERIES = {
     "q_embedding_neardup_pairs": q_embedding_neardup_pairs,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_binary_meta": q_binary_meta,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
@@ -1147,6 +1193,7 @@ ORACLES = {
     "q_embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "q_ann_ivf": SQL_ANN_IVF,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_binary_meta": SQL_BINARY_META,
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -1330,3 +1330,89 @@ def test_corrupt_jpeg_falls_back_not_crashes():
         b"\xff\xd8\xff",                          # bare marker fragment
     ):
         assert real_decode(payload)["feat_dim"] == 8  # disclosed stub
+
+
+def test_semantic_dedup_cluster_scoped_lowest_id_wins(spark):
+    """semantic_dedup drops exactly the vectors with a lower-id
+    near-dup in the SAME cluster: cross-cluster near-dups survive (the
+    documented SemDeDup approximation), and the lowest id of each
+    within-cluster dup set is the survivor."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two well-separated cluster directions in 4-d
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),    # centroid B
+        (10, [0.9, 0.1, 0.0, 0.0]),   # cluster A
+        (11, [0.9, 0.11, 0.0, 0.0]),  # near-dup of 10, same cluster -> drop
+        (12, [0.88, 0.1, 0.01, 0.0]),  # near-dup of 10/11 -> drop
+        (20, [0.1, 0.9, 0.0, 0.0]),   # cluster B: near 10 in ANGLE? no —
+        (21, [0.1, 0.88, 0.05, 0.0]),  # near-dup of 20, same cluster -> drop
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    out = semantic_dedup(df, cents, threshold=0.95)
+    got = sorted(r["vec_id"] for r in out.collect())
+    # the seed vectors 0 and 1 are corpus members too: everything in
+    # cluster A is within cosine 0.95 of vector 0 (lowest id), and
+    # everything in cluster B of vector 1 -> only the seeds survive
+    assert got == [0, 1]
+    # cross-cluster near-dups survive: 10 ([.9,.1,..], cluster A) vs 21
+    # ([.1,.88,.05], cluster B) are never compared — only WITHIN-cluster
+    # pairs are generated, so removing the seeds leaves both alive
+    out_x = semantic_dedup(
+        df.filter(~F.col("vec_id").isin(0, 1)), cents, threshold=0.95
+    )
+    got_x = sorted(r["vec_id"] for r in out_x.collect())
+    assert 10 in got_x and 20 in got_x  # lowest id per cluster survives
+    assert got_x == [10, 20]
+
+    # raise threshold past the closest pair (10 vs 11, cos ~ 0.99994):
+    # nothing is similar enough, everything survives
+    out2 = semantic_dedup(df, cents, threshold=0.999999)
+    assert sorted(r["vec_id"] for r in out2.collect()) == [0, 1, 10, 11, 12, 20, 21]
+
+
+def test_token_budget_select_matches_single_window(spark):
+    """token_budget_select's distributed two-pass prefix sum equals the
+    naive single-partition window exactly, including the inclusive
+    cum == budget edge."""
+    from pyspark.sql import Window
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(500)],
+        "doc_id bigint, n_tokens bigint",
+    ).withColumn("pri", (F.col("doc_id") * 7919) % 101)
+    budget = 600
+    got = token_budget_select(
+        df, budget, ["pri", "doc_id"], partitions=8
+    ).select("doc_id", "cum_tokens")
+
+    w = (
+        Window.orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = (
+        df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "cum_tokens")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # inclusive edge: craft an exact-budget hit
+    tiny = spark.createDataFrame(
+        [(1, 4), (2, 6), (3, 5)], "doc_id bigint, n_tokens bigint"
+    )
+    hit = token_budget_select(tiny, 10, ["doc_id"], partitions=2)
+    assert sorted(r["doc_id"] for r in hit.collect()) == [1, 2]

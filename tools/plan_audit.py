@@ -41,6 +41,7 @@ CARTESIAN_OK = {
     "q_embedding_neardup_pairs": "exact baseline, validation twin of LSH",
     # points x k centroids, centroids broadcast (k rows)
     "q_ann_ivf": "broadcast of k centroid rows",
+    "q_semantic_dedup": "broadcast of k centroid rows (ivf_assign); pairs are cluster-equi-joined",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
@@ -72,6 +73,7 @@ BROADCAST_OK = {
     "plans/corpus.py::curate_corpus": "benchmark shingle set: eval suite is small by definition",
     "operators/bloom.py::bloom_semi_join": "1-row relational bitmap",
     "operators/ordering.py::global_sort_index": "per-partition counts: numPartitions rows",
+    "operators/curation.py::token_budget_select": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
     "operators/similarity.py::ivf_search": "nprobe centroid rows",

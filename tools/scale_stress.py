@@ -91,6 +91,10 @@ DEEP = [
     "q_ann_ivf_search",
     "q_ann_ivf_search_quantized",
     "q_embedding_topk",
+    # SemDeDup + token-budget cut (r5): cluster-equi-joined pairs /
+    # two-pass distributed prefix sum
+    "q_semantic_dedup",
+    "q_token_budget",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
