@@ -455,15 +455,21 @@ FROM scored GROUP BY vec_id
 """
 
 
+SEMDEDUP_CLUSTER_TARGET = 250  # target vectors per cluster: k scales with n
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup): cluster via
-    the IVF assignment (centroids = first 8 vectors, the q_ann_ivf
-    convention), drop every vector with a lower-id near-duplicate
-    (cosine >= threshold) in its cluster, return the survivors with
-    their cluster. The pair generation is cluster-equi-joined — the
-    oracle recomputes the identical policy exactly."""
+    the IVF assignment (centroids = the first k corpus vectors, k =
+    max(8, ceil(n / SEMDEDUP_CLUSTER_TARGET)) so per-cluster populations
+    stay ~bounded as the corpus grows — the paper's own scale knob),
+    drop every vector with a lower-id near-duplicate (cosine >=
+    threshold) in its cluster, return the survivors with their cluster.
+    The pair generation is cluster-equi-joined — the oracle recomputes
+    the identical policy exactly, deriving k from the same count."""
     emb = _emb(spark, sf)
-    centroids = emb.filter(F.col("vec_id") < 8).select(
+    k = max(8, -(-emb.count() // SEMDEDUP_CLUSTER_TARGET))
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
@@ -475,7 +481,9 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SEMANTIC_DEDUP = f"""
 WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / {SEMDEDUP_CLUSTER_TARGET}.0) AS BIGINT))
+                      FROM embeddings)),
 assign AS (
   SELECT e.vec_id,
          (min(struct_pack(
