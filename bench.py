@@ -162,6 +162,8 @@ def main() -> None:
         "q_importance_weights",
         "q_mv_refresh",
         "q_corpus_pipeline_v2",
+        "q_semantic_dedup",
+        "q_token_budget",
     ):
         fn = queries[name]
         best = float("inf")
