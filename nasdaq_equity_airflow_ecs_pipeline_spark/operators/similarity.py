@@ -432,3 +432,163 @@ def semantic_dedup(
     )
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return clustered.join(dups, [id_col], "left_anti")
+
+
+def _query_d2(centroid_vec: str, query_vec: list[float]) -> Column:
+    """Squared L2 from each centroid to one literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.aggregate(
+        F.zip_with(
+            F.col(centroid_vec),
+            q,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_write_partitioned(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> None:
+    """Materialize the IVF "inverted lists" as a lake layout: assign each
+    vector to its nearest centroid (one broadcast pass, operators above)
+    and write the corpus parquet-partitioned by ``centroid_id`` — one
+    Hive directory per inverted list. This is the at-scale counterpart
+    of the in-query ``ivf_search`` join: with the lists on disk, a probe
+    reads ONLY the ``nprobe`` matching directories (same manifest
+    pattern as ``sources/skipping.py``) instead of scanning the corpus
+    and filtering. The reference's analog is its Iceberg partition
+    layout (SURVEY.md §4.1); FAISS calls this structure the IVF index.
+    """
+    assigned = ivf_assign(
+        df, centroids, id_col, vec_col, centroid_id, centroid_vec
+    ).select(id_col, centroid_id)
+    (
+        df.join(assigned, id_col)
+        .write.partitionBy(centroid_id)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_search_partitioned(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """ANN probe against an ``ivf_write_partitioned`` layout: rank the
+    k-row centroid table against the query, collect the ``nprobe``
+    winning centroid ids (metadata-sized, the ``sources/skipping.py``
+    manifest-collect precedent), and hand the parquet reader ONLY those
+    partition directories — non-probed lists are never listed, let alone
+    read (``df.inputFiles()`` shrinks by ~nprobe/k_centroids; pinned in
+    tests). Result contract: identical rows to ``ivf_search`` over the
+    same corpus/centroids (same fold arithmetic, same tie-break)."""
+    ranked = (
+        centroids.select(
+            F.col(centroid_id), _query_d2(centroid_vec, query_vec).alias("qd2")
+        )
+        .orderBy(F.asc("qd2"), F.asc(centroid_id))
+        .limit(nprobe)
+    )
+    probed = sorted(r[centroid_id] for r in ranked.collect())
+    scan = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{centroid_id}={p}" for p in probed]
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        scan.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_recall(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Recall@k of the IVF probe against the exact top-k, per query —
+    the eval harness every ANN deployment needs BEFORE trusting the
+    approximate path for dedup/retrieval (recall < 1.0 is by
+    construction, not a bug; this measures how much).
+
+    Set-based, no driver loops: ONE corpus x queries broadcast scoring
+    pass shared by both sides (n_q is a small eval set by definition —
+    the n * n_q scan is the exact baseline's irreducible cost), a
+    row_number window per query for the exact top-k, the IVF candidate
+    top-k restricted to the per-query probed centroids, and a left join
+    counting overlaps. Returns (query_id, n_hits, recall)."""
+    from pyspark.sql import Window
+
+    scored = (
+        df.crossJoin(F.broadcast(queries_df))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec)).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("_cos"), F.asc(id_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, id_col)
+    )
+    # per-query centroid shortlist (k_c x n_q rows, all metadata-sized)
+    cq_d2 = F.aggregate(
+        F.zip_with(
+            F.col(centroid_vec),
+            F.col(query_vec),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy(query_id).orderBy(F.asc("_qd2"), F.asc(centroid_id))
+    probed = (
+        centroids.crossJoin(F.broadcast(queries_df))
+        .select(F.col(query_id), F.col(centroid_id), cq_d2.alias("_qd2"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, centroid_id)
+    )
+    assigned = ivf_assign(
+        df, centroids, id_col, vec_col, centroid_id, centroid_vec
+    ).select(id_col, centroid_id)
+    approx = (
+        scored.join(assigned, id_col)
+        .join(probed, [query_id, centroid_id])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, id_col, F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(approx, [query_id, id_col], "left")
+        .groupBy(query_id)
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"))
+        .withColumn("recall", F.col("n_hits") / F.lit(float(k)))
+    )

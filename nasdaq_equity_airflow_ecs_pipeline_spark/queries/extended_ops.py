@@ -216,6 +216,122 @@ LIMIT 5
 """
 
 
+# ----------------------------------------- partition-pruned IVF probe
+def q_ann_ivf_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """The same ANN probe as ``q_ann_ivf_search``, but against the
+    materialized IVF layout (operators/similarity.py
+    ivf_write_partitioned): the corpus is written parquet-partitioned by
+    centroid assignment — one Hive directory per inverted list — and the
+    probe reads ONLY the nprobe winning directories (non-probed lists
+    are never even listed; tests/test_operators.py pins the inputFiles
+    shrink). At 100 TB this is the difference between scanning the
+    corpus per query and scanning nprobe/k_centroids of it; the oracle
+    is the identical full-precision probe semantics."""
+    import os
+
+    from ..operators.similarity import (
+        ivf_search_partitioned,
+        ivf_write_partitioned,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # idempotent layout build (the q_zorder_pruned_scan marker pattern):
+    # building the inverted lists is a one-time index job; the QUERY
+    # under measurement is the pruned probe
+    path = f"/tmp/ivfpart_{os.path.basename(os.path.normpath(sf))}"
+    src = os.path.join(sf, "embeddings.parquet")
+    marker = os.path.join(path, "_built_from")
+    stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|8"
+    if not (os.path.isfile(marker) and open(marker).read() == stamp):
+        ivf_write_partitioned(emb, centroids, path)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return ivf_search_partitioned(spark, path, centroids, qv, k=5, nprobe=2)
+
+
+# --------------------------------------------------------- ANN recall@k
+ANN_RECALL_K = 5
+ANN_RECALL_NPROBE = 2
+ANN_RECALL_NQ = 5  # eval queries = vectors 0..4 (corpus members)
+
+
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k eval of the IVF probe vs the exact top-k
+    (operators/similarity.py ann_recall): 5 eval queries, per-query
+    overlap between the probed-bucket top-5 and the brute-force top-5.
+    The number every ANN deployment must measure before trusting the
+    approximate path — the oracle recomputes both sides exactly."""
+    from ..operators.similarity import ann_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < ANN_RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ann_recall(
+        emb, centroids, queries_df, k=ANN_RECALL_K, nprobe=ANN_RECALL_NPROBE
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_RECALL_NQ}),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+         list_dot_product(e.v, qs.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))
+           AS cos
+  FROM e CROSS JOIN qs
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= {ANN_RECALL_K}
+),
+assign AS (
+  SELECT vec_id, (min(struct_pack(
+           d2 := {_SQL_D2.format(a='v', b='cv')},
+           cid := c.centroid_id))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY vec_id
+),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qs.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY qs.query_id
+                              ORDER BY {_SQL_D2.format(a='cv', b='qv')} ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM c CROSS JOIN qs) WHERE rn <= {ANN_RECALL_NPROBE}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+    FROM scored s
+    JOIN assign a ON s.vec_id = a.vec_id
+    JOIN probe p ON p.query_id = s.query_id AND p.centroid_id = a.centroid_id
+  ) WHERE rn <= {ANN_RECALL_K}
+)
+SELECT ex.query_id,
+       CAST(count(ap.vec_id) AS BIGINT) AS n_hits,
+       count(ap.vec_id) / {ANN_RECALL_K}.0 AS recall
+FROM exact ex
+LEFT JOIN approx ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+GROUP BY 1
+"""
+
+
 # -------------------------------------------------------- salted aggregation
 def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage salted SUM/COUNT over a 5-hot-key distribution — must be
@@ -827,6 +943,8 @@ QUERIES = {
     "q_cube_agg": q_cube_agg,
     "q_distinct_agg": q_distinct_agg,
     "q_ann_ivf_search": q_ann_ivf_search,
+    "q_ann_ivf_pruned": q_ann_ivf_pruned,
+    "q_ann_recall": q_ann_recall,
     "q_ann_ivf_search_quantized": q_ann_ivf_search_quantized,
     "q_skew_salted_agg": q_skew_salted_agg,
 }
@@ -853,6 +971,8 @@ ORACLES = {
     "q_cube_agg": SQL_CUBE_AGG,
     "q_distinct_agg": SQL_DISTINCT_AGG,
     "q_ann_ivf_search": SQL_ANN_IVF_SEARCH,
+    "q_ann_ivf_pruned": SQL_ANN_IVF_SEARCH,
+    "q_ann_recall": SQL_ANN_RECALL,
     "q_ann_ivf_search_quantized": SQL_ANN_IVF_SEARCH,
     "q_skew_salted_agg": SQL_SKEW_SALTED_AGG,
 }

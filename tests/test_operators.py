@@ -1416,3 +1416,97 @@ def test_token_budget_select_matches_single_window(spark):
     )
     hit = token_budget_select(tiny, 10, ["doc_id"], partitions=2)
     assert sorted(r["doc_id"] for r in hit.collect()) == [1, 2]
+
+
+def test_ivf_partitioned_probe_prunes_and_matches(spark, tmp_path):
+    """ivf_search_partitioned reads ONLY the probed centroid directories
+    (inputFiles strictly shrinks vs the full layout) and returns exactly
+    ivf_search's rows over the same corpus/centroids."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ivf_search,
+        ivf_search_partitioned,
+        ivf_write_partitioned,
+    )
+
+    rng = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rng, "vec_id bigint, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(df, cents, path)
+    qv = [float(x) for x in rng[5][1]]
+
+    got = ivf_search_partitioned(spark, path, cents, qv, k=5, nprobe=2)
+    exp = ivf_search(df, cents, qv, k=5, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+
+    # pruning proof: the probe's source lists a strict subset of files
+    all_files = set(spark.read.option("basePath", path).parquet(path).inputFiles())
+    probe_files = set(got.inputFiles())
+    assert probe_files and probe_files < all_files
+    # and only from the 2 probed directories
+    assert {f.split("centroid_id=")[1].split("/")[0] for f in probe_files} <= {
+        "0", "1", "2", "3"
+    }
+    assert len({f.split("centroid_id=")[1].split("/")[0] for f in probe_files}) == 2
+
+
+def test_ann_recall_full_probe_is_one_and_drops_when_blinded(spark):
+    """With nprobe = n_centroids the IVF candidate set is the whole
+    corpus, so recall@k must be exactly 1.0 for every query; with
+    nprobe=1 on a corpus whose true neighbors straddle clusters, recall
+    drops below 1.0 — the harness actually measures the approximation."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    rows = [(i, [float((i * 11 + j * 5) % 17) for j in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    full = ann_recall(df, cents, qs, k=5, nprobe=3)
+    res = {r["query_id"]: (r["n_hits"], r["recall"]) for r in full.collect()}
+    assert set(res) == {0, 1, 2, 3}
+    assert all(v == (5, 1.0) for v in res.values())
+
+    # boundary-straddling corpus: the query's nearest neighbor lives in
+    # the OTHER cluster, so probing 1 bucket must lose it
+    brows = [
+        (0, [1.0, 0.0]),    # centroid/cluster A anchor
+        (1, [0.0, 1.0]),    # centroid/cluster B anchor
+        (2, [0.95, 0.05]),
+        (3, [0.9, 0.1]),
+        (4, [0.05, 0.95]),
+        (5, [0.1, 0.9]),
+        (8, [0.71, 0.70]),  # query: assigned A...
+        (9, [0.70, 0.71]),  # ...its true #2 neighbor, assigned B
+    ]
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in brows],
+        "vec_id bigint, embedding array<float>",
+    )
+    bcents = bdf.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    bqs = bdf.filter(F.col("vec_id") == 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    blind = ann_recall(bdf, bcents, bqs, k=3, nprobe=1)
+    [(qid, n_hits, recall)] = [tuple(r) for r in blind.collect()]
+    assert qid == 8
+    # exact top-3 = {8 (self), 9 (cross-cluster), 2-or-3}; probing only
+    # cluster A loses vec 9 -> exactly one miss
+    assert (n_hits, recall) == (2, 2 / 3)
+    # and with both buckets probed it recovers to 1.0
+    both = ann_recall(bdf, bcents, bqs, k=3, nprobe=2)
+    assert [tuple(r) for r in both.collect()] == [(8, 3, 1.0)]

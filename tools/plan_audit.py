@@ -41,6 +41,8 @@ CARTESIAN_OK = {
     "q_embedding_neardup_pairs": "exact baseline, validation twin of LSH",
     # points x k centroids, centroids broadcast (k rows)
     "q_ann_ivf": "broadcast of k centroid rows",
+    "q_ann_ivf_pruned": "broadcast of k centroid rows (layout-build ivf_assign on first call)",
+    "q_ann_recall": "corpus x n_q eval queries (the exact baseline's irreducible scoring pass) + k centroid rows",
     "q_semantic_dedup": "broadcast of k centroid rows (ivf_assign); pairs are cluster-equi-joined",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
@@ -76,6 +78,7 @@ BROADCAST_OK = {
     "operators/curation.py::token_budget_select": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/similarity.py::ann_recall": "n_q eval-query rows (a fixed small eval set by definition), twice",
     "operators/similarity.py::ivf_search": "nprobe centroid rows",
     "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
     "operators/text.py::tfidf_topk": "1-row corpus doc count",
