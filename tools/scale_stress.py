@@ -95,6 +95,10 @@ DEEP = [
     # two-pass distributed prefix sum
     "q_semantic_dedup",
     "q_token_budget",
+    # partitioned-IVF probe + recall eval (r5): directory-pruned scan /
+    # one shared corpus x n_q scoring pass
+    "q_ann_ivf_pruned",
+    "q_ann_recall",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
