@@ -377,3 +377,47 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def classifier_quality_score(
+    text_col: Column | str = "text",
+    n_buckets: int = 4096,
+    seed: str = "qc-v1",
+) -> Column:
+    """Hashed-linear text-classifier score (the fasttext-style structure
+    behind CCNet/LLaMA-family "model-based quality filter" stages):
+    tokenize, hash each token into ``n_buckets`` feature buckets with
+    the portable md5 hash, mean-pool the per-bucket weights. Keep-rule:
+    ``score >= 0`` (the mean weight is a monotone transform of the
+    sigmoid logit, so thresholding it IS thresholding the classifier —
+    log/exp-free by design, hence cross-engine exact like the DSIR
+    variant in operators/curation.py).
+
+    The hashing / pooling / thresholding plumbing is the real
+    distributed shape — one narrow JVM-side pass, no shuffle, no UDF.
+    The weight table is a DISCLOSED deterministic placeholder
+    (``w[b] = (b % 2001 - 1000) / 1000``) because no trained model
+    ships in this container; a real deployment substitutes its learned
+    vector (a k-row broadcast map or a literal array) in this exact
+    expression.
+    """
+    from .lsh import MERSENNE_P
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), WS_SPLIT)
+
+    def _weight(t: Column) -> Column:
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat(t, F.lit(":" + seed))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % MERSENNE_P
+        )
+        return ((h % n_buckets) % 2001 - 1000) / F.lit(1000.0)
+
+    total = F.aggregate(
+        F.transform(toks, _weight), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return total / F.size(toks).cast("double")

@@ -57,6 +57,39 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.quality_features(d.select("doc_id", "text"), "text").drop("text")
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-linear classifier quality filter (operators/text.py
+    classifier_quality_score): per doc, mean of the hashed-bucket
+    weights over its tokens, keep-flag at score >= 0 — the fasttext-
+    style model-based filter stage with a disclosed deterministic
+    weight placeholder. One narrow scan, no shuffle."""
+    d = _docs(spark, sf)
+    score = text_ops.classifier_quality_score("text")
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.0).alias("kept"),
+    )
+
+
+_SQL_QC_WEIGHT = (
+    "(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
+    " % 4096) % 2001 - 1000) / 1000.0"
+)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       list_sum(list_transform(toks, tok -> {_SQL_QC_WEIGHT}))
+         / CAST(len(toks) AS DOUBLE) AS score,
+       (list_sum(list_transform(toks, tok -> {_SQL_QC_WEIGHT}))
+         / CAST(len(toks) AS DOUBLE)) >= 0.0 AS kept
+FROM t
+"""
+
+
 def _sql_stopword_hits(words: list[str]) -> str:
     terms = " + ".join(
         f"(CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ') THEN 1 ELSE 0 END)"
@@ -1166,6 +1199,7 @@ QUERIES = {
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_quality_classifier": q_quality_classifier,
     "q_binary_meta": q_binary_meta,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
@@ -1202,6 +1236,7 @@ ORACLES = {
     "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "q_ann_ivf": SQL_ANN_IVF,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_binary_meta": SQL_BINARY_META,
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
