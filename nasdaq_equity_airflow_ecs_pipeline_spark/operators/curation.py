@@ -359,9 +359,13 @@ def token_budget_select(
     (k = partition count), driver prefix-sum into per-partition offsets,
     broadcast back, partition-local window cumsum + offset. Equal to the
     single-task window bit-for-bit (integer arithmetic), but the only
-    serial work is the k-row prefix sum; at 100 TB a production variant
-    also prunes whole partitions whose OFFSET already exceeds the budget
-    (their every row fails the filter) before scanning them.
+    serial work is the k-row prefix sum. Partitions whose OFFSET already
+    exceeds the budget are pruned driver-side before the window stage —
+    every one of their rows would fail the filter (token counts are
+    non-negative, so cum >= offset > budget), so at 100 TB the
+    window/join work is proportional to the budget, not the corpus.
+    (``offset == budget`` partitions are kept: a zero-token first row
+    there still satisfies the inclusive bound.)
     """
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
@@ -380,7 +384,8 @@ def token_budget_select(
     )
     offsets, acc = [], 0
     for pid, s in sums:
-        offsets.append((pid, acc))
+        if acc <= budget:  # budget-exceeded partitions never join back
+            offsets.append((pid, acc))
         acc += s
     off_df = spark.createDataFrame(
         offsets or [(0, 0)], "_pid int, _off bigint"
