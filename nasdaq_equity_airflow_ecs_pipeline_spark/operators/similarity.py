@@ -448,6 +448,9 @@ def _query_d2(centroid_vec: str, query_vec: list[float]) -> Column:
     )
 
 
+IVF_MANIFEST_DIR = "_ivf_manifest"
+
+
 def ivf_write_partitioned(
     df: DataFrame,
     centroids: DataFrame,
@@ -470,11 +473,18 @@ def ivf_write_partitioned(
     assigned = ivf_assign(
         df, centroids, id_col, vec_col, centroid_id, centroid_vec
     ).select(id_col, centroid_id)
+    listed = df.join(assigned, id_col)
+    listed.write.partitionBy(centroid_id).mode("overwrite").parquet(path)
+    # non-empty-list manifest (the sources/skipping.py _zmanifest
+    # precedent): a probed centroid with an EMPTY inverted list has no
+    # directory on disk, so the searcher consults this k-row-bounded
+    # manifest instead of trusting the centroid table. Underscore prefix
+    # keeps it invisible to full-layout data discovery.
     (
-        df.join(assigned, id_col)
-        .write.partitionBy(centroid_id)
-        .mode("overwrite")
-        .parquet(path)
+        listed.groupBy(centroid_id)
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/{IVF_MANIFEST_DIR}")
     )
 
 
@@ -496,8 +506,11 @@ def ivf_search_partitioned(
     manifest-collect precedent), and hand the parquet reader ONLY those
     partition directories — non-probed lists are never listed, let alone
     read (``df.inputFiles()`` shrinks by ~nprobe/k_centroids; pinned in
-    tests). Result contract: identical rows to ``ivf_search`` over the
-    same corpus/centroids (same fold arithmetic, same tie-break)."""
+    tests). Probed centroids whose inverted list is EMPTY (no directory
+    on disk) are dropped via the layout's ``_ivf_manifest`` rather than
+    crashing the reader. Result contract: identical rows to
+    ``ivf_search`` over the same corpus/centroids (same fold
+    arithmetic, same tie-break)."""
     ranked = (
         centroids.select(
             F.col(centroid_id), _query_d2(centroid_vec, query_vec).alias("qd2")
@@ -506,10 +519,17 @@ def ivf_search_partitioned(
         .limit(nprobe)
     )
     probed = sorted(r[centroid_id] for r in ranked.collect())
+    # k-row-bounded manifest collect: which inverted lists exist on disk
+    manifest = spark.read.parquet(f"{path}/{IVF_MANIFEST_DIR}")
+    present = {r[centroid_id] for r in manifest.select(centroid_id).collect()}
+    probed = [p for p in probed if p in present]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if not probed:  # every probed list empty: no candidates by definition
+        empty = spark.createDataFrame([], f"{id_col} bigint, cosine double")
+        return empty
     scan = spark.read.option("basePath", path).parquet(
         *[f"{path}/{centroid_id}={p}" for p in probed]
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         scan.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))

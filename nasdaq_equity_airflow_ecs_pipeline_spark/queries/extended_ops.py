@@ -246,7 +246,7 @@ def q_ann_ivf_pruned(spark: SparkSession, sf: str) -> DataFrame:
     path = f"/tmp/ivfpart_{os.path.basename(os.path.normpath(sf))}"
     src = os.path.join(sf, "embeddings.parquet")
     marker = os.path.join(path, "_built_from")
-    stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|8"
+    stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|8|m1"  # m1: manifest layout
     if not (os.path.isfile(marker) and open(marker).read() == stamp):
         ivf_write_partitioned(emb, centroids, path)
         with open(marker, "w") as fh:

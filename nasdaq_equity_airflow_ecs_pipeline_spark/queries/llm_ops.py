@@ -241,6 +241,71 @@ FROM bands l JOIN bands r
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-level recall of the MinHash/LSH banding against the exact
+    n-gram-Jaccard ground truth — the eval the band/row parameters must
+    be tuned against before trusting LSH dedup at scale (the ANN twin
+    is q_ann_recall). One row: true-pair count, candidate count, hit
+    count, recall. The three addends are 1-row aggregates (whitelisted
+    cartesian class); the pair computations are the existing linear
+    operators unchanged."""
+    docs = _docs(spark, sf)
+    par = spark.sparkContext.defaultParallelism
+    true_pairs = lsh.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, parallelism=par
+    ).select("id_a", "id_b")
+    cand = lsh.lsh_candidate_pairs(lsh.minhash_signatures(docs, parallelism=par))
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = true_pairs.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(hits)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(F.col("n_true") == 0, F.lit(1.0))
+            .otherwise(F.col("n_hits") / F.col("n_true"))
+            .alias("recall"),
+        )
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pc AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT id_a, id_b
+  FROM pc JOIN sizes sa ON pc.id_a = sa.doc_id JOIN sizes sb ON pc.id_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
+),
+sig AS (SELECT doc_id, {_SQL_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+counts AS (
+  SELECT (SELECT count(*) FROM tp) AS n_true,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM tp JOIN cand USING (id_a, id_b)) AS n_hits
+)
+SELECT n_true, n_candidates, n_hits,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE CAST(n_hits AS DOUBLE) / n_true END AS recall
+FROM counts
+"""
+
+
 def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental LSH index maintenance (operators/lsh.py
     incremental_lsh_pairs): 90% of the corpus is the standing index, the
@@ -1200,6 +1265,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_semantic_dedup": q_semantic_dedup,
     "q_quality_classifier": q_quality_classifier,
+    "q_lsh_recall": q_lsh_recall,
     "q_binary_meta": q_binary_meta,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
@@ -1237,6 +1303,7 @@ ORACLES = {
     "q_ann_ivf": SQL_ANN_IVF,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "q_lsh_recall": SQL_LSH_RECALL,
     "q_binary_meta": SQL_BINARY_META,
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,

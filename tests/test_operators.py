@@ -1510,3 +1510,44 @@ def test_ann_recall_full_probe_is_one_and_drops_when_blinded(spark):
     # and with both buckets probed it recovers to 1.0
     both = ann_recall(bdf, bcents, bqs, k=3, nprobe=2)
     assert [tuple(r) for r in both.collect()] == [(8, 3, 1.0)]
+
+
+def test_ivf_partitioned_probe_survives_empty_inverted_list(spark, tmp_path):
+    """A probed centroid with an empty inverted list has no directory on
+    disk; the searcher must consult the layout manifest and skip it
+    instead of crashing the parquet reader."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ivf_search_partitioned,
+        ivf_write_partitioned,
+    )
+
+    # centroid 2 points away from every corpus vector -> empty list
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [0.9, 0.1]),
+        (12, [0.0, 1.0]),
+        (13, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-9.0, -9.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    path = str(tmp_path / "ivf_empty")
+    ivf_write_partitioned(df, cents, path)
+    # query sits closest to the EMPTY centroid; c0/c1 tie for second
+    # (tie-break asc centroid_id -> c0): nprobe=2 probes {2 (empty), 0}
+    # -> results come from list 0 only
+    got = ivf_search_partitioned(
+        spark, path, cents, [-8.0, -8.0], k=4, nprobe=2
+    )
+    assert sorted(r["vec_id"] for r in got.collect()) == [10, 11]
+    # all probed lists empty -> empty result, stable schema, no crash
+    none = ivf_search_partitioned(
+        spark, path, cents, [-8.0, -8.0], k=4, nprobe=1
+    )
+    assert none.columns == ["vec_id", "cosine"]
+    assert none.count() == 0
