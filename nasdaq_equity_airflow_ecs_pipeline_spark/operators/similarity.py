@@ -39,6 +39,22 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
+def _pair_d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two vector columns as the same sequential
+    zip_with/aggregate fold everywhere (one spelling keeps the
+    oracle-parity arithmetic in one place)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -70,16 +86,7 @@ def ivf_assign(
     big side. This is the IVF build step; at 100 TB the result is written
     partitioned by centroid so probes prune partitions."""
     pairs = df.crossJoin(F.broadcast(centroids))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col(centroid_vec),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    d2 = _pair_d2(F.col(vec_col), F.col(centroid_vec))
     scored = pairs.select(
         F.col(id_col),
         F.struct(d2.alias("d2"), F.col(centroid_id).alias("cid")).alias("sc"),
@@ -113,15 +120,7 @@ def ivf_search(
     brute-force path is the ground truth it is measured against."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
-    cd2 = F.aggregate(
-        F.zip_with(
-            F.col(centroid_vec),
-            q,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cd2 = _pair_d2(F.col(centroid_vec), q)
     probed = (
         centroids.select(F.col(centroid_id), cd2.alias("qd2"))
         .orderBy(F.asc("qd2"), F.asc(centroid_id))
@@ -169,15 +168,7 @@ def ivf_search_quantized(
     step."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = ivf_assign(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
-    cd2 = F.aggregate(
-        F.zip_with(
-            F.col(centroid_vec),
-            q,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cd2 = _pair_d2(F.col(centroid_vec), q)
     probed = (
         centroids.select(F.col(centroid_id), cd2.alias("qd2"))
         .orderBy(F.asc("qd2"), F.asc(centroid_id))
@@ -437,15 +428,7 @@ def semantic_dedup(
 def _query_d2(centroid_vec: str, query_vec: list[float]) -> Column:
     """Squared L2 from each centroid to one literal query vector."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return F.aggregate(
-        F.zip_with(
-            F.col(centroid_vec),
-            q,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    return _pair_d2(F.col(centroid_vec), q)
 
 
 IVF_MANIFEST_DIR = "_ivf_manifest"
@@ -479,9 +462,12 @@ def ivf_write_partitioned(
     # precedent): a probed centroid with an EMPTY inverted list has no
     # directory on disk, so the searcher consults this k-row-bounded
     # manifest instead of trusting the centroid table. Underscore prefix
-    # keeps it invisible to full-layout data discovery.
+    # keeps it invisible to full-layout data discovery. Aggregated from
+    # the just-written layout (partition-column + metadata scan), NOT by
+    # re-evaluating the assignment lineage over the corpus.
     (
-        listed.groupBy(centroid_id)
+        df.sparkSession.read.parquet(path)
+        .groupBy(centroid_id)
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .write.mode("overwrite")
         .parquet(f"{path}/{IVF_MANIFEST_DIR}")
@@ -555,12 +541,14 @@ def ann_recall(
     approximate path for dedup/retrieval (recall < 1.0 is by
     construction, not a bug; this measures how much).
 
-    Set-based, no driver loops: ONE corpus x queries broadcast scoring
-    pass shared by both sides (n_q is a small eval set by definition —
-    the n * n_q scan is the exact baseline's irreducible cost), a
-    row_number window per query for the exact top-k, the IVF candidate
-    top-k restricted to the per-query probed centroids, and a left join
-    counting overlaps. Returns (query_id, n_hits, recall)."""
+    Set-based, no driver loops: the exact side pays ONE corpus x
+    queries broadcast scoring pass (n_q is a small eval set by
+    definition — the n * n_q scan is the exact baseline's irreducible
+    cost) with a row_number window per query; the approx side scores
+    ONLY the probed-bucket candidates (~nprobe/k_centroids of the
+    corpus per query — the probe's own cost shape, so the eval costs
+    what exact + probe cost, nothing double). A left join counts
+    overlaps. Returns (query_id, n_hits, recall)."""
     from pyspark.sql import Window
 
     scored = (
@@ -578,16 +566,7 @@ def ann_recall(
         .select(query_id, id_col)
     )
     # per-query centroid shortlist (k_c x n_q rows, all metadata-sized)
-    cq_d2 = F.aggregate(
-        F.zip_with(
-            F.col(centroid_vec),
-            F.col(query_vec),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cq_d2 = _pair_d2(F.col(centroid_vec), F.col(query_vec))
     wp = Window.partitionBy(query_id).orderBy(F.asc("_qd2"), F.asc(centroid_id))
     probed = (
         centroids.crossJoin(F.broadcast(queries_df))
@@ -599,9 +578,17 @@ def ann_recall(
     assigned = ivf_assign(
         df, centroids, id_col, vec_col, centroid_id, centroid_vec
     ).select(id_col, centroid_id)
+    # candidates first, THEN score: cosines are computed for the probed
+    # subset only, not by re-running the full scoring pass
     approx = (
-        scored.join(assigned, id_col)
-        .join(probed, [query_id, centroid_id])
+        df.join(assigned, id_col)
+        .join(probed, centroid_id)
+        .join(F.broadcast(queries_df), query_id)
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec)).alias("_cos"),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(query_id, id_col, F.lit(1).alias("_hit"))

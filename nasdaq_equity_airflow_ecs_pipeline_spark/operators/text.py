@@ -401,20 +401,13 @@ def classifier_quality_score(
     vector (a k-row broadcast map or a literal array) in this exact
     expression.
     """
-    from .lsh import MERSENNE_P
+    from .lsh import base_hash31
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(c), WS_SPLIT)
 
     def _weight(t: Column) -> Column:
-        h = (
-            F.conv(
-                F.substring(F.md5(F.concat(t, F.lit(":" + seed))), 1, 15),
-                16,
-                10,
-            ).cast("bigint")
-            % MERSENNE_P
-        )
+        h = base_hash31(F.concat(t, F.lit(":" + seed)))
         return ((h % n_buckets) % 2001 - 1000) / F.lit(1000.0)
 
     total = F.aggregate(

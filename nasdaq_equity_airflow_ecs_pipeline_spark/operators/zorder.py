@@ -61,7 +61,6 @@ def zorder_layout(
     col_y: str,
     n_buckets: int,
     bits: int = ZBITS,
-    cache_counts: bool = True,
 ) -> DataFrame:
     """Assign each row a Z-order bucket (its would-be output file).
 
@@ -85,10 +84,12 @@ def zorder_layout(
     bucket map would exceed any broadcast budget; the boundary list
     cannot, by construction.
 
-    ``cache_counts`` is retained for API compatibility; the counts frame
-    is now always persisted for the duration of the (eager) boundary
-    computation and released before this function returns, so no cache
-    ever outlives the call.
+    The counts frame is persisted only for the duration of the (eager)
+    boundary computation and released before this function returns, so
+    no cache ever outlives the call.  Rows whose clustering columns are
+    null get a null ``zbucket`` (they carry no range information — a
+    writer routes them to a dedicated null file) and do not participate
+    in the equi-depth boundary computation.
     """
     mask = (1 << bits) - 1
     coded = df.withColumn(
@@ -102,15 +103,20 @@ def zorder_layout(
     # One small aggregate: |distinct codes| rows (<= 2^(2*bits), ~65k in
     # practice).  persist() so the full Morton-coded scan lineage
     # evaluates once across the two actions below, then release.
-    counts = coded.groupBy("zcode").agg(F.count(F.lit(1)).alias("__n"))
+    # Null codes (null clustering column) are excluded: they carry no
+    # range position, and a lone null group would otherwise surface as a
+    # null step boundary (driver TypeError in the suffix-min walk).
+    counts = (
+        coded.filter(F.col("zcode").isNotNull())
+        .groupBy("zcode")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     counts = counts.persist()
     try:
         total_row = counts.agg(F.sum("__n").alias("__t")).collect()
         total = total_row[0]["__t"] or 0
         if total == 0:
-            out = coded.withColumn("zbucket", F.lit(None).cast("int"))
-            out._zorder_cached = None
-            return out
+            return coded.withColumn("zbucket", F.lit(None).cast("int"))
         # Unpartitioned window: all distinct codes funnel through ONE
         # task, but the input is the counts aggregate — bounded by
         # |distinct codes|, not by |df|. Acceptable.
@@ -146,13 +152,16 @@ def zorder_layout(
     for fb, minz in reversed(pairs):
         running = minz if running is None else min(running, minz)
         suffix_min[fb] = running
-    achieved_fbs = [fb for fb, _ in pairs]
+    # two-pointer walk over the sorted achieved steps: O(n_buckets + k)
+    # (a per-b scan would be quadratic in the file count at scale)
     boundaries = []
+    idx = 0
     for b in range(1, n_buckets):
-        ge = [fb for fb in achieved_fbs if fb >= b]
-        if not ge:
+        while idx < len(pairs) and pairs[idx][0] < b:
+            idx += 1
+        if idx == len(pairs):
             break
-        boundaries.append(suffix_min[ge[0]])
+        boundaries.append(suffix_min[pairs[idx][0]])
     if boundaries:
         bucket_expr = reduce(
             lambda a, c: a + c,
@@ -160,12 +169,10 @@ def zorder_layout(
         )
     else:
         bucket_expr = F.lit(0)
-    out = coded.withColumn(
+    return coded.withColumn(
         "zbucket",
         F.when(F.col("zcode").isNotNull(), bucket_expr).cast("int"),
     )
-    out._zorder_cached = None
-    return out
 
 
 def zorder_skipping_stats(

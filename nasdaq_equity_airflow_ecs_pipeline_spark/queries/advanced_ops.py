@@ -731,12 +731,11 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.zorder import zorder_layout, zorder_skipping_stats
 
     li = load_table(spark, sf, "lineitem")
-    # cache_counts=False: this query's DataFrame outlives the call (the
-    # driver materializes it), so an internal persist() could never be
-    # released — in the bench loop that leaks a cached frame per run
-    layout = zorder_layout(
-        li, "l_partkey", "l_suppkey", ZORDER_BUCKETS, cache_counts=False
-    )
+    # zorder_layout's internal persist is scoped to its own (eager)
+    # boundary computation and released before it returns, so the
+    # returned frame carries no cache even though this query's
+    # DataFrame outlives the call
+    layout = zorder_layout(li, "l_partkey", "l_suppkey", ZORDER_BUCKETS)
     return zorder_skipping_stats(layout, "l_partkey", "l_suppkey")
 
 
@@ -853,9 +852,11 @@ def q_zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "lineitem.parquet")
     marker = os.path.join(path, "_built_from")
     stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{ZORDER_BUCKETS}"
-    if not (
-        os.path.isfile(marker) and open(marker).read() == stamp
-    ):
+    built = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            built = fh.read()
+    if built != stamp:
         write_zordered(
             li.select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
             path, "l_partkey", "l_suppkey", ZORDER_BUCKETS,

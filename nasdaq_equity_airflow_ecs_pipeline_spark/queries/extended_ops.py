@@ -247,7 +247,11 @@ def q_ann_ivf_pruned(spark: SparkSession, sf: str) -> DataFrame:
     src = os.path.join(sf, "embeddings.parquet")
     marker = os.path.join(path, "_built_from")
     stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|8|m1"  # m1: manifest layout
-    if not (os.path.isfile(marker) and open(marker).read() == stamp):
+    built = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            built = fh.read()
+    if built != stamp:
         ivf_write_partitioned(emb, centroids, path)
         with open(marker, "w") as fh:
             fh.write(stamp)

@@ -51,8 +51,10 @@ def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, st
     """Session confs for a hadoop-type Iceberg catalog rooted at
     ``warehouse`` — the local analog of the reference's glue_catalog
     wiring. Apply on a FRESH builder: extensions are ignored when set on
-    an already-started session."""
-    return {
+    an already-started session. Jars discovered OUTSIDE the default
+    classpath (``SPARK_GRAFT_EXTRA_JARS``) are added via ``spark.jars``
+    so enabling the probe through the env var actually loads them."""
+    conf = {
         "spark.sql.extensions": (
             "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
         ),
@@ -60,3 +62,23 @@ def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, st
         f"spark.sql.catalog.{catalog}.type": "hadoop",
         f"spark.sql.catalog.{catalog}.warehouse": warehouse,
     }
+    default_roots = []
+    if os.environ.get("SPARK_HOME"):
+        default_roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    try:
+        import pyspark
+
+        default_roots.append(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        )
+    except ImportError:  # pragma: no cover - pyspark is a hard dep
+        pass
+    extra = [
+        j
+        for j in iceberg_jar_paths()
+        if os.path.dirname(os.path.abspath(j)) not in
+        {os.path.abspath(r) for r in default_roots}
+    ]
+    if extra:
+        conf["spark.jars"] = ",".join(extra)
+    return conf

@@ -396,3 +396,30 @@ def test_bucket_gapfill_locf_and_interpolation(spark):
     assert g3["v_locf"] == 10.0 and g3["v_interp"] == 30.0
     assert rows[("u1", "2024-01-04")]["v_locf"] == 40.0
     assert rows[("u2", "2024-01-02")]["v_interp"] == 7.0
+
+
+def test_zorder_layout_null_cluster_columns(spark):
+    """Rows with null clustering columns get a null zbucket (no range
+    information) without crashing the boundary walk, and do not distort
+    the equi-depth boundaries of the non-null rows."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.zorder import (
+        zorder_layout,
+    )
+
+    rows = [(i, i % 7, i % 5) for i in range(50)] + [
+        (100 + i, None, None) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x int, y int")
+    out = zorder_layout(df, "x", "y", 8)
+    got = out.select("id", "zbucket").collect()
+    null_ids = {r["id"] for r in got if r["zbucket"] is None}
+    assert null_ids == {100 + i for i in range(50)}
+    # boundaries computed from the 50 non-null rows only: same buckets
+    # as laying out the non-null slice alone
+    clean = {
+        r["id"]: r["zbucket"]
+        for r in zorder_layout(
+            df.filter(F.col("x").isNotNull()), "x", "y", 8
+        ).select("id", "zbucket").collect()
+    }
+    assert {r["id"]: r["zbucket"] for r in got if r["zbucket"] is not None} == clean
