@@ -99,6 +99,8 @@ DEEP = [
     # one shared corpus x n_q scoring pass
     "q_ann_ivf_pruned",
     "q_ann_recall",
+    # hashed-linear quality filter (r5): one narrow scan, zero shuffle
+    "q_quality_classifier",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
