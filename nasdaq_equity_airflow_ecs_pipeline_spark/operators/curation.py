@@ -227,22 +227,28 @@ def weighted_resample(
     k-row weights frame auto-broadcasts.
 
     ``strict=True`` (default) fails the job — via ``raise_error``, no
-    extra pass over the data — on the first row whose source is absent
+    extra pass over the data — on the first row whose source is ABSENT
     from the weights frame; a missing source is almost always a stale
     weights table, and silently dropping its documents is the worst
-    failure mode a mixture pipeline can have. ``strict=False`` restores
-    the drop (weight 0.0) for intentional allow-listing. The weight is
-    joined under a collision-safe internal name so an existing
-    ``sample_weight`` column on ``df`` passes through untouched."""
+    failure mode a mixture pipeline can have. A source that IS present
+    with an explicit NULL ``sample_weight`` is the deliberate
+    exclude-this-source spelling and is dropped (weight 0.0) in both
+    modes — presence is tracked with a join indicator, so strict mode
+    distinguishes the two cases instead of conflating them.
+    ``strict=False`` also drops absent sources for intentional
+    allow-listing. The weight is joined under a collision-safe internal
+    name so an existing ``sample_weight`` column on ``df`` passes
+    through untouched."""
     from .sampling import _BPS, hash_bucket
 
     w = weights.select(
         F.col("source").alias(source_col),
         F.col("sample_weight").alias("__wr_weight"),
+        F.lit(1).alias("__wr_present"),
     )
     if strict:
         weight = F.when(
-            F.col("__wr_weight").isNull(),
+            F.col("__wr_present").isNull(),
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -251,7 +257,7 @@ def weighted_resample(
                     F.col(source_col).cast("string"),
                 )
             ).cast("double"),
-        ).otherwise(F.col("__wr_weight"))
+        ).otherwise(F.coalesce(F.col("__wr_weight"), F.lit(0.0)))
     else:
         weight = F.coalesce(F.col("__wr_weight"), F.lit(0.0))
     return (
@@ -263,7 +269,7 @@ def weighted_resample(
                 F.lit(alpha) * weight * F.lit(float(_BPS)),
             )
         )
-        .drop("__wr_weight")
+        .drop("__wr_weight", "__wr_present")
     )
 
 

@@ -443,11 +443,20 @@ def _jpeg_reconstruct(payload: bytes):
                 ):
                     break
                 end += 1
+            # tables may be redefined between scans (T.81 B.2.4.1): a
+            # component dequantizes with the table in effect at ITS
+            # scan, so bind the quant values per component at scan time
+            # (first scan wins — legal streams cannot change a
+            # component's table between its progressive scans)
+            for ci, _td, _ta in sel:
+                tq_c = comps[ci]["tq"]
+                if "qvals" not in comps[ci] and tq_c in qt:
+                    comps[ci]["qvals"] = list(qt[tq_c])
             scans.append({
                 "sel": sel, "ss": ss, "se": se,
                 "ah": ahal >> 4, "al": ahal & 15,
                 "data": payload[pos:end], "ri": restart_interval,
-                # tables may be redefined between scans: snapshot bindings
+                # same snapshot discipline for the Huffman bindings
                 "huff": dict(huff),
             })
             pos = end
@@ -525,7 +534,9 @@ def _jpeg_reconstruct(payload: bytes):
     zig = np.array(_ZIGZAG)
     full = []
     for ci, comp in enumerate(comps):
-        q = np.array(qt[comp["tq"]], dtype=np.float64)
+        q = np.array(
+            comp.get("qvals", qt.get(comp["tq"])), dtype=np.float64
+        )
         deq = coefs[ci].astype(np.float64) * q  # both zigzag-ordered
         nat = np.zeros_like(deq)
         nat[..., zig] = deq  # natural[ZIGZAG[k]] = zig[k]

@@ -464,14 +464,22 @@ def ivf_write_partitioned(
     # manifest instead of trusting the centroid table. Underscore prefix
     # keeps it invisible to full-layout data discovery. Aggregated from
     # the just-written layout (partition-column + metadata scan), NOT by
-    # re-evaluating the assignment lineage over the corpus.
-    (
-        df.sparkSession.read.parquet(path)
-        .groupBy(centroid_id)
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/{IVF_MANIFEST_DIR}")
-    )
+    # re-evaluating the assignment lineage over the corpus. An empty
+    # corpus writes no partition directories at all (only _SUCCESS), so
+    # the read-back cannot infer a schema — that case gets an explicitly
+    # typed empty manifest (every probe then correctly finds no lists).
+    spark = df.sparkSession
+    try:
+        written = spark.read.parquet(path)
+        manifest = written.groupBy(centroid_id).agg(
+            F.count(F.lit(1)).alias("n_vectors")
+        )
+    except Exception:
+        cid_type = centroids.schema[centroid_id].dataType.simpleString()
+        manifest = spark.createDataFrame(
+            [], f"{centroid_id} {cid_type}, n_vectors bigint"
+        )
+    manifest.write.mode("overwrite").parquet(f"{path}/{IVF_MANIFEST_DIR}")
 
 
 def ivf_search_partitioned(

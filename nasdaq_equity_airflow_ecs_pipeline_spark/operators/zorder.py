@@ -30,8 +30,6 @@ sort-order rewrite, whose metadata is file-count-bounded, never per-key.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,10 +161,12 @@ def zorder_layout(
             break
         boundaries.append(suffix_min[pairs[idx][0]])
     if boundaries:
-        bucket_expr = reduce(
-            lambda a, c: a + c,
-            [(F.col("zcode") >= F.lit(v)).cast("int") for v in boundaries],
-        )
+        # flat literal-array + higher-order filter: ONE plan node of
+        # constant depth regardless of n_buckets (a reduce()-built chain
+        # of nested Adds is n_buckets deep and overflows the analyzer
+        # stack at file-count-sized bucket counts)
+        barr = F.array(*[F.lit(int(v)) for v in boundaries])
+        bucket_expr = F.size(F.filter(barr, lambda b: F.col("zcode") >= b))
     else:
         bucket_expr = F.lit(0)
     return coded.withColumn(

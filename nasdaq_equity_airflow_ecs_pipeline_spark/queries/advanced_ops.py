@@ -842,27 +842,23 @@ def q_zorder_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     from ..sources.skipping import pruned_scan, write_zordered
+    from ..sources.tables import build_once
 
     li = load_table(spark, sf, "lineitem")
     path = f"/tmp/zskip_{os.path.basename(os.path.normpath(sf))}"
-    # idempotent layout build: the clustered write is a one-time layout
-    # job (like running OPTIMIZE ZORDER); the QUERY under measurement is
-    # the manifest-pruned scan, so skip the rebuild when this exact input
-    # was already laid out (marker records source identity)
+    # idempotent layout build (sources/tables.py build_once): the
+    # clustered write is a one-time layout job (like running OPTIMIZE
+    # ZORDER); the QUERY under measurement is the manifest-pruned scan
     src = os.path.join(sf, "lineitem.parquet")
-    marker = os.path.join(path, "_built_from")
     stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{ZORDER_BUCKETS}"
-    built = None
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            built = fh.read()
-    if built != stamp:
-        write_zordered(
+    build_once(
+        path,
+        stamp,
+        lambda: write_zordered(
             li.select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
             path, "l_partkey", "l_suppkey", ZORDER_BUCKETS,
-        )
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+        ),
+    )
     scan = pruned_scan(
         spark, path, x_range=(100, 300), y_range=(10, 40),
         x_col="l_partkey", y_col="l_suppkey",

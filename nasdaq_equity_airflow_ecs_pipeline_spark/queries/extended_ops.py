@@ -233,6 +233,7 @@ def q_ann_ivf_pruned(spark: SparkSession, sf: str) -> DataFrame:
         ivf_search_partitioned,
         ivf_write_partitioned,
     )
+    from ..sources.tables import build_once
 
     emb = load_table(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -245,16 +246,8 @@ def q_ann_ivf_pruned(spark: SparkSession, sf: str) -> DataFrame:
     # under measurement is the pruned probe
     path = f"/tmp/ivfpart_{os.path.basename(os.path.normpath(sf))}"
     src = os.path.join(sf, "embeddings.parquet")
-    marker = os.path.join(path, "_built_from")
     stamp = f"{os.path.abspath(src)}|{os.path.getmtime(src)}|8|m1"  # m1: manifest layout
-    built = None
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            built = fh.read()
-    if built != stamp:
-        ivf_write_partitioned(emb, centroids, path)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
+    build_once(path, stamp, lambda: ivf_write_partitioned(emb, centroids, path))
     return ivf_search_partitioned(spark, path, centroids, qv, k=5, nprobe=2)
 
 

@@ -22,10 +22,11 @@ import os
 __all__ = ["ICEBERG_AVAILABLE", "iceberg_jar_paths", "iceberg_session_conf"]
 
 
-def iceberg_jar_paths() -> list[str]:
-    """Every iceberg-spark-runtime jar visible to the JVM Spark will
-    build: $SPARK_HOME/jars, the pyspark wheel's jars dir, and
-    $SPARK_GRAFT_EXTRA_JARS (colon-separated, for ad-hoc runs)."""
+def _default_jar_roots() -> list[str]:
+    """Jar directories already on the JVM classpath of any session this
+    process builds: $SPARK_HOME/jars and the pyspark wheel's jars dir.
+    One definition — the availability probe and the spark.jars
+    computation must agree on what counts as the default classpath."""
     roots: list[str] = []
     if os.environ.get("SPARK_HOME"):
         roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
@@ -35,6 +36,14 @@ def iceberg_jar_paths() -> list[str]:
         roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
     except ImportError:  # pragma: no cover - pyspark is a hard dep
         pass
+    return roots
+
+
+def iceberg_jar_paths() -> list[str]:
+    """Every iceberg-spark-runtime jar visible to the JVM Spark will
+    build: $SPARK_HOME/jars, the pyspark wheel's jars dir, and
+    $SPARK_GRAFT_EXTRA_JARS (colon-separated, for ad-hoc runs)."""
+    roots = _default_jar_roots()
     jars: list[str] = []
     for root in roots:
         jars.extend(glob.glob(os.path.join(root, "iceberg-spark-runtime*.jar")))
@@ -62,17 +71,7 @@ def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, st
         f"spark.sql.catalog.{catalog}.type": "hadoop",
         f"spark.sql.catalog.{catalog}.warehouse": warehouse,
     }
-    default_roots = []
-    if os.environ.get("SPARK_HOME"):
-        default_roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
-    try:
-        import pyspark
-
-        default_roots.append(
-            os.path.join(os.path.dirname(pyspark.__file__), "jars")
-        )
-    except ImportError:  # pragma: no cover - pyspark is a hard dep
-        pass
+    default_roots = _default_jar_roots()
     extra = [
         j
         for j in iceberg_jar_paths()

@@ -58,3 +58,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def build_once(path: str, stamp: str, build_fn) -> bool:
+    """Idempotent fixture/layout build: run ``build_fn()`` (which must
+    populate ``path``) only when the ``_built_from`` marker under
+    ``path`` does not match ``stamp``, then record the stamp. The ONE
+    spelling of the marker protocol shared by every layout-building
+    contract query (q_zorder_pruned_scan, q_ann_ivf_pruned): encode the
+    source identity AND a layout-version token in the stamp so format
+    changes rebuild automatically. Returns True when a build ran."""
+    import os
+
+    marker = os.path.join(path, "_built_from")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return False
+    build_fn()
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return True

@@ -171,6 +171,15 @@ def test_weighted_resample_strict_on_missing_source(spark):
     # df's own sample_weight column passed through unmodified
     assert rows[0]["sample_weight"] == 9.9
 
+    # a source PRESENT with an explicit NULL weight is the deliberate
+    # exclude spelling: dropped (weight 0.0) even under strict, never
+    # confused with an absent source
+    w2 = spark.createDataFrame(
+        [("web", 1.0), ("books", None)], "source string, sample_weight double"
+    )
+    rows2 = weighted_resample(df, w2, alpha=1.0).collect()  # strict default
+    assert [r["doc_id"] for r in rows2] == [1]
+
 
 def test_importance_weights_orders_target_like_docs_first(spark):
     # target docs speak 'alpha beta'; the off-target doc speaks 'omega'

@@ -1551,3 +1551,47 @@ def test_ivf_partitioned_probe_survives_empty_inverted_list(spark, tmp_path):
     )
     assert none.columns == ["vec_id", "cosine"]
     assert none.count() == 0
+
+
+def test_ivf_write_partitioned_empty_corpus(spark, tmp_path):
+    """An empty corpus writes an empty (explicitly typed) manifest and
+    probes return an empty frame — no schema-inference crash."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ivf_search_partitioned,
+        ivf_write_partitioned,
+    )
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    path = str(tmp_path / "ivf_void")
+    ivf_write_partitioned(df, cents, path)
+    out = ivf_search_partitioned(spark, path, cents, [1.0, 0.0], k=3, nprobe=2)
+    assert out.columns == ["vec_id", "cosine"]
+    assert out.count() == 0
+
+
+def test_jpeg_dqt_redefined_after_scan_uses_scan_time_table():
+    """T.81 B.2.4.1: a DQT redefinition applies to SUBSEQUENT scans
+    only. A table redefined after a component's scan must not change
+    that component's dequantization — bindings are snapshotted per
+    component at scan time, like the Huffman tables."""
+    import struct as _struct
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    w = _JpegWriter(8, 8, [(1, 1)], _DC_COUNTS, _DC_SYMS, _AC_COUNTS, _AC_SYMS)
+    w.dc_coef(256)  # with the all-1s table: every pixel 256/8 + 128 = 160
+    w.eob()
+    payload = w.tobytes()
+    # splice a DQT redefining table 0 to all-2s between the scan and EOI
+    dqt = b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([2] * 64)
+    payload = payload[:-2] + dqt + payload[-2:]
+    feats = decode_jpeg(payload)
+    # scan-time table (1s) -> 160; the stale-binding bug would read the
+    # final table (2s) and produce 256*2/8 + 128 = 192
+    assert math.isclose(feats["feat_mean"], 160 / 255.0, rel_tol=1e-9)
