@@ -521,3 +521,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window finalized with 2 events; the late 10:00:03 never counted
     assert ("2024-01-01 10:00:00", 2) in emitted
     assert not any(n == 3 for _, n in emitted)
+
+
+def test_streaming_curation_filter_parity(spark, tmp_path):
+    """The curation-stage column expressions (classifier quality score,
+    token count, lang-id) are stateless, so the SAME transformation body
+    runs unchanged as a streaming stage — a streamed documents feed
+    filtered by classifier score must equal the batch run row-for-row
+    (the streaming/__init__.py parity contract extended to the
+    training-data pipeline surface)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        classifier_quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    feed = str(tmp_path / "docs_json")
+    docs.coalesce(2).write.mode("overwrite").json(feed)
+
+    def curate(df):
+        score = classifier_quality_score("text")
+        return df.select(
+            "doc_id",
+            score.alias("score"),
+            token_count("text").alias("n_tokens"),
+        ).filter(F.col("score") >= 0.0)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(feed)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table("curated_stream"), ["doc_id", "score", "n_tokens"])
+    exp = _rows(curate(docs), ["doc_id", "score", "n_tokens"])
+    assert got == exp and len(got) > 0
