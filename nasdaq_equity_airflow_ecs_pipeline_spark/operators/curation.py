@@ -373,29 +373,14 @@ def token_budget_select(
     (``offset == budget`` partitions are kept: a zero-token first row
     there still satisfies the inclusive bound.)
     """
+    parts, offsets, _total = _ranged_prefix_offsets(
+        df, order_cols, token_col, partitions
+    )
+    # budget-exceeded partitions never join back (driver-side pruning)
+    kept = [(pid, off) for pid, off in offsets if off <= budget]
     spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
+    off_df = spark.createDataFrame(kept or [(0, 0)], "_pid int, _off bigint")
     cols = [F.col(c) for c in order_cols]
-    parts = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-        # pin the sampled range boundaries: pass 2/3 must see the same
-        # partition assignment (the global_sort_index precedent)
-        .localCheckpoint(eager=True)
-    )
-    sums = sorted(
-        (r["_pid"], r["_s"] or 0)
-        for r in parts.groupBy("_pid").agg(F.sum(token_col).alias("_s")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, s in sums:
-        if acc <= budget:  # budget-exceeded partitions never join back
-            offsets.append((pid, acc))
-        acc += s
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off bigint"
-    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*cols)
@@ -408,4 +393,87 @@ def token_budget_select(
         )
         .filter(F.col(cum_col) <= budget)
         .drop("_pid", "_off")
+    )
+
+
+def _ranged_prefix_offsets(
+    df: DataFrame,
+    order_cols: list[str],
+    token_col: str,
+    partitions: int | None,
+):
+    """Shared pass 1+2 of the distributed prefix sum
+    (``global_sort_index`` shape): range-sort ``df`` on ``order_cols``,
+    pin the partition assignment (localCheckpoint — passes 2/3 must see
+    the same sampled boundaries), collect the k per-partition token
+    sums, prefix-sum them on the driver. Returns
+    ``(parts, [(pid, exclusive_offset)...], total_tokens)`` — the only
+    serial work anywhere is the k-row prefix."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        (r["_pid"], r["_s"] or 0)
+        for r in parts.groupBy("_pid").agg(F.sum(token_col).alias("_s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += s
+    return parts, offsets, acc
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    partitions: int | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each row an equal-TOKEN output shard (the "write N
+    balanced training shards" final step — shards balanced by token
+    count, not row count, so downstream data loaders stream equal work
+    from every file):
+
+    ``shard = (exclusive_cum_tokens * n_shards) div total_tokens``
+    clamped to ``n_shards - 1`` — contiguous in the ``order_cols``
+    total order, every shard within one max-row-weight of the ideal
+    token share. Pure integer arithmetic (the div is exact in any
+    engine), computed with the same two-pass distributed prefix sum as
+    :func:`token_budget_select`; the single-task ``sum() OVER (ORDER
+    BY)`` spelling is the oracle twin, never the plan."""
+    parts, offsets, total = _ranged_prefix_offsets(
+        df, order_cols, token_col, partitions
+    )
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off bigint"
+    )
+    if total == 0:
+        return parts.drop("_pid").withColumn(
+            shard_col, F.lit(0).cast("int")
+        )
+    cols = [F.col(c) for c in order_cols]
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    excl = F.sum(F.col(token_col)).over(w) + F.col("_off") - F.col(token_col)
+    shard = F.least(
+        F.expr(f"({n_shards}L * _excl) div {total}L"),
+        F.lit(n_shards - 1).cast("bigint"),
+    ).cast("int")
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn("_excl", excl)
+        .withColumn(shard_col, shard)
+        .drop("_pid", "_off", "_excl")
     )

@@ -459,9 +459,59 @@ FROM c WHERE cum <= {TOKEN_BUDGET}
 """
 
 
+# ------------------------------------------------- balanced output shards
+N_SHARDS = 8
+
+
+def q_balanced_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-token output sharding (operators/curation.py
+    balanced_shards): each document gets the shard its exclusive
+    running token sum falls into — shard = (excl * N) div total,
+    contiguous in the deterministic shuffle order, every shard within
+    one max-document of the ideal token share. The 'write N balanced
+    training shards' final step; integer-exact, so the oracle's
+    single-window spelling matches bit-for-bit."""
+    from ..operators.curation import balanced_shards
+    from ..operators.ordering import shuffle_key
+    from ..operators.text import token_count
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    out = balanced_shards(d, N_SHARDS, ["pri", "doc_id"])
+    return out.select("doc_id", "n_tokens", "shard")
+
+
+def _sql_balanced_shards() -> str:
+    from ..operators.lsh import MERSENNE_P
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
+           % {MERSENNE_P} AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl,
+         (SELECT sum(n_tokens) FROM t) AS total
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(least(({N_SHARDS} * excl) // total, {N_SHARDS - 1}) AS INT) AS shard
+FROM c
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
+    "q_balanced_shards": q_balanced_shards,
     "q_mixture_weights": q_mixture_weights,
     "q_temperature_mixture": q_temperature_mixture,
     "q_line_dedup": q_line_dedup,
@@ -472,6 +522,7 @@ QUERIES = {
 ORACLES = {
     "q_url_dedup": SQL_URL_DEDUP,
     "q_token_budget": _sql_token_budget(),
+    "q_balanced_shards": _sql_balanced_shards(),
     "q_mixture_weights": _sql_mixture_weights(),
     "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "q_line_dedup": SQL_LINE_DEDUP,

@@ -1595,3 +1595,55 @@ def test_jpeg_dqt_redefined_after_scan_uses_scan_time_table():
     # scan-time table (1s) -> 160; the stale-binding bug would read the
     # final table (2s) and produce 256*2/8 + 128 = 192
     assert math.isclose(feats["feat_mean"], 160 / 255.0, rel_tol=1e-9)
+
+
+def test_balanced_shards_equals_single_window_and_balances(spark):
+    """balanced_shards' two-pass integer shard assignment equals the
+    naive single-partition window spelling exactly, shards are
+    contiguous in the total order, and every shard's token mass is
+    within one max-row of the ideal share."""
+    from pyspark.sql import Window
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        balanced_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(500)],
+        "doc_id bigint, n_tokens bigint",
+    ).withColumn("pri", (F.col("doc_id") * 7919) % 101)
+    n_shards = 8
+    got = balanced_shards(df, n_shards, ["pri", "doc_id"], partitions=7)
+
+    w = Window.orderBy("pri", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    exp = df.withColumn(
+        "shard",
+        F.least(
+            F.expr(
+                f"({n_shards}L * (sum(n_tokens) OVER (ORDER BY pri, doc_id"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f" - n_tokens)) div {total}L"
+            ),
+            F.lit(n_shards - 1).cast("bigint"),
+        ).cast("int"),
+    )
+    assert sorted(map(tuple, got.select("doc_id", "shard").collect())) == sorted(
+        map(tuple, exp.select("doc_id", "shard").collect())
+    )
+    # balance: every shard within one max-row-weight of the ideal share
+    masses = {
+        r["shard"]: r["m"]
+        for r in got.groupBy("shard").agg(F.sum("n_tokens").alias("m")).collect()
+    }
+    assert set(masses) == set(range(n_shards))
+    ideal, max_row = total / n_shards, 11
+    assert all(abs(m - ideal) <= max_row for m in masses.values())
+    # contiguity: shard is non-decreasing along the total order
+    ordered = [
+        r["shard"]
+        for r in got.orderBy("pri", "doc_id").select("shard").collect()
+    ]
+    assert ordered == sorted(ordered)

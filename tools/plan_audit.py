@@ -77,6 +77,7 @@ BROADCAST_OK = {
     "operators/bloom.py::bloom_semi_join": "1-row relational bitmap",
     "operators/ordering.py::global_sort_index": "per-partition counts: numPartitions rows",
     "operators/curation.py::token_budget_select": "per-partition token-sum offsets: numPartitions rows",
+    "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
     "operators/similarity.py::ann_recall": "n_q eval-query rows (a fixed small eval set by definition), twice",
