@@ -95,6 +95,7 @@ DEEP = [
     # two-pass distributed prefix sum
     "q_semantic_dedup",
     "q_token_budget",
+    "q_balanced_shards",
     # partitioned-IVF probe + recall eval (r5): directory-pruned scan /
     # one shared corpus x n_q scoring pass
     "q_ann_ivf_pruned",
