@@ -44,7 +44,7 @@ from ..operators.sampling import stratified_sample
 # the frames its PREVIOUS invocation cached — at most one call's frames
 # stay resident, and the frames a caller is still consuming lazily are
 # only released once it asks for a fresh pipeline.
-_CACHED: dict[str, list] = {"v1": [], "v2": []}
+_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": []}
 
 
 def _persist(frame, slot: str):
@@ -288,3 +288,114 @@ def curate_corpus_funnel(stages: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return out.unionByName(seqs)
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    emb: DataFrame,
+    neardup_threshold: float = 0.4,
+    cluster_target: int = 250,
+    budget: int = 10_000,
+    n_shards: int = 8,
+) -> dict[str, DataFrame]:
+    """The round-5 curation family composed end-to-end — the
+    model-assisted back half that runs AFTER ``curate_corpus_v2``'s
+    rule-based front half:
+
+        raw (doc_id, text, lang, source) + embeddings (vec_id ~ doc_id)
+          -> classifier filter   (hashed-linear quality score >= 0)
+          -> semantic dedup      (SemDeDup: cluster-scoped embedding
+                                  near-dup removal, k scales with the
+                                  surviving corpus)
+          -> token-budget cut    (priority-ordered prefix-sum cut)
+          -> balanced shards     (equal-token output shard assignment)
+
+    Stage plans are the operators' own (narrow scan, broadcast-assign +
+    cluster-equi-join, two two-pass prefix sums); centroids are the
+    ``k`` lowest surviving vec_ids via a distributed partial top-k
+    (``orderBy().limit(k)`` — TakeOrderedAndProject, never a global
+    single-task window). Returns each stage's surviving frame."""
+    from ..operators.curation import balanced_shards, token_budget_select
+    from ..operators.ordering import shuffle_key
+    from ..operators.similarity import semantic_dedup
+
+    _release("v3")
+    base = docs.select("doc_id", "text", "lang", "source")
+    kept = _persist(
+        base.filter(text_ops.classifier_quality_score("text") >= 0.0), "v3"
+    )
+
+    kept_emb = _persist(
+        emb.join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id"), "v3"
+    )
+    n = kept_emb.count()
+    k = max(8, -(-n // cluster_target))
+    centroids = (
+        kept_emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    surv = semantic_dedup(kept_emb, centroids, threshold=neardup_threshold)
+    sem = _persist(
+        kept.join(surv.select(F.col("vec_id").alias("doc_id")), "doc_id"), "v3"
+    )
+
+    sized = sem.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    budgeted = _persist(
+        token_budget_select(sized, budget, ["pri", "doc_id"]), "v3"
+    )
+    sharded = balanced_shards(
+        budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]
+    )
+    return {
+        "raw": base,
+        "classifier": kept,
+        "semdedup": sem,
+        "budget": budgeted,
+        "sharded": sharded,
+    }
+
+
+_STAGE_ORDER_V3 = ["raw", "classifier", "semdedup", "budget"]
+
+
+def curate_corpus_v3_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage_id, stage, n_docs, n_tokens) census over the v3 chain.
+    The final row audits the SHARD assignment: n_docs = number of
+    non-empty shards, n_tokens = the heaviest shard's token mass (the
+    balance figure a data engineer actually watches)."""
+    out = None
+    for i, name in enumerate(_STAGE_ORDER_V3):
+        fr = stages[name]
+        tok = (
+            F.sum("n_tokens")
+            if "n_tokens" in fr.columns
+            else F.sum(text_ops.token_count("text"))
+        )
+        census = fr.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(tok, F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        out = census if out is None else out.unionByName(census)
+    mass = stages["sharded"].groupBy("shard").agg(
+        F.sum("n_tokens").alias("m")
+    )
+    final = mass.agg(
+        F.lit(len(_STAGE_ORDER_V3)).alias("stage_id"),
+        F.lit("sharded").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return out.unionByName(final)

@@ -508,6 +508,118 @@ FROM c
 """
 
 
+
+
+# -------------------------------------------- composed v3 pipeline
+V3_BUDGET = 10_000
+V3_SHARDS = 8
+V3_NEARDUP = 0.4
+V3_CLUSTER_TARGET = 250
+
+
+def q_corpus_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-5 curation family COMPOSED (plans/corpus.py
+    curate_corpus_v3): classifier filter -> SemDeDup semantic dedup ->
+    token-budget cut -> balanced output shards, emitted as the
+    per-stage funnel census (final row audits the shard balance: shard
+    count + heaviest shard mass). The oracle rebuilds the whole chain
+    in ONE SQL statement, value-checking the stage interactions —
+    classifier-kept set feeding the dedup clustering, k derived from
+    the SURVIVING embedding count, the prefix-sum cut over the deduped
+    order, and the integer shard assignment over the cut."""
+    from ..plans.corpus import curate_corpus_v3, curate_corpus_v3_funnel
+
+    d = _docs(spark, sf).select("doc_id", "text", "lang", "source")
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v3(
+        d,
+        emb,
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+    )
+    return curate_corpus_v3_funnel(stages)
+
+
+def _sql_corpus_pipeline_v3() -> str:
+    from ..operators.lsh import MERSENNE_P
+
+    w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
+         " % 4096) % 2001 - 1000) / 1000.0")
+    ntok = r"CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0) AS BIGINT)"
+    d2 = ("list_sum(list_transform(generate_series(1, len({a})), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source,
+         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 tok -> {w}))
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS score
+  FROM documents
+),
+kept AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings JOIN kept ON embeddings.vec_id = kept.doc_id
+),
+kk AS (SELECT greatest(8, CAST(ceil(count(*) / {V3_CLUSTER_TARGET}.0) AS BIGINT)) AS k FROM e),
+c AS (
+  SELECT vec_id AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e), kk
+  WHERE rn <= kk.k
+),
+assign AS (
+  SELECT e.vec_id,
+         (min(struct_pack(d2 := {d2.format(a='v', b='cv')},
+                          cid := c.centroid_id))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY e.vec_id
+),
+dups AS (
+  SELECT DISTINCT bb.vec_id
+  FROM e a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e bb ON bb.vec_id = ab.vec_id
+  WHERE list_dot_product(a.v, bb.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {V3_NEARDUP}
+),
+sem AS (
+  SELECT kept.doc_id, kept.text, kept.lang, kept.source
+  FROM kept JOIN assign ON kept.doc_id = assign.vec_id
+  WHERE assign.vec_id NOT IN (SELECT vec_id FROM dups)
+),
+sized AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
+           % {MERSENNE_P} AS pri
+  FROM sem
+),
+cum AS (
+  SELECT doc_id, text, n_tokens, pri,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+),
+budget AS (SELECT * FROM cum WHERE cum <= {V3_BUDGET}),
+tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total FROM budget),
+sh AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(({V3_SHARDS} * (cum - n_tokens)) // tot.total,
+                    {V3_SHARDS - 1}) AS INT) AS shard
+  FROM budget, tot
+),
+mass AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS m FROM sh GROUP BY 1)
+SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens FROM documents
+UNION ALL SELECT 1, 'classifier', CAST(count(*) AS BIGINT), {ntok} FROM kept
+UNION ALL SELECT 2, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
+UNION ALL SELECT 3, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
+UNION ALL SELECT 4, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
@@ -517,6 +629,7 @@ QUERIES = {
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
 }
 
 ORACLES = {
@@ -528,4 +641,5 @@ ORACLES = {
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
+    "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
 }
