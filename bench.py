@@ -163,6 +163,7 @@ def main() -> None:
         "q_mv_refresh",
         "q_corpus_pipeline_v2",
         "q_semantic_dedup",
+        "q_corpus_pipeline_v3",
         "q_token_budget",
     ):
         fn = queries[name]

@@ -82,6 +82,7 @@ DEEP = [
     "q_importance_weights",
     "q_url_dedup",
     "q_corpus_pipeline_v2",
+    "q_corpus_pipeline_v3",
     "q_hist_quantiles",
     "q_time_gapfill",
     "q_retention_cohorts",
