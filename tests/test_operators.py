@@ -1647,3 +1647,26 @@ def test_balanced_shards_equals_single_window_and_balances(spark):
         for r in got.orderBy("pri", "doc_id").select("shard").collect()
     ]
     assert ordered == sorted(ordered)
+
+
+def test_build_once_marker_protocol(tmp_path):
+    """build_once runs the builder only when the stamp changes: fresh
+    path builds, matching stamp skips, changed stamp (new source mtime
+    or layout version) rebuilds."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import (
+        build_once,
+    )
+
+    path = str(tmp_path / "layout")
+    calls = []
+
+    def build():
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        calls.append(1)
+
+    assert build_once(path, "src|v1", build) is True
+    assert build_once(path, "src|v1", build) is False
+    assert build_once(path, "src|v2", build) is True
+    assert len(calls) == 2
