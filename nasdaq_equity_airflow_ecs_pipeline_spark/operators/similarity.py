@@ -607,3 +607,69 @@ def ann_recall(
         .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"))
         .withColumn("recall", F.col("n_hits") / F.lit(float(k)))
     )
+
+
+def incremental_semantic_dedup(
+    standing_assigned: DataFrame,
+    delta: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """SemDeDup index maintenance (the :func:`semantic_dedup` analog of
+    ``operators/lsh.py incremental_lsh_pairs``): a DELTA of new vectors
+    is deduped against a standing clustered index WITHOUT re-pairing
+    the standing corpus. ``standing_assigned`` is the published index —
+    every standing vector with its ``centroid_id`` (ALL vectors, not
+    just survivors: the lowest-id-wins policy drops on any lower-id
+    neighbor, surviving or not, so verdicts stay identical to a full
+    recompute). A delta vector is dropped iff a lower-id near-dup
+    (cosine >= threshold) shares its cluster in standing ∪ delta;
+    standing rows are never re-examined (published data is immutable —
+    the production contract).
+
+    Scale shape: one broadcast assign over the delta, then ONE
+    cluster-equi-join with the comparison restricted to (any vector,
+    delta vector) — per-cluster work is |cluster| x |delta_cluster|,
+    the delta-probe cost, never standing x standing."""
+    assigned = ivf_assign(
+        delta, centroids, id_col, vec_col, centroid_id, centroid_vec
+    ).select(id_col, centroid_id)
+    delta_c = delta.join(assigned, id_col).select(
+        id_col, vec_col, centroid_id
+    )
+    both = standing_assigned.select(id_col, vec_col, centroid_id).unionByName(
+        delta_c
+    )
+    left = both.select(
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lvec"),
+        F.col(centroid_id).alias("_lcid"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_ln"),
+    )
+    right = delta_c.select(
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rvec"),
+        F.col(centroid_id).alias("_rcid"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_rn"),
+    )
+    dups = (
+        left.join(
+            right,
+            (F.col("_lcid") == F.col("_rcid"))
+            & (F.col("_lid") < F.col("_rid")),
+        )
+        .filter(
+            _dot(F.col("_lvec"), F.col("_rvec"))
+            / (F.col("_ln") * F.col("_rn"))
+            >= threshold
+        )
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+    )
+    return delta_c.select(id_col, centroid_id).join(
+        dups, [id_col], "left_anti"
+    )

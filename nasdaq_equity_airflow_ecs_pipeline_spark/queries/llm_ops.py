@@ -606,6 +606,64 @@ WHERE aa.vec_id NOT IN (SELECT vec_id FROM dups)
 """
 
 
+
+
+def q_incremental_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup index maintenance (operators/similarity.py
+    incremental_semantic_dedup): the vec_id%10==0 slice arrives as a
+    delta against the standing clustered index (the q_incremental_lsh
+    convention); delta vectors with a lower-id near-dup in their
+    cluster (standing OR delta) are dropped WITHOUT re-pairing the
+    standing corpus. The oracle is the full recompute over the union,
+    restricted to delta ids — verdict equality is the contract."""
+    emb = _emb(spark, sf)
+    k = max(8, -(-emb.count() // SEMDEDUP_CLUSTER_TARGET))
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    standing = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    standing_assigned = standing.join(
+        similarity.ivf_assign(standing, centroids).select(
+            "vec_id", "centroid_id"
+        ),
+        "vec_id",
+    )
+    return similarity.incremental_semantic_dedup(
+        standing_assigned, delta, centroids, threshold=EMB_NEARDUP_THRESHOLD
+    )
+
+
+SQL_INCREMENTAL_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / {SEMDEDUP_CLUSTER_TARGET}.0) AS BIGINT))
+                      FROM embeddings)),
+assign AS (
+  SELECT e.vec_id,
+         (min(struct_pack(
+           d2 := list_sum(list_transform(generate_series(1, len(v)),
+                                         i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           cid := c.centroid_id
+         ))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY e.vec_id
+),
+dups AS (
+  SELECT DISTINCT bb.vec_id
+  FROM e a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e bb ON bb.vec_id = ab.vec_id
+  WHERE list_dot_product(a.v, bb.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {EMB_NEARDUP_THRESHOLD}
+)
+SELECT aa.vec_id, aa.centroid_id FROM assign aa
+WHERE aa.vec_id % 10 = 0 AND aa.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 # ----------------------------------------------------------- chunking
 _CHUNK_SIZE = 50
 _CHUNK_OVERLAP = 10
@@ -1264,6 +1322,7 @@ QUERIES = {
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_incremental_semdedup": q_incremental_semdedup,
     "q_quality_classifier": q_quality_classifier,
     "q_lsh_recall": q_lsh_recall,
     "q_binary_meta": q_binary_meta,
@@ -1302,6 +1361,7 @@ ORACLES = {
     "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "q_ann_ivf": SQL_ANN_IVF,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_incremental_semdedup": SQL_INCREMENTAL_SEMDEDUP,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_lsh_recall": SQL_LSH_RECALL,
     "q_binary_meta": SQL_BINARY_META,

@@ -1670,3 +1670,44 @@ def test_build_once_marker_protocol(tmp_path):
     assert build_once(path, "src|v1", build) is False
     assert build_once(path, "src|v2", build) is True
     assert len(calls) == 2
+
+
+def test_incremental_semdedup_matches_full_recompute_verdicts(spark):
+    """Delta verdicts from the incremental path equal the full
+    recompute's verdicts restricted to delta ids, and standing rows are
+    never re-examined (output is delta-only)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # centroid anchors
+        (3, [0.9, 0.1]), (5, [0.1, 0.9]),          # standing
+        (10, [0.9, 0.11]),                          # delta: dup of 3
+        (20, [0.1, 0.88]),                          # delta: dup of 5
+        (30, [0.7, 0.72]),                          # delta: novel-ish
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    delta_ids = {10, 20, 30}
+    standing = df.filter(~F.col("vec_id").isin(*delta_ids))
+    delta = df.filter(F.col("vec_id").isin(*delta_ids))
+    standing_assigned = standing.join(
+        ivf_assign(standing, cents).select("vec_id", "centroid_id"), "vec_id"
+    )
+    inc = incremental_semantic_dedup(
+        standing_assigned, delta, cents, threshold=0.98
+    )
+    got = {r["vec_id"] for r in inc.collect()}
+    full = semantic_dedup(df, cents, threshold=0.98)
+    exp = {r["vec_id"] for r in full.collect()} & delta_ids
+    assert got == exp
+    assert got <= delta_ids  # standing never re-emitted

@@ -45,6 +45,7 @@ CARTESIAN_OK = {
     "q_ann_recall": "corpus x n_q eval queries (the exact baseline's irreducible scoring pass) + k centroid rows",
     "q_lsh_recall": "three 1-row count aggregates",
     "q_semantic_dedup": "broadcast of k centroid rows (ivf_assign); pairs are cluster-equi-joined",
+    "q_incremental_semdedup": "broadcast of k centroid rows (ivf_assign, standing + delta); pairs are cluster-equi-joined delta probes",
     "q_corpus_pipeline_v3": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",

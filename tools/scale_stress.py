@@ -95,6 +95,7 @@ DEEP = [
     # SemDeDup + token-budget cut (r5): cluster-equi-joined pairs /
     # two-pass distributed prefix sum
     "q_semantic_dedup",
+    "q_incremental_semdedup",
     "q_token_budget",
     "q_balanced_shards",
     # partitioned-IVF probe + recall eval (r5): directory-pruned scan /
