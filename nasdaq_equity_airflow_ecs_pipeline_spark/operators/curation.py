@@ -452,14 +452,13 @@ def balanced_shards(
     parts, offsets, total = _ranged_prefix_offsets(
         df, order_cols, token_col, partitions
     )
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off bigint"
-    )
     if total == 0:
         return parts.drop("_pid").withColumn(
             shard_col, F.lit(0).cast("int")
         )
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _off bigint"
+    )
     cols = [F.col(c) for c in order_cols]
     w = (
         Window.partitionBy("_pid")

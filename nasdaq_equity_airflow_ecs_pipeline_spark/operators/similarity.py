@@ -356,21 +356,33 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = None,
+    right_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold.
 
     With ``bucket_col`` (e.g. an IVF centroid or LSH bucket) the self-join
     is restricted to same-bucket pairs — the scale path. Without it this
     is the exact quadratic baseline (small inputs / validation only).
+    With ``right_df`` the pair generation is ``df`` x ``right_df``
+    (still id_a < id_b) instead of a self-join — the incremental
+    delta-probe shape, where ``right_df`` is the delta and ``df`` the
+    standing-union frame.
 
     Norms are computed ONCE per vector before the join (O(n) instead of
     O(n^2) norm folds); sqrt(norm2) per side is the same IEEE operation
     sequence as computing it inside the pair expression, so results stay
-    bit-identical to the oracle."""
+    bit-identical to the oracle. This is the ONE spelling of the pair
+    cosine — every near-dup consumer routes through it."""
     keep = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
-    normed = df.select(*keep, F.sqrt(_norm2(F.col(vec_col))).alias("_n"))
+
+    def _normed(frame):
+        return frame.select(
+            *keep, F.sqrt(_norm2(F.col(vec_col))).alias("_n")
+        )
+
+    normed = _normed(df)
     left = normed.alias("l")
-    right = normed.alias("r")
+    right = (_normed(right_df) if right_df is not None else normed).alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if bucket_col is not None:
         cond = cond & (F.col(f"l.{bucket_col}") == F.col(f"r.{bucket_col}"))
@@ -638,36 +650,28 @@ def incremental_semantic_dedup(
     assigned = ivf_assign(
         delta, centroids, id_col, vec_col, centroid_id, centroid_vec
     ).select(id_col, centroid_id)
-    delta_c = delta.join(assigned, id_col).select(
-        id_col, vec_col, centroid_id
+    # pin the assigned delta: it feeds three plan branches (the union,
+    # the probe's right side, and the final anti-join) and Spark does
+    # not CSE across them — without pinning, the broadcast assignment
+    # scan would run three times (the token_budget_select precedent)
+    delta_c = (
+        delta.join(assigned, id_col)
+        .select(id_col, vec_col, centroid_id)
+        .localCheckpoint(eager=True)
     )
     both = standing_assigned.select(id_col, vec_col, centroid_id).unionByName(
         delta_c
     )
-    left = both.select(
-        F.col(id_col).alias("_lid"),
-        F.col(vec_col).alias("_lvec"),
-        F.col(centroid_id).alias("_lcid"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_ln"),
-    )
-    right = delta_c.select(
-        F.col(id_col).alias("_rid"),
-        F.col(vec_col).alias("_rvec"),
-        F.col(centroid_id).alias("_rcid"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_rn"),
-    )
     dups = (
-        left.join(
-            right,
-            (F.col("_lcid") == F.col("_rcid"))
-            & (F.col("_lid") < F.col("_rid")),
+        embedding_neardup_pairs(
+            both,
+            threshold,
+            id_col,
+            vec_col,
+            bucket_col=centroid_id,
+            right_df=delta_c,
         )
-        .filter(
-            _dot(F.col("_lvec"), F.col("_rvec"))
-            / (F.col("_ln") * F.col("_rn"))
-            >= threshold
-        )
-        .select(F.col("_rid").alias(id_col))
+        .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     return delta_c.select(id_col, centroid_id).join(

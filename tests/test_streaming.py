@@ -555,7 +555,7 @@ def test_streaming_curation_filter_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)  # availableNow batch must finish
     got = _rows(spark.table("curated_stream"), ["doc_id", "score", "n_tokens"])
     exp = _rows(curate(docs), ["doc_id", "score", "n_tokens"])
     assert got == exp and len(got) > 0
