@@ -1711,3 +1711,43 @@ def test_incremental_semdedup_matches_full_recompute_verdicts(spark):
     exp = {r["vec_id"] for r in full.collect()} & delta_ids
     assert got == exp
     assert got <= delta_ids  # standing never re-emitted
+
+
+def test_ivf_assign_arrow_matches_expression_path(spark):
+    """The Arrow-vectorized assignment agrees with the oracle-exact
+    expression path on the real test corpus at small AND large k (no
+    exact ties in the fixture), including the lowest-id tie-break on a
+    crafted exact tie."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for k in (8, 64):
+        cents = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        exp = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(emb, cents).collect()
+        }
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign_arrow(emb, cents).collect()
+        }
+        assert got == exp, f"k={k}"
+
+    # exact tie: two identical centroids -> lowest id must win
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (2, [0.0, 0.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    assert ivf_assign_arrow(df, cents).collect()[0]["centroid_id"] == 2
