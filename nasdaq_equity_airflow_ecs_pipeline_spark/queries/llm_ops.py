@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import lsh, similarity, text as text_ops
+from ..operators import lsh, prefix_join, similarity, text as text_ops
 from ..operators.sessionize import sessionize
 from ..sources.tables import load_table
 
@@ -396,6 +396,19 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         parallelism=spark.sparkContext.defaultParallelism,
         max_df=NGRAM_MAX_DF,
+    )
+
+
+def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard pairs
+    (operators/prefix_join.py). Deliberately shares the exact-pairs
+    oracle with ``q_ngram_jaccard_pairs``: the prefix + size filters are
+    candidate-generation-only, so losslessness IS the correctness claim
+    being checked."""
+    return prefix_join.jaccard_prefix_pairs(
+        _docs(spark, sf),
+        threshold=JACCARD_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1317,6 +1330,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "q_jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_neardup_pairs": q_embedding_neardup_pairs,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1356,6 +1370,8 @@ ORACLES = {
     "q_simhash": SQL_SIMHASH,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_ngram_jaccard_capped": SQL_NGRAM_JACCARD_CAPPED,
+    # same oracle as the exact pairs: prefix filtering must be lossless
+    "q_jaccard_prefix_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "q_embedding_topk": SQL_EMBEDDING_TOPK,
     "q_embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     "q_embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
