@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import lm_score
 from ..operators.curation import (
     TRACKING_PARAM_RE,
     importance_weights,
@@ -620,6 +621,66 @@ UNION ALL SELECT 4, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0
 """
 
 
+# ----------------------------------------------- bigram-LM quality score
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_score.py): train an
+    add-one bigram LM on the 'en' slice, score EVERY document's
+    likelihood under it — the trusted-corpus-scores-the-crawl pattern.
+    Output is the engine-exact quantized statistics (probability in ppm,
+    surprisal in whole bits); the double convenience column is dropped
+    because libm never matches across engines."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.score_docs(docs, model).drop("avg_logprob_bits")
+
+
+SQL_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT bg.doc_id,
+         coalesce(model.c12, 0) AS c12,
+         coalesce(ctx.c1, 0) AS c1
+  FROM bg LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1)
+),
+per AS (
+  SELECT doc_id,
+         CASE WHEN c12 = 0 THEN 1 ELSE 0 END AS oov,
+         CAST(floor((1000000.0 * (c12 + 1)) / (c1 + v)) AS BIGINT) AS ppm,
+         CAST(length(bin(CAST(floor(((c1 + v) * 1.0) / (c12 + 1)) AS BIGINT))) - 1
+              AS BIGINT) AS bits
+  FROM sc, voc
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(oov) AS oov,
+         sum(ppm) AS sppm, sum(bits) AS sbits
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(a.sppm, 0) AS BIGINT) AS sum_prob_ppm,
+       CAST(coalesce(a.sbits, 0) AS BIGINT) AS sum_bits,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((a.sppm * 1.0) / a.n) AS BIGINT) END AS mean_prob_ppm,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((100.0 * a.sbits) / a.n) AS BIGINT) END AS avg_bits_x100
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
@@ -630,6 +691,7 @@ QUERIES = {
     "q_importance_weights": q_importance_weights,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
+    "q_lm_score": q_lm_score,
 }
 
 ORACLES = {
@@ -642,4 +704,5 @@ ORACLES = {
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
+    "q_lm_score": SQL_LM_SCORE,
 }

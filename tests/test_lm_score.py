@@ -1,0 +1,112 @@
+"""Bigram-LM quality scoring (operators/lm_score.py).
+
+Checks the model math against hand-computed add-one probabilities, the
+engine-exactness tricks (ppm floor, bitlength-as-log2), OOV and
+short-document edges, and the lm_filter gate semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators import lm_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_model_counts(spark):
+    train = _docs(spark, [(1, "a b a b c"), (2, "a b")])
+    model = lm_score.train_bigram_lm(train)
+    bigrams = {
+        (r["w1"], r["w2"]): r["c12"] for r in model.bigrams.collect()
+    }
+    # doc1: (a,b) (b,a) (a,b) (b,c); doc2: (a,b)
+    assert bigrams == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    contexts = {r["w1"]: r["c1"] for r in model.contexts.collect()}
+    assert contexts == {"a": 3, "b": 2}
+    assert model.vocab_size == 3  # {a, b, c}
+
+
+def test_score_matches_hand_computation(spark):
+    train = _docs(spark, [(1, "a b a b c"), (2, "a b")])
+    model = lm_score.train_bigram_lm(train)
+    scored = {
+        r["doc_id"]: r.asDict()
+        for r in lm_score.score_docs(_docs(spark, [(9, "a b c")]), model)
+        .collect()
+    }[9]
+    # (a,b): p = (3+1)/(3+3) = 2/3 -> ppm 666666, bits floor(log2(6/4)) = 0
+    # (b,c): p = (1+1)/(2+3) = 2/5 -> ppm 400000, bits floor(log2(5/2)) = 1
+    assert scored["n_bigrams"] == 2
+    assert scored["n_oov"] == 0
+    assert scored["sum_prob_ppm"] == 666666 + 400000
+    assert scored["sum_bits"] == 0 + 1
+    assert scored["mean_prob_ppm"] == (666666 + 400000) // 2
+    assert scored["avg_bits_x100"] == 50
+    assert scored["avg_logprob_bits"] == pytest.approx(0.5)
+
+
+def test_oov_and_unseen_context(spark):
+    model = lm_score.train_bigram_lm(_docs(spark, [(1, "a b")]))
+    # V = 2; (z,q): context z unseen -> c1 = 0, p = 1/2, oov
+    row = (
+        lm_score.score_docs(_docs(spark, [(7, "z q")]), model)
+        .collect()[0]
+    )
+    assert row["n_bigrams"] == 1 and row["n_oov"] == 1
+    assert row["sum_prob_ppm"] == 500000
+    assert row["sum_bits"] == 1  # floor(log2(2/1)) = 1
+
+
+def test_short_docs_score_zero_with_null_means(spark):
+    model = lm_score.train_bigram_lm(_docs(spark, [(1, "a b")]))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in lm_score.score_docs(
+            _docs(spark, [(1, "solo"), (2, "")]), model
+        ).collect()
+    }
+    for doc_id in (1, 2):
+        assert rows[doc_id]["n_bigrams"] == 0
+        assert rows[doc_id]["sum_bits"] == 0
+        assert rows[doc_id]["mean_prob_ppm"] is None
+        assert rows[doc_id]["avg_bits_x100"] is None
+
+
+def test_bitlength_equals_floor_log2():
+    # the no-libm identity the operator rests on, over a dense sweep
+    for a in range(1, 400):
+        for b in range(1, a + 1):
+            expected = math.floor(math.log2(a / b))
+            got = (a // b).bit_length() - 1
+            # guard: only exact when floor(a/b) >= 1, which a >= b gives
+            assert got == expected, (a, b)
+
+
+def test_lm_filter_keeps_low_surprisal(spark):
+    train = _docs(spark, [(1, "the cat sat on the mat " * 5)])
+    model = lm_score.train_bigram_lm(train)
+    corpus = _docs(
+        spark,
+        [
+            (10, "the cat sat on the mat"),  # in-domain
+            (11, "zz qq ww ee rr tt yy"),  # gibberish, all OOV
+            (12, "x"),  # no bigrams -> dropped
+        ],
+    )
+    scored = lm_score.score_docs(corpus, model)
+    bits = {
+        r["doc_id"]: r["avg_bits_x100"] for r in scored.collect()
+    }
+    assert bits[10] < bits[11]
+    kept = lm_score.lm_filter(
+        corpus, model, max_avg_bits_x100=int(bits[10])
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+    # filter preserves the input schema
+    assert kept.columns == corpus.columns
