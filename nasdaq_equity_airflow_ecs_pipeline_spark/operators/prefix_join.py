@@ -75,7 +75,7 @@ def prefix_shingles(
             - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int")
             + 1
         )
-        .select(F.col(id_col), "shingle", "n_sh")
+        .select(F.col(id_col), "shingle", "n_sh", "__pos")
     )
 
 
@@ -86,22 +86,40 @@ def prefix_candidates(
     n: int = 3,
     threshold: float = 0.2,
     parallelism: int | None = None,
+    positional: bool = True,
 ) -> DataFrame:
-    """Distinct (id_a, id_b, n_a, n_b) candidate pairs: prefixes collide
-    on >= 1 shingle AND sizes satisfy t*|a| <= |b| <= |a|/t. Superset of
-    the qualifying pairs by the prefix-filter theorem; typically a tiny
-    fraction of the all-shared-shingles pair set (see the candidate-count
-    test)."""
+    """(id_a, id_b, n_a, n_b) candidate pairs: prefixes collide on >= 1
+    shingle AND sizes satisfy t*|a| <= |b| <= |a|/t AND (with
+    ``positional=True``, PPJoin's positional filter) the overlap upper
+    bound implied by collision positions still admits Jaccard >= t.
+    Superset of the qualifying pairs by the theorems below; typically a
+    tiny fraction of the all-shared-shingles pair set (candidate-count
+    tests check both reductions).
+
+    Positional filter, set-join form (Xiao et al., PPJoin, WWW 2008,
+    Lemma "positional filtering" adapted from the streaming probe to one
+    relational aggregate): within each doc the shingles are listed in
+    the GLOBAL (df, shingle) order, so the shared shingles of a pair
+    appear in the same relative order in both lists. Aggregate the
+    pair's prefix collisions: k = count, (P_a, P_b) = positions of the
+    LAST colliding shingle (= max positions, monotonicity). Every shared
+    shingle globally before that one lies at positions < P_a and < P_b,
+    hence inside BOTH prefixes, hence IS one of the k collisions — so
+    total overlap o <= k + min(n_a - P_a, n_b - P_b). Jaccard >= t
+    requires o >= t*(n_a+n_b)/(1+t); pairs whose upper bound falls short
+    are pruned before the verify join ever fans them out. Lossless: the
+    bound over-estimates o, never under-estimates.
+    """
     pre = prefix_shingles(df, id_col, text_col, n, threshold, parallelism)
     t = F.lit(float(threshold))
-    return (
+    grouped = (
         pre.alias("l")
         .join(
             pre.alias("r"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             # size filter, applied inside candidate generation so
-            # incompatible pairs never reach the distinct
+            # incompatible pairs never reach the pair aggregate
             & (F.col("l.n_sh") * t <= F.col("r.n_sh"))
             & (F.col("r.n_sh") * t <= F.col("l.n_sh")),
         )
@@ -110,9 +128,30 @@ def prefix_candidates(
             F.col(f"r.{id_col}").alias("id_b"),
             F.col("l.n_sh").alias("n_a"),
             F.col("r.n_sh").alias("n_b"),
+            F.col("l.__pos").alias("__pa"),
+            F.col("r.__pos").alias("__pb"),
         )
-        .distinct()
+        # same shuffle shape as the previous .distinct(): one hash-agg
+        # keyed on the pair, but now it also carries the position stats
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.max("__pa").alias("__lpa"),
+            F.max("__pb").alias("__lpb"),
+        )
     )
+    if positional:
+        ubound = F.col("__k") + F.least(
+            F.col("n_a") - F.col("__lpa"), F.col("n_b") - F.col("__lpb")
+        )
+        # o is integral and must be >= t*(n_a+n_b)/(1+t); the 1e-9 slack
+        # keeps float rounding from ever pruning a boundary-qualifying
+        # pair (over-admitting is safe, the verify stage is exact)
+        required = (
+            t / (F.lit(1.0) + t) * (F.col("n_a") + F.col("n_b"))
+        ) - F.lit(1e-9)
+        grouped = grouped.filter(ubound >= required)
+    return grouped.select("id_a", "id_b", "n_a", "n_b")
 
 
 def jaccard_prefix_pairs(
