@@ -164,6 +164,7 @@ def main() -> None:
         "q_corpus_pipeline_v2",
         "q_semantic_dedup",
         "q_corpus_pipeline_v3",
+        "q_corpus_pipeline_v4",
         "q_token_budget",
     ):
         fn = queries[name]
@@ -180,11 +181,20 @@ def main() -> None:
               f"(shufW {shufw[name]}MB)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # canary-normalized walls (r5 judge #3): the shared VM drifts 1.2-1.9x
+    # between rounds while plans stay byte-identical, so cross-round
+    # comparisons should read wall / jvm_canary (canary-seconds of work),
+    # not raw seconds. jvm_canary is the denominator because the queries
+    # are JVM-bound; py_canary is reported for cross-checking the drift.
+    norm = lambda v: round(v / max(jvm_canary, 1e-9), 3)  # noqa: E731
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_normalized": norm(total),
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": {k: norm(v) for k, v in timings.items()},
+        "extended_normalized": {k: norm(v) for k, v in extended.items()},
         "sf": sf,
         "cold_total": round(sum(cold.values()), 3),
         "extended": extended,
@@ -194,7 +204,9 @@ def main() -> None:
         "reps": "2 (+1 when warm best <1s)",
         "timing": "best-of-2 per query, best-of-3 when sub-second; "
                   "cold_total = first-rep sum; "
-                  "startup_sec = session build + first parquet touch",
+                  "startup_sec = session build + first parquet touch; "
+                  "*_normalized = wall / jvm_range_sum_50m canary (unitless "
+                  "machine-drift-corrected work, comparable across rounds)",
     }
     # Full detail goes to a file; stdout's LAST line is a COMPACT summary
     # the driver's tail-capture window can always hold (VERDICT r4 #2:
@@ -206,6 +218,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_normalized": detail["value_normalized"],
         "unit": "sec",
         "queries": timings,
         "sf": sf,

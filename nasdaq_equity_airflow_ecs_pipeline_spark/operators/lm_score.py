@@ -149,9 +149,16 @@ def score_docs(
     """
     v = model.vocab_size
     bg = _bigram_rows(df, id_col, text_col)
+    # merge-hint: the model frames are corpus-state (one row per distinct
+    # bigram / context) whose DERIVED size estimates bottom out at the
+    # compressed training-file size, so past ~the broadcast threshold of
+    # raw input the static planner would broadcast them and the build
+    # OOMs (the x100 stress run caught the identical failure in
+    # prefix_join). The docstring's "never broadcast" claim is enforced
+    # in the plan, not left to the estimator.
     scored = (
-        bg.join(model.bigrams, ["w1", "w2"], "left")
-        .join(model.contexts, ["w1"], "left")
+        bg.join(model.bigrams.hint("merge"), ["w1", "w2"], "left")
+        .join(model.contexts.hint("merge"), ["w1"], "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),

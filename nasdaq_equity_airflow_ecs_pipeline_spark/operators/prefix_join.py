@@ -40,6 +40,31 @@ from pyspark.sql import functions as F
 
 from .lsh import _exploded_shingles
 
+# The shingle and prefix frames feed 2-4 consumers each (both sides of
+# the candidate self-join, both verify probes); Spark does not reuse
+# shuffle stages across those consumers here (measured: 0 ReusedExchange,
+# AQE included), so without a persist the whole explode+window chain
+# recomputes per consumer — 23.1s vs 13.0s at sf0.1, identical shuffle
+# bytes. Same bounded-registry pattern as plans/corpus.py: entering the
+# operator releases the PREVIOUS invocation's frames, so a bench loop
+# doesn't pin caches for the session lifetime. At cluster scale these
+# are the frames a production PPJoin materializes to the lake once.
+_CACHED: list = []
+
+
+def _persist(frame: DataFrame) -> DataFrame:
+    _CACHED.append(frame.persist())
+    return frame
+
+
+def _release() -> None:
+    for f in _CACHED:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _CACHED.clear()
+
 
 def prefix_shingles(
     df: DataFrame,
@@ -48,6 +73,7 @@ def prefix_shingles(
     n: int = 3,
     threshold: float = 0.2,
     parallelism: int | None = None,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle, n_sh) rows restricted to each document's prefix.
 
@@ -59,14 +85,21 @@ def prefix_shingles(
     exchange. Output size is sum over docs of (1-t)*s + 1 — strictly
     smaller than the full shingle frame for any t > 0.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, parallelism)
+    sh = _exploded_shingles(df, id_col, text_col, n, parallelism) if _sh is None else _sh
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_ord = Window.partitionBy(id_col).orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     w_all = Window.partitionBy(id_col)
+    # merge-hint: dfreq is corpus-sized (one row per distinct shingle)
+    # but DERIVED stats bottom out at the compressed documents file size,
+    # so past ~the broadcast threshold of raw input the static planner
+    # broadcasts it and the build OOMs (caught by the x100 stress run:
+    # 59 MB parquet < 64 MB threshold -> GB-scale broadcast build). The
+    # hint pins every corpus x corpus join here to sort-merge — the only
+    # join shape that survives any scale.
     return (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("merge"), "shingle")
         .withColumn("__pos", F.row_number().over(w_ord))
         .withColumn("n_sh", F.count(F.lit(1)).over(w_all))
         .filter(
@@ -87,6 +120,7 @@ def prefix_candidates(
     threshold: float = 0.2,
     parallelism: int | None = None,
     positional: bool = True,
+    _pre: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_a, n_b) candidate pairs: prefixes collide on >= 1
     shingle AND sizes satisfy t*|a| <= |b| <= |a|/t AND (with
@@ -110,12 +144,17 @@ def prefix_candidates(
     are pruned before the verify join ever fans them out. Lossless: the
     bound over-estimates o, never under-estimates.
     """
-    pre = prefix_shingles(df, id_col, text_col, n, threshold, parallelism)
+    if _pre is None:
+        _release()
+        _pre = _persist(
+            prefix_shingles(df, id_col, text_col, n, threshold, parallelism)
+        )
+    pre = _pre
     t = F.lit(float(threshold))
     grouped = (
         pre.alias("l")
         .join(
-            pre.alias("r"),
+            pre.hint("merge").alias("r"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             # size filter, applied inside candidate generation so
@@ -174,10 +213,18 @@ def jaccard_prefix_pairs(
     irreducible exact-verification work, paid only for size-compatible
     prefix-colliding pairs.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, parallelism)
-    cand = prefix_candidates(df, id_col, text_col, n, threshold, parallelism)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    _release()
+    sh = _persist(_exploded_shingles(df, id_col, text_col, n, parallelism))
+    pre = _persist(
+        prefix_shingles(df, id_col, text_col, n, threshold, parallelism, _sh=sh)
+    )
+    cand = prefix_candidates(
+        df, id_col, text_col, n, threshold, parallelism, _pre=pre
+    )
+    # the shingle frames are corpus-sized: merge-hint for the same
+    # static-estimate reason as prefix_shingles (see comment there)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
     shared = (
         cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])

@@ -44,7 +44,7 @@ from ..operators.sampling import stratified_sample
 # the frames its PREVIOUS invocation cached — at most one call's frames
 # stay resident, and the frames a caller is still consuming lazily are
 # only released once it asks for a fresh pipeline.
-_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": []}
+_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": []}
 
 
 def _persist(frame, slot: str):
@@ -394,6 +394,149 @@ def curate_corpus_v3_funnel(stages: dict[str, DataFrame]) -> DataFrame:
     )
     final = mass.agg(
         F.lit(len(_STAGE_ORDER_V3)).alias("stage_id"),
+        F.lit("sharded").alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return out.unionByName(final)
+
+
+def curate_corpus_v4(
+    docs: DataFrame,
+    emb: DataFrame,
+    lm_max_avg_bits_x100: int,
+    neardup_threshold: float = 0.4,
+    cluster_target: int = 250,
+    budget: int = 10_000,
+    n_shards: int = 8,
+    max_line_docs: int = 2,
+) -> dict[str, DataFrame]:
+    """The full CCNet-ordered curation product (Wenzek et al. 2020:
+    dedup -> LM perplexity filter -> mixture/selection), composing the
+    rule-based front, both model-assisted quality gates, and the
+    selection back half:
+
+        raw (doc_id, text, lang, source) + embeddings (vec_id ~ doc_id)
+          -> line dedup          (cross-corpus boilerplate lines removed —
+                                  the rule-based front half, CCNet's own
+                                  paragraph-dedup stage; emptied docs
+                                  leave the corpus)
+          -> classifier filter   (hashed-linear quality score >= 0)
+          -> LM gate             (bigram LM trained on the surviving 'en'
+                                  slice; keep quantized mean surprisal
+                                  avg_bits_x100 <= lm_max_avg_bits_x100 —
+                                  CCNet's perplexity band, engine-exact)
+          -> semantic dedup      (SemDeDup, k scales with survivors)
+          -> token-budget cut    (priority-ordered prefix-sum cut)
+          -> balanced shards     (equal-token output shard assignment)
+
+    Quality-gate placement mirrors the reference's validate-between-
+    stages DAG (docker/dags/nasdaq_stock_pipeline_with_gx.py:280-309):
+    every gate runs on the previous stage's SURVIVORS, so the LM trains
+    only on line-deduped, classifier-kept text — the trusted-slice
+    bootstrap CCNet actually uses. Stage plans are the operators' own
+    (line-hash join + rebuild; narrow scan; bigram explode + two
+    merge-hinted equi-joins + per-doc agg; broadcast-assign +
+    cluster-equi-join; two two-pass prefix sums); the one action is the
+    LM's 1-row vocabulary count. Returns each stage's surviving frame.
+    """
+    from ..operators.curation import (
+        balanced_shards,
+        line_dedup,
+        token_budget_select,
+    )
+    from ..operators.lm_score import lm_filter, train_bigram_lm
+    from ..operators.ordering import shuffle_key
+    from ..operators.similarity import semantic_dedup
+
+    _release("v4")
+    base = docs.select("doc_id", "text", "lang", "source")
+    ld = line_dedup(base, max_docs=max_line_docs)
+    line_kept = _persist(
+        ld.filter(F.col("n_removed") < F.col("n_lines"))
+        .join(base.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", F.col("kept_text").alias("text"), "lang", "source"),
+        "v4",
+    )
+    kept = _persist(
+        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
+        "v4",
+    )
+    model = train_bigram_lm(kept.filter(F.col("lang") == "en"))
+    lm_kept = _persist(lm_filter(kept, model, lm_max_avg_bits_x100), "v4")
+
+    kept_emb = _persist(
+        emb.join(lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        "v4",
+    )
+    n = kept_emb.count()
+    k = max(8, -(-n // cluster_target))
+    centroids = (
+        kept_emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    surv = semantic_dedup(kept_emb, centroids, threshold=neardup_threshold)
+    sem = _persist(
+        lm_kept.join(surv.select(F.col("vec_id").alias("doc_id")), "doc_id"),
+        "v4",
+    )
+
+    sized = sem.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    budgeted = _persist(
+        token_budget_select(sized, budget, ["pri", "doc_id"]), "v4"
+    )
+    sharded = balanced_shards(
+        budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]
+    )
+    return {
+        "raw": base,
+        "line_dedup": line_kept,
+        "classifier": kept,
+        "lm_gate": lm_kept,
+        "semdedup": sem,
+        "budget": budgeted,
+        "sharded": sharded,
+    }
+
+
+_STAGE_ORDER_V4 = [
+    "raw", "line_dedup", "classifier", "lm_gate", "semdedup", "budget",
+]
+
+
+def curate_corpus_v4_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+    """(stage_id, stage, n_docs, n_tokens) census over the v4 chain;
+    the final row audits the shard assignment (non-empty shard count +
+    heaviest shard's token mass), like the v3 funnel."""
+    out = None
+    for i, name in enumerate(_STAGE_ORDER_V4):
+        fr = stages[name]
+        tok = (
+            F.sum("n_tokens")
+            if "n_tokens" in fr.columns
+            else F.sum(text_ops.token_count("text"))
+        )
+        census = fr.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(tok, F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        out = census if out is None else out.unionByName(census)
+    mass = stages["sharded"].groupBy("shard").agg(F.sum("n_tokens").alias("m"))
+    final = mass.agg(
+        F.lit(len(_STAGE_ORDER_V4)).alias("stage_id"),
         F.lit("sharded").alias("stage"),
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("n_tokens"),

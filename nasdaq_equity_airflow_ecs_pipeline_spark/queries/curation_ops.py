@@ -621,6 +621,178 @@ UNION ALL SELECT 4, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0
 """
 
 
+# -------------------------------------------- composed v4 pipeline
+# quantized mean-surprisal gate: ~75th percentile of the line-deduped,
+# classifier-kept corpus (measured r6: median 438-439, p75 446 at both
+# sf0.001 and sf0.01) — a CCNet-style "keep the in-domain band" cut that
+# removes a real fraction without starving the downstream stages
+V4_LM_MAX_BITS = 445
+
+
+def q_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
+    """The full CCNet-ordered curation product COMPOSED (plans/corpus.py
+    curate_corpus_v4): line dedup -> classifier filter -> bigram-LM
+    perplexity gate -> SemDeDup -> token-budget cut -> balanced shards,
+    emitted as the per-stage funnel census (final row audits the shard
+    balance). Wenzek et al. 2020's pipeline order: dedup first, THEN the
+    LM filter trained on the surviving trusted slice, then selection.
+    The oracle rebuilds the whole chain in ONE SQL statement — the LM
+    trains on exactly the line-deduped, classifier-kept 'en' text, so
+    the stage interactions (not just each operator) are value-checked."""
+    from ..plans.corpus import curate_corpus_v4, curate_corpus_v4_funnel
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v4(
+        d,
+        emb,
+        lm_max_avg_bits_x100=V4_LM_MAX_BITS,
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+    )
+    return curate_corpus_v4_funnel(stages)
+
+
+def _sql_corpus_pipeline_v4() -> str:
+    from ..operators.lsh import MERSENNE_P
+
+    w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
+         " % 4096) % 2001 - 1000) / 1000.0")
+    ntok = r"CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0) AS BIGINT)"
+    d2 = ("list_sum(list_transform(generate_series(1, len({a})), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    return f"""
+WITH relined AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+ls AS (SELECT doc_id, lang, source, string_split(text, chr(10)) AS arr FROM relined),
+lns AS (
+  SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr) + 1)) AS pos
+  FROM ls
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lns GROUP BY 1),
+keptl AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lns l JOIN freq f USING (line)
+  WHERE f.nd <= {LINE_DEDUP_MAX_DOCS}
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
+  FROM keptl GROUP BY 1
+),
+line_kept AS (
+  SELECT ls.doc_id, reb.kept_text AS text, ls.lang, ls.source
+  FROM ls JOIN reb USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, text, lang, source,
+         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 tok -> {w}))
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS score
+  FROM line_kept
+),
+clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0),
+toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
+bg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT bg.doc_id, coalesce(model.c12, 0) AS c12, coalesce(ctx.c1, 0) AS c1
+  FROM bg LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1)
+),
+per AS (
+  SELECT doc_id,
+         CAST(length(bin(CAST(floor(((c1 + v) * 1.0) / (c12 + 1)) AS BIGINT))) - 1
+              AS BIGINT) AS bits
+  FROM sc, voc
+),
+lmagg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per GROUP BY 1),
+lm AS (
+  SELECT clf.doc_id, clf.text, clf.lang, clf.source
+  FROM clf JOIN lmagg USING (doc_id)
+  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings JOIN lm ON embeddings.vec_id = lm.doc_id
+),
+kk AS (SELECT greatest(8, CAST(ceil(count(*) / {V3_CLUSTER_TARGET}.0) AS BIGINT)) AS k FROM e),
+c AS (
+  SELECT vec_id AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e), kk
+  WHERE rn <= kk.k
+),
+assign AS (
+  SELECT e.vec_id,
+         (min(struct_pack(d2 := {d2.format(a='v', b='cv')},
+                          cid := c.centroid_id))).cid AS centroid_id
+  FROM e CROSS JOIN c GROUP BY e.vec_id
+),
+dups AS (
+  SELECT DISTINCT bb.vec_id
+  FROM e a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e bb ON bb.vec_id = ab.vec_id
+  WHERE list_dot_product(a.v, bb.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {V3_NEARDUP}
+),
+sem AS (
+  SELECT lm.doc_id, lm.text, lm.lang, lm.source
+  FROM lm JOIN assign ON lm.doc_id = assign.vec_id
+  WHERE assign.vec_id NOT IN (SELECT vec_id FROM dups)
+),
+sized AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
+           % {MERSENNE_P} AS pri
+  FROM sem
+),
+cum AS (
+  SELECT doc_id, text, n_tokens, pri,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+),
+budget AS (SELECT * FROM cum WHERE cum <= {V3_BUDGET}),
+tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total FROM budget),
+sh AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(({V3_SHARDS} * (cum - n_tokens)) // tot.total,
+                    {V3_SHARDS - 1}) AS INT) AS shard
+  FROM budget, tot
+),
+mass AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS m FROM sh GROUP BY 1)
+SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens FROM documents
+UNION ALL SELECT 1, 'line_dedup', CAST(count(*) AS BIGINT), {ntok} FROM line_kept
+UNION ALL SELECT 2, 'classifier', CAST(count(*) AS BIGINT), {ntok} FROM clf
+UNION ALL SELECT 3, 'lm_gate', CAST(count(*) AS BIGINT), {ntok} FROM lm
+UNION ALL SELECT 4, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
+UNION ALL SELECT 5, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
+UNION ALL SELECT 6, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
+"""
+
+
 # ----------------------------------------------- bigram-LM quality score
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm_score.py): train an
@@ -691,6 +863,7 @@ QUERIES = {
     "q_importance_weights": q_importance_weights,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
+    "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
     "q_lm_score": q_lm_score,
 }
 
@@ -704,5 +877,6 @@ ORACLES = {
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
+    "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
     "q_lm_score": SQL_LM_SCORE,
 }

@@ -53,6 +53,7 @@ def run_streaming_pipeline(
     checkpoint: str | None = None,
     validate: bool = True,
     symbols: str | None = None,
+    max_days_per_batch: int | None = None,
 ) -> dict[str, str]:
     """Drain the quotefeed backlog [start_date, end_date] into the star
     schema under ``warehouse`` and return {table: path}.
@@ -62,10 +63,32 @@ def run_streaming_pipeline(
     batch into identical tables.  Output is identical to running
     ``plans.pipeline.run_pipeline(raw_root="quotefeed")`` once per day —
     both call the same ``land_quotes`` body on the same deterministic
-    feed."""
+    feed.
+
+    Driver-memory bound: the per-batch day list is BOUNDED, not
+    data-dependent — a micro-batch can only carry days inside the
+    configured feed range, so the distinct-day collect is capped at
+    ``max_days_per_batch`` (default: the range length, ~365 rows of
+    10-char strings per backlog year — metadata-sized at any realistic
+    backfill depth; a 30-year drain collects ~11k strings once). The cap
+    is enforced with a ``limit(cap+1)`` on the collect itself, so even a
+    misbehaving source cannot pull an unbounded list onto the driver —
+    it fails the batch with an explicit message instead. True per-day
+    micro-batch throttling is not expressible for Python stream readers
+    (see ``sources/quotefeed.py QuoteFeedStreamReader`` docstring: the
+    reader never learns the checkpointed offset, so a throttled
+    ``latestOffset`` regresses on restart); the serial day loop itself
+    is inherent — scoped aggregate maintenance must see days in
+    calendar order."""
+    from datetime import date
+
     from ..sources.quotefeed import QuoteFeedDataSource
 
     spark.dataSource.register(QuoteFeedDataSource)
+    range_days = (
+        date.fromisoformat(end_date) - date.fromisoformat(start_date)
+    ).days + 1
+    day_cap = max_days_per_batch if max_days_per_batch is not None else range_days
     os.makedirs(warehouse, exist_ok=True)
     paths = {t: os.path.join(warehouse, t) for t in _TABLES}
     raw_root = os.path.join(warehouse, "raw")
@@ -95,7 +118,17 @@ def run_streaming_pipeline(
         # SAME per-day body as the batch DAG, oldest day first so the
         # scoped aggregate maintenance sees days in calendar order
         write_quotes_jsonl(batch, raw_root)
-        days = sorted(r["date"] for r in batch.select("date").distinct().collect())
+        day_rows = (
+            batch.select("date").distinct().limit(day_cap + 1).collect()
+        )
+        if len(day_rows) > day_cap:
+            raise RuntimeError(
+                f"streaming pipeline batch carries more than {day_cap} "
+                f"distinct days — beyond the configured feed range "
+                f"[{start_date}, {end_date}]. Split the backfill into "
+                f"multiple runs or raise max_days_per_batch."
+            )
+        days = sorted(r["date"] for r in day_rows)
         for day in days:
             # dropDuplicates(symbol): a crash-replayed batch re-appends
             # its raw lines (at-least-once archive), but the tables stay

@@ -102,3 +102,25 @@ def test_streaming_pipeline_gx_gate_enforced(spark, tmp_path):
             spark, str(tmp_path / "wh_bad"), DAYS[0], DAYS[0],
             symbols="AAPL,ENRON", validate=True,
         )
+
+
+def test_streaming_pipeline_day_cap_bounds_driver_list(spark, tmp_path):
+    """The per-batch distinct-day collect is bounded: a cap smaller than
+    the batch's day count fails the run with an explicit message (the
+    collect itself is limit(cap+1)-bounded, so the driver never holds
+    more than cap+1 rows), and a cap equal to the feed range succeeds."""
+    import pytest
+
+    with pytest.raises(Exception, match="distinct days"):
+        run_streaming_pipeline(
+            spark, str(tmp_path / "wh_capped"), DAYS[0], DAYS[-1],
+            symbols="AAPL", validate=False, max_days_per_batch=1,
+        )
+    paths = run_streaming_pipeline(
+        spark, str(tmp_path / "wh_ok"), DAYS[0], DAYS[-1],
+        symbols="AAPL", validate=False,
+    )
+    assert (
+        spark.read.parquet(paths["fact_stock_daily_price"]).count()
+        == len(DAYS)
+    )

@@ -296,3 +296,93 @@ def test_tx_write_write_conflict_and_upsert(spark, tmp_path):
     # upsert against head merges latest-wins
     tx = cat.begin().upsert("t", spark.createDataFrame([(7, "X"), (8, "y")], ["k", "v"]), ["k"]).commit()
     assert _rows(cat.read("t", tx=tx)) == [(7, "X"), (8, "y")]
+
+
+def test_tx_concurrent_overlapping_transactions_stress(spark, tmp_path):
+    """VERDICT r5 #5: concurrent MULTI-TABLE transactions with
+    overlapping write-sets (Iceberg multi-table catalog commit with
+    optimistic retry). 6 threads x 3 transactions each, write-sets
+    alternating {a,b} / {b,c} so every pair of concurrent txs can
+    conflict on the shared table. Invariants:
+
+    - atomicity: every committed tx's marker row is in BOTH its tables
+      at head; every aborted tx's marker is in NEITHER;
+    - linear catalog history, no gaps;
+    - snapshot isolation: at EVERY catalog version, tables a and b
+      contain markers of exactly the txs committed by then — no
+      snapshot ever shows half a transaction.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.catalog_tx import (
+        TransactionalCatalog,
+        TxConflictError,
+    )
+
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(spark, root)
+    empty = spark.createDataFrame([], "marker string, payload int")
+    cat.begin().write("a", empty).write("b", empty).write("c", empty).commit()
+
+    n_threads, n_tx, max_retries = 6, 3, 30
+    committed, aborted = [], []
+
+    def worker(tid: int) -> None:
+        c = TransactionalCatalog(spark, root)  # own handle, shared log
+        for i in range(n_tx):
+            marker = f"t{tid}x{i}"
+            tables = ("a", "b") if tid % 2 == 0 else ("b", "c")
+            row = spark.createDataFrame(
+                [(marker, tid * 100 + i)], "marker string, payload int"
+            )
+            for attempt in range(max_retries):
+                tx = c.begin()
+                for name in tables:
+                    tx.upsert(name, row, ["marker"])
+                try:
+                    committed.append((tx.commit(), marker, tables))
+                    break
+                except TxConflictError:
+                    continue
+            else:
+                aborted.append((marker, tables))
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        for f in [pool.submit(worker, t) for t in range(n_threads)]:
+            f.result()
+
+    # with 30 retries against 5 rivals, starvation is effectively
+    # impossible — and the atomicity claim needs real commits to check
+    assert len(committed) >= n_threads * n_tx - 2
+    assert len(committed) + len(aborted) == n_threads * n_tx
+
+    def markers(name, tx=None):
+        return {r["marker"] for r in cat.read(name, tx=tx).collect()}
+
+    # linear history: seed tx + one version per successful commit
+    vs = cat.tx_versions()
+    assert vs == list(range(len(committed) + 1)), "non-linear catalog log"
+
+    # atomicity at head
+    head = {n: markers(n) for n in ("a", "b", "c")}
+    for _, marker, tables in committed:
+        for n in tables:
+            assert marker in head[n], f"{marker} missing from {n}"
+    for marker, tables in aborted:
+        for n in tables:
+            assert marker not in head[n], f"aborted {marker} leaked into {n}"
+
+    # snapshot isolation: replay every catalog version; the set of
+    # markers visible in each table must be exactly the txs committed
+    # at-or-before that version (all-or-nothing per snapshot)
+    by_tx = {txv: (m, tabs) for txv, m, tabs in committed}
+    expect = {n: set() for n in ("a", "b", "c")}
+    for v in vs:
+        if v in by_tx:
+            m, tabs = by_tx[v]
+            for n in tabs:
+                expect[n].add(m)
+        for n in ("a", "b", "c"):
+            assert markers(n, tx=v) == expect[n], (
+                f"snapshot t{v} of {n} is not a transaction boundary"
+            )

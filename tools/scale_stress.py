@@ -104,6 +104,14 @@ DEEP = [
     "q_ann_recall",
     # hashed-linear quality filter (r5): one narrow scan, zero shuffle
     "q_quality_classifier",
+    # PPJoin exact-pairs + bigram-LM scoring (r6): candidate self-join
+    # bounded by rare-shingle prefixes + positional filter / stopword-
+    # context fan-in bounded by |vocab| on the c1 join
+    "q_jaccard_prefix_pairs",
+    "q_lm_score",
+    # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
+    # -> budget -> shards
+    "q_corpus_pipeline_v4",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
