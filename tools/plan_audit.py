@@ -47,6 +47,7 @@ CARTESIAN_OK = {
     "q_semantic_dedup": "broadcast of k centroid rows (ivf_assign); pairs are cluster-equi-joined",
     "q_incremental_semdedup": "broadcast of k centroid rows (ivf_assign, standing + delta); pairs are cluster-equi-joined delta probes",
     "q_corpus_pipeline_v3": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
+    "q_corpus_pipeline_v4": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
