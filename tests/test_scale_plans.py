@@ -181,3 +181,29 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # and the join actually finds matches (not a vacuous pass)
     assert df.filter(F.col("n_prior_views") > 0).count() > 0
+
+
+def test_prefix_join_and_lm_score_never_broadcast_corpus_frames(spark, sf_dir):
+    """Regression for the r6 x100 OOM: derived size estimates of the
+    shingle/dfreq/model frames bottom out at the compressed input file
+    size, so past ~the broadcast threshold of raw input the static
+    planner broadcast GB-scale builds. The merge hints must pin every
+    corpus x corpus join in both operators to sort-merge — asserted on
+    the plan so a refactor can't silently reintroduce the broadcast."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators import (
+        lm_score,
+        prefix_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(prefix_join.jaccard_prefix_pairs(docs, threshold=0.2))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    model = lm_score.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_score.score_docs(docs, model)
+    splan = _plan(scored)
+    # the two model joins must be sort-merge; the final one-row-per-doc
+    # reattach join (doc_id-keyed agg result) may broadcast — it is
+    # output-sized, not model-sized, and AQE sizes it at runtime
+    assert splan.count("SortMergeJoin") >= 2
