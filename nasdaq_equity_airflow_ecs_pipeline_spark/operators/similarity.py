@@ -71,6 +71,18 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+# Measured crossover for the assignment inner loop (EXPLAIN.md "IVF
+# assignment: Arrow vs codegen by dimensionality"): at 64-dim the
+# zip_with/aggregate codegen path wins (5.7 s vs 7.7 s, 200k x k=800);
+# at 768-dim it collapses (139 s vs 1.4 s at 100k x k=256 — zip_with
+# materializes a dim-length array per (vector, centroid) pair and the
+# fold is interpreted per element). 128 is a conservative midpoint:
+# everything measured at or below 64 favours codegen, everything at or
+# above 768 favours Arrow by ~100x; contract/test corpora are 64-dim so
+# "auto" never flips the bit-exact oracle path there.
+IVF_ARROW_MIN_DIM = 128
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -78,13 +90,37 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    mode: str = "codegen",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2).
 
     Broadcast the (small) centroid table, one narrow pass over the
     vectors, min over a (distance, centroid) struct — no shuffle of the
     big side. This is the IVF build step; at 100 TB the result is written
-    partitioned by centroid so probes prune partitions."""
+    partitioned by centroid so probes prune partitions.
+
+    ``mode`` picks the inner-loop implementation:
+
+    - ``"codegen"`` (default): the zip_with/aggregate expression fold —
+      deterministic sequential IEEE order, bit-identical to the DuckDB
+      oracle. The contract path.
+    - ``"arrow"``: :func:`ivf_assign_arrow` — one numpy matrix product
+      per Arrow batch. ~100x faster at production embedding widths
+      (measured 768-dim, EXPLAIN.md) but numpy pairwise summation may
+      differ in the last ulp near exact ties.
+    - ``"auto"``: probe the centroid width (a k-row metadata job) and
+      take Arrow at >= ``IVF_ARROW_MIN_DIM`` dims, codegen below. Use in
+      production index builds where the width is data-dependent; the
+      64-dim contract corpora stay on codegen under this rule.
+    """
+    if mode not in ("codegen", "arrow", "auto"):
+        raise ValueError(f"ivf_assign mode must be codegen|arrow|auto, got {mode!r}")
+    if mode == "auto":
+        probe = centroids.select(F.size(centroid_vec).alias("d")).first()
+        dim = probe["d"] if probe is not None else 0
+        mode = "arrow" if dim >= IVF_ARROW_MIN_DIM else "codegen"
+    if mode == "arrow":
+        return ivf_assign_arrow(df, centroids, id_col, vec_col, centroid_id, centroid_vec)
     pairs = df.crossJoin(F.broadcast(centroids))
     d2 = _pair_d2(F.col(vec_col), F.col(centroid_vec))
     scored = pairs.select(
@@ -694,14 +730,17 @@ def ivf_assign_arrow(
     centroid_id (centroid matrix ordered by id + argmin-first-
     occurrence), matching the struct-min rule.
 
-    Measured honestly (200k x k=800 x 64-dim, local[32]): the codegen
-    expression path won, 5.7 s vs 7.7 s — Arrow serialization overhead
-    dominates at 64-dim, where whole-stage codegen is already
-    memory-bound-fast. This variant is the escape hatch for the
-    HIGH-dim regime (768-4096-dim production embeddings, where the
-    matrix product amortizes transfer and BLAS beats per-row folds),
-    not a default: pick by measuring at your dim x k, as EXPLAIN.md
-    records for this fixture.
+    Measured at both ends of the width axis (local[32], EXPLAIN.md
+    "IVF assignment: Arrow vs codegen by dimensionality"): at 64-dim
+    (200k x k=800) codegen won 5.7 s vs 7.7 s — Arrow transfer
+    dominates where the expression fold is already memory-bound-fast.
+    At 768-dim (100k x k=256) codegen collapsed to 139 s vs 1.4 s here
+    (~97x): zip_with materializes a dim-length intermediate array per
+    (vector, centroid) pair and the aggregate lambda is evaluated per
+    element, so allocation/GC swamps the arithmetic, while this path is
+    one BLAS matmul per Arrow batch. :func:`ivf_assign` with
+    ``mode="auto"`` dispatches on the measured crossover
+    (``IVF_ARROW_MIN_DIM``).
 
     NOT the oracle path: numpy's pairwise summation can differ from the
     sequential fold in the last ulp, so a vector within ~1 ulp of
