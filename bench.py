@@ -166,6 +166,8 @@ def main() -> None:
         "q_corpus_pipeline_v3",
         "q_corpus_pipeline_v4",
         "q_token_budget",
+        "q_bm25_topk",
+        "q_hybrid_retrieval",
     ):
         fn = queries[name]
         best = float("inf")

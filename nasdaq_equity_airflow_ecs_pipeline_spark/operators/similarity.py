@@ -16,7 +16,7 @@ n_q * (n / n_centroids) with the bucket join hash-partitioned.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,6 +69,36 @@ def cosine_topk(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k per query for a (small) query workload
+    frame — the batch twin of :func:`cosine_topk` and the semantic leg
+    of hybrid retrieval (operators/retrieval.py).
+
+    Scale shape: the query frame broadcasts (q rows — a workload, not a
+    corpus); one narrow pass scores q * n pairs; top-k is a row_number
+    window partitioned by query (q partitions, never a global sort).
+    The corpus is scanned once regardless of q."""
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
 
 
 # Measured crossover for the assignment inner loop (EXPLAIN.md "IVF

@@ -414,3 +414,113 @@ def classifier_quality_score(
         F.transform(toks, _weight), F.lit(0.0), lambda acc, v: acc + v
     )
     return total / F.size(toks).cast("double")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query_text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-``k`` documents per query (Robertson &
+    Zaragoza 2009, the Okapi weighting behind every classic search
+    engine — the lexical-retrieval leg of a RAG / data-selection
+    pipeline, next to the embedding ANN family in similarity.py).
+
+    Scoring. Per matched (query, doc, term):
+
+        idf = (N - df + 0.5) / (df + 0.5)            -- RATIONAL, no ln
+        sat = tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+        contribution = floor(idf * sat * 1e6)        -- bigint
+
+    and the document score is the integer SUM of contributions. Two
+    deliberate engine-exactness choices, same policy as tfidf_topk and
+    lm_score: the idf keeps the classic +0.5 smoothing but drops the
+    outer ln (libm transcendentals round differently across engines;
+    the rational form keeps every per-term value a fixed dag of IEEE
+    ops, bit-identical anywhere) — note rankings CAN differ from
+    log-BM25 when summing multiple terms, this is a documented variant,
+    not an approximation bug — and each contribution is quantized to an
+    integer BEFORE the sum so the aggregate is order-independent
+    (double addition is not associative; bigint addition is).
+
+    Scale shape (100 TB corpus, q queries): tokens explode once; tf and
+    df are linear hash-aggregates; dl rides through the tf aggregate
+    (min over a per-doc constant) so no corpus-sized join is ever
+    keyed on doc id. The query term set (q * terms rows) broadcasts
+    onto the term-keyed tf frame, so only postings matching some query
+    term survive into the scoring join; df joins on term after the same
+    broadcast semi-filter (bounded by |query vocabulary|); N/sum_dl is
+    a 1-row broadcast. The final top-k is a row_number window
+    partitioned by query — q partitions, each bounded by matched docs.
+
+    ``max_df_frac``: the one way "bounded by matched postings" fails at
+    100 TB is a stop-term in a query ("the") whose posting list IS the
+    corpus — near-zero idf weight, full-corpus cost. When set, query
+    terms with df > max_df_frac * N are dropped before the posting
+    join (integer-arithmetic cut, df_t * 10^6 > frac_ppm * n_docs, no
+    float threshold — the boilerplate_flags convention), bounding the
+    scoring fan-out by the df cap. Default None preserves exact BM25
+    (the oracle-checked contract path).
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t")).select(
+        F.col(id_col), F.size("_t").alias("dl"), F.explode("_t").alias("term")
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    qterms = queries.select(
+        F.col(query_id), F.explode(tokens(query_col)).alias("term")
+    ).distinct()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("sum_dl"),
+    )
+    if max_df_frac is not None:
+        frac_ppm = int(max_df_frac * 1_000_000)
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+            .filter(
+                F.col("df_t") * F.lit(1_000_000) <= F.lit(frac_ppm) * F.col("n_docs")
+            )
+            .select("term", "df_t")
+        )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df_t").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (dl_d / avgdl))
+    )
+    scored = (
+        # dfreq first: under max_df_frac the surviving-term set is the
+        # pruned one, so stop-term postings never fan out into query rows
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            F.floor(idf * sat * F.lit(1000000.0)).cast("bigint").alias("_sq"),
+        )
+    )
+    agg = scored.groupBy(query_id, id_col).agg(F.sum("_sq").alias("score_x1e6"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score_x1e6"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score_x1e6", "rank")
+    )

@@ -1251,6 +1251,156 @@ SELECT doc_id, term, score, rank FROM (
 """
 
 
+# ------------------------------------------------------- BM25 retrieval
+BM25_QUERIES = [
+    (1, "hash join spark"),
+    (2, "window sort merge"),
+    (3, "fast table scan"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 documents per query under rational-idf BM25
+    (operators/text.py:bm25_topk) for a fixed 3-query workload."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    return text_ops.bm25_topk(d, q, k=5)
+
+
+def _sql_bm25_ctes(k: int) -> str:
+    """The BM25 pipeline as a CTE chain ending in ``lexr`` (query_id,
+    doc_id, score_x1e6, rank<=k) — shared between the standalone oracle
+    and the hybrid-retrieval oracle so the spellings can't diverge."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    # literal spellings mirror the Spark expression tree exactly:
+    # k1=1.2, k1+1 computed python-side = 2.2, 1-b written (1.0 - 0.75)
+    return rf"""q(query_id, query_text) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split_regex(trim(query_text), '\s+')) AS term
+  FROM q
+),
+base AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       FROM base GROUP BY 1, 2),
+dfq AS (
+  SELECT term, count(*) AS df_t FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_dl
+  FROM documents
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(FLOOR(
+           ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+              / (CAST(df_t AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * (CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE))))))
+           * 1000000.0) AS BIGINT) AS _sq
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats
+),
+bm25agg AS (SELECT query_id, doc_id, CAST(SUM(_sq) AS BIGINT) AS score_x1e6
+            FROM scored GROUP BY 1, 2),
+lexr AS (
+  SELECT query_id, doc_id, score_x1e6, rank FROM (
+    SELECT query_id, doc_id, score_x1e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+    FROM bm25agg
+  ) WHERE rank <= {k}
+)"""
+
+
+SQL_BM25_TOPK = f"""
+WITH {_sql_bm25_ctes(5)}
+SELECT query_id, doc_id, score_x1e6, rank FROM lexr
+"""
+
+
+# -------------------------------------------- hybrid retrieval (RRF)
+HYBRID_LEG_K = 20
+HYBRID_K = 10
+RRF_K = 60
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + embedding-cosine
+    semantic top-20 per query, fused by quantized Reciprocal Rank
+    Fusion (operators/retrieval.py:rrf_fuse) into a top-10. Query
+    vectors are the embeddings of vec_id 0-2 standing in for encoded
+    query text (the engine ships no encoder; vec_id ~ doc_id)."""
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import cosine_topk_batch
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    lex = text_ops.bm25_topk(d, q, k=HYBRID_LEG_K)
+    emb = _emb(spark, sf)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = cosine_topk_batch(emb, qv, k=HYBRID_LEG_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse([lex, sem], k=HYBRID_K, k_rrf=RRF_K)
+
+
+SQL_HYBRID_RETRIEVAL = f"""
+WITH {_sql_bm25_ctes(HYBRID_LEG_K)},
+el AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+qv AS (SELECT CAST(vec_id + 1 AS INTEGER) AS query_id, v AS qvec
+       FROM el WHERE vec_id < 3),
+semscored AS (
+  SELECT qv.query_id, el.vec_id AS doc_id,
+         list_dot_product(v, qvec)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+           AS cosine
+  FROM el, qv
+),
+semr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM semscored
+  ) WHERE rank <= {HYBRID_LEG_K}
+),
+legs AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM semr
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(_c) AS BIGINT) AS rrf_x1e9,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
+  SELECT query_id, doc_id, rrf_x1e9, n_legs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {HYBRID_K}
+"""
+
 
 # ------------------------------------------------- boilerplate detection
 BOILER_MIN_DF_BP = 60  # shingle is boilerplate above 0.6% document frequency
@@ -1323,6 +1473,8 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
     "q_tfidf_topk": q_tfidf_topk,
+    "q_bm25_topk": q_bm25_topk,
+    "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_pairs": q_minhash_pairs,
@@ -1363,6 +1515,8 @@ ORACLES = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
+    "q_bm25_topk": SQL_BM25_TOPK,
+    "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,

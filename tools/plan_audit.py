@@ -54,6 +54,11 @@ CARTESIAN_OK = {
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
+    "q_bm25_topk": "broadcast of 1-row corpus stats (n_docs, sum_dl)",
+    "q_hybrid_retrieval": (
+        "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
+        "(semantic leg)"
+    ),
     "q_tpch_q22_idle_customers": "scalar subquery (1-row avg) broadcast",
     "q_tpch_q15_top_supplier": "scalar subquery (1-row max) broadcast",
     "q_tpch_q11_important_stock": "scalar subquery (1-row total) broadcast",
@@ -83,10 +88,17 @@ BROADCAST_OK = {
     "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/similarity.py::cosine_topk_batch": (
+        "q query-workload vectors (a retrieval workload, not a corpus)"
+    ),
     "operators/similarity.py::ann_recall": "n_q eval-query rows (a fixed small eval set by definition), twice",
     "operators/similarity.py::ivf_search": "nprobe centroid rows",
     "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
     "operators/text.py::tfidf_topk": "1-row corpus doc count",
+    "operators/text.py::bm25_topk": (
+        "query-vocabulary frames (qterms / query-filtered df), bounded by "
+        "the query workload not the corpus, + 1-row corpus stats"
+    ),
     "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
     "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
     "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
