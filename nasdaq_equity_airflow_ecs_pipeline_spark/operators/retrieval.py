@@ -75,3 +75,74 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "rrf_x1e9", "n_legs", "rank")
     )
+
+
+def best_snippet_window(
+    docs: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query_text",
+) -> DataFrame:
+    """Passage extraction: for each (query, candidate doc), the
+    ``window``-token span containing the most query-term hits — the
+    snippet/highlight step after retrieval (the RAG chunk the caller
+    actually feeds downstream).
+
+    An optimal window starts at a hit, so candidate windows are
+    enumerated at hit positions only: hits self-join within the same
+    (query, doc) on ``pos_b BETWEEN pos_a AND pos_a + window - 1`` and
+    the argmax per (query, doc) breaks ties toward the smallest start
+    (fully deterministic, integer arithmetic only). Docs with zero
+    hits yield no row — the retrieval leg already guarantees
+    candidates matched something lexical, and semantic-only
+    candidates are reported absent rather than given an arbitrary
+    span.
+
+    Scale shape: ``candidates`` (query_id, doc_id — e.g. a fused
+    top-k) is workload-bounded, and the big side is pruned FIRST: a
+    broadcast semi-join keeps only candidate docs before tokenize/
+    posexplode, so per-position work is |candidates| x doc-length, not
+    corpus-sized. The hit self-join is per-(query, doc) with both
+    sides hit-bounded; everything downstream is a hash-agg + window
+    over candidate-sized frames.
+    """
+    from .text import tokens
+
+    cand = candidates.select(F.col(query_id), F.col(id_col))
+    cdocs = docs.join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term"))
+    qterms = queries.select(
+        F.col(query_id), F.explode(tokens(query_col)).alias("term")
+    ).distinct()
+    hits = (
+        cdocs.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cand), [query_id, id_col], "left_semi")
+        .select(query_id, id_col, "pos")
+    )
+    a = hits.alias("a")
+    b = hits.alias("b")
+    qa, ia = F.col(f"a.{query_id}"), F.col(f"a.{id_col}")
+    wins = (
+        a.join(
+            b,
+            (qa == F.col(f"b.{query_id}"))
+            & (ia == F.col(f"b.{id_col}"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + F.lit(window - 1)),
+        )
+        .groupBy(qa.alias(query_id), ia.alias(id_col), F.col("a.pos").alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy(query_id, id_col).orderBy(
+        F.desc("n_hits"), F.asc("win_start")
+    )
+    return (
+        wins.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(query_id, id_col, "win_start", "n_hits")
+    )

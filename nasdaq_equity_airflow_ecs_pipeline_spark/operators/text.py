@@ -416,6 +416,86 @@ def classifier_quality_score(
     return total / F.size(toks).cast("double")
 
 
+def bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side BM25 index frames, computed once:
+
+    - ``tf`` (id, term, tf, dl): one explode + one hash-aggregate; the
+      per-doc length rides through as ``min(dl)`` so no corpus-sized
+      join is ever keyed on doc id.
+    - ``stats`` (n_docs, sum_dl): the 1-row corpus aggregate.
+
+    Multi-stage workloads (PRF expansion, repeated query batches)
+    should persist/materialize these — they are what a production
+    search system writes to the lake as its index."""
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t")).select(
+        F.col(id_col), F.size("_t").alias("dl"), F.explode("_t").alias("term")
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("sum_dl"),
+    )
+    return tf, stats
+
+
+def bm25_score_terms(
+    tf: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """BM25 scores (query_id, id, score_x1e6) for an explicit
+    (query_id, term) workload frame against :func:`bm25_index` frames
+    — the scoring core shared by :func:`bm25_topk` and the PRF
+    expansion (operators/retrieval.py:bm25_prf_topk). Scoring formula,
+    exactness policy, and scale shape: see :func:`bm25_topk`."""
+    qterms = qterms.distinct()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+    if max_df_frac is not None:
+        frac_ppm = int(max_df_frac * 1_000_000)
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
+            .filter(
+                F.col("df_t") * F.lit(1_000_000) <= F.lit(frac_ppm) * F.col("n_docs")
+            )
+            .select("term", "df_t")
+        )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df_t").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (dl_d / avgdl))
+    )
+    scored = (
+        # dfreq first: under max_df_frac the surviving-term set is the
+        # pruned one, so stop-term postings never fan out into query rows
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            F.floor(idf * sat * F.lit(1000000.0)).cast("bigint").alias("_sq"),
+        )
+    )
+    return scored.groupBy(query_id, id_col).agg(F.sum("_sq").alias("score_x1e6"))
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -469,55 +549,13 @@ def bm25_topk(
     scoring fan-out by the df cap. Default None preserves exact BM25
     (the oracle-checked contract path).
     """
-    base = docs.select(F.col(id_col), tokens(text_col).alias("_t")).select(
-        F.col(id_col), F.size("_t").alias("dl"), F.explode("_t").alias("term")
-    )
-    tf = base.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    )
+    tf, stats = bm25_index(docs, id_col, text_col)
     qterms = queries.select(
         F.col(query_id), F.explode(tokens(query_col)).alias("term")
     ).distinct()
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_t"))
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    agg = bm25_score_terms(
+        tf, stats, qterms, k1, b, id_col, query_id, max_df_frac
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(text_col)).alias("sum_dl"),
-    )
-    if max_df_frac is not None:
-        frac_ppm = int(max_df_frac * 1_000_000)
-        dfreq = (
-            dfreq.crossJoin(F.broadcast(stats.select("n_docs")))
-            .filter(
-                F.col("df_t") * F.lit(1_000_000) <= F.lit(frac_ppm) * F.col("n_docs")
-            )
-            .select("term", "df_t")
-        )
-    n_d = F.col("n_docs").cast("double")
-    df_d = F.col("df_t").cast("double")
-    tf_d = F.col("tf").cast("double")
-    dl_d = F.col("dl").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / n_d
-    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
-    sat = (tf_d * F.lit(k1 + 1.0)) / (
-        tf_d + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (dl_d / avgdl))
-    )
-    scored = (
-        # dfreq first: under max_df_frac the surviving-term set is the
-        # pruned one, so stop-term postings never fan out into query rows
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(query_id),
-            F.col(id_col),
-            F.floor(idf * sat * F.lit(1000000.0)).cast("bigint").alias("_sq"),
-        )
-    )
-    agg = scored.groupBy(query_id, id_col).agg(F.sum("_sq").alias("score_x1e6"))
     w = Window.partitionBy(query_id).orderBy(F.desc("score_x1e6"), F.asc(id_col))
     return (
         agg.withColumn("rank", F.row_number().over(w))

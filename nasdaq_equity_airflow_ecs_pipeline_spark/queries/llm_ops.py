@@ -1402,6 +1402,52 @@ SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
 """
 
 
+SNIPPET_WINDOW = 16
+
+
+def q_snippet_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage extraction over the BM25 top-5 candidates: the 16-token
+    window with the most query-term hits per (query, doc)
+    (operators/retrieval.py:best_snippet_window)."""
+    from ..operators.retrieval import best_snippet_window
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    cand = text_ops.bm25_topk(d, q, k=5).select("query_id", "doc_id")
+    return best_snippet_window(d, q, cand, window=SNIPPET_WINDOW)
+
+
+SQL_SNIPPET_EXTRACT = f"""
+WITH {_sql_bm25_ctes(5)},
+cand AS (SELECT query_id, doc_id FROM lexr),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+hits AS (
+  SELECT qt.query_id, p.doc_id, p.pos
+  FROM ptok p
+  JOIN qt USING (term)
+  JOIN cand c ON c.query_id = qt.query_id AND c.doc_id = p.doc_id
+),
+wins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS win_start, count(*) AS n_hits
+  FROM hits a
+  JOIN hits b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+            AND b.pos >= a.pos AND b.pos <= a.pos + {SNIPPET_WINDOW - 1}
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, doc_id, win_start, n_hits FROM (
+  SELECT query_id, doc_id, win_start, n_hits,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY n_hits DESC, win_start ASC) AS r
+  FROM wins
+) WHERE r = 1
+"""
+
+
 # ------------------------------------------------- boilerplate detection
 BOILER_MIN_DF_BP = 60  # shingle is boilerplate above 0.6% document frequency
 
@@ -1475,6 +1521,7 @@ QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25_topk": q_bm25_topk,
     "q_hybrid_retrieval": q_hybrid_retrieval,
+    "q_snippet_extract": q_snippet_extract,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_pairs": q_minhash_pairs,
@@ -1517,6 +1564,7 @@ ORACLES = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
+    "q_snippet_extract": SQL_SNIPPET_EXTRACT,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,

@@ -1870,3 +1870,39 @@ def test_bm25_max_df_frac(spark):
     # df cap at 50%: 'the' dropped, only 'rare' (df=1) scores -> 1 doc
     capped = bm25_topk(docs, qs, k=20, max_df_frac=0.5).collect()
     assert [r["doc_id"] for r in capped] == [7]
+
+
+def test_best_snippet_window(spark):
+    """Snippet semantics: densest query-term window wins, ties go to
+    the earliest start, zero-hit candidates yield no row."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        best_snippet_window,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # hits at pos 0, and a dense cluster at 10,11,13
+            (1, "spark x x x x x x x x x spark join x join x x"),
+            (2, "x x x x x x x x x x x x x x x x"),  # no hits
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark join")], "query_id int, query_text string"
+    )
+    cand = spark.createDataFrame(
+        [(1, 1), (1, 2)], "query_id int, doc_id bigint"
+    )
+    out = best_snippet_window(docs, qs, cand, window=4).collect()
+    assert len(out) == 1  # doc 2 has zero hits -> absent
+    r = out[0]
+    # window=4 starting at 10 covers pos 10-13 -> 3 hits; start 0 has 1
+    assert (r["doc_id"], r["win_start"], r["n_hits"]) == (1, 10, 3)
+
+    # tie-break: two equal-density windows -> earliest start
+    docs2 = spark.createDataFrame(
+        [(5, "spark x x x x x x x spark x")], "doc_id bigint, text string"
+    )
+    cand2 = spark.createDataFrame([(1, 5)], "query_id int, doc_id bigint")
+    r2 = best_snippet_window(docs2, qs, cand2, window=4).collect()[0]
+    assert (r2["win_start"], r2["n_hits"]) == (0, 1)

@@ -314,3 +314,65 @@ def test_hist_quantile_estimates_are_monotone_and_bounded(xs):
     for q in qs:
         r = max(1, _math.ceil(q * len(s_xs)))
         assert abs(est[q] - s_xs[r - 1]) <= width
+
+
+_vocab = ["the", "spark", "join", "merge", "scan"]
+_corpus = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=5),
+    min_size=1, max_size=6,
+)
+_query = st.lists(st.sampled_from(_vocab + ["absent"]), min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, _query)
+def test_bm25_matches_python_reference(doc_words, query_words):
+    """bm25_topk == an independent pure-Python BM25 with the same IEEE
+    op order and integer quantization, on arbitrary tiny corpora —
+    including empty docs (tokens('') == ['']) and query terms absent
+    from the corpus (no posting -> no contribution)."""
+    import math
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import bm25_topk
+
+    spark = _get_spark()
+    texts = [" ".join(ws) for ws in doc_words]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    qs = spark.createDataFrame(
+        [(1, " ".join(query_words))], "query_id int, query_text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score_x1e6"], r["rank"])
+        for r in bm25_topk(docs, qs, k=100).collect()
+    }
+
+    # independent reference (k1=1.2, b=0.75, same op order as the SQL)
+    toks = [t.strip().split() if t.strip() else [""] for t in texts]
+    n = len(toks)
+    sum_dl = sum(len(ts) for ts in toks)
+    avgdl = float(sum_dl) / float(n)
+    dfreq: dict[str, int] = {}
+    for ts in toks:
+        for term in set(ts):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    scores: dict[int, int] = {}
+    for d, ts in enumerate(toks):
+        s = 0
+        for term in set(query_words):
+            tf = ts.count(term)
+            if tf == 0 or term not in dfreq:
+                continue
+            idf = (float(n) - float(dfreq[term]) + 0.5) / (float(dfreq[term]) + 0.5)
+            sat = (float(tf) * 2.2) / (
+                float(tf) + 1.2 * ((1.0 - 0.75) + 0.75 * (float(len(ts)) / avgdl))
+            )
+            s += math.floor(idf * sat * 1000000.0)
+        if s or any(term in ts for term in query_words):
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {
+        (1, d): (s, i + 1) for i, (d, s) in enumerate(ranked)
+    }
+    assert got == expected

@@ -59,6 +59,9 @@ CARTESIAN_OK = {
         "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
         "(semantic leg)"
     ),
+    "q_snippet_extract": (
+        "broadcast of 1-row corpus stats (BM25 candidate leg)"
+    ),
     "q_tpch_q22_idle_customers": "scalar subquery (1-row avg) broadcast",
     "q_tpch_q15_top_supplier": "scalar subquery (1-row max) broadcast",
     "q_tpch_q11_important_stock": "scalar subquery (1-row total) broadcast",
@@ -88,6 +91,10 @@ BROADCAST_OK = {
     "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/retrieval.py::best_snippet_window": (
+        "workload-bounded candidate set (a fused/retrieved top-k) and "
+        "query-vocabulary terms"
+    ),
     "operators/similarity.py::cosine_topk_batch": (
         "q query-workload vectors (a retrieval workload, not a corpus)"
     ),
@@ -95,7 +102,7 @@ BROADCAST_OK = {
     "operators/similarity.py::ivf_search": "nprobe centroid rows",
     "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
     "operators/text.py::tfidf_topk": "1-row corpus doc count",
-    "operators/text.py::bm25_topk": (
+    "operators/text.py::bm25_score_terms": (
         "query-vocabulary frames (qterms / query-filtered df), bounded by "
         "the query workload not the corpus, + 1-row corpus stats"
     ),
