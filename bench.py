@@ -167,6 +167,7 @@ def main() -> None:
         "q_corpus_pipeline_v4",
         "q_token_budget",
         "q_bm25_topk",
+        "q_bm25_prf",
         "q_hybrid_retrieval",
     ):
         fn = queries[name]

@@ -146,3 +146,221 @@ def best_snippet_window(
         .filter(F.col("_r") == 1)
         .select(query_id, id_col, "win_start", "n_hits")
     )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fb_k: int = 3,
+    n_exp: int = 5,
+    w_orig: int = 2,
+    w_exp: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query_text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (RM3-lite, Lavrenko & Croft
+    SIGIR 2001 / Abdul-Jaleel et al. TREC 2004): retrieve, treat the
+    top ``fb_k`` documents per query as relevant, expand the query
+    with the ``n_exp`` heaviest feedback terms, and rescore.
+
+    Deterministic quantized variant of RM3's interpolation: expansion
+    terms are ranked by total term frequency inside the feedback docs
+    (integer sum, ties broken by term string ASC), original terms get
+    integer weight ``w_orig`` and expansion terms ``w_exp`` — the
+    2:1 default is the lambda=2/3 interpolation, applied AFTER the
+    per-term contribution is floored to a bigint so the aggregate
+    stays order-independent (same exactness policy as bm25_topk).
+    Expansion candidates exclude that query's own original terms.
+
+    Scale shape (100 TB corpus, q queries): the corpus-proportional
+    work is the bm25_index build (tokenize + tf/df hash-aggs),
+    computed ONCE — the tf frame is localCheckpoint-pinned because
+    three consumers read it (pass-1 scoring, feedback-term
+    extraction, pass-2 scoring); a production deployment writes it to
+    the lake instead (the index IS a table). Everything downstream is
+    workload-bounded: feedback docs are q x fb_k rows (broadcast onto
+    the doc-keyed tf frame), the expansion vocabulary is q x n_exp
+    terms, and both scoring passes broadcast only query-vocabulary
+    frames + the 1-row stats (see bm25_score_terms). Output:
+    (query_id, id, score_x1e6, rank <= k).
+    """
+    from .text import bm25_index, bm25_score_terms, tokens
+
+    tf, stats = bm25_index(docs, id_col=id_col, text_col=text_col)
+    tf = tf.localCheckpoint(eager=True)
+    stats = stats.localCheckpoint(eager=True)
+
+    qt0 = queries.select(
+        F.col(query_id), F.explode(tokens(query_col)).alias("term")
+    ).distinct()
+
+    pass1 = bm25_score_terms(
+        tf, stats, qt0, k1=k1, b=b, id_col=id_col, query_id=query_id,
+        max_df_frac=max_df_frac,
+    )
+    w_fb = Window.partitionBy(query_id).orderBy(
+        F.desc("score_x1e6"), F.asc(id_col)
+    )
+    fb = (
+        pass1.withColumn("_r", F.row_number().over(w_fb))
+        .filter(F.col("_r") <= fb_k)
+        .select(query_id, id_col)
+    )
+
+    # expansion candidates: per (query, term), total tf inside that
+    # query's feedback docs; the query's own terms are excluded
+    cand = (
+        tf.join(F.broadcast(fb), id_col)
+        .groupBy(query_id, "term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .join(qt0, [query_id, "term"], "left_anti")
+    )
+    w_exp_rank = Window.partitionBy(query_id).orderBy(
+        F.desc("fb_tf"), F.asc("term")
+    )
+    expansion = (
+        cand.withColumn("_r", F.row_number().over(w_exp_rank))
+        .filter(F.col("_r") <= n_exp)
+        .select(query_id, "term")
+    )
+
+    expanded = qt0.select(
+        query_id, "term", F.lit(int(w_orig)).alias("weight")
+    ).unionByName(
+        expansion.select(query_id, "term", F.lit(int(w_exp)).alias("weight"))
+    )
+
+    pass2 = bm25_score_terms(
+        tf, stats, expanded, k1=k1, b=b, id_col=id_col, query_id=query_id,
+        max_df_frac=max_df_frac, weight_col="weight",
+    )
+    w_final = Window.partitionBy(query_id).orderBy(
+        F.desc("score_x1e6"), F.asc(id_col)
+    )
+    return (
+        pass2.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score_x1e6", "rank")
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_x10: int = 7,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel_x1e6",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` results per query, each maximizing
+    ``lambda * relevance - (1 - lambda) * max-similarity-to-already-
+    selected`` — the diversification step after retrieval (dedups
+    near-identical passages out of a RAG context window).
+
+    Deterministic quantized variant: ``candidates`` carries an integer
+    relevance (``rel_x1e6`` — e.g. floor(cosine * 1e6) from the
+    retrieval leg) and the embedding; pairwise candidate similarity is
+    floored to ``sim_x1e6`` once, and the greedy objective is the
+    integer ``lam_x10 * rel - (10 - lam_x10) * maxsim`` (lambda in
+    tenths), ties broken by id ASC — every comparison is bigint, so
+    selection order is engine-exact. The first pick has maxsim = 0
+    (empty selected set), i.e. it is the pure-relevance argmax.
+
+    Scale shape: the candidate frame is workload-bounded (q queries x
+    n retrieved rows — a top-k, not a corpus). Pairwise sims are an
+    equi-join on query_id (n^2 per query, n bounded by the retrieval
+    leg's k); the greedy loop runs k-1 Spark iterations over these
+    bounded frames, localCheckpoint-pinned per round (the pagerank/
+    graph.py lineage-cut convention). Nothing in the loop touches the
+    corpus; total work is q * n^2 * k quantized comparisons.
+
+    Output: (query_id, id, rel, mmr_x1e6, sel_order 1..k).
+    """
+    from .similarity import cosine
+
+    cand = candidates.select(
+        F.col(query_id), F.col(id_col), F.col(rel_col), F.col(vec_col)
+    ).localCheckpoint(eager=True)
+
+    a = cand.alias("a")
+    b = cand.alias("b")
+    qa, ia = F.col(f"a.{query_id}"), F.col(f"a.{id_col}")
+    sims = (
+        a.join(
+            b,
+            (qa == F.col(f"b.{query_id}")) & (ia != F.col(f"b.{id_col}")),
+        )
+        .select(
+            qa.alias(query_id),
+            ia.alias("_ida"),
+            F.col(f"b.{id_col}").alias("_idb"),
+            F.floor(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("sim_x1e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    slim = cand.select(query_id, id_col, rel_col)
+    lam = F.lit(int(lam_x10)).cast("bigint")
+    one_m_lam = F.lit(10 - int(lam_x10)).cast("bigint")
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("mmr_x1e6"), F.asc(id_col))
+    first = (
+        slim.withColumn("mmr_x1e6", lam * F.col(rel_col))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(query_id, id_col, rel_col, "mmr_x1e6", F.lit(1).alias("sel_order"))
+    )
+    selected = first.localCheckpoint(eager=True)
+
+    for step in range(2, k + 1):
+        rem = slim.join(
+            selected.select(query_id, id_col), [query_id, id_col], "left_anti"
+        )
+        msim = (
+            sims.join(
+                selected.select(
+                    F.col(query_id), F.col(id_col).alias("_idb")
+                ),
+                [query_id, "_idb"],
+            )
+            .groupBy(query_id, "_ida")
+            .agg(F.max("sim_x1e6").alias("_maxsim"))
+        )
+        pick = (
+            rem.join(
+                msim,
+                (rem[query_id] == msim[query_id]) & (rem[id_col] == msim["_ida"]),
+                "left",
+            )
+            .select(
+                rem[query_id],
+                rem[id_col],
+                rem[rel_col],
+                (
+                    lam * F.col(rel_col)
+                    - one_m_lam * F.coalesce(F.col("_maxsim"), F.lit(0).cast("bigint"))
+                ).alias("mmr_x1e6"),
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                query_id, id_col, rel_col, "mmr_x1e6",
+                F.lit(step).alias("sel_order"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+
+    return selected.select(query_id, id_col, rel_col, "mmr_x1e6", "sel_order")

@@ -451,12 +451,20 @@ def bm25_score_terms(
     id_col: str = "doc_id",
     query_id: str = "query_id",
     max_df_frac: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """BM25 scores (query_id, id, score_x1e6) for an explicit
     (query_id, term) workload frame against :func:`bm25_index` frames
     — the scoring core shared by :func:`bm25_topk` and the PRF
     expansion (operators/retrieval.py:bm25_prf_topk). Scoring formula,
-    exactness policy, and scale shape: see :func:`bm25_topk`."""
+    exactness policy, and scale shape: see :func:`bm25_topk`.
+
+    ``weight_col``: optional INTEGER weight column on ``qterms``; each
+    per-(query, doc, term) contribution becomes
+    ``floor(idf * sat * 1e6) * weight`` — floor FIRST, then bigint
+    multiply, so the weighted sum stays an order-independent integer
+    aggregate (the quantized analog of RM3's query-interpolation
+    weights)."""
     qterms = qterms.distinct()
     dfreq = (
         tf.groupBy("term")
@@ -490,7 +498,12 @@ def bm25_score_terms(
         .select(
             F.col(query_id),
             F.col(id_col),
-            F.floor(idf * sat * F.lit(1000000.0)).cast("bigint").alias("_sq"),
+            (
+                F.floor(idf * sat * F.lit(1000000.0)).cast("bigint")
+                if weight_col is None
+                else F.floor(idf * sat * F.lit(1000000.0)).cast("bigint")
+                * F.col(weight_col).cast("bigint")
+            ).alias("_sq"),
         )
     )
     return scored.groupBy(query_id, id_col).agg(F.sum("_sq").alias("score_x1e6"))

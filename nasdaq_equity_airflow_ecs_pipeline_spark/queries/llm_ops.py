@@ -1267,13 +1267,27 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bm25_topk(d, q, k=5)
 
 
+# literal spellings mirror the Spark expression tree exactly:
+# k1=1.2, k1+1 computed python-side = 2.2, 1-b written (1.0 - 0.75);
+# shared between the base BM25 oracle and the PRF rescore so the
+# formula can't diverge between passes
+_SQL_BM25_CONTRIB = """CAST(FLOOR(
+           ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+              / (CAST(df_t AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * (CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE))))))
+           * 1000000.0) AS BIGINT)"""
+
+
 def _sql_bm25_ctes(k: int) -> str:
     """The BM25 pipeline as a CTE chain ending in ``lexr`` (query_id,
     doc_id, score_x1e6, rank<=k) — shared between the standalone oracle
     and the hybrid-retrieval oracle so the spellings can't diverge."""
     vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
-    # literal spellings mirror the Spark expression tree exactly:
-    # k1=1.2, k1+1 computed python-side = 2.2, 1-b written (1.0 - 0.75)
     return rf"""q(query_id, query_text) AS (VALUES {vals}),
 qt AS (
   SELECT DISTINCT query_id,
@@ -1298,16 +1312,7 @@ stats AS (
 ),
 scored AS (
   SELECT qt.query_id, tf.doc_id,
-         CAST(FLOOR(
-           ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
-              / (CAST(df_t AS DOUBLE) + 0.5))
-           * ((CAST(tf AS DOUBLE) * 2.2)
-              / (CAST(tf AS DOUBLE)
-                 + 1.2 * ((1.0 - 0.75)
-                          + 0.75 * (CAST(dl AS DOUBLE)
-                                    / (CAST(sum_dl AS DOUBLE)
-                                       / CAST(n_docs AS DOUBLE))))))
-           * 1000000.0) AS BIGINT) AS _sq
+         {_SQL_BM25_CONTRIB} AS _sq
   FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats
 ),
 bm25agg AS (SELECT query_id, doc_id, CAST(SUM(_sq) AS BIGINT) AS score_x1e6
@@ -1325,6 +1330,75 @@ lexr AS (
 SQL_BM25_TOPK = f"""
 WITH {_sql_bm25_ctes(5)}
 SELECT query_id, doc_id, score_x1e6, rank FROM lexr
+"""
+
+
+# --------------------------------- BM25 pseudo-relevance feedback (RM3)
+PRF_FB_K = 3  # feedback docs per query
+PRF_N_EXP = 5  # expansion terms per query
+PRF_W_ORIG = 2  # original-term weight  } the quantized lambda=2/3
+PRF_W_EXP = 1  # expansion-term weight  } RM3 interpolation
+PRF_K = 5
+
+
+def q_bm25_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """RM3-lite pseudo-relevance feedback: BM25 top-3 feedback docs per
+    query, 5 heaviest feedback terms appended at weight 1 vs 2 for the
+    originals, rescored to a top-5
+    (operators/retrieval.py:bm25_prf_topk)."""
+    from ..operators.retrieval import bm25_prf_topk
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    return bm25_prf_topk(
+        d, q, k=PRF_K, fb_k=PRF_FB_K, n_exp=PRF_N_EXP,
+        w_orig=PRF_W_ORIG, w_exp=PRF_W_EXP,
+    )
+
+
+SQL_BM25_PRF = f"""
+WITH {_sql_bm25_ctes(PRF_FB_K)},
+fb AS (SELECT query_id, doc_id FROM lexr),
+cand AS (
+  SELECT fb.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
+  FROM tf JOIN fb ON fb.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+candx AS (
+  SELECT c.query_id, c.term, c.fb_tf
+  FROM cand c LEFT JOIN qt ON qt.query_id = c.query_id AND qt.term = c.term
+  WHERE qt.term IS NULL
+),
+expn AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY fb_tf DESC, term ASC) AS r
+    FROM candx
+  ) WHERE r <= {PRF_N_EXP}
+),
+eq AS (
+  SELECT query_id, term, {PRF_W_ORIG} AS w FROM qt
+  UNION ALL
+  SELECT query_id, term, {PRF_W_EXP} AS w FROM expn
+),
+dfq2 AS (
+  SELECT term, count(*) AS df_t FROM tf
+  WHERE term IN (SELECT term FROM eq) GROUP BY 1
+),
+scored2 AS (
+  SELECT eq.query_id, tf.doc_id,
+         {_SQL_BM25_CONTRIB} * CAST(eq.w AS BIGINT) AS _sq
+  FROM tf JOIN eq USING (term) JOIN dfq2 USING (term) CROSS JOIN stats
+),
+agg2 AS (SELECT query_id, doc_id, CAST(SUM(_sq) AS BIGINT) AS score_x1e6
+         FROM scored2 GROUP BY 1, 2)
+SELECT query_id, doc_id, score_x1e6, rank FROM (
+  SELECT query_id, doc_id, score_x1e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+  FROM agg2
+) WHERE rank <= {PRF_K}
 """
 
 
@@ -1400,6 +1474,121 @@ SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
   FROM fused
 ) WHERE rank <= {HYBRID_K}
 """
+
+
+# ----------------------------------------------- MMR diversified rerank
+MMR_CAND_K = 10
+MMR_K = 4
+MMR_LAM_X10 = 7
+
+
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank of the cosine top-10 per query
+    into a diversified top-4 (lambda=0.7, quantized greedy —
+    operators/retrieval.py:mmr_rerank). Query vectors as in
+    q_hybrid_retrieval."""
+    from ..operators.retrieval import mmr_rerank
+    from ..operators.similarity import cosine_topk_batch
+
+    emb = _emb(spark, sf)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = (
+        cosine_topk_batch(emb, qv, k=MMR_CAND_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(F.col("cosine") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("rel_x1e6"),
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+    )
+    return mmr_rerank(cand, k=MMR_K, lam_x10=MMR_LAM_X10)
+
+
+def _sql_mmr() -> str:
+    """The greedy MMR selection unrolled to MMR_K steps — plain ANSI
+    SQL (each step is a window argmax over the not-yet-selected
+    candidates against the union of prior picks), generated by the
+    same constants as the Spark path."""
+    lam, oml = MMR_LAM_X10, 10 - MMR_LAM_X10
+    head = f"""
+WITH el AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+qv AS (SELECT CAST(vec_id + 1 AS INTEGER) AS query_id, v AS qvec
+       FROM el WHERE vec_id < 3),
+semscored AS (
+  SELECT qv.query_id, el.vec_id AS doc_id, el.v,
+         list_dot_product(v, qvec)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+           AS cosine
+  FROM el, qv
+),
+cand AS (
+  SELECT query_id, doc_id, v,
+         CAST(FLOOR(cosine * 1000000.0) AS BIGINT) AS rel_x1e6
+  FROM (
+    SELECT query_id, doc_id, v, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS r
+    FROM semscored
+  ) WHERE r <= {MMR_CAND_K}
+),
+sims AS (
+  SELECT a.query_id, a.doc_id AS ida, b.doc_id AS idb,
+         CAST(FLOOR(
+           (list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))))
+           * 1000000.0) AS BIGINT) AS sim_x1e6
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+),
+sel1 AS (
+  SELECT query_id, doc_id, rel_x1e6,
+         CAST({lam} AS BIGINT) * rel_x1e6 AS mmr_x1e6, 1 AS sel_order
+  FROM (
+    SELECT query_id, doc_id, rel_x1e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * rel_x1e6 DESC, doc_id ASC) AS r
+    FROM cand
+  ) WHERE r = 1
+),
+acc1 AS (SELECT * FROM sel1)"""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(f""",
+sel{i} AS (
+  SELECT query_id, doc_id, rel_x1e6, mmr_x1e6, {i} AS sel_order FROM (
+    SELECT c.query_id, c.doc_id, c.rel_x1e6,
+           CAST({lam} AS BIGINT) * c.rel_x1e6
+             - CAST({oml} AS BIGINT) * COALESCE(m.maxsim, 0) AS mmr_x1e6,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {lam} * c.rel_x1e6 - {oml} * COALESCE(m.maxsim, 0) DESC,
+                      c.doc_id ASC) AS r
+    FROM cand c
+    LEFT JOIN (
+      SELECT s.query_id, s.ida AS doc_id, MAX(s.sim_x1e6) AS maxsim
+      FROM sims s JOIN acc{i - 1} p
+        ON p.query_id = s.query_id AND p.doc_id = s.idb
+      GROUP BY 1, 2
+    ) m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM acc{i - 1} p
+                      WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id)
+  ) WHERE r = 1
+),
+acc{i} AS (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    tail = f"""
+SELECT query_id, doc_id, rel_x1e6, mmr_x1e6, sel_order FROM acc{MMR_K}"""
+    return head + "".join(steps) + tail
+
+
+SQL_MMR_RERANK = _sql_mmr()
 
 
 SNIPPET_WINDOW = 16
@@ -1520,6 +1709,8 @@ QUERIES = {
     "q_token_count": q_token_count,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25_topk": q_bm25_topk,
+    "q_bm25_prf": q_bm25_prf,
+    "q_mmr_rerank": q_mmr_rerank,
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_snippet_extract": q_snippet_extract,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -1563,6 +1754,8 @@ ORACLES = {
     "q_token_count": SQL_TOKEN_COUNT,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_bm25_prf": SQL_BM25_PRF,
+    "q_mmr_rerank": SQL_MMR_RERANK,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_snippet_extract": SQL_SNIPPET_EXTRACT,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,

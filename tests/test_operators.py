@@ -1906,3 +1906,160 @@ def test_best_snippet_window(spark):
     cand2 = spark.createDataFrame([(1, 5)], "query_id int, doc_id bigint")
     r2 = best_snippet_window(docs2, qs, cand2, window=4).collect()[0]
     assert (r2["win_start"], r2["n_hits"]) == (0, 1)
+
+
+def test_bm25_prf_expansion_reaches_unmatched_doc(spark):
+    """PRF semantics: a doc sharing NO original query term becomes
+    retrievable through a feedback-expansion term; weights compose as
+    the documented 2:1 integer interpolation."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        bm25_prf_topk,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bm25_index,
+        bm25_score_terms,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),          # feedback doc
+            (2, "apple banana banana"),   # feedback doc (banana-heavy)
+            (3, "banana cherry"),         # no 'apple' -> PRF-only reach
+            (4, "cherry date"),           # shares nothing with feedback
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame([(1, "apple")], "query_id int, query_text string")
+
+    base_ids = {r["doc_id"] for r in bm25_topk(docs, qs, k=4).collect()}
+    assert base_ids == {1, 2}  # exact BM25 can never surface doc 3
+
+    out = bm25_prf_topk(docs, qs, k=4, fb_k=2, n_exp=1, w_orig=2, w_exp=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # expansion term must be 'banana' (fb tf 1+2=3, 'cherry' not in
+    # feedback docs' heaviest slot), so doc 3 appears and doc 4 doesn't
+    assert 3 in rows and 4 not in rows
+    assert rows[3]["score_x1e6"] > 0
+
+    # weight composition is exact integer algebra: prf_score(d) ==
+    # 2 * contrib(apple, d) + 1 * contrib(banana, d), with each leg's
+    # contribution computed by the same scoring core at weight 1
+    tf, stats = bm25_index(docs)
+    legs = {}
+    for term in ("apple", "banana"):
+        one = spark.createDataFrame([(1, term)], "query_id int, term string")
+        legs[term] = {
+            r["doc_id"]: r["score_x1e6"]
+            for r in bm25_score_terms(tf, stats, one).collect()
+        }
+    for d, r in rows.items():
+        expect = 2 * legs["apple"].get(d, 0) + 1 * legs["banana"].get(d, 0)
+        assert r["score_x1e6"] == expect, (d, r["score_x1e6"], expect)
+
+
+def test_bm25_prf_no_expansion_degenerates_to_bm25(spark):
+    """With n_exp=0 and w_orig=1 the PRF operator IS bm25_topk — the
+    equivalence that pins the two code paths together."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        bm25_prf_topk,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "spark join window sort",
+                    "join merge hash",
+                    "spark spark scan",
+                    "window window window join",
+                    "scan filter project spark",
+                ]
+            )
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "window")], "query_id int, query_text string"
+    )
+    base = sorted(
+        tuple(r) for r in bm25_topk(docs, qs, k=3).collect()
+    )
+    prf = sorted(
+        tuple(r)
+        for r in bm25_prf_topk(docs, qs, k=3, fb_k=2, n_exp=0, w_orig=1).collect()
+    )
+    assert prf == base
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """MMR greedy selection == an independent pure-Python greedy with
+    the same quantization (floor(cos*1e6), integer lam:10-lam objective) —
+    and the diversity semantics hold: a near-duplicate of the first
+    pick is demoted below a more diverse candidate."""
+    import math
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    vecs = {
+        1: [0.95, 0.312, 0.0],     # top relevance
+        2: [0.949, 0.3125, 0.0],   # near-duplicate of 1
+        3: [0.7, 0.0, 0.714],      # diverse
+        4: [0.6, 0.6, 0.52],       # mid
+        5: [0.1, 0.99, 0.0],       # low relevance
+    }
+    qvec = [1.0, 0.0, 0.0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    rel = {d: math.floor(cos(v, qvec) * 1e6) for d, v in vecs.items()}
+    sim = {
+        (a, b): math.floor(cos(vecs[a], vecs[b]) * 1e6)
+        for a in vecs
+        for b in vecs
+        if a != b
+    }
+
+    def greedy(k, lam=7):
+        sel, out = [], []
+        while len(sel) < k:
+            best = None
+            for d in vecs:
+                if d in sel:
+                    continue
+                ms = max((sim[(d, s)] for s in sel), default=0)
+                score = lam * rel[d] - (10 - lam) * ms
+                key = (-score, d)
+                if best is None or key < best[0]:
+                    best = (key, d, score)
+            sel.append(best[1])
+            out.append((best[1], best[2], len(sel)))
+        return out
+
+    expect = greedy(3, lam=5)
+    cand = spark.createDataFrame(
+        [(1, d, rel[d], v) for d, v in vecs.items()],
+        "query_id int, doc_id bigint, rel_x1e6 bigint, embedding array<double>",
+    )
+    got = [
+        (r["doc_id"], r["mmr_x1e6"], r["sel_order"])
+        for r in mmr_rerank(cand, k=3, lam_x10=5).orderBy("sel_order").collect()
+    ]
+    assert got == expect
+    # diversity semantics: pick 1 is the relevance argmax (doc 1), the
+    # near-duplicate doc 2 is NOT pick 2
+    assert got[0][0] == 1 and got[1][0] != 2
+
+    # fewer candidates than k: every candidate selected, nothing fails
+    small = spark.createDataFrame(
+        [(9, 1, 500000, [1.0, 0.0, 0.0]), (9, 2, 400000, [0.0, 1.0, 0.0])],
+        "query_id int, doc_id bigint, rel_x1e6 bigint, embedding array<double>",
+    )
+    out2 = mmr_rerank(small, k=5).collect()
+    assert {(r["doc_id"], r["sel_order"]) for r in out2} == {(1, 1), (2, 2)}

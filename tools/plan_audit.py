@@ -55,6 +55,11 @@ CARTESIAN_OK = {
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
     "q_bm25_topk": "broadcast of 1-row corpus stats (n_docs, sum_dl)",
+    "q_bm25_prf": "broadcast of 1-row corpus stats (n_docs, sum_dl), both scoring passes",
+    "q_mmr_rerank": (
+        "broadcast of 3 query vectors (cosine_topk_batch candidate leg); "
+        "the MMR loop itself joins only workload-bounded candidate frames"
+    ),
     "q_hybrid_retrieval": (
         "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
         "(semantic leg)"
@@ -94,6 +99,10 @@ BROADCAST_OK = {
     "operators/retrieval.py::best_snippet_window": (
         "workload-bounded candidate set (a fused/retrieved top-k) and "
         "query-vocabulary terms"
+    ),
+    "operators/retrieval.py::bm25_prf_topk": (
+        "feedback-doc set: q x fb_k rows (a retrieved top-k, workload-"
+        "bounded not corpus-bounded)"
     ),
     "operators/similarity.py::cosine_topk_batch": (
         "q query-workload vectors (a retrieval workload, not a corpus)"

@@ -109,6 +109,10 @@ DEEP = [
     # context fan-in bounded by |vocab| on the c1 join
     "q_jaccard_prefix_pairs",
     "q_lm_score",
+    # BM25 PRF (r6): index built once (localCheckpoint, 3 consumers);
+    # feedback/expansion frames are workload-bounded (q x fb_k / q x
+    # n_exp rows) — the corpus-proportional part is the index hash-aggs
+    "q_bm25_prf",
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
     # -> budget -> shards
     "q_corpus_pipeline_v4",
