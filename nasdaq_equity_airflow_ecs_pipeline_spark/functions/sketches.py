@@ -263,3 +263,78 @@ def hist_quantiles(
         est.alias("est_quantile"),
         F.col("s.n_rows").alias("n_rows"),
     )
+
+
+# ------------------------------------------------- deterministic HLL
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_REST_BITS = KMV_BITS - HLL_P  # 52 hash bits feed the rank
+HLL_RHO_MAX = HLL_REST_BITS + 1  # rho of an all-zero rest
+# alpha_256 and the numerator computed ONCE in Python (IEEE doubles);
+# the SQL oracle embeds repr() of the same values so both engines
+# evaluate the identical literal
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RHO_MAX)
+
+
+def hll_registers(df, group_cols: list[str], value_col: str):
+    """Per-group HyperLogLog register state (Flajolet et al. 2007) from
+    the portable 60-bit md5 hash: bucket = low HLL_P bits, rho = count
+    of leading zeros in the remaining HLL_REST_BITS bits + 1 (computed
+    as HLL_RHO_MAX - length(bin(rest)) — integer/string ops only, no
+    libm), register = MAX(rho).
+
+    This is the sketch's 100 TB story: MAX per (group, bucket) is
+    algebraic, so map-side combine reduces every partition to <= m
+    rows per group before the shuffle, and register frames from
+    disjoint corpus slices merge by the same MAX — the state a
+    production pipeline persists per partition/day and folds at read
+    time.
+    """
+    h = kmv_hash(value_col)
+    rest = F.shiftright(h, HLL_P)
+    rho = F.when(rest == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct(df, group_cols: list[str], value_col: str):
+    """Deterministic HyperLogLog distinct-count estimate per group.
+
+    Engine-exactness: every term of the harmonic sum is the INTEGER
+    2^(HLL_RHO_MAX - m_j) (a bigint shift, exact and order-independent
+    under addition); absent buckets contribute 2^HLL_RHO_MAX each; the
+    only float op is the final single divide of the Python-computed
+    literal numerator by the bigint sum (one IEEE op each side). The
+    raw estimator is used as-is: HLL's linear-counting small-range
+    correction needs ln() (libm, not engine-exact), and the
+    small-distinct regime is served exactly by :func:`kmv_distinct` —
+    a documented scope cut, not an approximation bug. Unlike
+    ``approx_distinct`` (Spark's native HLL++, seed- and
+    implementation-defined), this estimate is bit-identical on any
+    engine with md5.
+    """
+    regs = hll_registers(df, group_cols, value_col)
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)")
+        ).alias("_sum_obs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    total = F.col("_sum_obs") + (
+        F.lit(HLL_M).cast("bigint") - F.col("n_buckets")
+    ) * F.lit(1 << HLL_RHO_MAX).cast("bigint")
+    return per.select(
+        *group_cols,
+        (F.lit(HLL_NUM) / total.cast("double")).alias("distinct_est"),
+        F.col("n_buckets"),
+    )

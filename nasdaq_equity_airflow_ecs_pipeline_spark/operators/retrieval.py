@@ -364,3 +364,68 @@ def mmr_rerank(
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
 
     return selected.select(query_id, id_col, rel_col, "mmr_x1e6", "sel_order")
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR evaluation of a ranked result list against binary
+    relevance labels — the eval harness for the retrieval family (the
+    lexical/semantic twin of similarity.py:ann_recall).
+
+    Inputs: ``results`` (query_id, id, rank starting at 1 — e.g. from
+    bm25_topk / rrf_fuse), ``qrels`` (query_id, id) relevant pairs.
+    Output per query present in ``results``:
+
+    - ``n_hits_at_k``: relevant docs inside the top-k,
+    - ``n_rel``: total relevant docs for the query (recall's
+      denominator; 0 when the query has no qrels),
+    - ``first_rel_rank``: rank of the first relevant result (0 = none),
+    - ``mrr_x1e9``: floor(1e9 / first_rel_rank), 0 when none — the
+      reciprocal rank quantized to an order-independent bigint (same
+      policy as rrf_fuse; precision@k and recall are exact rationals
+      n_hits_at_k / k and n_hits_at_k / n_rel, left as integer
+      numerator/denominator columns so no float ever divides).
+
+    Scale shape: both inputs are workload-bounded (per-query top-k and
+    label sets); everything here is equi-joins + per-query hash-aggs
+    on q x k rows. Corpus-proportional cost lives in the retrieval leg
+    that produced ``results``.
+    """
+    res = results.select(
+        F.col(query_id), F.col(id_col), F.col(rank_col)
+    ).filter(F.col(rank_col) <= k)
+    hits = res.join(qrels.select(query_id, id_col).distinct(), [query_id, id_col])
+    per_hit = hits.groupBy(query_id).agg(
+        F.count(F.lit(1)).alias("n_hits_at_k"),
+        F.min(rank_col).alias("_first"),
+    )
+    n_rel = (
+        qrels.select(query_id, id_col)
+        .distinct()
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    base = res.select(query_id).distinct()
+    return (
+        base.join(per_hit, query_id, "left")
+        .join(n_rel, query_id, "left")
+        .select(
+            F.col(query_id),
+            F.coalesce("n_hits_at_k", F.lit(0)).cast("bigint").alias("n_hits_at_k"),
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce("_first", F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.when(
+                F.coalesce("_first", F.lit(0)) > 0,
+                F.floor(F.lit(1_000_000_000.0) / F.col("_first").cast("double")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("mrr_x1e9"),
+        )
+    )

@@ -112,6 +112,62 @@ FROM k JOIN x ON k.grp = x.grp
 """
 
 
+# -------------------------------------------- deterministic HLL sketch
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct customers per order priority
+    (functions/sketches.py:hll_distinct): integer register math over
+    the portable md5 hash, raw estimator, exact count alongside so the
+    sketch error is visible. Unlike approx_count_distinct (HLL++,
+    implementation-defined), this is bit-identical cross-engine."""
+    from ..functions.sketches import hll_distinct
+
+    orders = load_table(spark, sf, "orders")
+    est = hll_distinct(orders, ["o_orderpriority"], "o_custkey")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority", "distinct_est", "n_buckets", "exact_distinct"
+    )
+
+
+def _sql_hll() -> str:
+    from ..functions.sketches import HLL_M, HLL_NUM, HLL_RHO_MAX
+
+    return f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+),
+b AS (
+  SELECT grp, h % {HLL_M} AS bucket,
+         CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_RHO_MAX}
+              ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M})) END AS rho
+  FROM h
+),
+regs AS (SELECT grp, bucket, MAX(rho) AS m_j FROM b GROUP BY 1, 2),
+per AS (
+  SELECT grp,
+         SUM(1::BIGINT << ({HLL_RHO_MAX} - m_j)) AS sum_obs,
+         count(*) AS n_buckets
+  FROM regs GROUP BY 1
+),
+x AS (SELECT o_orderpriority AS grp,
+             count(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY 1)
+SELECT per.grp AS o_orderpriority,
+       {HLL_NUM!r}
+         / CAST(sum_obs + ({HLL_M} - n_buckets) * (1::BIGINT << {HLL_RHO_MAX})
+                AS DOUBLE) AS distinct_est,
+       n_buckets, exact_distinct
+FROM per JOIN x ON per.grp = x.grp
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll()
+
+
 # ------------------------------------------------- substring-window dedup
 SUB_WINDOW = 64
 SUB_STRIDE = 32
@@ -1005,6 +1061,7 @@ QUERIES = {
     "q_zorder_pruned_scan": q_zorder_pruned_scan,
     "q_count_min_freq": q_count_min_freq,
     "q_distinct_kmv": q_distinct_kmv,
+    "q_hll_distinct": q_hll_distinct,
     "q_substring_dedup": q_substring_dedup,
     "q_pagerank": q_pagerank,
     "q_triangle_count": q_triangle_count,
@@ -1036,6 +1093,7 @@ ORACLES = {
     "q_zorder_layout": SQL_ZORDER_LAYOUT,
     "q_zorder_pruned_scan": SQL_ZORDER_PRUNED_SCAN,
     "q_count_min_freq": SQL_COUNT_MIN_FREQ,
+    "q_hll_distinct": SQL_HLL_DISTINCT,
     "q_incremental_join": SQL_INCREMENTAL_JOIN,
     "q_inverted_index": SQL_INVERTED_INDEX,
     "q_group_sample": SQL_GROUP_SAMPLE,

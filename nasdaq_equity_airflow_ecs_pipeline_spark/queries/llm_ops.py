@@ -1476,6 +1476,71 @@ SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
 """
 
 
+# ------------------------------------------------- retrieval evaluation
+METRICS_K = 10
+
+
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """IR eval harness: BM25 top-10 per query scored against conjunctive
+    ground truth (a doc is relevant iff it contains EVERY query term) —
+    per-query hits@k, n_rel, first relevant rank, quantized MRR
+    (operators/retrieval.py:retrieval_metrics)."""
+    from ..operators.retrieval import retrieval_metrics
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    results = text_ops.bm25_topk(d, q, k=METRICS_K)
+    qt = q.select(
+        "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
+    ).distinct()
+    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nt"))
+    qrels = (
+        d.select("doc_id", F.explode_outer(text_ops.tokens("text")).alias("term"))
+        .distinct()
+        .join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_matched"))
+        .join(n_terms, "query_id")
+        .filter(F.col("_matched") == F.col("_nt"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(results, qrels, k=METRICS_K)
+
+
+SQL_RETRIEVAL_METRICS = f"""
+WITH {_sql_bm25_ctes(METRICS_K)},
+nt AS (SELECT query_id, count(*) AS _nt FROM qt GROUP BY 1),
+dterm AS (
+  SELECT DISTINCT doc_id, term FROM base
+),
+qrels AS (
+  SELECT d.query_id, d.doc_id FROM (
+    SELECT qt.query_id, dterm.doc_id, count(*) AS _matched
+    FROM dterm JOIN qt USING (term)
+    GROUP BY 1, 2
+  ) d JOIN nt ON nt.query_id = d.query_id
+  WHERE d._matched = nt._nt
+),
+hits AS (
+  SELECT lexr.query_id, count(*) AS n_hits_at_k, min(lexr.rank) AS _first
+  FROM lexr JOIN qrels
+    ON qrels.query_id = lexr.query_id AND qrels.doc_id = lexr.doc_id
+  GROUP BY 1
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+qs AS (SELECT DISTINCT query_id FROM lexr)
+SELECT qs.query_id,
+       CAST(COALESCE(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+       CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(COALESCE(_first, 0) AS BIGINT) AS first_rel_rank,
+       CASE WHEN COALESCE(_first, 0) > 0
+            THEN CAST(FLOOR(1000000000.0 / CAST(_first AS DOUBLE)) AS BIGINT)
+            ELSE 0 END AS mrr_x1e9
+FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
+        LEFT JOIN nrel ON nrel.query_id = qs.query_id
+"""
+
+
 # ----------------------------------------------- MMR diversified rerank
 MMR_CAND_K = 10
 MMR_K = 4
@@ -1711,6 +1776,7 @@ QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_prf": q_bm25_prf,
     "q_mmr_rerank": q_mmr_rerank,
+    "q_retrieval_metrics": q_retrieval_metrics,
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_snippet_extract": q_snippet_extract,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -1756,6 +1822,7 @@ ORACLES = {
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_bm25_prf": SQL_BM25_PRF,
     "q_mmr_rerank": SQL_MMR_RERANK,
+    "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_snippet_extract": SQL_SNIPPET_EXTRACT,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,

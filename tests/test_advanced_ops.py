@@ -278,3 +278,44 @@ def test_incremental_merge_equals_full(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_hll_accuracy_merge_and_partition_invariance(spark):
+    """Deterministic HLL: (a) raw-estimator accuracy within the
+    expected ~1.04/sqrt(256) band at 10k distinct, (b) register states
+    from disjoint slices MAX-merge to exactly the whole-corpus state,
+    (c) the estimate is partitioning-invariant (integer register sum)."""
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.functions.sketches import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("v")
+    )
+    est = hll_distinct(df, ["grp"], "v").collect()[0]
+    # 3 sigma of HLL's 1.04/sqrt(m) relative error at m=256 is ~19.5%
+    assert abs(est["distinct_est"] - 10_000) / 10_000 < 0.2
+    assert est["n_buckets"] == 256  # 10k >> m: every register hit
+
+    # merge: slice registers fold by MAX into the whole-corpus registers
+    lo = hll_registers(df.filter(F.col("id") < 5000), ["grp"], "v")
+    hi = hll_registers(df.filter(F.col("id") >= 5000), ["grp"], "v")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("grp", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = hll_registers(df, ["grp"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    # partition invariance: same estimate at 1 and 32 partitions
+    e1 = hll_distinct(df.coalesce(1), ["grp"], "v").collect()[0]["distinct_est"]
+    e32 = hll_distinct(df.repartition(32), ["grp"], "v").collect()[0][
+        "distinct_est"
+    ]
+    assert e1 == est["distinct_est"] == e32

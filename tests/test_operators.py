@@ -2063,3 +2063,33 @@ def test_mmr_rerank_matches_python_greedy(spark):
     )
     out2 = mmr_rerank(small, k=5).collect()
     assert {(r["doc_id"], r["sel_order"]) for r in out2} == {(1, 1), (2, 2)}
+
+
+def test_retrieval_metrics_semantics(spark):
+    """IR metric semantics: hits bounded to top-k, first relevant rank
+    drives quantized MRR, zero-qrels queries report zeros, and
+    relevant docs outside the top-k count toward n_rel only."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        # q1: relevant at ranks 2 and 4; q2: nothing relevant retrieved;
+        # q3: relevant at rank 1
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id int, doc_id bigint, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # doc 99 is relevant for q1 but never retrieved -> n_rel only;
+        # q2 has NO qrels at all
+        [(1, 11), (1, 13), (1, 99), (3, 30)],
+        "query_id int, doc_id bigint",
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(results, qrels, k=3).collect()}
+    # k=3: q1's rank-4 hit is excluded
+    assert (out[1]["n_hits_at_k"], out[1]["n_rel"], out[1]["first_rel_rank"]) == (1, 3, 2)
+    assert out[1]["mrr_x1e9"] == 500_000_000
+    assert (out[2]["n_hits_at_k"], out[2]["n_rel"], out[2]["mrr_x1e9"]) == (0, 0, 0)
+    assert (out[3]["first_rel_rank"], out[3]["mrr_x1e9"]) == (1, 1_000_000_000)
