@@ -78,3 +78,173 @@ SELECT {id_col}, i::INT AS dim,
        scale
 FROM s, unnest(generate_series(0, len(v) - 1)) AS u(i)
 """
+
+
+# ------------------------------------------------ product quantization
+def _subvectors(df: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str):
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, sub_id, subvec). One narrow projection — no shuffle."""
+    slices = F.array(
+        *[
+            F.slice(
+                F.transform(F.col(vec_col), lambda v: v.cast("double")),
+                s * d_sub + 1,
+                d_sub,
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("sub_id", "subvec")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks (Jegou, Douze & Schmid,
+    TPAMI 2011 — the IVF-PQ layout behind FAISS): split the space into
+    ``m`` contiguous subspaces and run Lloyd's k-means (k=``ksub``,
+    fixed ``iters``, deterministic lowest-id init) independently in
+    each. Returns (sub_id, code_id, code_vec).
+
+    Scale shape: each subspace fit is operators/kmeans.py:kmeans_fit —
+    broadcast-assign + (cid, dim)-keyed recenter shuffles, k-row
+    collects per iteration; the m fits run over sliced projections of
+    the same scan. Production trains on a sample; the codebook is
+    m x ksub rows — always broadcast-sized.
+    """
+    from .kmeans import kmeans_fit
+
+    probe = df.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        raise ValueError("pq_train: empty input")
+    dim = probe["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    books = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda v: v.cast("double")),
+                s * d_sub + 1,
+                d_sub,
+            ).alias(vec_col),
+        )
+        fitted = kmeans_fit(sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+        book = fitted.select(
+            F.lit(s).alias("sub_id"),
+            F.col("centroid_id").alias("code_id"),
+            F.col("centroid_vec").alias("code_vec"),
+        )
+        books = book if books is None else books.unionByName(book)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode vectors against trained codebooks: (id, sub_id,
+    code_id) — m small integers replace the float vector (the 4-32x
+    compression that lets a 100 TB corpus's candidate scan fit in
+    memory). Nearest code by squared L2, ties to the lowest code_id —
+    the same deterministic argmin discipline as ivf_assign.
+
+    Scale shape: codebooks are m x ksub rows (broadcast); one narrow
+    pass over the exploded subvectors; the argmin is a per-(id, sub)
+    row_number window over ksub candidates."""
+    from pyspark.sql import Window
+
+    from .similarity import _pair_d2
+
+    probe = codebooks.select(
+        (F.max("sub_id") + 1).alias("m"), F.size(F.first("code_vec")).alias("d_sub")
+    ).first()
+    m, d_sub = probe["m"], probe["d_sub"]
+    subs = _subvectors(df, m, d_sub, id_col, vec_col)
+    scored = subs.join(F.broadcast(codebooks), "sub_id").select(
+        F.col(id_col),
+        "sub_id",
+        "code_id",
+        _pair_d2(F.col("subvec"), F.col("code_vec")).alias("_d2"),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.asc("_d2"), F.asc("code_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub_id", "code_id")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision, each subspace contributes the exact squared L2
+    between the query's subvector and the doc's assigned code vector,
+    looked up from an m x ksub distance table.
+
+    Engine-exactness: the per-subspace distances are the shared
+    sequential zip_with/aggregate fold; the per-doc total folds the m
+    subspace distances IN sub_id ORDER (sort_array over collected
+    structs, then a sequential aggregate) — the same fixed-order
+    double addition the DuckDB oracle's list_reduce(list(... ORDER BY
+    sub_id)) performs, so ADC values are bit-identical.
+
+    Scale shape: the distance table is m x ksub rows computed from the
+    broadcast codebook; the scan touches ONLY the integer codes frame
+    (the point of PQ); top-k is a TakeOrderedAndProject, never a
+    global sort."""
+    from .similarity import _pair_d2
+
+    probe = codebooks.select(
+        F.size(F.first("code_vec")).alias("d_sub")
+    ).first()
+    d_sub = probe["d_sub"]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dtable = codebooks.select(
+        "sub_id",
+        "code_id",
+        _pair_d2(
+            F.slice(qlit, F.col("sub_id") * d_sub + 1, F.lit(d_sub)),
+            F.col("code_vec"),
+        ).alias("_d2"),
+    )
+    per_doc = (
+        codes.join(F.broadcast(dtable), ["sub_id", "code_id"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "_d2"))),
+                    lambda s: s["_d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_d2")
+        )
+    )
+    topk = per_doc.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "adc_d2", "rank"
+    )

@@ -1183,6 +1183,131 @@ FROM c3 c LEFT JOIN sizes s USING (cid)
 """
 
 
+# --------------------------------------------------- product quantization
+PQ_M = 4
+PQ_KSUB = 16
+PQ_ITERS = 2
+PQ_K = 10
+_PQ_DSUB = 64 // PQ_M  # contract embeddings are 64-dim
+
+
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ's quantization half (Jegou et al. TPAMI'11): train m=4
+    16-code product codebooks (2 Lloyd rounds each, deterministic
+    init), PQ-encode the corpus, and run an asymmetric-distance top-10
+    for vec 0's query — the compressed-candidate-scan path of a
+    production vector store (operators/quantize.py:pq_*). The oracle
+    unrolls all four subspace k-means fits + encode + ADC in DuckDB;
+    ADC doubles are bit-identical (fixed-order folds)."""
+    from ..operators.quantize import pq_adc_topk, pq_encode, pq_train
+
+    emb = _emb(spark, sf)
+    books = pq_train(emb, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    books = books.localCheckpoint(eager=True)  # consumed by encode + dtable
+    codes = pq_encode(emb, books)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return pq_adc_topk(codes, books, qvec, k=PQ_K)
+
+
+def _sql_pq_iter(s: int, i: int) -> str:
+    """One Lloyd round in subspace ``s`` — the q_kmeans_centroids
+    oracle pattern with per-subspace frame names."""
+    return f"""
+a{s}_{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM es{s} e CROSS JOIN c{s}_{i - 1} c
+  ) WHERE rn = 1
+),
+m{s}_{i} AS (
+  SELECT a.cid, u.i AS dim,
+         CAST(CAST(SUM(CAST(e.v[u.i + 1] AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM a{s}_{i} a JOIN es{s} e USING (vec_id),
+       unnest(generate_series(0, len(e.v) - 1)) AS u(i)
+  GROUP BY a.cid, u.i
+),
+c{s}_{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m{s}_{i} GROUP BY cid)"""
+
+
+def _sql_pq() -> str:
+    d = _PQ_DSUB
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(f""",
+es{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+c{s}_0 AS (SELECT vec_id AS cid, v AS cv FROM es{s} ORDER BY vec_id ASC LIMIT {PQ_KSUB})""")
+        for i in range(1, PQ_ITERS + 1):
+            parts.append("," + _sql_pq_iter(s, i))
+    final = PQ_ITERS
+    books_union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS sub_id, cid AS code_id, cv AS code_vec FROM c{s}_{final}"
+        for s in range(PQ_M)
+    )
+    enc_union = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, {s} AS sub_id, cid AS code_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM es{s} e CROSS JOIN c{s}_{final} c
+  ) WHERE rn = 1"""
+        for s in range(PQ_M)
+    )
+    parts.append(f""",
+books AS (
+{books_union}
+),
+enc AS (
+{enc_union}
+),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+dt AS (
+  SELECT b.sub_id, b.code_id,
+         list_reduce(
+           list_transform(
+             list_zip(qv.v[(b.sub_id * {d} + 1):(b.sub_id * {d} + {d})],
+                      b.code_vec),
+             p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (acc, x) -> acc + x) AS d2
+  FROM books b CROSS JOIN qv
+),
+adc AS (
+  SELECT enc.vec_id,
+         list_reduce(list(dt.d2 ORDER BY dt.sub_id), (a, b) -> a + b) AS adc_d2
+  FROM enc JOIN dt USING (sub_id, code_id)
+  GROUP BY enc.vec_id
+)
+SELECT vec_id, adc_d2, rank FROM (
+  SELECT vec_id, adc_d2,
+         row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_K}""")
+    return "".join(parts)
+
+
+SQL_PQ_ADC_TOPK = _sql_pq()
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -1808,6 +1933,7 @@ QUERIES = {
     "q_pii_scan": q_pii_scan,
     # iterative; no oracle_sql -> driver rows-only check
     "q_kmeans_centroids": q_kmeans_centroids,
+    "q_pq_adc_topk": q_pq_adc_topk,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -1855,4 +1981,5 @@ ORACLES = {
     "q_pii_scan": SQL_PII_SCAN,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_kmeans_centroids": SQL_KMEANS_CENTROIDS,
+    "q_pq_adc_topk": SQL_PQ_ADC_TOPK,
 }

@@ -2093,3 +2093,61 @@ def test_retrieval_metrics_semantics(spark):
     assert out[1]["mrr_x1e9"] == 500_000_000
     assert (out[2]["n_hits_at_k"], out[2]["n_rel"], out[2]["mrr_x1e9"]) == (0, 0, 0)
     assert (out[3]["first_rel_rank"], out[3]["mrr_x1e9"]) == (1, 1_000_000_000)
+
+
+def test_pq_encode_and_adc_semantics(spark):
+    """PQ semantics: codebooks are m x ksub, every vector gets exactly
+    m codes, ADC == the sum of per-subspace squared L2 to the ASSIGNED
+    code vectors (hand-recomputed), and a corpus vector's own query
+    ranks it first when quantization error is smallest."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = pq_train(df, m=2, ksub=4, iters=2)
+    bk = books.collect()
+    assert {(r["sub_id"]) for r in bk} == {0, 1}
+    assert all(len(r["code_vec"]) == 4 for r in bk)
+    per_sub = {}
+    for r in bk:
+        per_sub.setdefault(r["sub_id"], {})[r["code_id"]] = r["code_vec"]
+    assert all(len(v) <= 4 for v in per_sub.values())
+
+    codes = pq_encode(df, books)
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r["vec_id"], {})[r["sub_id"]] = r["code_id"]
+    assert all(len(v) == 2 for v in by_vec.values())  # m codes per vector
+
+    # hand-recompute ADC for the top hit of vec 3's query
+    qvec = rows[3][1]
+    out = pq_adc_topk(codes, books, qvec, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    top = out[0]
+    expect = 0.0
+    for s in (0, 1):
+        cv = per_sub[s][by_vec[top["vec_id"]][s]]
+        expect += d2(qvec[s * 4:(s + 1) * 4], cv)
+    assert abs(top["adc_d2"] - expect) < 1e-12
+
+    # dim not divisible by m is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_train(df, m=3)

@@ -51,6 +51,10 @@ CARTESIAN_OK = {
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
+    "q_pq_adc_topk": (
+        "broadcast of m x ksub codebook rows (subspace k-means fits, "
+        "encode, and the ADC distance table are all codebook-sized)"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
@@ -97,6 +101,8 @@ BROADCAST_OK = {
     "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/quantize.py::pq_encode": "m x ksub codebook rows",
+    "operators/quantize.py::pq_adc_topk": "m x ksub distance-table rows",
     "operators/retrieval.py::best_snippet_window": (
         "workload-bounded candidate set (a fused/retrieved top-k) and "
         "query-vocabulary terms"
