@@ -390,13 +390,26 @@ def retrieval_metrics(
       reciprocal rank quantized to an order-independent bigint (same
       policy as rrf_fuse; precision@k and recall are exact rationals
       n_hits_at_k / k and n_hits_at_k / n_rel, left as integer
-      numerator/denominator columns so no float ever divides).
+      numerator/denominator columns so no float ever divides),
+    - ``dcg_x1e9`` / ``idcg_x1e9``: binary-relevance DCG and ideal DCG
+      as integer sums of a PYTHON-precomputed discount table
+      floor(1e9 / log2(rank + 1)) for ranks 1..k — the one libm call
+      happens once at plan-build time and both engines consume the
+      same literals, so the graded metric stays engine-exact
+      (nDCG = dcg/idcg is the consumer's division; idcg sums the
+      first min(n_rel, k) discounts, 0 when the query has no qrels).
 
     Scale shape: both inputs are workload-bounded (per-query top-k and
     label sets); everything here is equi-joins + per-query hash-aggs
     on q x k rows. Corpus-proportional cost lives in the retrieval leg
     that produced ``results``.
     """
+    disc = ndcg_discounts(k)
+    idcg_prefix = [0] * (k + 1)
+    for i in range(1, k + 1):
+        idcg_prefix[i] = idcg_prefix[i - 1] + disc[i - 1]
+    disc_arr = F.array(*[F.lit(d).cast("bigint") for d in disc])
+    idcg_arr = F.array(*[F.lit(d).cast("bigint") for d in idcg_prefix[1:]])
     res = results.select(
         F.col(query_id), F.col(id_col), F.col(rank_col)
     ).filter(F.col(rank_col) <= k)
@@ -404,6 +417,7 @@ def retrieval_metrics(
     per_hit = hits.groupBy(query_id).agg(
         F.count(F.lit(1)).alias("n_hits_at_k"),
         F.min(rank_col).alias("_first"),
+        F.sum(F.element_at(disc_arr, F.col(rank_col))).alias("_dcg"),
     )
     n_rel = (
         qrels.select(query_id, id_col)
@@ -427,5 +441,22 @@ def retrieval_metrics(
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("mrr_x1e9"),
+            F.coalesce("_dcg", F.lit(0)).cast("bigint").alias("dcg_x1e9"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.element_at(idcg_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("idcg_x1e9"),
         )
     )
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    """floor(1e9 / log2(rank + 1)) for ranks 1..k, computed ONCE in
+    Python — the literal table both the Spark plan and the SQL oracle
+    embed (see retrieval_metrics)."""
+    import math
+
+    return [int(1_000_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]

@@ -1632,6 +1632,11 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=METRICS_K)
 
 
+from ..operators.retrieval import ndcg_discounts as _ndcg_discounts
+
+_MDISC = _ndcg_discounts(METRICS_K)
+_MIDCG = [sum(_MDISC[:i + 1]) for i in range(METRICS_K)]
+
 SQL_RETRIEVAL_METRICS = f"""
 WITH {_sql_bm25_ctes(METRICS_K)},
 nt AS (SELECT query_id, count(*) AS _nt FROM qt GROUP BY 1),
@@ -1647,7 +1652,8 @@ qrels AS (
   WHERE d._matched = nt._nt
 ),
 hits AS (
-  SELECT lexr.query_id, count(*) AS n_hits_at_k, min(lexr.rank) AS _first
+  SELECT lexr.query_id, count(*) AS n_hits_at_k, min(lexr.rank) AS _first,
+         SUM(({_MDISC!r}::BIGINT[])[lexr.rank]) AS _dcg
   FROM lexr JOIN qrels
     ON qrels.query_id = lexr.query_id AND qrels.doc_id = lexr.doc_id
   GROUP BY 1
@@ -1660,7 +1666,11 @@ SELECT qs.query_id,
        CAST(COALESCE(_first, 0) AS BIGINT) AS first_rel_rank,
        CASE WHEN COALESCE(_first, 0) > 0
             THEN CAST(FLOOR(1000000000.0 / CAST(_first AS DOUBLE)) AS BIGINT)
-            ELSE 0 END AS mrr_x1e9
+            ELSE 0 END AS mrr_x1e9,
+       CAST(COALESCE(_dcg, 0) AS BIGINT) AS dcg_x1e9,
+       CASE WHEN COALESCE(n_rel, 0) > 0
+            THEN ({_MIDCG!r}::BIGINT[])[LEAST(n_rel, {METRICS_K})]
+            ELSE 0 END AS idcg_x1e9
 FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
         LEFT JOIN nrel ON nrel.query_id = qs.query_id
 """

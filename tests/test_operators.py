@@ -2093,6 +2093,16 @@ def test_retrieval_metrics_semantics(spark):
     assert out[1]["mrr_x1e9"] == 500_000_000
     assert (out[2]["n_hits_at_k"], out[2]["n_rel"], out[2]["mrr_x1e9"]) == (0, 0, 0)
     assert (out[3]["first_rel_rank"], out[3]["mrr_x1e9"]) == (1, 1_000_000_000)
+    # nDCG components against the literal discount table
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        ndcg_discounts,
+    )
+
+    d = ndcg_discounts(3)
+    assert out[1]["dcg_x1e9"] == d[1]  # one hit at rank 2
+    assert out[1]["idcg_x1e9"] == d[0] + d[1] + d[2]  # n_rel=3 >= k
+    assert (out[2]["dcg_x1e9"], out[2]["idcg_x1e9"]) == (0, 0)
+    assert out[3]["dcg_x1e9"] == out[3]["idcg_x1e9"] == d[0]  # perfect
 
 
 def test_pq_encode_and_adc_semantics(spark):
