@@ -113,14 +113,20 @@ def pq_train(
     fixed ``iters``, deterministic lowest-id init) independently in
     each. Returns (sub_id, code_id, code_vec).
 
-    Scale shape: each subspace fit is operators/kmeans.py:kmeans_fit —
-    broadcast-assign + (cid, dim)-keyed recenter shuffles, k-row
-    collects per iteration; the m fits run over sliced projections of
-    the same scan. Production trains on a sample; the codebook is
-    m x ksub rows — always broadcast-sized.
+    All m fits run as ONE grouped Lloyd iteration, not m sequential
+    jobs: the corpus is exploded to subvectors ONCE (localCheckpoint-
+    pinned — every round reads it), assignment is a single broadcast
+    of the m x ksub codebook joined on sub_id, and recentering is one
+    (sub_id, code, dim)-keyed hash-agg with the kmeans.py decimal-mean
+    discipline — so the number of corpus passes is ``iters``, not
+    ``m * iters``. Per round the codebook collects (m x ksub rows,
+    broadcast-sized by definition) exactly like kmeans_fit's k-row
+    collect. Arithmetic is per-subspace identical to running
+    kmeans_fit on each slice, which is what the unrolled DuckDB oracle
+    (queries/llm_ops.py:_sql_pq) pins. Production trains on a sample;
+    init is each subspace's slice of the ksub lowest-id vectors.
     """
-    from .kmeans import kmeans_fit
-
+    spark = df.sparkSession
     probe = df.select(F.size(vec_col).alias("d")).first()
     if probe is None:
         raise ValueError("pq_train: empty input")
@@ -129,23 +135,65 @@ def pq_train(
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     d_sub = dim // m
 
-    books = None
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(
-                F.transform(F.col(vec_col), lambda v: v.cast("double")),
-                s * d_sub + 1,
-                d_sub,
-            ).alias(vec_col),
+    subs = _subvectors(df, m, d_sub, id_col, vec_col).localCheckpoint(eager=True)
+    books = (
+        df.orderBy(F.asc(id_col))
+        .limit(ksub)
+        .select(F.col(id_col))
+        .join(subs.withColumnRenamed(id_col, "__sid"), F.col(id_col) == F.col("__sid"))
+        .select(
+            F.col("sub_id"),
+            F.col(id_col).alias("code_id"),
+            F.col("subvec").alias("code_vec"),
         )
-        fitted = kmeans_fit(sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
-        book = fitted.select(
-            F.lit(s).alias("sub_id"),
-            F.col("centroid_id").alias("code_id"),
-            F.col("centroid_vec").alias("code_vec"),
+    )
+
+    from pyspark.sql import Window
+
+    from .similarity import _pair_d2
+
+    w = Window.partitionBy(id_col, "sub_id").orderBy(F.asc("_d2"), F.asc("code_id"))
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(books), "sub_id")
+            .select(
+                F.col(id_col),
+                "sub_id",
+                "code_id",
+                "subvec",
+                _pair_d2(F.col("subvec"), F.col("code_vec")).alias("_d2"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
         )
-        books = book if books is None else books.unionByName(book)
+        per_dim = (
+            assigned.select(
+                "sub_id", "code_id", F.posexplode("subvec").alias("dim", "x")
+            )
+            .groupBy("sub_id", "code_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,8)"))
+                    .cast("string")
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        books = per_dim.groupBy("sub_id", "code_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("code_vec")
+        )
+        rows = books.collect()  # m x ksub rows — broadcast-sized
+        books = spark.createDataFrame(
+            [
+                (r["sub_id"], r["code_id"], [float(x) for x in r["code_vec"]])
+                for r in rows
+            ],
+            "sub_id int, code_id bigint, code_vec array<double>",
+        )
     return books
 
 

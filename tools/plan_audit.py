@@ -101,6 +101,7 @@ BROADCAST_OK = {
     "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",
     "operators/pagerank.py::pagerank_fixed_point": "1-row node count",
     "operators/similarity.py::ivf_assign": "k centroid rows",
+    "operators/quantize.py::pq_train": "m x ksub codebook rows per Lloyd round",
     "operators/quantize.py::pq_encode": "m x ksub codebook rows",
     "operators/quantize.py::pq_adc_topk": "m x ksub distance-table rows",
     "operators/retrieval.py::best_snippet_window": (
