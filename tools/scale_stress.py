@@ -113,6 +113,14 @@ DEEP = [
     # feedback/expansion frames are workload-bounded (q x fb_k / q x
     # n_exp rows) — the corpus-proportional part is the index hash-aggs
     "q_bm25_prf",
+    # r6 second wave: MMR (zero-shuffle candidate loop), IR metrics
+    # (qrels build is the corpus stage), PQ (codebook broadcast, ADC
+    # over integer codes), HLL (register hash-agg; exact-distinct twin
+    # rides the agg ceiling — two-scale probe adjudicated)
+    "q_mmr_rerank",
+    "q_retrieval_metrics",
+    "q_pq_adc_topk",
+    "q_hll_distinct",
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
     # -> budget -> shards
     "q_corpus_pipeline_v4",
