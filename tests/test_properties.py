@@ -376,3 +376,80 @@ def test_bm25_matches_python_reference(doc_words, query_words):
         (1, d): (s, i + 1) for i, (d, s) in enumerate(ranked)
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus, _query)
+def test_bm25_prf_matches_python_reference(doc_words, query_words):
+    """bm25_prf_topk == an independent pure-Python RM3-lite (same IEEE
+    op order, same integer quantization and tie-breaks) on arbitrary
+    tiny corpora — feedback selection, expansion-term ranking with
+    string tie-break, weighted rescore, all replicated independently."""
+    import math
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        bm25_prf_topk,
+    )
+
+    FB_K, N_EXP, W_ORIG, W_EXP = 2, 2, 2, 1
+    spark = _get_spark()
+    texts = [" ".join(ws) for ws in doc_words]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    qs = spark.createDataFrame(
+        [(1, " ".join(query_words))], "query_id int, query_text string"
+    )
+    got = {
+        r["doc_id"]: (r["score_x1e6"], r["rank"])
+        for r in bm25_prf_topk(
+            docs, qs, k=100, fb_k=FB_K, n_exp=N_EXP, w_orig=W_ORIG, w_exp=W_EXP
+        ).collect()
+    }
+
+    # ---- independent reference ----
+    toks = [t.strip().split() if t.strip() else [""] for t in texts]
+    n = len(toks)
+    sum_dl = sum(len(ts) for ts in toks)
+    avgdl = float(sum_dl) / float(n)
+    dfreq: dict[str, int] = {}
+    for ts in toks:
+        for term in set(ts):
+            dfreq[term] = dfreq.get(term, 0) + 1
+
+    def contrib(term, ts):
+        tf = ts.count(term)
+        if tf == 0 or term not in dfreq:
+            return 0
+        idf = (float(n) - float(dfreq[term]) + 0.5) / (float(dfreq[term]) + 0.5)
+        sat = (float(tf) * 2.2) / (
+            float(tf) + 1.2 * ((1.0 - 0.75) + 0.75 * (float(len(ts)) / avgdl))
+        )
+        return math.floor(idf * sat * 1000000.0)
+
+    qterms = set(query_words)
+    pass1 = {}
+    for d, ts in enumerate(toks):
+        if any(t in ts for t in qterms):
+            pass1[d] = sum(contrib(t, ts) for t in qterms)
+    fb = [d for d, _ in sorted(pass1.items(), key=lambda kv: (-kv[1], kv[0]))][:FB_K]
+
+    cand: dict[str, int] = {}
+    for d in fb:
+        for term in set(toks[d]):
+            if term in qterms:
+                continue
+            cand[term] = cand.get(term, 0) + toks[d].count(term)
+    expansion = [
+        t for t, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:N_EXP]
+
+    weighted = {t: W_ORIG for t in qterms}
+    weighted.update({t: W_EXP for t in expansion})
+    pass2 = {}
+    for d, ts in enumerate(toks):
+        if any(t in ts for t in weighted):
+            pass2[d] = sum(contrib(t, ts) * w for t, w in weighted.items())
+    ranked = sorted(pass2.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {d: (s, i + 1) for i, (d, s) in enumerate(ranked)}
+    assert got == expected
