@@ -296,3 +296,135 @@ def pq_adc_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "adc_d2", "rank"
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+def ivf_pq_build(
+    df: DataFrame,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the full IVF-PQ index (FAISS's production layout): a
+    coarse k-means quantizer partitions the corpus into inverted
+    lists, and a product quantizer trained on the RESIDUALS
+    (v - coarse_centroid) compresses each vector to m small codes.
+    Returns (coarse, books, codes):
+
+    - ``coarse``: (centroid_id, centroid_vec) — coarse_k rows,
+    - ``books``: (sub_id, code_id, code_vec) — m x ksub rows, shared
+      across lists (the standard single-codebook IVF-PQ),
+    - ``codes``: (id, centroid_id, sub_id, code_id) — the index
+      payload; at scale this is what's written to the lake,
+      partitioned by centroid_id exactly like the uncompressed layout
+      in similarity.py:ivf_write_partitioned, so probes prune
+      directories AND scan 8-byte codes instead of full vectors.
+
+    Every stage reuses an existing verified operator: kmeans_fit for
+    the coarse quantizer, ivf_assign for list assignment, the grouped
+    pq_train/pq_encode for the residual codebooks. Residuals are an
+    element-wise zip_with subtraction — one narrow projection.
+    """
+    from .kmeans import kmeans_fit
+    from .similarity import ivf_assign
+
+    coarse = kmeans_fit(
+        df, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
+    ).select("centroid_id", "centroid_vec")
+    coarse = coarse.localCheckpoint(eager=True)  # assign + residual + search
+    assigned = ivf_assign(df, coarse, id_col=id_col, vec_col=vec_col)
+    resid = (
+        df.join(assigned, id_col)
+        .join(F.broadcast(coarse), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda v: v.cast("double")),
+                F.col("centroid_vec"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+        )
+    ).localCheckpoint(eager=True)  # pq_train + pq_encode both read it
+    books = pq_train(resid, m=m, ksub=ksub, iters=pq_iters, id_col=id_col, vec_col=vec_col)
+    books = books.localCheckpoint(eager=True)
+    codes = pq_encode(resid, books, id_col=id_col, vec_col=vec_col).join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+    return coarse, books, codes
+
+
+def ivf_pq_search(
+    coarse,
+    books,
+    codes,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: take the ``nprobe`` coarse lists nearest the
+    query, build a PER-LIST ADC table from the query's residual
+    against that list's centroid (nprobe x m x ksub rows — the
+    residual differs per probed list), and rank the probed lists'
+    codes by the fixed-order ADC fold.
+
+    Scale shape: the probe list is an nprobe-row TakeOrdered over
+    coarse_k centroids; the dtable join on (centroid_id, sub_id,
+    code_id) prunes the code scan to the probed lists (hash-join
+    locally; directory pruning when codes are written partitioned by
+    centroid_id); nothing corpus-sized is broadcast or collected.
+    Deterministic: same argmin/fold discipline as pq_adc_topk.
+    """
+    from .similarity import _pair_d2
+
+    probe = books.select(
+        (F.max("sub_id") + 1).alias("m"), F.size(F.first("code_vec")).alias("d_sub")
+    ).first()
+    d_sub = probe["d_sub"]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    probed = (
+        coarse.select(
+            "centroid_id",
+            "centroid_vec",
+            _pair_d2(qlit, F.col("centroid_vec")).alias("_cd2"),
+        )
+        .orderBy(F.asc("_cd2"), F.asc("centroid_id"))
+        .limit(nprobe)
+    )
+    qresid = F.zip_with(qlit, F.col("centroid_vec"), lambda x, y: x - y)
+    dtable = probed.crossJoin(F.broadcast(books)).select(
+        "centroid_id",
+        "sub_id",
+        "code_id",
+        _pair_d2(
+            F.slice(qresid, F.col("sub_id") * d_sub + 1, F.lit(d_sub)),
+            F.col("code_vec"),
+        ).alias("_d2"),
+    )
+    per_doc = (
+        codes.join(F.broadcast(dtable), ["centroid_id", "sub_id", "code_id"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "_d2"))),
+                    lambda s: s["_d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_d2")
+        )
+    )
+    topk = per_doc.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "adc_d2", "rank"
+    )

@@ -1238,28 +1238,30 @@ m{s}_{i} AS (
 c{s}_{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m{s}_{i} GROUP BY cid)"""
 
 
-def _sql_pq() -> str:
+def _sql_pq_fits(src: str) -> str:
+    """The m subspace slice/init/iterate CTEs over source frame
+    ``src`` (full vectors for plain PQ, residuals for IVF-PQ)."""
     d = _PQ_DSUB
-    parts = [
-        """
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-)"""
-    ]
+    parts = []
     for s in range(PQ_M):
         lo, hi = s * d + 1, (s + 1) * d
         parts.append(f""",
-es{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+es{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {src}),
 c{s}_0 AS (SELECT vec_id AS cid, v AS cv FROM es{s} ORDER BY vec_id ASC LIMIT {PQ_KSUB})""")
         for i in range(1, PQ_ITERS + 1):
             parts.append("," + _sql_pq_iter(s, i))
-    final = PQ_ITERS
-    books_union = "\n  UNION ALL\n".join(
-        f"  SELECT {s} AS sub_id, cid AS code_id, cv AS code_vec FROM c{s}_{final}"
+    return "".join(parts)
+
+
+def _sql_pq_books_union() -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS sub_id, cid AS code_id, cv AS code_vec FROM c{s}_{PQ_ITERS}"
         for s in range(PQ_M)
     )
-    enc_union = "\n  UNION ALL\n".join(
+
+
+def _sql_pq_enc_union() -> str:
+    return "\n  UNION ALL\n".join(
         f"""  SELECT vec_id, {s} AS sub_id, cid AS code_id FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (
@@ -1269,10 +1271,24 @@ c{s}_0 AS (SELECT vec_id AS cid, v AS cv FROM es{s} ORDER BY vec_id ASC LIMIT {P
                               p -> (p[1] - p[2]) * (p[1] - p[2])),
                (acc, x) -> acc + x) ASC, c.cid ASC
            ) AS rn
-    FROM es{s} e CROSS JOIN c{s}_{final} c
+    FROM es{s} e CROSS JOIN c{s}_{PQ_ITERS} c
   ) WHERE rn = 1"""
         for s in range(PQ_M)
     )
+
+
+def _sql_pq() -> str:
+    d = _PQ_DSUB
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    ]
+    parts.append(_sql_pq_fits("e"))
+    books_union = _sql_pq_books_union()
+    enc_union = _sql_pq_enc_union()
     parts.append(f""",
 books AS (
 {books_union}
@@ -1306,6 +1322,117 @@ SELECT vec_id, adc_d2, rank FROM (
 
 
 SQL_PQ_ADC_TOPK = _sql_pq()
+
+
+# ------------------------------------------------------------- IVF-PQ
+IVFPQ_COARSE_K = 8
+IVFPQ_COARSE_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The full FAISS-shape IVF-PQ index + probe: coarse 8-list
+    quantizer (2 Lloyd rounds), product quantizer trained on the
+    RESIDUALS, nprobe=2 probe ranking only the probed lists' codes by
+    per-list ADC (operators/quantize.py:ivf_pq_build/ivf_pq_search).
+    The oracle unrolls the coarse fit, the residual computation, all
+    four residual-subspace fits, the encode, and the per-list ADC in
+    one DuckDB statement — bit-exact."""
+    from ..operators.quantize import ivf_pq_build, ivf_pq_search
+
+    emb = _emb(spark, sf)
+    coarse, books, codes = ivf_pq_build(
+        emb,
+        coarse_k=IVFPQ_COARSE_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        pq_iters=PQ_ITERS,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return ivf_pq_search(
+        coarse, books, codes, qvec, nprobe=IVFPQ_NPROBE, k=PQ_K
+    )
+
+
+def _sql_ivfpq() -> str:
+    d = _PQ_DSUB
+    ci = IVFPQ_COARSE_ITERS
+    coarse_iters = "".join("," + _sql_kmeans_iter(i) for i in range(1, ci + 1))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT {IVFPQ_COARSE_K})
+{coarse_iters},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c{ci} c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, af.cid,
+         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS v
+  FROM e JOIN af USING (vec_id) JOIN c{ci} c ON c.cid = af.cid
+)
+{_sql_pq_fits("resid")},
+books AS (
+{_sql_pq_books_union()}
+),
+enc AS (
+{_sql_pq_enc_union()}
+),
+encc AS (SELECT enc.vec_id, af.cid, enc.sub_id, enc.code_id
+         FROM enc JOIN af USING (vec_id)),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT cid, cv FROM (
+    SELECT c.cid, c.cv,
+           row_number() OVER (
+             ORDER BY list_reduce(
+               list_transform(list_zip(qv.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM c{ci} c CROSS JOIN qv
+  ) WHERE rn <= {IVFPQ_NPROBE}
+),
+dt AS (
+  SELECT p.cid, b.sub_id, b.code_id,
+         list_reduce(
+           list_transform(
+             list_zip(
+               (list_transform(list_zip(qv.v, p.cv), p2 -> p2[1] - p2[2]))
+                 [(b.sub_id * {d} + 1):(b.sub_id * {d} + {d})],
+               b.code_vec),
+             p3 -> (p3[1] - p3[2]) * (p3[1] - p3[2])),
+           (acc, x) -> acc + x) AS d2
+  FROM probed p CROSS JOIN books b CROSS JOIN qv
+),
+adc AS (
+  SELECT encc.vec_id,
+         list_reduce(list(dt.d2 ORDER BY dt.sub_id), (a, b) -> a + b) AS adc_d2
+  FROM encc JOIN dt USING (cid, sub_id, code_id)
+  GROUP BY encc.vec_id
+)
+SELECT vec_id, adc_d2, rank FROM (
+  SELECT vec_id, adc_d2,
+         row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_K}"""
+
+
+SQL_IVF_PQ_SEARCH = _sql_ivfpq()
 
 
 # ------------------------------------------------------ multimodal plumbing
@@ -1944,6 +2071,7 @@ QUERIES = {
     # iterative; no oracle_sql -> driver rows-only check
     "q_kmeans_centroids": q_kmeans_centroids,
     "q_pq_adc_topk": q_pq_adc_topk,
+    "q_ivf_pq_search": q_ivf_pq_search,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -1992,4 +2120,5 @@ ORACLES = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_kmeans_centroids": SQL_KMEANS_CENTROIDS,
     "q_pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "q_ivf_pq_search": SQL_IVF_PQ_SEARCH,
 }

@@ -2161,3 +2161,38 @@ def test_pq_encode_and_adc_semantics(spark):
 
     with _pytest.raises(ValueError):
         pq_train(df, m=3)
+
+
+def test_ivf_pq_probe_prunes_to_probed_lists(spark):
+    """IVF-PQ semantics: with two far-apart clusters and nprobe=1, the
+    probe returns ONLY the query-side cluster's members (non-probed
+    lists never scanned into the result); codes carry m entries per
+    vector; nprobe=coarse_k widens eligibility to the whole corpus."""
+    import random
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    rng = random.Random(11)
+    near = [(i, [rng.uniform(0, 1) for _ in range(8)]) for i in range(12)]
+    far = [(100 + i, [50 + rng.uniform(0, 1) for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(
+        near + far, "vec_id bigint, embedding array<double>"
+    )
+    coarse, books, codes = ivf_pq_build(
+        df, coarse_k=2, coarse_iters=2, m=2, ksub=4, pq_iters=1
+    )
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r["vec_id"], []).append(r["sub_id"])
+    assert all(sorted(v) == [0, 1] for v in by_vec.values())
+
+    q = near[0][1]
+    got1 = {r["vec_id"] for r in ivf_pq_search(coarse, books, codes, q, nprobe=1, k=24).collect()}
+    near_ids = {i for i, _ in near}
+    assert got1 and got1 <= near_ids, "nprobe=1 leaked a non-probed list"
+
+    got2 = {r["vec_id"] for r in ivf_pq_search(coarse, books, codes, q, nprobe=2, k=24).collect()}
+    assert got2 == near_ids | {i for i, _ in far}

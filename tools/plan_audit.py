@@ -55,6 +55,10 @@ CARTESIAN_OK = {
         "broadcast of m x ksub codebook rows (subspace k-means fits, "
         "encode, and the ADC distance table are all codebook-sized)"
     ),
+    "q_ivf_pq_search": (
+        "broadcast of coarse_k centroid rows + m x ksub codebook rows + "
+        "the nprobe x m x ksub per-list ADC table"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
@@ -104,6 +108,8 @@ BROADCAST_OK = {
     "operators/quantize.py::pq_train": "m x ksub codebook rows per Lloyd round",
     "operators/quantize.py::pq_encode": "m x ksub codebook rows",
     "operators/quantize.py::pq_adc_topk": "m x ksub distance-table rows",
+    "operators/quantize.py::ivf_pq_build": "coarse_k centroid rows (residual join)",
+    "operators/quantize.py::ivf_pq_search": "nprobe x m x ksub per-list ADC table",
     "operators/retrieval.py::best_snippet_window": (
         "workload-bounded candidate set (a fused/retrieved top-k) and "
         "query-vocabulary terms"
