@@ -1608,8 +1608,11 @@ def q_bm25_prf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_BM25_PRF = f"""
-WITH {_sql_bm25_ctes(PRF_FB_K)},
+def _sql_bm25_prf_ctes(k2: int) -> str:
+    """The PRF pipeline as a CTE chain ending in ``prfr`` (query_id,
+    doc_id, score_x1e6, rank<=k2) — shared by the standalone oracle and
+    the composed RAG-retrieval oracle."""
+    return f"""{_sql_bm25_ctes(PRF_FB_K)},
 fb AS (SELECT query_id, doc_id FROM lexr),
 cand AS (
   SELECT fb.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
@@ -1644,13 +1647,20 @@ scored2 AS (
   FROM tf JOIN eq USING (term) JOIN dfq2 USING (term) CROSS JOIN stats
 ),
 agg2 AS (SELECT query_id, doc_id, CAST(SUM(_sq) AS BIGINT) AS score_x1e6
-         FROM scored2 GROUP BY 1, 2)
-SELECT query_id, doc_id, score_x1e6, rank FROM (
-  SELECT query_id, doc_id, score_x1e6,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
-  FROM agg2
-) WHERE rank <= {PRF_K}
+         FROM scored2 GROUP BY 1, 2),
+prfr AS (
+  SELECT query_id, doc_id, score_x1e6, rank FROM (
+    SELECT query_id, doc_id, score_x1e6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+    FROM agg2
+  ) WHERE rank <= {k2}
+)"""
+
+
+SQL_BM25_PRF = f"""
+WITH {_sql_bm25_prf_ctes(PRF_K)}
+SELECT query_id, doc_id, score_x1e6, rank FROM prfr
 """
 
 
@@ -1725,6 +1735,126 @@ SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
                             ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
   FROM fused
 ) WHERE rank <= {HYBRID_K}
+"""
+
+
+SNIPPET_WINDOW = 16
+
+
+# ------------------------------------------- composed RAG retrieval v2
+def q_rag_retrieve(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED retrieval pipeline, one oracle end-to-end:
+    PRF-expanded BM25 lexical leg (top-20) + embedding-cosine semantic
+    leg (top-20) -> quantized RRF fusion (top-10) -> densest-window
+    snippet per fused hit (left join: semantic-only hits report NULL
+    span honestly). The retrieval twin of q_corpus_pipeline_v4's
+    composed-funnel discipline."""
+    from ..operators.retrieval import (
+        best_snippet_window,
+        bm25_prf_topk,
+        rrf_fuse,
+    )
+    from ..operators.similarity import cosine_topk_batch
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    lex = bm25_prf_topk(
+        d, q, k=HYBRID_LEG_K, fb_k=PRF_FB_K, n_exp=PRF_N_EXP,
+        w_orig=PRF_W_ORIG, w_exp=PRF_W_EXP,
+    )
+    emb = _emb(spark, sf)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = cosine_topk_batch(emb, qv, k=HYBRID_LEG_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = rrf_fuse([lex, sem], k=HYBRID_K, k_rrf=RRF_K)
+    snips = best_snippet_window(
+        d, q, fused.select("query_id", "doc_id"), window=SNIPPET_WINDOW
+    )
+    return fused.join(snips, ["query_id", "doc_id"], "left").select(
+        "query_id", "doc_id", "rrf_x1e9", "n_legs", "rank",
+        "win_start", "n_hits",
+    )
+
+
+SQL_RAG_RETRIEVE = f"""
+WITH {_sql_bm25_prf_ctes(HYBRID_LEG_K)},
+el AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+qv AS (SELECT CAST(vec_id + 1 AS INTEGER) AS query_id, v AS qvec
+       FROM el WHERE vec_id < 3),
+semscored AS (
+  SELECT qv.query_id, el.vec_id AS doc_id,
+         list_dot_product(v, qvec)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+           AS cosine
+  FROM el, qv
+),
+semr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM semscored
+  ) WHERE rank <= {HYBRID_LEG_K}
+),
+legs AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM prfr
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM semr
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(_c) AS BIGINT) AS rrf_x1e9,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY 1, 2
+),
+fusedr AS (
+  SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
+    SELECT query_id, doc_id, rrf_x1e9, n_legs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+    FROM fused
+  ) WHERE rank <= {HYBRID_K}
+),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+shits AS (
+  SELECT qt.query_id, p.doc_id, p.pos
+  FROM ptok p
+  JOIN qt USING (term)
+  JOIN fusedr c ON c.query_id = qt.query_id AND c.doc_id = p.doc_id
+),
+swins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS win_start, count(*) AS n_hits
+  FROM shits a
+  JOIN shits b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+            AND b.pos >= a.pos AND b.pos <= a.pos + {SNIPPET_WINDOW - 1}
+  GROUP BY 1, 2, 3
+),
+snip AS (
+  SELECT query_id, doc_id, win_start, n_hits FROM (
+    SELECT query_id, doc_id, win_start, n_hits,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY n_hits DESC, win_start ASC) AS r
+    FROM swins
+  ) WHERE r = 1
+)
+SELECT f.query_id, f.doc_id, f.rrf_x1e9, f.n_legs, f.rank,
+       s.win_start, s.n_hits
+FROM fusedr f LEFT JOIN snip s
+  ON s.query_id = f.query_id AND s.doc_id = f.doc_id
 """
 
 
@@ -1918,9 +2048,6 @@ SELECT query_id, doc_id, rel_x1e6, mmr_x1e6, sel_order FROM acc{MMR_K}"""
 SQL_MMR_RERANK = _sql_mmr()
 
 
-SNIPPET_WINDOW = 16
-
-
 def q_snippet_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Passage extraction over the BM25 top-5 candidates: the 16-token
     window with the most query-term hits per (query, doc)
@@ -2040,6 +2167,7 @@ QUERIES = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
     "q_hybrid_retrieval": q_hybrid_retrieval,
+    "q_rag_retrieve": q_rag_retrieve,
     "q_snippet_extract": q_snippet_extract,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_signatures": q_minhash_signatures,
@@ -2088,6 +2216,7 @@ ORACLES = {
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
+    "q_rag_retrieve": SQL_RAG_RETRIEVE,
     "q_snippet_extract": SQL_SNIPPET_EXTRACT,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_minhash_signatures": SQL_MINHASH_SIGNATURES,

@@ -73,6 +73,10 @@ CARTESIAN_OK = {
         "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
         "(semantic leg)"
     ),
+    "q_rag_retrieve": (
+        "broadcast of 1-row corpus stats (PRF leg, both passes) + 3 query "
+        "vectors (semantic leg); fusion/snippet frames are fused-top-k-sized"
+    ),
     "q_snippet_extract": (
         "broadcast of 1-row corpus stats (BM25 candidate leg)"
     ),
