@@ -169,6 +169,7 @@ def main() -> None:
         "q_bm25_topk",
         "q_bm25_prf",
         "q_hybrid_retrieval",
+        "q_rag_retrieve",
     ):
         fn = queries[name]
         best = float("inf")

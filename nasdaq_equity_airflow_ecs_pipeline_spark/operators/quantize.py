@@ -330,14 +330,30 @@ def ivf_pq_build(
     element-wise zip_with subtraction — one narrow projection.
     """
     from .kmeans import kmeans_fit
-    from .similarity import ivf_assign
 
     coarse = kmeans_fit(
         df, k=coarse_k, iters=coarse_iters, id_col=id_col, vec_col=vec_col
     ).select("centroid_id", "centroid_vec")
     coarse = coarse.localCheckpoint(eager=True)  # assign + residual + search
+    resid = _ivf_pq_residuals(df, coarse, id_col, vec_col).localCheckpoint(
+        eager=True
+    )  # pq_train + pq_encode both read it
+    books = pq_train(resid, m=m, ksub=ksub, iters=pq_iters, id_col=id_col, vec_col=vec_col)
+    books = books.localCheckpoint(eager=True)
+    codes = pq_encode(resid, books, id_col=id_col, vec_col=vec_col).join(
+        resid.select(id_col, "centroid_id"), id_col
+    )
+    return coarse, books, codes
+
+
+def _ivf_pq_residuals(df, coarse, id_col: str, vec_col: str):
+    """(id, centroid_id, residual vector): assign to the nearest coarse
+    centroid and subtract it — shared by the index build and the
+    incremental delta encode."""
+    from .similarity import ivf_assign
+
     assigned = ivf_assign(df, coarse, id_col=id_col, vec_col=vec_col)
-    resid = (
+    return (
         df.join(assigned, id_col)
         .join(F.broadcast(coarse), "centroid_id")
         .select(
@@ -349,13 +365,32 @@ def ivf_pq_build(
                 lambda x, y: x - y,
             ).alias(vec_col),
         )
-    ).localCheckpoint(eager=True)  # pq_train + pq_encode both read it
-    books = pq_train(resid, m=m, ksub=ksub, iters=pq_iters, id_col=id_col, vec_col=vec_col)
-    books = books.localCheckpoint(eager=True)
-    codes = pq_encode(resid, books, id_col=id_col, vec_col=vec_col).join(
+    )
+
+
+def ivf_pq_encode_delta(
+    delta: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance: encode NEW vectors against the
+    FROZEN coarse quantizer and residual codebooks — the production
+    daily-index-update path (FAISS add()), mirroring the repo's
+    incremental-LSH / incremental-SemDeDup discipline: standing data
+    is never re-read, the delta's cost is delta-sized (one assign +
+    one encode against broadcast codebooks), and the output unions
+    onto the standing codes frame / appends to its centroid-partitioned
+    layout. Codebooks trained on the standing corpus quantize the
+    delta with the same argmin determinism, so a later full rebuild
+    differs only if the caller retrains."""
+    resid = _ivf_pq_residuals(delta, coarse, id_col, vec_col).localCheckpoint(
+        eager=True
+    )  # encode + centroid join both read it
+    return pq_encode(resid, books, id_col=id_col, vec_col=vec_col).join(
         resid.select(id_col, "centroid_id"), id_col
     )
-    return coarse, books, codes
 
 
 def ivf_pq_search(

@@ -1435,6 +1435,104 @@ SELECT vec_id, adc_d2, rank FROM (
 SQL_IVF_PQ_SEARCH = _sql_ivfpq()
 
 
+# ------------------------------------------ incremental IVF-PQ encode
+def q_ivf_pq_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental index maintenance: the 80% standing corpus trains
+    the coarse quantizer + residual codebooks; the 20% delta is
+    encoded against the FROZEN index
+    (operators/quantize.py:ivf_pq_encode_delta) — standing vectors are
+    never re-encoded. Output: the delta's code rows."""
+    from ..operators.quantize import ivf_pq_build, ivf_pq_encode_delta
+
+    emb = _emb(spark, sf)
+    standing = emb.filter(F.col("vec_id") % 10 < 8)
+    delta = emb.filter(F.col("vec_id") % 10 >= 8)
+    coarse, books, _codes = ivf_pq_build(
+        standing,
+        coarse_k=IVFPQ_COARSE_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        pq_iters=PQ_ITERS,
+    )
+    return ivf_pq_encode_delta(delta, coarse, books)
+
+
+def _sql_ivfpq_delta() -> str:
+    d = _PQ_DSUB
+    ci = IVFPQ_COARSE_ITERS
+    coarse_iters = "".join("," + _sql_kmeans_iter(i) for i in range(1, ci + 1))
+    enc_d_union = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, {s} AS sub_id, cid AS code_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM (SELECT vec_id, v[{s * d + 1}:{(s + 1) * d}] AS v FROM residd) e
+    CROSS JOIN c{s}_{PQ_ITERS} c
+  ) WHERE rn = 1"""
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH eall AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+e AS (SELECT * FROM eall WHERE vec_id % 10 < 8),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id ASC LIMIT {IVFPQ_COARSE_K})
+{coarse_iters},
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN c{ci} c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, af.cid,
+         list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS v
+  FROM e JOIN af USING (vec_id) JOIN c{ci} c ON c.cid = af.cid
+)
+{_sql_pq_fits("resid")},
+ed AS (SELECT * FROM eall WHERE vec_id % 10 >= 8),
+afd AS (
+  SELECT vec_id, cid FROM (
+    SELECT ed.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY ed.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(ed.v, c.cv),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, c.cid ASC
+           ) AS rn
+    FROM ed CROSS JOIN c{ci} c
+  ) WHERE rn = 1
+),
+residd AS (
+  SELECT ed.vec_id, afd.cid,
+         list_transform(list_zip(ed.v, c.cv), p -> p[1] - p[2]) AS v
+  FROM ed JOIN afd USING (vec_id) JOIN c{ci} c ON c.cid = afd.cid
+),
+encd AS (
+{enc_d_union}
+)
+SELECT encd.vec_id, encd.sub_id, encd.code_id, afd.cid AS centroid_id
+FROM encd JOIN afd USING (vec_id)"""
+
+
+SQL_IVF_PQ_DELTA = _sql_ivfpq_delta()
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -2200,6 +2298,7 @@ QUERIES = {
     "q_kmeans_centroids": q_kmeans_centroids,
     "q_pq_adc_topk": q_pq_adc_topk,
     "q_ivf_pq_search": q_ivf_pq_search,
+    "q_ivf_pq_delta": q_ivf_pq_delta,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2250,4 +2349,5 @@ ORACLES = {
     "q_kmeans_centroids": SQL_KMEANS_CENTROIDS,
     "q_pq_adc_topk": SQL_PQ_ADC_TOPK,
     "q_ivf_pq_search": SQL_IVF_PQ_SEARCH,
+    "q_ivf_pq_delta": SQL_IVF_PQ_DELTA,
 }

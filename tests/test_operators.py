@@ -2196,3 +2196,37 @@ def test_ivf_pq_probe_prunes_to_probed_lists(spark):
 
     got2 = {r["vec_id"] for r in ivf_pq_search(coarse, books, codes, q, nprobe=2, k=24).collect()}
     assert got2 == near_ids | {i for i, _ in far}
+
+
+def test_ivf_pq_delta_is_stateless_frozen_encode(spark):
+    """Incremental IVF-PQ: encoding a delta against the frozen index
+    equals the full-corpus frozen encode restricted to the delta ids
+    (per-row statelessness — the property that makes daily appends
+    sound), and delta codes join the standing layout's schema."""
+    import random
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        ivf_pq_build,
+        ivf_pq_encode_delta,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    standing = df.filter("vec_id < 40")
+    delta = df.filter("vec_id >= 40")
+    coarse, books, codes = ivf_pq_build(
+        standing, coarse_k=4, coarse_iters=1, m=2, ksub=4, pq_iters=1
+    )
+    got = sorted(
+        tuple(r) for r in ivf_pq_encode_delta(delta, coarse, books).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in ivf_pq_encode_delta(df, coarse, books)
+        .filter("vec_id >= 40")
+        .collect()
+    )
+    assert got == full and len(got) == 10 * 2  # 10 delta vectors x m
+    assert set(codes.columns) == {c for c, *_ in
+                                  (("vec_id",), ("sub_id",), ("code_id",), ("centroid_id",))}

@@ -59,6 +59,10 @@ CARTESIAN_OK = {
         "broadcast of coarse_k centroid rows + m x ksub codebook rows + "
         "the nprobe x m x ksub per-list ADC table"
     ),
+    "q_ivf_pq_delta": (
+        "broadcast of coarse_k centroid rows + m x ksub codebook rows "
+        "(standing-trained, frozen for the delta encode)"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
