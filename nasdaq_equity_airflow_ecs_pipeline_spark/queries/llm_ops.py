@@ -1356,7 +1356,9 @@ def q_ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_ivfpq() -> str:
+def _sql_ivfpq_ctes() -> str:
+    """The IVF-PQ chain as CTEs ending in ``ivfpqr`` (vec_id, adc_d2,
+    rank<=PQ_K) — shared by the standalone oracle and the recall eval."""
     d = _PQ_DSUB
     ci = IVFPQ_COARSE_ITERS
     coarse_iters = "".join("," + _sql_kmeans_iter(i) for i in range(1, ci + 1))
@@ -1424,15 +1426,75 @@ adc AS (
          list_reduce(list(dt.d2 ORDER BY dt.sub_id), (a, b) -> a + b) AS adc_d2
   FROM encc JOIN dt USING (cid, sub_id, code_id)
   GROUP BY encc.vec_id
+),
+ivfpqr AS (
+  SELECT vec_id, adc_d2, rank FROM (
+    SELECT vec_id, adc_d2,
+           row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {PQ_K}
+)"""
+
+
+SQL_IVF_PQ_SEARCH = f"""{_sql_ivfpq_ctes()}
+SELECT vec_id, adc_d2, rank FROM ivfpqr"""
+
+
+def q_ivf_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Honest compression-loss eval: recall@k of the IVF-PQ probe
+    against the exact squared-L2 top-k for the same query — the PQ
+    twin of q_ann_recall. Output is the integer numerator/denominator
+    (no float divide), 1 row."""
+    from ..operators.quantize import ivf_pq_build, ivf_pq_search
+    from ..operators.similarity import _pair_d2
+
+    emb = _emb(spark, sf)
+    coarse, books, codes = ivf_pq_build(
+        emb,
+        coarse_k=IVFPQ_COARSE_K,
+        coarse_iters=IVFPQ_COARSE_ITERS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        pq_iters=PQ_ITERS,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    approx = ivf_pq_search(
+        coarse, books, codes, qvec, nprobe=IVFPQ_NPROBE, k=PQ_K
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    exact = (
+        emb.select(
+            "vec_id",
+            _pair_d2(
+                F.transform("embedding", lambda v: v.cast("double")), qlit
+            ).alias("_d2"),
+        )
+        .orderBy(F.asc("_d2"), F.asc("vec_id"))
+        .limit(PQ_K)
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .select("n_hit", F.lit(PQ_K).alias("k_total"))
+    )
+
+
+SQL_IVF_PQ_RECALL = f"""{_sql_ivfpq_ctes()},
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY list_reduce(
+               list_transform(list_zip(e.v, qv.v),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) ASC, e.vec_id ASC
+           ) AS rn
+    FROM e CROSS JOIN qv
+  ) WHERE rn <= {PQ_K}
 )
-SELECT vec_id, adc_d2, rank FROM (
-  SELECT vec_id, adc_d2,
-         row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
-  FROM adc
-) WHERE rank <= {PQ_K}"""
-
-
-SQL_IVF_PQ_SEARCH = _sql_ivfpq()
+SELECT CAST(count(*) AS BIGINT) AS n_hit, {PQ_K} AS k_total
+FROM ivfpqr JOIN exact USING (vec_id)"""
 
 
 # ------------------------------------------ incremental IVF-PQ encode
@@ -2299,6 +2361,7 @@ QUERIES = {
     "q_pq_adc_topk": q_pq_adc_topk,
     "q_ivf_pq_search": q_ivf_pq_search,
     "q_ivf_pq_delta": q_ivf_pq_delta,
+    "q_ivf_pq_recall": q_ivf_pq_recall,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2350,4 +2413,5 @@ ORACLES = {
     "q_pq_adc_topk": SQL_PQ_ADC_TOPK,
     "q_ivf_pq_search": SQL_IVF_PQ_SEARCH,
     "q_ivf_pq_delta": SQL_IVF_PQ_DELTA,
+    "q_ivf_pq_recall": SQL_IVF_PQ_RECALL,
 }

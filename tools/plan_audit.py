@@ -63,6 +63,10 @@ CARTESIAN_OK = {
         "broadcast of coarse_k centroid rows + m x ksub codebook rows "
         "(standing-trained, frozen for the delta encode)"
     ),
+    "q_ivf_pq_recall": (
+        "broadcast of coarse_k centroids + m x ksub codebook/ADC rows + "
+        "1-row query vector (the exact baseline's irreducible scoring pass)"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
