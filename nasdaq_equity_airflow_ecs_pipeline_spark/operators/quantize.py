@@ -219,6 +219,8 @@ def pq_encode(
     probe = codebooks.select(
         (F.max("sub_id") + 1).alias("m"), F.size(F.first("code_vec")).alias("d_sub")
     ).first()
+    if probe is None or probe["m"] is None:
+        raise ValueError("pq_encode: empty codebooks")
     m, d_sub = probe["m"], probe["d_sub"]
     subs = _subvectors(df, m, d_sub, id_col, vec_col)
     scored = subs.join(F.broadcast(codebooks), "sub_id").select(
@@ -265,6 +267,8 @@ def pq_adc_topk(
     probe = codebooks.select(
         F.size(F.first("code_vec")).alias("d_sub")
     ).first()
+    if probe is None or probe["d_sub"] is None:
+        raise ValueError("pq_adc_topk: empty codebooks")
     d_sub = probe["d_sub"]
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     dtable = codebooks.select(
@@ -420,6 +424,8 @@ def ivf_pq_search(
     probe = books.select(
         (F.max("sub_id") + 1).alias("m"), F.size(F.first("code_vec")).alias("d_sub")
     ).first()
+    if probe is None or probe["m"] is None:
+        raise ValueError("ivf_pq_search: empty codebooks")
     d_sub = probe["d_sub"]
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
 

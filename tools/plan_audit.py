@@ -120,7 +120,7 @@ BROADCAST_OK = {
     "operators/quantize.py::pq_train": "m x ksub codebook rows per Lloyd round",
     "operators/quantize.py::pq_encode": "m x ksub codebook rows",
     "operators/quantize.py::pq_adc_topk": "m x ksub distance-table rows",
-    "operators/quantize.py::ivf_pq_build": "coarse_k centroid rows (residual join)",
+    "operators/quantize.py::_ivf_pq_residuals": "coarse_k centroid rows (residual join)",
     "operators/quantize.py::ivf_pq_search": "nprobe x m x ksub per-list ADC table",
     "operators/retrieval.py::best_snippet_window": (
         "workload-bounded candidate set (a fused/retrieved top-k) and "

@@ -121,6 +121,8 @@ DEEP = [
     "q_retrieval_metrics",
     "q_pq_adc_topk",
     "q_ivf_pq_search",
+    "q_ivf_pq_delta",
+    "q_ivf_pq_recall",
     "q_rag_retrieve",
     "q_hll_distinct",
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
