@@ -575,3 +575,42 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "score_x1e6", "rank")
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed text embedding (the hashing trick — Weinberger
+    et al., ICML 2009): every token hashes to a bucket in [0, dim)
+    with a +/-1 sign drawn from an independent hash bit, and the
+    document's vector is the INTEGER sum of signs per bucket — the
+    classic cheap text->vector path when no learned encoder ships
+    (the vector twin of classifier_quality_score's hashed features).
+
+    Engine-exactness: bucket and sign come from the portable 60-bit
+    md5 hash (sign = 1 - 2*(h % 2), bucket = (h // 2) % dim — disjoint
+    bits), values are bigint sums, so the embedding is bit-identical
+    on any engine with md5. Output is the SPARSE exploded form
+    (id, dim_idx, val != 0); consumers densify or sparse-join.
+
+    Scale shape: one tokenize + one (id, bucket)-keyed hash-agg with
+    map-side combine — the same linear shape as tf. dim is a
+    constant; the output is at most dim rows per document.
+    """
+    from ..functions.sketches import kmv_hash
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    h = kmv_hash("term")
+    sgn = (F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))).cast("bigint")
+    bucket = F.pmod(F.shiftright(h, 1), F.lit(dim))
+    return (
+        toks.select(F.col(id_col), bucket.alias("dim_idx"), sgn.alias("_s"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("_s").alias("val"))
+        .filter(F.col("val") != 0)
+    )

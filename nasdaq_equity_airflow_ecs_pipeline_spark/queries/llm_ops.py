@@ -10,7 +10,7 @@ mod-2^31 arithmetic that evaluates identically in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import lsh, prefix_join, similarity, text as text_ops
@@ -1595,6 +1595,94 @@ FROM encd JOIN afd USING (vec_id)"""
 SQL_IVF_PQ_DELTA = _sql_ivfpq_delta()
 
 
+# ----------------------------------------------- feature-hashed embedding
+HASH_EMBED_DIM = 16
+HASH_EMBED_K = 5
+
+
+def q_hash_embed_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Text->vector without a learned encoder: 16-dim feature-hashed
+    embeddings (hashing trick, operators/text.py:hash_embed — integer
+    sums of +/-1 signs per hashed bucket), then the top-5 documents
+    most similar to doc 0 by sparse-dot cosine. Candidates share at
+    least one active dimension with the query; the only floats are the
+    final cosine's one divide over integer dot/norms."""
+    emb = text_ops.hash_embed(_docs(spark, sf), dim=HASH_EMBED_DIM)
+    emb = emb.localCheckpoint(eager=True)  # query/norms/dots all read it
+    qd = emb.filter(F.col("doc_id") == 0).select(
+        "dim_idx", F.col("val").alias("qval")
+    )
+    norms = emb.groupBy("doc_id").agg(F.sum(F.col("val") * F.col("val")).alias("n2"))
+    qn = norms.filter(F.col("doc_id") == 0).select(F.col("n2").alias("qn2"))
+    dots = (
+        emb.join(F.broadcast(qd), "dim_idx")
+        .filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HASH_EMBED_K)
+        .select("doc_id", "dot", "cosine", "rank")
+    )
+
+
+SQL_HASH_EMBED_SIM = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok
+),
+f AS (
+  SELECT doc_id, (h // 2) % {HASH_EMBED_DIM} AS dim_idx,
+         CAST(SUM(1 - 2 * (h % 2)) AS BIGINT) AS val
+  FROM hh GROUP BY 1, 2
+  HAVING CAST(SUM(1 - 2 * (h % 2)) AS BIGINT) != 0
+),
+qd AS (SELECT dim_idx, val AS qval FROM f WHERE doc_id = 0),
+n AS (SELECT doc_id, SUM(val * val) AS n2 FROM f GROUP BY 1),
+qn AS (SELECT n2 AS qn2 FROM n WHERE doc_id = 0),
+dots AS (
+  SELECT f.doc_id, CAST(SUM(f.val * qd.qval) AS BIGINT) AS dot
+  FROM f JOIN qd USING (dim_idx)
+  WHERE f.doc_id <> 0
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.dot,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+           AS cosine
+  FROM dots d JOIN n USING (doc_id) CROSS JOIN qn
+)
+SELECT doc_id, dot, cosine, rank FROM (
+  SELECT doc_id, dot, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {HASH_EMBED_K}
+"""
+
+
 # ------------------------------------------------------ multimodal plumbing
 def q_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata pass (multimodal plumbing): byte length +
@@ -2362,6 +2450,7 @@ QUERIES = {
     "q_ivf_pq_search": q_ivf_pq_search,
     "q_ivf_pq_delta": q_ivf_pq_delta,
     "q_ivf_pq_recall": q_ivf_pq_recall,
+    "q_hash_embed_sim": q_hash_embed_sim,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2414,4 +2503,5 @@ ORACLES = {
     "q_ivf_pq_search": SQL_IVF_PQ_SEARCH,
     "q_ivf_pq_delta": SQL_IVF_PQ_DELTA,
     "q_ivf_pq_recall": SQL_IVF_PQ_RECALL,
+    "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
 }

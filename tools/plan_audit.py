@@ -67,6 +67,10 @@ CARTESIAN_OK = {
         "broadcast of coarse_k centroids + m x ksub codebook/ADC rows + "
         "1-row query vector (the exact baseline's irreducible scoring pass)"
     ),
+    "q_hash_embed_sim": (
+        "broadcast of the query doc's sparse vector (<= dim rows) and its "
+        "1-row norm"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
