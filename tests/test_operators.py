@@ -2230,3 +2230,21 @@ def test_ivf_pq_delta_is_stateless_frozen_encode(spark):
     assert got == full and len(got) == 10 * 2  # 10 delta vectors x m
     assert set(codes.columns) == {c for c, *_ in
                                   (("vec_id",), ("sub_id",), ("code_id",), ("centroid_id",))}
+
+
+def test_hash_embed_semantics(spark):
+    """Feature hashing: same term always lands in the same (bucket,
+    sign); vectors are integer sign-sums; exact cancellation rows are
+    dropped; repeated text doubles the vector."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta alpha beta"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = hash_embed(docs, dim=8)
+    v1 = {(r["dim_idx"], r["val"]) for r in out.filter("doc_id = 1").collect()}
+    v2 = {(r["dim_idx"], r["val"]) for r in out.filter("doc_id = 2").collect()}
+    # doubling the text doubles every component (same buckets/signs)
+    assert v2 == {(d, 2 * v) for d, v in v1}
+    assert all(v != 0 for _, v in v1)
