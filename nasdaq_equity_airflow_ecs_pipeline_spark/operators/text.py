@@ -614,3 +614,85 @@ def hash_embed(
         .agg(F.sum("_s").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+def _bpe_apply_merge(arr, a: str, b: str, merged: str):
+    """Apply one BPE merge to a token array: textbook greedy
+    left-to-right fold — every non-overlapping (a, b) becomes
+    ``merged`` in a single pass ('a a a a' with (a,a) -> ['aa','aa']).
+    The same fold the DuckDB oracle runs via list_reduce."""
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+    """Train byte-pair-encoding merges (Sennrich, Haddow & Birch, ACL
+    2016) in-engine: the corpus collapses to a word-frequency table
+    ONCE (the standard BPE trick — training cost is vocabulary-sized,
+    not corpus-sized), words become character sequences, and each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    most frequent pair (ties to the lexicographically smallest), and
+    applies the merge with the greedy left-to-right fold.
+
+    Returns the trained artifact: (step, pair, merged, freq) — one row
+    per merge, the merges.txt a tokenizer ships.
+
+    Determinism: pair counts are integer sums; selection ties break on
+    the pair string; the merge application is the same sequential fold
+    in Spark (F.aggregate) and DuckDB (list_reduce). Scale shape: one
+    corpus pass for word counts (hash-agg with map-side combine), then
+    n_merges rounds over the vocabulary-sized sequence table
+    (localCheckpoint-pinned per round — the pagerank lineage-cut
+    convention), each collecting exactly ONE winning row.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        F.split(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), " "
+        ).alias("arr"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    pair_expr = F.expr(
+        "CASE WHEN size(arr) > 1 THEN transform(sequence(1, size(arr) - 1), "
+        "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    out_rows = []
+    for step in range(1, n_merges + 1):
+        top = (
+            cur.select("freq", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.desc("f"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, f = top[0]["pair"], top[0]["f"]
+        a, b = pair.split(" ", 1)
+        merged = a + b
+        out_rows.append((step, pair, merged, int(f)))
+        cur = cur.select(
+            _bpe_apply_merge(F.col("arr"), a, b, merged).alias("arr"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "step int, pair string, merged string, freq bigint"
+    )

@@ -1595,6 +1595,69 @@ FROM encd JOIN afd USING (vec_id)"""
 SQL_IVF_PQ_DELTA = _sql_ivfpq_delta()
 
 
+# --------------------------------------------------- BPE merge training
+BPE_MERGES = 5
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Train 5 BPE merges on the documents corpus (Sennrich et al.
+    ACL'16, operators/text.py:bpe_train): word-frequency table once,
+    then vocabulary-sized merge rounds. Output = the merges.txt
+    artifact (step, pair, merged, freq). The oracle unrolls the same
+    5 rounds — pair counting, deterministic argmax, greedy fold
+    application — in one DuckDB statement."""
+    return text_ops.bpe_train(_docs(spark, sf), n_merges=BPE_MERGES)
+
+
+def _sql_bpe() -> str:
+    parts = [r"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  ) WHERE w != '' GROUP BY w
+),
+s0 AS (
+  SELECT string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS arr,
+         freq
+  FROM wf
+)"""]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT arr[u.i] || ' ' || arr[u.i + 1] AS pair,
+         CAST(SUM(freq) AS BIGINT) AS f
+  FROM s{i - 1}, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+  GROUP BY 1
+),
+t{i} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged, f FROM (
+    SELECT pair, f, row_number() OVER (ORDER BY f DESC, pair ASC) AS rn
+    FROM p{i}
+  ) WHERE rn = 1
+),
+s{i} AS (
+  SELECT list_reduce(
+           list_transform(arr, tk -> [tk]),
+           (acc, tk) -> CASE
+             WHEN len(acc) > 0
+                  AND acc[-1] = split_part(t.pair, ' ', 1)
+                  AND tk[1] = split_part(t.pair, ' ', 2)
+             THEN acc[1:len(acc) - 1] || [t.merged]
+             ELSE acc || tk END) AS arr,
+         freq
+  FROM s{i - 1} CROSS JOIN t{i} t
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, merged, f AS freq FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = _sql_bpe()
+
+
 # ----------------------------------------------- feature-hashed embedding
 HASH_EMBED_DIM = 16
 HASH_EMBED_K = 5
@@ -2451,6 +2514,7 @@ QUERIES = {
     "q_ivf_pq_delta": q_ivf_pq_delta,
     "q_ivf_pq_recall": q_ivf_pq_recall,
     "q_hash_embed_sim": q_hash_embed_sim,
+    "q_bpe_merges": q_bpe_merges,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2504,4 +2568,5 @@ ORACLES = {
     "q_ivf_pq_delta": SQL_IVF_PQ_DELTA,
     "q_ivf_pq_recall": SQL_IVF_PQ_RECALL,
     "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
+    "q_bpe_merges": SQL_BPE_MERGES,
 }

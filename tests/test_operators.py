@@ -2248,3 +2248,27 @@ def test_hash_embed_semantics(spark):
     # doubling the text doubles every component (same buckets/signs)
     assert v2 == {(d, 2 * v) for d, v in v1}
     assert all(v != 0 for _, v in v1)
+
+
+def test_bpe_train_textbook_merges(spark):
+    """BPE training on a hand-computable corpus: frequency-weighted
+    pair counts, lexicographic tie-break, greedy one-pass application
+    (including the 'a a a' -> ['aa','a'] then chain-merge dynamics)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "aab aab")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["step"], r["pair"], r["merged"], r["freq"])
+        for r in bpe_train(docs, n_merges=3).orderBy("step").collect()
+    ]
+    # step 1: (a,a) = 2*3 + 1*2 = 8 beats (a,b) = 5
+    # step 2: 'a b' (3) ties 'aa a' (3) -> lexicographic 'a b' wins
+    # step 3: (aa,ab) = 3 beats (aa,b) = 2
+    assert got == [
+        (1, "a a", "aa", 8),
+        (2, "a b", "ab", 3),
+        (3, "aa ab", "aaab", 3),
+    ]

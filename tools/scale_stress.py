@@ -125,6 +125,7 @@ DEEP = [
     "q_ivf_pq_recall",
     "q_rag_retrieve",
     "q_hash_embed_sim",
+    "q_bpe_merges",
     "q_hll_distinct",
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
     # -> budget -> shards
