@@ -696,3 +696,35 @@ def bpe_train(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     return spark.createDataFrame(
         out_rows, "step int, pair string, merged string, freq bigint"
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a TRAINED merge list (the consumer of
+    :func:`bpe_train`'s artifact): per-document BPE token count after
+    applying the merges in training order.
+
+    ``merges`` is the collected (a, b, merged) list — n_merges rows,
+    driver-sized by definition (it IS the tokenizer file). The folds
+    apply on the DISTINCT-WORD vocabulary, not the corpus (the
+    production shape: tokenize the vocab once, join counts back to
+    the exploded words) — corpus-proportional work is one explode +
+    one join + one per-doc hash-agg.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.select("w").distinct()
+    arr = F.split(F.trim(F.regexp_replace("w", "(.)", "$1 ")), " ")
+    for a, b, merged in merges:
+        arr = _bpe_apply_merge(arr, a, b, merged)
+    seg = vocab.select("w", F.size(arr).alias("_n_tok"))
+    return (
+        words.join(seg, "w")
+        .groupBy(id_col)
+        .agg(F.sum("_n_tok").cast("bigint").alias("n_bpe_tokens"))
+    )

@@ -1658,6 +1658,62 @@ s{i} AS (
 SQL_BPE_MERGES = _sql_bpe()
 
 
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize the corpus with the 5 trained merges
+    (operators/text.py:bpe_segment): per-document BPE token count.
+    The merge list is the collected artifact (n_merges rows — it IS
+    the tokenizer file); application runs on the distinct-word
+    vocabulary and joins counts back."""
+    d = _docs(spark, sf)
+    trained = text_ops.bpe_train(d, n_merges=BPE_MERGES)
+    merges = [
+        (r["pair"].split(" ", 1)[0], r["pair"].split(" ", 1)[1], r["merged"])
+        for r in trained.orderBy("step").collect()
+    ]
+    return text_ops.bpe_segment(d, merges)
+
+
+def _sql_bpe_tokenize() -> str:
+    chain = _sql_bpe().rsplit("\nSELECT 1 AS step", 1)[0]
+    # re-derive the trained chain, then segment the per-doc words with
+    # the same folds: the vocabulary frames s0..s5 already hold the
+    # fully-merged arrays keyed by... (they lost the word key), so
+    # rebuild a keyed variant v{i} alongside
+    parts = [chain]
+    parts.append(""",
+v0 AS (
+  SELECT w, string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')
+           AS arr
+  FROM wf
+)""")
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+v{i} AS (
+  SELECT w, list_reduce(
+           list_transform(arr, tk -> [tk]),
+           (acc, tk) -> CASE
+             WHEN len(acc) > 0
+                  AND acc[-1] = split_part(t.pair, ' ', 1)
+                  AND tk[1] = split_part(t.pair, ' ', 2)
+             THEN acc[1:len(acc) - 1] || [t.merged]
+             ELSE acc || tk END) AS arr
+  FROM v{i - 1} CROSS JOIN t{i} t
+)""")
+    parts.append(f""",
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+)
+SELECT dw.doc_id, CAST(SUM(len(v.arr)) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN v{BPE_MERGES} v ON v.w = dw.w
+WHERE dw.w != ''
+GROUP BY dw.doc_id""")
+    return "".join(parts)
+
+
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
 # ----------------------------------------------- feature-hashed embedding
 HASH_EMBED_DIM = 16
 HASH_EMBED_K = 5
@@ -2515,6 +2571,7 @@ QUERIES = {
     "q_ivf_pq_recall": q_ivf_pq_recall,
     "q_hash_embed_sim": q_hash_embed_sim,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_tokenize": q_bpe_tokenize,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2569,4 +2626,5 @@ ORACLES = {
     "q_ivf_pq_recall": SQL_IVF_PQ_RECALL,
     "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
     "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_tokenize": SQL_BPE_TOKENIZE,
 }
