@@ -239,6 +239,31 @@ def pq_encode(
     )
 
 
+def _adc_topk(scored_codes: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared ADC finisher: fold each doc's per-subspace distances IN
+    sub_id ORDER (the fixed-order double addition both oracles pin),
+    then TakeOrderedAndProject + rank. One spelling for pq_adc_topk
+    and ivf_pq_search so the bit-exactness contract lives in one
+    place."""
+    from pyspark.sql import Window
+
+    per_doc = scored_codes.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "_d2"))),
+                lambda s: s["_d2"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adc_d2")
+    )
+    topk = per_doc.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "adc_d2", "rank"
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -265,11 +290,18 @@ def pq_adc_topk(
     from .similarity import _pair_d2
 
     probe = codebooks.select(
-        F.size(F.first("code_vec")).alias("d_sub")
+        (F.max("sub_id") + 1).alias("m"),
+        F.size(F.first("code_vec")).alias("d_sub"),
     ).first()
     if probe is None or probe["d_sub"] is None:
         raise ValueError("pq_adc_topk: empty codebooks")
     d_sub = probe["d_sub"]
+    if len(query_vec) != probe["m"] * d_sub:
+        raise ValueError(
+            f"pq_adc_topk: query dim {len(query_vec)} != m*d_sub "
+            f"{probe['m'] * d_sub} (a short query would yield NULL "
+            "distances that sort first)"
+        )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     dtable = codebooks.select(
         "sub_id",
@@ -279,27 +311,8 @@ def pq_adc_topk(
             F.col("code_vec"),
         ).alias("_d2"),
     )
-    per_doc = (
-        codes.join(F.broadcast(dtable), ["sub_id", "code_id"])
-        .groupBy(id_col)
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub_id", "_d2"))),
-                    lambda s: s["_d2"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adc_d2")
-        )
-    )
-    topk = per_doc.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.asc("adc_d2"), F.asc(id_col))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "adc_d2", "rank"
-    )
+    scored = codes.join(F.broadcast(dtable), ["sub_id", "code_id"])
+    return _adc_topk(scored, k, id_col)
 
 
 # ------------------------------------------------------------- IVF-PQ
@@ -427,6 +440,12 @@ def ivf_pq_search(
     if probe is None or probe["m"] is None:
         raise ValueError("ivf_pq_search: empty codebooks")
     d_sub = probe["d_sub"]
+    if len(query_vec) != probe["m"] * d_sub:
+        raise ValueError(
+            f"ivf_pq_search: query dim {len(query_vec)} != m*d_sub "
+            f"{probe['m'] * d_sub} (a short query would yield NULL "
+            "distances that sort first)"
+        )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
 
     probed = (
@@ -448,24 +467,5 @@ def ivf_pq_search(
             F.col("code_vec"),
         ).alias("_d2"),
     )
-    per_doc = (
-        codes.join(F.broadcast(dtable), ["centroid_id", "sub_id", "code_id"])
-        .groupBy(id_col)
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub_id", "_d2"))),
-                    lambda s: s["_d2"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adc_d2")
-        )
-    )
-    topk = per_doc.orderBy(F.asc("adc_d2"), F.asc(id_col)).limit(k)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.asc("adc_d2"), F.asc(id_col))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "adc_d2", "rank"
-    )
+    scored = codes.join(F.broadcast(dtable), ["centroid_id", "sub_id", "code_id"])
+    return _adc_topk(scored, k, id_col)

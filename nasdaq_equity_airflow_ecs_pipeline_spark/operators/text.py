@@ -604,7 +604,7 @@ def hash_embed(
 
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    )
+    ).filter(F.col("term") != "")
     h = kmv_hash("term")
     sgn = (F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))).cast("bigint")
     bucket = F.pmod(F.shiftright(h, 1), F.lit(dim))

@@ -1609,7 +1609,11 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_train(_docs(spark, sf), n_merges=BPE_MERGES)
 
 
-def _sql_bpe() -> str:
+def _sql_bpe_ctes() -> str:
+    """The BPE training chain as CTEs (wf, s0..sN, p1..pN, t1..tN) —
+    shared by the merges oracle and the tokenize oracle. Rounds that
+    run out of pairs degrade to no-ops (LEFT JOIN ON TRUE + the CASE's
+    NULL fall-through), matching Spark's early break."""
     parts = [r"""
 WITH wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -1645,17 +1649,20 @@ s{i} AS (
              THEN acc[1:len(acc) - 1] || [t.merged]
              ELSE acc || tk END) AS arr,
          freq
-  FROM s{i - 1} CROSS JOIN t{i} t
+  FROM s{i - 1} LEFT JOIN t{i} t ON TRUE
 )""")
-    union = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, pair, merged, f AS freq FROM t{i}"
-        for i in range(1, BPE_MERGES + 1)
-    )
-    parts.append("\n" + union)
     return "".join(parts)
 
 
-SQL_BPE_MERGES = _sql_bpe()
+def _sql_bpe_union() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, merged, f AS freq FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+
+
+SQL_BPE_MERGES = f"""{_sql_bpe_ctes()}
+{_sql_bpe_union()}"""
 
 
 def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1674,12 +1681,10 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_bpe_tokenize() -> str:
-    chain = _sql_bpe().rsplit("\nSELECT 1 AS step", 1)[0]
     # re-derive the trained chain, then segment the per-doc words with
-    # the same folds: the vocabulary frames s0..s5 already hold the
-    # fully-merged arrays keyed by... (they lost the word key), so
-    # rebuild a keyed variant v{i} alongside
-    parts = [chain]
+    # the same folds; the s{i} vocabulary frames lost the word key, so
+    # build a keyed twin v{i} alongside
+    parts = [_sql_bpe_ctes()]
     parts.append(""",
 v0 AS (
   SELECT w, string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')
@@ -1697,7 +1702,7 @@ v{i} AS (
                   AND tk[1] = split_part(t.pair, ' ', 2)
              THEN acc[1:len(acc) - 1] || [t.merged]
              ELSE acc || tk END) AS arr
-  FROM v{i - 1} CROSS JOIN t{i} t
+  FROM v{i - 1} LEFT JOIN t{i} t ON TRUE
 )""")
     parts.append(f""",
 dw AS (
@@ -1770,7 +1775,7 @@ WITH tok AS (
 hh AS (
   SELECT doc_id,
          ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
-  FROM tok
+  FROM tok WHERE term != ''
 ),
 f AS (
   SELECT doc_id, (h // 2) % {HASH_EMBED_DIM} AS dim_idx,

@@ -2272,3 +2272,40 @@ def test_bpe_train_textbook_merges(spark):
         (2, "a b", "ab", 3),
         (3, "aa ab", "aaab", 3),
     ]
+
+
+def test_bpe_early_exhaustion_parity(spark, tmp_path):
+    """When the corpus supports fewer merges than requested, Spark's
+    bpe_train breaks early and bpe_segment still tokenizes — and the
+    DuckDB oracles degrade to the SAME behavior (exhausted rounds are
+    no-ops via LEFT JOIN ON TRUE, not empty-frame wipeouts)."""
+    import duckdb
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bpe_segment,
+        bpe_train,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries import llm_ops
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "ab")], "doc_id bigint, text string"
+    )
+    # only 1 possible merge (a,b); ask for 5
+    trained = bpe_train(docs, n_merges=5)
+    rows = trained.collect()
+    assert [(r["step"], r["merged"]) for r in rows] == [(1, "ab")]
+    seg = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_segment(docs, [("a", "b", "ab")]).collect()
+    }
+    assert seg == {0: 2, 1: 1}
+
+    # oracle twins on the same tiny corpus: the merges oracle emits the
+    # same single effective merge row repeated as no-ops never match,
+    # and the tokenize oracle must NOT collapse to zero rows
+    pq = tmp_path / "documents.parquet"
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    tok = con.sql(llm_ops.SQL_BPE_TOKENIZE).fetchall()
+    assert sorted(tok) == [(0, 2), (1, 1)]
