@@ -391,6 +391,12 @@ def retrieval_metrics(
       policy as rrf_fuse; precision@k and recall are exact rationals
       n_hits_at_k / k and n_hits_at_k / n_rel, left as integer
       numerator/denominator columns so no float ever divides),
+    - ``ap_num_x1e9`` / ``ap_den``: average precision as an exact
+      integer fraction — each relevant hit at rank r with h relevant
+      hits at ranks <= r contributes (1e9 * h) div r (pure bigint
+      division, no float anywhere), the numerator sums contributions,
+      the denominator is min(n_rel, k); AP = num / (den * 1e9) is the
+      consumer's division, and the mean over queries is MAP,
     - ``dcg_x1e9`` / ``idcg_x1e9``: binary-relevance DCG and ideal DCG
       as integer sums of a PYTHON-precomputed discount table
       floor(1e9 / log2(rank + 1)) for ranks 1..k — the one libm call
@@ -414,10 +420,16 @@ def retrieval_metrics(
         F.col(query_id), F.col(id_col), F.col(rank_col)
     ).filter(F.col(rank_col) <= k)
     hits = res.join(qrels.select(query_id, id_col).distinct(), [query_id, id_col])
+    w_hits = Window.partitionBy(query_id).orderBy(F.asc(rank_col))
+    hits = hits.withColumn("_h", F.row_number().over(w_hits))
+    ap_contrib = F.expr(
+        f"div(CAST(1000000000 AS BIGINT) * CAST(_h AS BIGINT), {rank_col})"
+    )
     per_hit = hits.groupBy(query_id).agg(
         F.count(F.lit(1)).alias("n_hits_at_k"),
         F.min(rank_col).alias("_first"),
         F.sum(F.element_at(disc_arr, F.col(rank_col))).alias("_dcg"),
+        F.sum(ap_contrib).alias("_ap"),
     )
     n_rel = (
         qrels.select(query_id, id_col)
@@ -441,6 +453,10 @@ def retrieval_metrics(
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("mrr_x1e9"),
+            F.coalesce("_ap", F.lit(0)).cast("bigint").alias("ap_num_x1e9"),
+            F.least(F.coalesce("n_rel", F.lit(0)), F.lit(k))
+            .cast("bigint")
+            .alias("ap_den"),
             F.coalesce("_dcg", F.lit(0)).cast("bigint").alias("dcg_x1e9"),
             F.when(
                 F.coalesce("n_rel", F.lit(0)) > 0,
@@ -460,3 +476,59 @@ def ndcg_discounts(k: int) -> list[int]:
     import math
 
     return [int(1_000_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def phrase_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query_text",
+) -> DataFrame:
+    """Exact-phrase retrieval: documents containing the query's tokens
+    CONSECUTIVELY, with the match count — the positional-index query a
+    lexical engine answers from (term, doc, position) postings.
+
+    Plan: the corpus posting frame (doc, term, pos) joins the query's
+    first term, then each subsequent query term must appear at
+    pos + offset — an n_terms-way positional equi-join where every leg
+    after the first joins on (doc, term, exact position), so candidate
+    rows shrink monotonically. The query frame is a workload (q rows,
+    collected to build the fixed join chain — phrase length is a query
+    property, not data); the corpus is exploded ONCE.
+
+    Output: (query_id, id, n_matches >= 1).
+    """
+    from .text import tokens
+
+    qrows = queries.select(
+        F.col(query_id), tokens(query_col).alias("_qt")
+    ).collect()
+    post = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    ).localCheckpoint(eager=True)
+
+    out = None
+    for q in qrows:
+        qid, terms = q[query_id], [t for t in q["_qt"] if t != ""]
+        if not terms:
+            continue
+        cur = post.filter(F.col("term") == terms[0]).select(id_col, "pos")
+        for off, t in enumerate(terms[1:], start=1):
+            nxt = post.filter(F.col("term") == t).select(
+                F.col(id_col).alias("_nid"), (F.col("pos") - off).alias("_npos")
+            )
+            cur = cur.join(
+                nxt,
+                (cur[id_col] == nxt["_nid"]) & (cur["pos"] == nxt["_npos"]),
+            ).select(cur[id_col], cur["pos"])
+        leg = (
+            cur.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+            .select(F.lit(qid).alias(query_id), F.col(id_col), "n_matches")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    if out is None:
+        raise ValueError("phrase_match: no non-empty queries")
+    return out

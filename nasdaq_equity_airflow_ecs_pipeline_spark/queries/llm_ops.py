@@ -1595,6 +1595,50 @@ FROM encd JOIN afd USING (vec_id)"""
 SQL_IVF_PQ_DELTA = _sql_ivfpq_delta()
 
 
+# ------------------------------------------------- exact phrase match
+PHRASE_QUERIES = [
+    (1, "table hash"),
+    (2, "part filter small"),
+    (3, "big order scan"),
+]
+
+
+def q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-index phrase retrieval: documents containing each
+    query's tokens consecutively, with match counts
+    (operators/retrieval.py:phrase_match)."""
+    from ..operators.retrieval import phrase_match
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    q = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id int, query_text string"
+    )
+    return phrase_match(d, q)
+
+
+def _sql_phrase() -> str:
+    legs = []
+    for qid, phrase in PHRASE_QUERIES:
+        terms = phrase.split(" ")
+        conds = " AND ".join(
+            f"p.t[u.i + {off}] = '{t}'" for off, t in enumerate(terms)
+        )
+        legs.append(f"""  SELECT {qid} AS query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_matches
+  FROM ptok p, unnest(generate_series(1, len(p.t) - {len(terms) - 1})) AS u(i)
+  WHERE {conds}
+  GROUP BY 2""")
+    union = "\n  UNION ALL\n".join(legs)
+    return rf"""
+WITH ptok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+)
+{union}"""
+
+
+SQL_PHRASE_MATCH = _sql_phrase()
+
+
 # --------------------------------------------------- BPE merge training
 BPE_MERGES = 5
 
@@ -2280,11 +2324,18 @@ qrels AS (
   ) d JOIN nt ON nt.query_id = d.query_id
   WHERE d._matched = nt._nt
 ),
-hits AS (
-  SELECT lexr.query_id, count(*) AS n_hits_at_k, min(lexr.rank) AS _first,
-         SUM(({_MDISC!r}::BIGINT[])[lexr.rank]) AS _dcg
+hitrows AS (
+  SELECT lexr.query_id, lexr.rank,
+         row_number() OVER (PARTITION BY lexr.query_id
+                            ORDER BY lexr.rank ASC) AS _h
   FROM lexr JOIN qrels
     ON qrels.query_id = lexr.query_id AND qrels.doc_id = lexr.doc_id
+),
+hits AS (
+  SELECT query_id, count(*) AS n_hits_at_k, min(rank) AS _first,
+         SUM(({_MDISC!r}::BIGINT[])[rank]) AS _dcg,
+         SUM((1000000000 * _h) // rank) AS _ap
+  FROM hitrows
   GROUP BY 1
 ),
 nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
@@ -2296,6 +2347,8 @@ SELECT qs.query_id,
        CASE WHEN COALESCE(_first, 0) > 0
             THEN CAST(FLOOR(1000000000.0 / CAST(_first AS DOUBLE)) AS BIGINT)
             ELSE 0 END AS mrr_x1e9,
+       CAST(COALESCE(_ap, 0) AS BIGINT) AS ap_num_x1e9,
+       CAST(LEAST(COALESCE(n_rel, 0), {METRICS_K}) AS BIGINT) AS ap_den,
        CAST(COALESCE(_dcg, 0) AS BIGINT) AS dcg_x1e9,
        CASE WHEN COALESCE(n_rel, 0) > 0
             THEN ({_MIDCG!r}::BIGINT[])[LEAST(n_rel, {METRICS_K})]
@@ -2577,6 +2630,7 @@ QUERIES = {
     "q_hash_embed_sim": q_hash_embed_sim,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokenize": q_bpe_tokenize,
+    "q_phrase_match": q_phrase_match,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2632,4 +2686,5 @@ ORACLES = {
     "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_tokenize": SQL_BPE_TOKENIZE,
+    "q_phrase_match": SQL_PHRASE_MATCH,
 }

@@ -2099,6 +2099,10 @@ def test_retrieval_metrics_semantics(spark):
     )
 
     d = ndcg_discounts(3)
+    # average precision: q1's one hit at rank 2 -> (1e9*1) div 2; den = min(3,3)
+    assert (out[1]["ap_num_x1e9"], out[1]["ap_den"]) == (500_000_000, 3)
+    assert (out[2]["ap_num_x1e9"], out[2]["ap_den"]) == (0, 0)
+    assert (out[3]["ap_num_x1e9"], out[3]["ap_den"]) == (1_000_000_000, 1)
     assert out[1]["dcg_x1e9"] == d[1]  # one hit at rank 2
     assert out[1]["idcg_x1e9"] == d[0] + d[1] + d[2]  # n_rel=3 >= k
     assert (out[2]["dcg_x1e9"], out[2]["idcg_x1e9"]) == (0, 0)
@@ -2309,3 +2313,29 @@ def test_bpe_early_exhaustion_parity(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
     tok = con.sql(llm_ops.SQL_BPE_TOKENIZE).fetchall()
     assert sorted(tok) == [(0, 2), (1, 1)]
+
+
+def test_phrase_match_positional_semantics(spark):
+    """Phrase semantics: consecutive-token matches only, overlapping
+    occurrences each count, multi-term offsets verified, docs without
+    the phrase absent."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),       # 'a a' twice (overlap), 'a a b' once
+            (2, "a b a"),         # no 'a a'
+            (3, "x a a b y"),     # 'a a' once, 'a a b' once
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "a a"), (2, "a a b")], "query_id int, query_text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match(docs, qs).collect()
+    }
+    assert got == {(1, 1): 2, (1, 3): 1, (2, 1): 1, (2, 3): 1}
