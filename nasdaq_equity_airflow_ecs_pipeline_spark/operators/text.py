@@ -442,6 +442,35 @@ def bm25_index(
     return tf, stats
 
 
+def bm25_index_delta(
+    standing_tf: DataFrame,
+    standing_stats: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BM25 index maintenance: fold a batch of NEW
+    documents into standing index frames — the daily-append path for
+    the index-as-a-table discipline (bm25_index's docstring). The tf
+    frame is append-only for new doc ids (one delta-sized tokenize +
+    hash-agg, standing postings never re-read); the 1-row stats fold
+    by addition. Downstream scoring (bm25_score_terms) recomputes df
+    from the merged tf per query workload, so idf reflects the whole
+    corpus — an incrementally-maintained index scores IDENTICALLY to
+    a full rebuild (q_bm25_index_delta pins this with the full-rebuild
+    oracle)."""
+    tf_d, stats_d = bm25_index(delta_docs, id_col=id_col, text_col=text_col)
+    tf2 = standing_tf.unionByName(tf_d)
+    stats2 = (
+        standing_stats.unionByName(stats_d)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    return tf2, stats2
+
+
 def bm25_score_terms(
     tf: DataFrame,
     stats: DataFrame,

@@ -2001,6 +2001,34 @@ SELECT query_id, doc_id, score_x1e6, rank FROM lexr
 """
 
 
+def q_bm25_index_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental index maintenance == full rebuild, pinned by the
+    oracle: the 80% standing corpus's BM25 index frames are folded
+    with the 20% delta (operators/text.py:bm25_index_delta — delta-
+    sized tokenize, append-only tf, 1-row stats addition) and the
+    merged index answers the standard 3-query top-5. The oracle is
+    the FULL-CORPUS rebuild chain — identical output proves the
+    maintenance path."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    standing = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    tf0, stats0 = text_ops.bm25_index(standing)
+    tf2, stats2 = text_ops.bm25_index_delta(tf0, stats0, delta)
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    qt = q.select(
+        "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
+    ).distinct()
+    scored = text_ops.bm25_score_terms(tf2, stats2, qt)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1e6"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score_x1e6", "rank")
+    )
+
+
 # --------------------------------- BM25 pseudo-relevance feedback (RM3)
 PRF_FB_K = 3  # feedback docs per query
 PRF_N_EXP = 5  # expansion terms per query
@@ -2589,6 +2617,7 @@ QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25_topk": q_bm25_topk,
     "q_bm25_prf": q_bm25_prf,
+    "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
     "q_hybrid_retrieval": q_hybrid_retrieval,
@@ -2644,6 +2673,7 @@ ORACLES = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_bm25_prf": SQL_BM25_PRF,
+    "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
