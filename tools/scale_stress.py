@@ -127,6 +127,7 @@ DEEP = [
     "q_hash_embed_sim",
     "q_bpe_merges",
     "q_phrase_match",
+    "q_bm25_index_delta",
     "q_hll_distinct",
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
     # -> budget -> shards
