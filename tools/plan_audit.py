@@ -149,6 +149,9 @@ BROADCAST_OK = {
     "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
     "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
     "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
+    "queries/llm_ops.py::q_hash_embed_sim": (
+        "query doc's sparse hashed vector (<= dim rows) + its 1-row norm"
+    ),
     "queries/llm_ops.py::q_decontaminate": "benchmark shingle set: eval suite is small by definition",
     "queries/reference.py::q_star_join": "reference star-schema dim side (dim_stock symbol universe / dim_date calendar are bounded; testdata miniatures them)",
     "queries/reference.py::q_sector_rollup": "reference star-schema dim side (customer plays symbol-bounded dim_stock)",
