@@ -532,3 +532,41 @@ def phrase_match(
     if out is None:
         raise ValueError("phrase_match: no non-empty queries")
     return out
+
+
+def hard_negatives(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    n_neg: int = 3,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Contrastive training-pair mining (the DPR / sentence-transformers
+    data-prep step): positives are the relevant documents the retriever
+    surfaced in its top-``k``; HARD negatives are the highest-ranked
+    non-relevant retrieved documents (capped at ``n_neg`` per query) —
+    the near-misses that teach a reranker/bi-encoder the decision
+    boundary, far more informative than random negatives.
+
+    Output: (query_id, id, rank, label 1/0). Scale shape: top-k and
+    qrels frames are workload-bounded; two joins + one per-query
+    window over q x k rows. The corpus-proportional cost lives in the
+    retrieval leg and the label source.
+    """
+    res = results.select(
+        F.col(query_id), F.col(id_col), F.col(rank_col)
+    ).filter(F.col(rank_col) <= k)
+    rel = qrels.select(query_id, id_col).distinct()
+    pos = res.join(rel, [query_id, id_col], "left_semi").select(
+        query_id, id_col, rank_col, F.lit(1).alias("label")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc(rank_col))
+    neg = (
+        res.join(rel, [query_id, id_col], "left_anti")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_neg)
+        .select(query_id, id_col, rank_col, F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)

@@ -2338,9 +2338,10 @@ from ..operators.retrieval import ndcg_discounts as _ndcg_discounts
 _MDISC = _ndcg_discounts(METRICS_K)
 _MIDCG = [sum(_MDISC[:i + 1]) for i in range(METRICS_K)]
 
-SQL_RETRIEVAL_METRICS = f"""
-WITH {_sql_bm25_ctes(METRICS_K)},
-nt AS (SELECT query_id, count(*) AS _nt FROM qt GROUP BY 1),
+# conjunctive ground truth (doc relevant iff it contains EVERY query
+# term) as a CTE chunk over the _sql_bm25_ctes frames — shared by the
+# metrics oracle and the hard-negative-mining oracle
+_SQL_QRELS_CTES = """nt AS (SELECT query_id, count(*) AS _nt FROM qt GROUP BY 1),
 dterm AS (
   SELECT DISTINCT doc_id, term FROM base
 ),
@@ -2351,7 +2352,11 @@ qrels AS (
     GROUP BY 1, 2
   ) d JOIN nt ON nt.query_id = d.query_id
   WHERE d._matched = nt._nt
-),
+)"""
+
+SQL_RETRIEVAL_METRICS = f"""
+WITH {_sql_bm25_ctes(METRICS_K)},
+{_SQL_QRELS_CTES},
 hitrows AS (
   SELECT lexr.query_id, lexr.rank,
          row_number() OVER (PARTITION BY lexr.query_id
@@ -2383,6 +2388,56 @@ SELECT qs.query_id,
             ELSE 0 END AS idcg_x1e9
 FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
         LEFT JOIN nrel ON nrel.query_id = qs.query_id
+"""
+
+
+# --------------------------------------------- hard-negative mining
+HN_NEG = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive pair mining over the BM25 top-10 vs conjunctive
+    ground truth: retrieved relevants label 1, the 3 highest-ranked
+    non-relevant retrieved docs label 0
+    (operators/retrieval.py:hard_negatives)."""
+    from ..operators.retrieval import hard_negatives
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    results = text_ops.bm25_topk(d, q, k=METRICS_K)
+    qt = q.select(
+        "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
+    ).distinct()
+    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nt"))
+    qrels = (
+        d.select("doc_id", F.explode_outer(text_ops.tokens("text")).alias("term"))
+        .distinct()
+        .join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_matched"))
+        .join(n_terms, "query_id")
+        .filter(F.col("_matched") == F.col("_nt"))
+        .select("query_id", "doc_id")
+    )
+    return hard_negatives(results, qrels, k=METRICS_K, n_neg=HN_NEG)
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH {_sql_bm25_ctes(METRICS_K)},
+{_SQL_QRELS_CTES}
+SELECT query_id, doc_id, rank, 1 AS label
+FROM lexr
+WHERE EXISTS (SELECT 1 FROM qrels r
+              WHERE r.query_id = lexr.query_id AND r.doc_id = lexr.doc_id)
+UNION ALL
+SELECT query_id, doc_id, rank, 0 AS label FROM (
+  SELECT query_id, doc_id, rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank ASC) AS _r
+  FROM lexr
+  WHERE NOT EXISTS (SELECT 1 FROM qrels r
+                    WHERE r.query_id = lexr.query_id
+                      AND r.doc_id = lexr.doc_id)
+) WHERE _r <= {HN_NEG}
 """
 
 
@@ -2620,6 +2675,7 @@ QUERIES = {
     "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
+    "q_hard_negatives": q_hard_negatives,
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_rag_retrieve": q_rag_retrieve,
     "q_snippet_extract": q_snippet_extract,
@@ -2676,6 +2732,7 @@ ORACLES = {
     "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
+    "q_hard_negatives": SQL_HARD_NEGATIVES,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_rag_retrieve": SQL_RAG_RETRIEVE,
     "q_snippet_extract": SQL_SNIPPET_EXTRACT,

@@ -2339,3 +2339,26 @@ def test_phrase_match_positional_semantics(spark):
         for r in phrase_match(docs, qs).collect()
     }
     assert got == {(1, 1): 2, (1, 3): 1, (2, 1): 1, (2, 3): 1}
+
+
+def test_hard_negatives_semantics(spark):
+    """Mining semantics: every retrieved relevant is a positive, the
+    n_neg HIGHEST-ranked non-relevants are the negatives, rank > k
+    rows never mined."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        hard_negatives,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5)],
+        "query_id int, doc_id bigint, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 99)], "query_id int, doc_id bigint"
+    )
+    got = {
+        (r["doc_id"], r["label"])
+        for r in hard_negatives(results, qrels, k=4, n_neg=2).collect()
+    }
+    # rank-5 doc excluded by k=4; negatives are ranks 1 and 3 (10, 12)
+    assert got == {(11, 1), (10, 0), (12, 0)}

@@ -78,6 +78,7 @@ CARTESIAN_OK = {
     "q_bm25_prf": "broadcast of 1-row corpus stats (n_docs, sum_dl), both scoring passes",
     "q_retrieval_metrics": "broadcast of 1-row corpus stats (BM25 results leg)",
     "q_bm25_index_delta": "broadcast of the folded 1-row corpus stats",
+    "q_hard_negatives": "broadcast of 1-row corpus stats (BM25 results leg)",
     "q_mmr_rerank": (
         "broadcast of 3 query vectors (cosine_topk_batch candidate leg); "
         "the MMR loop itself joins only workload-bounded candidate frames"
