@@ -559,3 +559,75 @@ def test_streaming_curation_filter_parity(spark, tmp_path):
     got = _rows(spark.table("curated_stream"), ["doc_id", "score", "n_tokens"])
     exp = _rows(curate(docs), ["doc_id", "score", "n_tokens"])
     assert got == exp and len(got) > 0
+
+
+def test_streaming_bm25_index_maintenance(spark, tmp_path):
+    """The index-is-a-table discipline under streaming ingest: each
+    micro-batch of new documents folds into standing BM25 index frames
+    via bm25_index_delta inside foreachBatch (delta-sized tokenize,
+    append-only tf parquet, stats re-folded), and after draining the
+    backlog the maintained index scores IDENTICALLY to a full batch
+    rebuild over everything ingested."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bm25_index,
+        bm25_score_terms,
+        tokens,
+    )
+
+    src = str(tmp_path / "docs_src")
+    tf_tbl = str(tmp_path / "tf")
+    os.makedirs(src)
+    batches = [
+        [(0, "spark join window"), (1, "join merge hash join")],
+        [(2, "spark spark scan"), (3, "window sort window")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+    def fold(batch_df, batch_id):
+        tf_d, _ = bm25_index(batch_df)
+        tf_d.write.mode("append").parquet(tf_tbl)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointDir", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # maintained index frames: tf table on disk + stats derived from it
+    tf2 = spark.read.parquet(tf_tbl)
+    stats2 = tf2.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.col("tf")).cast("bigint").alias("sum_dl"),
+    )
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id bigint, text string"
+    )
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "window")], "query_id int, query_text string"
+    )
+    qt = qs.select(
+        "query_id", F.explode(tokens("query_text")).alias("term")
+    ).distinct()
+    tf_full, stats_full = bm25_index(all_docs)
+    got = sorted(
+        tuple(r) for r in bm25_score_terms(tf2, stats2, qt).collect()
+    )
+    expect = sorted(
+        tuple(r) for r in bm25_score_terms(tf_full, stats_full, qt).collect()
+    )
+    assert got == expect and len(got) > 0
