@@ -833,3 +833,135 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# ------------------------------------------------ perceptual image hash
+AHASH_SCHEMA = "content_id bigint, ahash bigint, decodable boolean"
+
+
+def ahash_image(payload: bytes, hash_dim: int = 8) -> int | None:
+    """Average-hash (aHash) perceptual fingerprint over the REAL
+    decoded pixels: grayscale by integer channel mean, nearest-neighbor
+    downsample to hash_dim x hash_dim (the same index mapping as
+    real_resize), one bit per cell = cell > mean of cells — the classic
+    near-duplicate-image signature (resize/re-encode invariant,
+    hamming-comparable). Returns None for undecodable payloads (honest
+    absence, not a fake hash). All-integer arithmetic: deterministic
+    across platforms."""
+    import numpy as np
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = png_pixels(payload)
+        elif payload[:2] == b"\xff\xd8":
+            px = jpeg_pixels(payload)
+        else:
+            return None
+    except Exception:
+        return None
+    gray = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    src_h, src_w = gray.shape
+    ys = np.minimum(
+        ((np.arange(hash_dim) + 0.5) * src_h / hash_dim).astype(int), src_h - 1
+    )
+    xs = np.minimum(
+        ((np.arange(hash_dim) + 0.5) * src_w / hash_dim).astype(int), src_w - 1
+    )
+    cells = gray[np.ix_(ys, xs)].reshape(-1)
+    mean = int(cells.sum()) // cells.size  # integer mean: deterministic
+    bits = 0
+    for i, c in enumerate(cells.tolist()):
+        if c > mean:
+            bits |= 1 << i
+    # two's-complement into signed 64-bit for a Spark bigint column
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(
+    df: DataFrame,
+    hash_dim: int = 8,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch aHash via mapInPandas (Arrow-batched, the multimodal
+    plumbing pattern): (content_id, ahash bigint | NULL, decodable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [ahash_image(bytes(p), hash_dim) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf[id_col],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "decodable": [h is not None for h in hashes],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "content_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over aHash — the
+    image twin of the SimHash text path: the 64-bit hash splits into
+    four 16-bit bands (a pair within hamming <= 3 of a band width must
+    share SOME band by pigeonhole at <= 3; wider radii keep recall by
+    banding + the exact bit_count verify), candidates equi-join on
+    (band_idx, band_value), and the exact hamming filter
+    (bit_count(a XOR b), JVM-side) keeps true pairs. No all-pairs
+    comparison anywhere; undecodable rows (NULL hash) never pair.
+
+    Scale shape: banding is a narrow 4x explode; the candidate join is
+    an equi-join keyed by band value (collision-bounded); verify is a
+    bit op. Same shape as operators/lsh.py's banded joins."""
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    bands = h.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (ia < ib),
+        )
+        .select(
+            ia.alias("id_a"),
+            ib.alias("id_b"),
+            F.col(f"a.{hash_col}").alias("_ha"),
+            F.col(f"b.{hash_col}").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

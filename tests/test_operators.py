@@ -2362,3 +2362,47 @@ def test_hard_negatives_semantics(spark):
     }
     # rank-5 doc excluded by k=4; negatives are ranks 1 and 3 (10, 12)
     assert got == {(11, 1), (10, 0), (12, 0)}
+
+
+def test_image_ahash_neardup_pairs(spark):
+    """Perceptual image dedup: two visually-near PNGs (one cell
+    perturbed) pair within the hamming radius, a structurally different
+    image does not, and undecodable payloads hash NULL and never pair."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        ahash_image,
+        image_ahash,
+        image_neardup_pairs,
+    )
+
+    def gradient(rows, cols, bump=None):
+        px = [[(r * 16 + c * 8) % 256 for c in range(cols * 3)] for r in range(rows)]
+        if bump:
+            r, c = bump
+            for ch in range(3):
+                px[r][c * 3 + ch] = 255
+        return _make_png(px, channels=3, filters=[0] * rows)
+
+    img_a = gradient(16, 16)
+    img_b = gradient(16, 16, bump=(3, 3))          # near-dup of a
+    img_c = _make_png(
+        [[255 - ((r * 40 + c) % 256) for c in range(48)] for r in range(16)],
+        channels=3, filters=[0] * 16,
+    )                                               # inverted: far
+    ha, hb = ahash_image(img_a), ahash_image(img_b)
+    assert ha is not None and bin((ha ^ hb) & (2**64 - 1)).count("1") <= 8
+    assert ahash_image(b"not an image") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(img_a)), (2, bytearray(img_b)),
+         (3, bytearray(img_c)), (4, bytearray(b"opaque"))],
+        "content_id bigint, payload binary",
+    )
+    hashes = image_ahash(df)
+    rows = {r["content_id"]: r for r in hashes.collect()}
+    assert rows[4]["ahash"] is None and not rows[4]["decodable"]
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in image_neardup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
