@@ -90,6 +90,32 @@ FROM t
 """
 
 
+def q_filter_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-vs-filter eval harness: confusion counts of the
+    hashed-linear classifier's keep decision against the rule-based
+    quality label (q_score >= 0.6, i.e. >= 3 of 5 checks) — the
+    calibration readout a curation pipeline checks before swapping a
+    model-based filter in for rules. One row of exact integer
+    counts."""
+    d = _docs(spark, sf)
+    rule = text_ops.quality_features(
+        d.select("doc_id", "text"), "text"
+    ).select("doc_id", (F.col("q_score") >= 0.6).alias("_rule"))
+    score = text_ops.classifier_quality_score("text")
+    kept = d.select("doc_id", (score >= 0.0).alias("_kept"))
+    j = rule.join(kept, "doc_id")
+    return j.agg(
+        F.sum(F.when(F.col("_rule") & F.col("_kept"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(~F.col("_rule") & F.col("_kept"), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("_rule") & ~F.col("_kept"), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when(~F.col("_rule") & ~F.col("_kept"), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+
+
 def _sql_stopword_hits(words: list[str]) -> str:
     terms = " + ".join(
         f"(CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ') THEN 1 ELSE 0 END)"
@@ -117,6 +143,34 @@ SELECT doc_id,
     + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
   AS DOUBLE) / 5 AS q_score
 FROM documents
+"""
+
+
+SQL_FILTER_EVAL = f"""
+WITH r AS (
+  SELECT doc_id,
+         (CAST(
+            (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
+            + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
+            + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
+            + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+            + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 5) >= 0.6 AS _rule
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         (list_sum(list_transform(toks, tok -> {_SQL_QC_WEIGHT}))
+            / CAST(len(toks) AS DOUBLE)) >= 0.0 AS _kept
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+)
+SELECT
+  CAST(SUM(CASE WHEN _rule AND _kept THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN NOT _rule AND _kept THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN _rule AND NOT _kept THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN NOT _rule AND NOT _kept THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM r JOIN k USING (doc_id)
 """
 
 
@@ -2676,6 +2730,7 @@ QUERIES = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
     "q_hard_negatives": q_hard_negatives,
+    "q_filter_eval": q_filter_eval,
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_rag_retrieve": q_rag_retrieve,
     "q_snippet_extract": q_snippet_extract,
@@ -2733,6 +2788,7 @@ ORACLES = {
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hard_negatives": SQL_HARD_NEGATIVES,
+    "q_filter_eval": SQL_FILTER_EVAL,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_rag_retrieve": SQL_RAG_RETRIEVE,
     "q_snippet_extract": SQL_SNIPPET_EXTRACT,
