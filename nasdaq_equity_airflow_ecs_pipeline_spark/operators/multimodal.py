@@ -890,7 +890,10 @@ def image_ahash(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [ahash_image(bytes(p), hash_dim) for p in pdf[payload_col]]
+            hashes = [
+                None if p is None else ahash_image(bytes(p), hash_dim)
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "content_id": pdf[id_col],
@@ -904,22 +907,37 @@ def image_ahash(
 
 def image_neardup_pairs(
     hashes: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    n_bands: int = 4,
     id_col: str = "content_id",
     hash_col: str = "ahash",
 ) -> DataFrame:
     """Near-duplicate image pairs by hamming distance over aHash — the
     image twin of the SimHash text path: the 64-bit hash splits into
-    four 16-bit bands (a pair within hamming <= 3 of a band width must
-    share SOME band by pigeonhole at <= 3; wider radii keep recall by
-    banding + the exact bit_count verify), candidates equi-join on
-    (band_idx, band_value), and the exact hamming filter
-    (bit_count(a XOR b), JVM-side) keeps true pairs. No all-pairs
-    comparison anywhere; undecodable rows (NULL hash) never pair.
+    ``n_bands`` equal bands, candidates equi-join on (band_idx,
+    band_value), and the exact hamming filter (bit_count(a XOR b),
+    JVM-side) keeps true pairs. Recall is GUARANTEED only for
+    hamming <= n_bands - 1 (pigeonhole: fewer differing bits than
+    bands forces a shared band), so max_hamming >= n_bands is rejected
+    rather than silently missing pairs — raise n_bands for wider
+    radii (n_bands=16 serves hamming <= 15 with 4-bit bands). No
+    all-pairs comparison anywhere; undecodable rows (NULL hash) never
+    pair.
 
-    Scale shape: banding is a narrow 4x explode; the candidate join is
-    an equi-join keyed by band value (collision-bounded); verify is a
-    bit op. Same shape as operators/lsh.py's banded joins."""
+    Scale shape: banding is a narrow n_bands-x explode; the candidate
+    join is an equi-join keyed by band value (collision-bounded —
+    narrower bands trade more candidates for wider guaranteed radius);
+    verify is a bit op. Same shape as operators/lsh.py's banded
+    joins."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= n_bands {n_bands}: banding "
+            "only guarantees recall below the band count — raise n_bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.col(hash_col)
     )
@@ -931,11 +949,11 @@ def image_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(hash_col), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("b"),

@@ -530,7 +530,12 @@ def phrase_match(
         )
         out = leg if out is None else out.unionByName(leg)
     if out is None:
-        raise ValueError("phrase_match: no non-empty queries")
+        # empty / all-blank workload: zero matches, not a crash
+        return (
+            queries.select(F.col(query_id)).limit(0)
+            .crossJoin(docs.select(F.col(id_col)).limit(0))
+            .withColumn("n_matches", F.lit(0).cast("bigint"))
+        )
     return out
 
 

@@ -128,6 +128,13 @@ _SQL_NW = r"len(string_split_regex(trim(text), '\s+'))"
 _SQL_NP = r"len(regexp_extract_all(text, '[^\w\s]'))"
 _SQL_ND = r"len(regexp_extract_all(text, '[0-9]'))"
 
+# the 5-check quality rule, one spelling for SQL_TEXT_QUALITY,
+# SQL_FILTER_EVAL, and the composed corpus-pipeline oracle
+_SQL_QRULE_CHECKS = f"""(CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
+    + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
+    + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
+    + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)"""
+
 SQL_TEXT_QUALITY = f"""
 SELECT doc_id,
   length(text)::INT AS q_n_chars,
@@ -136,10 +143,7 @@ SELECT doc_id,
   {_SQL_ND}::INT AS q_n_digit,
   {_sql_stopword_hits(text_ops.STOPWORDS)} AS q_stopword_hits,
   CAST(
-    (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
-    + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
-    + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
-    + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+    {_SQL_QRULE_CHECKS}
     + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
   AS DOUBLE) / 5 AS q_score
 FROM documents
@@ -150,10 +154,7 @@ SQL_FILTER_EVAL = f"""
 WITH r AS (
   SELECT doc_id,
          (CAST(
-            (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
-            + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
-            + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
-            + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+            {_SQL_QRULE_CHECKS}
             + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
           AS DOUBLE) / 5) >= 0.6 AS _rule
   FROM documents
@@ -1064,10 +1065,7 @@ def _sql_corpus_pipeline() -> str:
     from ..operators.sampling import sql_stratified_sample
 
     q_checks = f"""(
-        (CASE WHEN {_SQL_NW} >= 10 THEN 1 ELSE 0 END)
-        + (CASE WHEN (length(text) / {_SQL_NW}) BETWEEN 2 AND 12 THEN 1 ELSE 0 END)
-        + (CASE WHEN {_SQL_NP} * 3 <= {_SQL_NW} THEN 1 ELSE 0 END)
-        + (CASE WHEN {_SQL_ND} * 2 <= length(text) THEN 1 ELSE 0 END)
+        {_SQL_QRULE_CHECKS}
         + (CASE WHEN {_sql_stopword_hits(text_ops.STOPWORDS)} >= 1 THEN 1 ELSE 0 END)
     )"""
     shingles_over_src = _SQL_SHINGLES.replace("FROM documents)", "FROM src)")
@@ -2360,6 +2358,23 @@ FROM fusedr f LEFT JOIN snip s
 METRICS_K = 10
 
 
+def _conjunctive_qrels(d: DataFrame, qt: DataFrame) -> DataFrame:
+    """Ground truth shared by the metrics and hard-negative queries: a
+    doc is relevant iff it contains EVERY query term (the Python twin
+    of _SQL_QRELS_CTES)."""
+    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nt"))
+    return (
+        d.select("doc_id", F.explode_outer(text_ops.tokens("text")).alias("term"))
+        .distinct()
+        .join(qt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_matched"))
+        .join(n_terms, "query_id")
+        .filter(F.col("_matched") == F.col("_nt"))
+        .select("query_id", "doc_id")
+    )
+
+
 def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """IR eval harness: BM25 top-10 per query scored against conjunctive
     ground truth (a doc is relevant iff it contains EVERY query term) —
@@ -2373,17 +2388,7 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     qt = q.select(
         "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
     ).distinct()
-    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nt"))
-    qrels = (
-        d.select("doc_id", F.explode_outer(text_ops.tokens("text")).alias("term"))
-        .distinct()
-        .join(qt, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("_matched"))
-        .join(n_terms, "query_id")
-        .filter(F.col("_matched") == F.col("_nt"))
-        .select("query_id", "doc_id")
-    )
+    qrels = _conjunctive_qrels(d, qt)
     return retrieval_metrics(results, qrels, k=METRICS_K)
 
 
@@ -2462,17 +2467,7 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     qt = q.select(
         "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
     ).distinct()
-    n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nt"))
-    qrels = (
-        d.select("doc_id", F.explode_outer(text_ops.tokens("text")).alias("term"))
-        .distinct()
-        .join(qt, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("_matched"))
-        .join(n_terms, "query_id")
-        .filter(F.col("_matched") == F.col("_nt"))
-        .select("query_id", "doc_id")
-    )
+    qrels = _conjunctive_qrels(d, qt)
     return hard_negatives(results, qrels, k=METRICS_K, n_neg=HN_NEG)
 
 

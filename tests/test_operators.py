@@ -2401,8 +2401,22 @@ def test_image_ahash_neardup_pairs(spark):
     rows = {r["content_id"]: r for r in hashes.collect()}
     assert rows[4]["ahash"] is None and not rows[4]["decodable"]
     pairs = {
-        (r["id_a"], r["id_b"]) for r in image_neardup_pairs(hashes, max_hamming=8).collect()
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(hashes, max_hamming=8, n_bands=16).collect()
     }
     assert (1, 2) in pairs
     assert all(4 not in p for p in pairs)
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # the banding guarantee is enforced, not silently violated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_neardup_pairs(hashes, max_hamming=8, n_bands=4)
+
+    # NULL payloads flow through image_ahash as honest absence
+    df_null = spark.createDataFrame(
+        [(9, None)], "content_id bigint, payload binary"
+    )
+    r9 = image_ahash(df_null).collect()[0]
+    assert r9["ahash"] is None and not r9["decodable"]

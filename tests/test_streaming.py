@@ -596,24 +596,34 @@ def test_streaming_bm25_index_maintenance(spark, tmp_path):
         .json(src)
     )
 
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bm25_index_delta,
+    )
+
+    state: dict = {}
+
     def fold(batch_df, batch_id):
-        tf_d, _ = bm25_index(batch_df)
-        tf_d.write.mode("append").parquet(tf_tbl)
+        if "tf" not in state:
+            tf, st = bm25_index(batch_df)
+        else:
+            tf, st = bm25_index_delta(state["tf"], state["stats"], batch_df)
+        state["tf"] = tf.localCheckpoint(eager=True)
+        state["stats"] = st.localCheckpoint(eager=True)
+        state["tf"].write.mode("overwrite").parquet(tf_tbl)
 
     q = (
         stream.writeStream.foreachBatch(fold)
-        .option("checkpointDir", str(tmp_path / "ckpt"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
 
-    # maintained index frames: tf table on disk + stats derived from it
-    tf2 = spark.read.parquet(tf_tbl)
-    stats2 = tf2.agg(
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum(F.col("tf")).cast("bigint").alias("sum_dl"),
-    )
+    # maintained index frames: the bm25_index_delta-folded state (the
+    # persisted tf table mirrors it)
+    tf2 = state["tf"]
+    stats2 = state["stats"]
+    assert spark.read.parquet(tf_tbl).count() == tf2.count()
     all_docs = spark.createDataFrame(
         [r for b in batches for r in b], "doc_id bigint, text string"
     )
