@@ -847,9 +847,18 @@ def ahash_image(payload: bytes, hash_dim: int = 8) -> int | None:
     near-duplicate-image signature (resize/re-encode invariant,
     hamming-comparable). Returns None for undecodable payloads (honest
     absence, not a fake hash). All-integer arithmetic: deterministic
-    across platforms."""
+    across platforms.
+
+    hash_dim**2 must be exactly 64: the two's-complement fold below and
+    image_neardup_pairs' banding both assume a 64-bit hash, so a wider
+    dim would silently overflow pandas Int64 — rejected loudly."""
     import numpy as np
 
+    if hash_dim * hash_dim != 64:
+        raise ValueError(
+            f"hash_dim**2 must be 64 (a signed-bigint hash); got "
+            f"hash_dim={hash_dim} -> {hash_dim * hash_dim} bits"
+        )
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             px = png_pixels(payload)

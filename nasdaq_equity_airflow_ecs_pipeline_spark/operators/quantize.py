@@ -83,7 +83,25 @@ FROM s, unnest(generate_series(0, len(v) - 1)) AS u(i)
 # ------------------------------------------------ product quantization
 def _subvectors(df: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str):
     """Explode each vector into its ``m`` contiguous subvectors:
-    (id, sub_id, subvec). One narrow projection — no shuffle."""
+    (id, sub_id, subvec). One narrow projection — no shuffle.
+
+    Length-guarded: dim is inferred from ONE probe row, so a malformed
+    shorter/longer vector elsewhere in the corpus would slice to NULLs
+    that sort first under the d2 argmin and silently hijack code
+    assignment. A plan-embedded assert (per-row size check, no extra
+    pass) names the offending id instead — the corpus-side mirror of
+    the query-vector length checks in pq_adc_topk/ivf_pq_search."""
+    df = df.filter(
+        F.assert_true(
+            F.size(vec_col) == F.lit(m * d_sub),
+            F.concat(
+                F.lit(f"pq: {vec_col} must have {m * d_sub} dims; "),
+                F.col(id_col).cast("string"),
+                F.lit(" has "),
+                F.size(vec_col).cast("string"),
+            ),
+        ).isNull()
+    )
     slices = F.array(
         *[
             F.slice(

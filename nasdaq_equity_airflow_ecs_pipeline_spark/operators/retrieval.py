@@ -490,53 +490,49 @@ def phrase_match(
     CONSECUTIVELY, with the match count — the positional-index query a
     lexical engine answers from (term, doc, position) postings.
 
-    Plan: the corpus posting frame (doc, term, pos) joins the query's
-    first term, then each subsequent query term must appear at
-    pos + offset — an n_terms-way positional equi-join where every leg
-    after the first joins on (doc, term, exact position), so candidate
-    rows shrink monotonically. The query frame is a workload (q rows,
-    collected to build the fixed join chain — phrase length is a query
-    property, not data); the corpus is exploded ONCE.
+    Plan: ONE data-driven plan for any workload size. Query phrases
+    explode to (query_id, slot, term) — workload-bounded, broadcast —
+    and join corpus postings (doc, pos, term) on term. Each hit
+    anchors a candidate phrase start at ``start = pos - slot``; a
+    start where all ``phrase_len`` distinct slots landed is an exact
+    consecutive occurrence. Neither the query count nor the phrase
+    length changes the plan shape — no per-query driver loop, no
+    q-way union (the r6 weak finding).
 
     Output: (query_id, id, n_matches >= 1).
     """
     from .text import tokens
 
-    qrows = queries.select(
-        F.col(query_id), tokens(query_col).alias("_qt")
-    ).collect()
+    qterms = queries.select(
+        F.col(query_id),
+        F.posexplode(
+            F.filter(tokens(query_col), lambda t: t != F.lit(""))
+        ).alias("slot", "term"),
+    )
+    plen = qterms.groupBy(query_id).agg(
+        F.count(F.lit(1)).cast("int").alias("_plen")
+    )
+    # workload-bounded: q x phrase_len rows (a retrieval workload, not
+    # a corpus) — safe to broadcast onto the term-keyed postings
+    qside = F.broadcast(qterms.join(plen, query_id))
     post = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
-    ).localCheckpoint(eager=True)
-
-    out = None
-    for q in qrows:
-        qid, terms = q[query_id], [t for t in q["_qt"] if t != ""]
-        if not terms:
-            continue
-        cur = post.filter(F.col("term") == terms[0]).select(id_col, "pos")
-        for off, t in enumerate(terms[1:], start=1):
-            nxt = post.filter(F.col("term") == t).select(
-                F.col(id_col).alias("_nid"), (F.col("pos") - off).alias("_npos")
-            )
-            cur = cur.join(
-                nxt,
-                (cur[id_col] == nxt["_nid"]) & (cur["pos"] == nxt["_npos"]),
-            ).select(cur[id_col], cur["pos"])
-        leg = (
-            cur.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
-            .select(F.lit(qid).alias(query_id), F.col(id_col), "n_matches")
+    )
+    starts = (
+        post.join(qside, "term")
+        .filter(F.col("pos") >= F.col("slot"))
+        .groupBy(
+            query_id, id_col, (F.col("pos") - F.col("slot")).alias("_start")
         )
-        out = leg if out is None else out.unionByName(leg)
-    if out is None:
-        # empty / all-blank workload: zero matches, not a crash
-        return (
-            queries.select(F.col(query_id)).limit(0)
-            .crossJoin(docs.select(F.col(id_col)).limit(0))
-            .withColumn("n_matches", F.lit(0).cast("bigint"))
+        .agg(
+            F.countDistinct("slot").alias("_nslots"),
+            F.max("_plen").alias("_plen"),
         )
-    return out
+        .filter(F.col("_nslots") == F.col("_plen"))
+    )
+    return starts.groupBy(query_id, id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
 
 
 def hard_negatives(

@@ -448,6 +448,7 @@ def bm25_index_delta(
     delta_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    on_reingest: str = "allow",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental BM25 index maintenance: fold a batch of NEW
     documents into standing index frames — the daily-append path for
@@ -458,7 +459,50 @@ def bm25_index_delta(
     from the merged tf per query workload, so idf reflects the whole
     corpus — an incrementally-maintained index scores IDENTICALLY to
     a full rebuild (q_bm25_index_delta pins this with the full-rebuild
-    oracle)."""
+    oracle).
+
+    The append-only contract is only CORRECT for genuinely new doc
+    ids: re-ingesting an existing id would double-count its postings,
+    df, n_docs, and sum_dl. ``on_reingest`` makes that failure loud
+    instead of silent:
+
+    - ``"allow"`` (default): trust the caller's append-only feed —
+      zero extra cost, the delta fold stays delta-sized.
+    - ``"error"``: any delta doc id already in the standing index
+      trips an executor-side assert naming the id (lazy — embedded in
+      the plan, fails on first materialization).
+    - ``"skip"``: conflicting delta rows are anti-joined away, so the
+      fold is idempotent under replayed batches.
+
+    Both guard modes pay one distinct over standing doc ids per fold
+    (corpus-sized — the price of checking); production appends with a
+    trusted upstream key keep the default."""
+    if on_reingest not in ("allow", "error", "skip"):
+        raise ValueError(
+            f"on_reingest must be allow|error|skip, got {on_reingest!r}"
+        )
+    if on_reingest != "allow":
+        standing_ids = standing_tf.select(F.col(id_col)).distinct()
+        if on_reingest == "skip":
+            delta_docs = delta_docs.join(standing_ids, id_col, "left_anti")
+        else:
+            dup = standing_ids.withColumn("_standing", F.lit(True))
+            delta_docs = (
+                delta_docs.join(dup, id_col, "left")
+                .filter(
+                    F.assert_true(
+                        F.col("_standing").isNull(),
+                        F.concat(
+                            F.lit(
+                                "bm25_index_delta(on_reingest=error): "
+                                f"delta re-ingests standing {id_col}="
+                            ),
+                            F.col(id_col).cast("string"),
+                        ),
+                    ).isNull()
+                )
+                .drop("_standing")
+            )
     tf_d, stats_d = bm25_index(delta_docs, id_col=id_col, text_col=text_col)
     tf2 = standing_tf.unionByName(tf_d)
     stats2 = (

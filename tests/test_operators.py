@@ -1872,6 +1872,49 @@ def test_bm25_max_df_frac(spark):
     assert [r["doc_id"] for r in capped] == [7]
 
 
+def test_bm25_index_delta_reingest_guard(spark):
+    """The append-only contract fails LOUDLY instead of silently
+    double-counting: on_reingest='error' trips on an overlapping doc
+    id, 'skip' makes replayed batches idempotent, and the default
+    stays zero-cost trust."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bm25_index,
+        bm25_index_delta,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    tf0, st0 = bm25_index(standing)
+    delta = spark.createDataFrame(
+        [(2, "beta gamma"), (3, "delta")], "doc_id bigint, text string"
+    )
+    # error mode: the re-ingested id is named in the failure
+    tf_e, st_e = bm25_index_delta(tf0, st0, delta, on_reingest="error")
+    with _pytest.raises(SparkRuntimeException, match="doc_id=2"):
+        tf_e.collect()
+    # skip mode: idempotent fold — doc 2 not double-counted, doc 3 in
+    tf_s, st_s = bm25_index_delta(tf0, st0, delta, on_reingest="skip")
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in tf_s.collect()}
+    assert got[(2, "beta")] == 1 and got[(3, "delta")] == 1
+    stats = st_s.collect()[0]
+    assert (stats["n_docs"], stats["sum_dl"]) == (3, 5)
+    # replaying the same delta through skip changes nothing
+    tf_s2, st_s2 = bm25_index_delta(tf_s, st_s, delta, on_reingest="skip")
+    assert st_s2.collect()[0]["n_docs"] == 3
+    # a clean append in error mode passes and matches a full rebuild
+    clean = spark.createDataFrame([(3, "delta")], "doc_id bigint, text string")
+    tf_c, st_c = bm25_index_delta(tf0, st0, clean, on_reingest="error")
+    full_tf, _ = bm25_index(standing.unionByName(clean))
+    assert sorted(map(tuple, tf_c.collect())) == sorted(
+        map(tuple, full_tf.collect())
+    )
+    with _pytest.raises(ValueError):
+        bm25_index_delta(tf0, st0, clean, on_reingest="bogus")
+
+
 def test_best_snippet_window(spark):
     """Snippet semantics: densest query-term window wins, ties go to
     the earliest start, zero-hit candidates yield no row."""
@@ -2167,6 +2210,33 @@ def test_pq_encode_and_adc_semantics(spark):
         pq_train(df, m=3)
 
 
+def test_pq_corpus_ragged_vector_fails_loudly(spark):
+    """A malformed shorter vector in the corpus must trip the
+    plan-embedded length assert (naming the id), not silently hijack
+    the argmin with NULL distances — the corpus-side mirror of the
+    query-vector length check."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        pq_encode,
+        pq_train,
+    )
+
+    good = [(i, [float(i + d) for d in range(8)]) for i in range(6)]
+    df_ok = spark.createDataFrame(
+        good, "vec_id bigint, embedding array<double>"
+    )
+    books = pq_train(df_ok, m=2, ksub=2, iters=1)
+    ragged = spark.createDataFrame(
+        good + [(99, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(SparkRuntimeException, match="8 dims"):
+        pq_encode(ragged, books).collect()
+    with _pytest.raises(SparkRuntimeException, match="8 dims"):
+        pq_train(ragged, m=2, ksub=2, iters=1)
+
+
 def test_ivf_pq_probe_prunes_to_probed_lists(spark):
     """IVF-PQ semantics: with two far-apart clusters and nprobe=1, the
     probe returns ONLY the query-side cluster's members (non-probed
@@ -2341,6 +2411,45 @@ def test_phrase_match_positional_semantics(spark):
     assert got == {(1, 1): 2, (1, 3): 1, (2, 1): 1, (2, 3): 1}
 
 
+def test_phrase_match_one_plan_for_1000_queries(spark):
+    """The r6 weak finding, closed: phrase_match must compile ONE
+    data-driven plan whose size is independent of the query count —
+    no per-query join chain, no q-way union. 1000 phrase queries must
+    analyze in one plan with zero Union nodes, and the result must
+    still be exact."""
+    import time
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tail") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(i, f"w{i % 50} common") for i in range(1000)],
+        "query_id int, query_text string",
+    )
+    t0 = time.monotonic()
+    df = phrase_match(docs, qs)
+    _ = df.schema  # force analysis
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    build_s = time.monotonic() - t0
+    assert "Union" not in plan, "per-query union legs leaked back in"
+    # a 1000-leg union took tens of seconds to analyze; one data-driven
+    # plan analyzes in constant time
+    assert build_s < 10.0, f"plan construction took {build_s:.1f}s"
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in df.collect()
+    }
+    # every query i matches exactly doc i%50 once
+    assert len(got) == 1000
+    assert all(v == 1 for v in got.values())
+    assert got[(999, 49)] == 1
+
+
 def test_hard_negatives_semantics(spark):
     """Mining semantics: every retrieved relevant is a positive, the
     n_neg HIGHEST-ranked non-relevants are the negatives, rank > k
@@ -2420,3 +2529,10 @@ def test_image_ahash_neardup_pairs(spark):
     )
     r9 = image_ahash(df_null).collect()[0]
     assert r9["ahash"] is None and not r9["decodable"]
+
+    # hash_dim**2 != 64 would overflow the signed-bigint fold and break
+    # the 64-bit banding downstream — rejected loudly, not at runtime
+    with _pytest.raises(ValueError, match="64"):
+        ahash_image(img_a, hash_dim=16)
+    with _pytest.raises(ValueError, match="64"):
+        ahash_image(img_a, hash_dim=4)

@@ -132,6 +132,10 @@ BROADCAST_OK = {
         "workload-bounded candidate set (a fused/retrieved top-k) and "
         "query-vocabulary terms"
     ),
+    "operators/retrieval.py::phrase_match": (
+        "exploded query phrases: q x phrase_len rows (a retrieval "
+        "workload, not a corpus)"
+    ),
     "operators/retrieval.py::bm25_prf_topk": (
         "feedback-doc set: q x fb_k rows (a retrieved top-k, workload-"
         "bounded not corpus-bounded)"
