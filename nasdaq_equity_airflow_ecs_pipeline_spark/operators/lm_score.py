@@ -208,6 +208,169 @@ def score_docs(
     )
 
 
+class TrigramLM(NamedTuple):
+    """Trained trigram model state with its bigram backoff tier.
+
+    All four count frames are corpus-sized model state (one row per
+    distinct n-gram / context) and are therefore NEVER broadcast —
+    scoring reaches them through merge-hinted equi-joins, exactly the
+    bigram discipline."""
+
+    trigrams: DataFrame  # (w1, w2, w3, c123)
+    tri_contexts: DataFrame  # (w1, w2, c12) where c12 = sum_w3 c123
+    bigrams: DataFrame  # (w2, w3, c23) — the backoff distribution
+    bi_contexts: DataFrame  # (w2, c2) where c2 = sum_w3 c23
+    vocab_size: int
+
+
+def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple, map-side
+    only (same transform-over-token-array shape as _bigram_rows)."""
+    toks = tokens(text_col)
+    triples = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda w, i: F.struct(
+            w.alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+            F.element_at(toks, i + 3).alias("w3"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(triples).alias("tg")
+    ).select(id_col, "tg.w1", "tg.w2", "tg.w3")
+
+
+def train_trigram_lm(
+    train_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> TrigramLM:
+    """Fit the trigram tier + its bigram backoff on ``train_df`` —
+    one order closer to CCNet's 5-gram Kneser-Ney than the bigram
+    analog, with the same engine-exact integer quantization.
+
+    Counts: trigram (w1,w2,w3) with per-context totals keyed (w1,w2);
+    backoff bigram p(w3|w2) trained on ALL adjacent pairs with totals
+    keyed (w2). One action (the 1-row vocabulary count); everything
+    else stays lazy."""
+    tg = _trigram_rows(train_df, id_col, text_col)
+    trigrams = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    tri_contexts = trigrams.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12")
+    )
+    bg = _bigram_rows(train_df, id_col, text_col)
+    bigrams = bg.groupBy(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3")
+    ).agg(F.count(F.lit(1)).alias("c23"))
+    bi_contexts = bigrams.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    vocab = (
+        train_df.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    return TrigramLM(
+        trigrams=trigrams,
+        tri_contexts=tri_contexts,
+        bigrams=bigrams,
+        bi_contexts=bi_contexts,
+        vocab_size=int(vocab),
+    )
+
+
+def score_docs3(
+    df: DataFrame,
+    model: TrigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document likelihood statistics under the trigram+backoff
+    model. Backoff rule (deterministic, engine-exact): a trigram whose
+    context (w1,w2) was SEEN in training scores add-one within the
+    trigram distribution, p = (c123+1)/(c12+V); an unseen context
+    backs off to the bigram tier, p = (c23+1)/(c2+V); a context unseen
+    at both tiers degrades to the uniform 1/V row via the zero
+    coalesces — every trigram has positive mass.
+
+    Returns one row per input document: n_trigrams, n_backoff (bigram
+    tier used), n_oov (target count zero at the tier that scored it),
+    sum_prob_ppm / sum_bits and their means — the same quantized,
+    order-free integer statistics as score_docs, so the same
+    thresholding discipline applies.
+
+    Scale shape: the trigram explode is map-side narrow; four
+    merge-hinted left equi-joins against model state (never broadcast
+    — corpus-sized); one per-doc hash-agg. The (w2)-keyed backoff
+    context join is the widest fan-in (stopword skew) — measured by
+    tools/lm_skew_probe.py alongside the bigram rows."""
+    v = model.vocab_size
+    tg = _trigram_rows(df, id_col, text_col)
+    scored = (
+        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+        .join(model.tri_contexts.hint("merge"), ["w1", "w2"], "left")
+        .join(model.bigrams.hint("merge"), ["w2", "w3"], "left")
+        .join(model.bi_contexts.hint("merge"), ["w2"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            F.coalesce(F.col("c23"), F.lit(0)).alias("c23"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    backed = F.col("c12") == 0
+    cnum = F.when(backed, F.col("c23")).otherwise(F.col("c123"))
+    cden = F.when(backed, F.col("c2")).otherwise(F.col("c12"))
+    per_tg = scored.select(
+        id_col,
+        backed.cast("int").alias("backoff"),
+        (cnum == 0).cast("int").alias("oov"),
+        _prob_ppm(cnum, cden, v).alias("ppm"),
+        _surprisal_bits(cnum, cden, v).alias("bits"),
+    )
+    agg = per_tg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("ppm").alias("sum_prob_ppm"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias(
+                "n_backoff"
+            ),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("sum_prob_ppm", F.lit(0)).cast("bigint").alias(
+                "sum_prob_ppm"
+            ),
+            F.coalesce("sum_bits", F.lit(0)).cast("bigint").alias("sum_bits"),
+        )
+    )
+    n = F.col("n_trigrams")
+    return out.select(
+        id_col,
+        "n_trigrams",
+        "n_backoff",
+        "n_oov",
+        "sum_prob_ppm",
+        "sum_bits",
+        F.when(n > 0, F.floor(F.col("sum_prob_ppm") / n).cast("bigint")).alias(
+            "mean_prob_ppm"
+        ),
+        F.when(
+            n > 0,
+            F.floor(F.lit(100.0) * F.col("sum_bits") / n).cast("bigint"),
+        ).alias("avg_bits_x100"),
+        F.when(n > 0, F.col("sum_bits") / n).alias("avg_logprob_bits"),
+    )
+
+
 def lm_filter(
     df: DataFrame,
     model: BigramLM,

@@ -771,6 +771,120 @@ def bpe_train(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     )
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    top_k: int = 512,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """:func:`bpe_train` with EXACT conflict-free batching — the same
+    merge sequence, bit-identical artifact, in far fewer Spark rounds
+    (realistic tokenizers run 32k merges; one job per merge is a
+    driver-latency wall, not a data wall).
+
+    Per round, ONE pair-count job collects the top-``top_k`` pairs;
+    the driver then accepts the maximal RANK-ORDER PREFIX of
+    candidates that sequential BPE provably would have picked in this
+    order, and applies them all in one fold. A candidate c_i joins the
+    batch only if
+
+    - its symbols are disjoint from every earlier accepted pair's
+      symbols AND merged outputs (disjointness ⇒ its count and the
+      count semantics of its own merge are unchanged by the earlier
+      merges in the batch), and
+    - ``f_i`` is STRICTLY greater than the largest count any pair
+      newly created by the earlier merges could have: a merge (a,b)
+      creates only pairs (x,ab) with count <= count((x,a)) and (ab,y)
+      with count <= count((b,y)), so the bound is
+      max(maxf_second(a), maxf_first(b)) over accepted merges —
+      computed driver-side from the collected top-k, with f_k
+      bounding every uncollected tail pair.
+
+    Acceptance stops at the FIRST rejection (a conflicted higher-rank
+    pair might still win its sequential round, so nothing after it can
+    be batched safely). Conflict-free prefixes are the common case in
+    natural text, so rounds collapse by the observed batch factor
+    while the output stays equal to bpe_train's — pinned by
+    test_bpe_batched_equals_sequential and the same unrolled DuckDB
+    oracle (q_bpe_merges_batched).
+
+    ``rounds_out``: optional list; one entry (the batch size) is
+    appended per Spark round — the measurement hook
+    tools/bpe_scale_probe.py reads the batch factor from."""
+    from collections import defaultdict
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        F.split(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), " "
+        ).alias("arr"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    pair_expr = F.expr(
+        "CASE WHEN size(arr) > 1 THEN transform(sequence(1, size(arr) - 1), "
+        "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    out_rows: list[tuple[int, str, str, int]] = []
+    while len(out_rows) < n_merges:
+        top = (
+            cur.select("freq", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.desc("f"), F.asc("pair"))
+            .limit(top_k)
+            .collect()
+        )
+        if not top:
+            break
+        cands = [(r["pair"], int(r["f"])) for r in top]
+        tail_bound = cands[-1][1] if len(cands) == top_k else 0
+        maxf_first: dict[str, int] = defaultdict(lambda: tail_bound)
+        maxf_second: dict[str, int] = defaultdict(lambda: tail_bound)
+        for p, f in cands:
+            a, b = p.split(" ", 1)
+            if f > maxf_first[a]:
+                maxf_first[a] = f
+            if f > maxf_second[b]:
+                maxf_second[b] = f
+        accepted: list[tuple[str, str, str, int]] = []
+        used: set[str] = set()
+        new_pair_bound = -1
+        for p, f in cands:
+            if len(out_rows) + len(accepted) >= n_merges:
+                break
+            a, b = p.split(" ", 1)
+            if accepted and (
+                a in used or b in used or f <= new_pair_bound
+            ):
+                break
+            accepted.append((p, a, b, f))
+            used.update((a, b, a + b))
+            new_pair_bound = max(
+                new_pair_bound, maxf_second[a], maxf_first[b]
+            )
+        if rounds_out is not None:
+            rounds_out.append(len(accepted))
+        arr: Column = F.col("arr")
+        for p, a, b, f in accepted:
+            out_rows.append((len(out_rows) + 1, p, a + b, f))
+            arr = _bpe_apply_merge(arr, a, b, a + b)
+        cur = cur.select(arr.alias("arr"), "freq").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        out_rows, "step int, pair string, merged string, freq bigint"
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, str]],

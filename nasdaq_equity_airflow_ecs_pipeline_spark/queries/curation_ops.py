@@ -853,6 +853,83 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ------------------------------------ trigram-LM with bigram backoff
+def q_lm_score3(spark: SparkSession, sf: str) -> DataFrame:
+    """Trigram-LM quality scoring with deterministic bigram backoff
+    (operators/lm_score.py:score_docs3) — one order closer to CCNet's
+    5-gram Kneser-Ney than q_lm_score's bigram analog: train on the
+    'en' slice, score every document; a trigram whose (w1,w2) context
+    is unseen backs off to the bigram tier. Same quantized integer
+    statistics; the libm convenience column is dropped."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.score_docs3(docs, model).drop("avg_logprob_bits")
+
+
+SQL_LM_SCORE3 = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+tg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+  WHERE len(t) >= 3
+),
+bgall AS (
+  SELECT doc_id, lang, t[i+1] AS w2, t[i+2] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+trictx AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+bi AS (SELECT w2, w3, count(*) AS c23 FROM bgall WHERE lang = 'en' GROUP BY 1, 2),
+bictx AS (SELECT w2, sum(c23) AS c2 FROM bi GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT tg.doc_id,
+         coalesce(tri.c123, 0) AS c123,
+         coalesce(trictx.c12, 0) AS c12,
+         coalesce(bi.c23, 0) AS c23,
+         coalesce(bictx.c2, 0) AS c2
+  FROM tg LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN trictx USING (w1, w2)
+          LEFT JOIN bi USING (w2, w3)
+          LEFT JOIN bictx USING (w2)
+),
+per AS (
+  SELECT doc_id,
+         CASE WHEN c12 = 0 THEN 1 ELSE 0 END AS backoff,
+         CASE WHEN (CASE WHEN c12 = 0 THEN c23 ELSE c123 END) = 0
+              THEN 1 ELSE 0 END AS oov,
+         CAST(floor((1000000.0 * ((CASE WHEN c12 = 0 THEN c23 ELSE c123 END) + 1))
+                    / ((CASE WHEN c12 = 0 THEN c2 ELSE c12 END) + v)) AS BIGINT) AS ppm,
+         CAST(length(bin(CAST(floor((((CASE WHEN c12 = 0 THEN c2 ELSE c12 END) + v) * 1.0)
+                                    / ((CASE WHEN c12 = 0 THEN c23 ELSE c123 END) + 1))
+                              AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM sc, voc
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(backoff) AS bo, sum(oov) AS oov,
+         sum(ppm) AS sppm, sum(bits) AS sbits
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(a.bo, 0) AS BIGINT) AS n_backoff,
+       CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(a.sppm, 0) AS BIGINT) AS sum_prob_ppm,
+       CAST(coalesce(a.sbits, 0) AS BIGINT) AS sum_bits,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((a.sppm * 1.0) / a.n) AS BIGINT) END AS mean_prob_ppm,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((100.0 * a.sbits) / a.n) AS BIGINT) END AS avg_bits_x100
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
@@ -865,6 +942,7 @@ QUERIES = {
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
     "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
     "q_lm_score": q_lm_score,
+    "q_lm_score3": q_lm_score3,
 }
 
 ORACLES = {
@@ -879,4 +957,5 @@ ORACLES = {
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
     "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
     "q_lm_score": SQL_LM_SCORE,
+    "q_lm_score3": SQL_LM_SCORE3,
 }

@@ -1757,6 +1757,14 @@ def _sql_bpe_union() -> str:
     )
 
 
+def q_bpe_merges_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """bpe_train_batched (operators/text.py): the exact conflict-free
+    batched trainer — same merge table as q_bpe_merges by construction
+    (rank-order-prefix batching with the new-pair bound), checked here
+    against the SAME unrolled sequential DuckDB oracle."""
+    return text_ops.bpe_train_batched(_docs(spark, sf), n_merges=BPE_MERGES)
+
+
 SQL_BPE_MERGES = f"""{_sql_bpe_ctes()}
 {_sql_bpe_union()}"""
 
@@ -1920,6 +1928,58 @@ SQL_BINARY_META = """
 SELECT doc_id AS content_id, source AS media_type,
        octet_length(text::BLOB)::INT AS byte_len, sha256(text) AS sha256
 FROM documents
+"""
+
+
+def q_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """The image near-dup PAIR stage, oracle-checked: banding + exact
+    bit_count hamming verify (operators/multimodal.py:
+    image_neardup_pairs) over a deterministic 60-bit hash frame —
+    planted triplets (md5 of doc_id // 3, members XOR-perturbed by
+    <= 2 bits) stand in for real aHashes, whose PNG/JPEG decode is
+    binary and pytest-pinned instead. This puts the banded join +
+    pigeonhole-guaranteed verify — the part that must survive 100 TB —
+    in the DuckDB sweep."""
+    from ..operators.multimodal import image_neardup_pairs
+
+    d = _docs(spark, sf)
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.floor(F.col("doc_id") / 3).cast("string")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashes = d.select(
+        "doc_id", h60.bitwiseXOR((F.col("doc_id") % 3) * 3).alias("ahash")
+    )
+    return image_neardup_pairs(
+        hashes, max_hamming=3, n_bands=4, id_col="doc_id", hash_col="ahash"
+    )
+
+
+SQL_AHASH_NEARDUP = """
+WITH h AS (
+  SELECT doc_id,
+         xor(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT,
+             (doc_id % 3) * 3) AS ahash
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, ahash, b.i AS band_idx,
+         (ahash >> (16 * b.i)) & 65535 AS band_val
+  FROM h, (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
@@ -2490,6 +2550,151 @@ SELECT query_id, doc_id, rank, 0 AS label FROM (
 """
 
 
+# ------------------------ composed contrastive-training-pairs product
+TP_CAP = 64              # per-pair token budget (query + doc + specials)
+TP_SEQ_LEN = 256         # packed training-sequence length
+TP_SHARDS = 4            # output shard count
+TP_PAIR_BASE = 1_000_000_000  # pair_id = query_id * BASE + doc_id
+
+
+def q_training_pairs_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The contrastive-training data product end-to-end — the
+    retrieval twin of q_corpus_pipeline_v4's curation chain:
+
+        BM25 retrieval (top-10/query)
+          -> hard-negative mining   (retrieved relevants label 1, the
+                                     3 top-ranked non-relevants label 0
+                                     — the DPR data-prep step)
+          -> per-pair token budget  (query + doc + 3 specials, capped
+                                     at 64 — the reranker input clamp)
+          -> packed training shards (concat-and-chunk into 256-token
+                                     sequences, 4 md5 shards)
+
+    Returns the training-shard MANIFEST a data loader consumes: one
+    row per mined pair with full provenance (rank, label, raw vs
+    budgeted tokens, truncation flag) and its packed span (shard,
+    start_offset, first/last sequence id). Every funnel census — pairs
+    mined, positives, truncations, tokens per stage, sequences per
+    shard — is an aggregate over these rows. Verified against ONE
+    composed DuckDB statement.
+
+    Scale shape: corpus-proportional work lives entirely in the BM25
+    index and the conjunctive-qrels term scan; everything after the
+    mine is workload-bounded (q x k rows), and the packing prefix-sum
+    shuffles only pair-sized rows."""
+    from ..operators.packing import pack_sequences
+    from ..operators.retrieval import hard_negatives
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    results = text_ops.bm25_topk(d, q, k=METRICS_K)
+    qt = q.select(
+        "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
+    ).distinct()
+    qrels = _conjunctive_qrels(d, qt)
+    mined = hard_negatives(results, qrels, k=METRICS_K, n_neg=HN_NEG)
+
+    dlen = d.select("doc_id", text_ops.token_count("text").alias("_dt"))
+    qlen = q.select(
+        "query_id", text_ops.token_count("query_text").alias("_qt")
+    )
+    raw = F.col("_qt") + F.col("_dt") + F.lit(3)
+    sized = (
+        mined.join(dlen, "doc_id")
+        .join(qlen, "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            "label",
+            raw.cast("bigint").alias("raw_tokens"),
+            F.least(raw, F.lit(TP_CAP)).cast("bigint").alias("pair_tokens"),
+            (raw > TP_CAP).alias("truncated"),
+            (
+                F.col("query_id").cast("bigint") * TP_PAIR_BASE
+                + F.col("doc_id")
+            ).alias("pair_id"),
+        )
+    )
+    packed = pack_sequences(
+        sized,
+        seq_len=TP_SEQ_LEN,
+        num_shards=TP_SHARDS,
+        id_col="pair_id",
+        tokens_col="pair_tokens",
+    )
+    prov = sized.select(
+        "pair_id", "query_id", "doc_id", "rank", "label",
+        "raw_tokens", "truncated",
+    )
+    return packed.join(prov, "pair_id").select(
+        "query_id",
+        "doc_id",
+        "rank",
+        "label",
+        "raw_tokens",
+        F.col("n_tokens").alias("pair_tokens"),
+        "truncated",
+        "shard",
+        "start_offset",
+        "first_seq",
+        "last_seq",
+    )
+
+
+def _sql_training_pairs() -> str:
+    from ..operators.packing import sql_pack_sequences
+
+    pack = sql_pack_sequences(
+        "SELECT pair_id, pair_tokens FROM sized",
+        seq_len=TP_SEQ_LEN,
+        num_shards=TP_SHARDS,
+        id_col="pair_id",
+        tokens_col="pair_tokens",
+    )
+    return rf"""
+WITH {_sql_bm25_ctes(METRICS_K)},
+{_SQL_QRELS_CTES},
+mined AS (
+  SELECT query_id, doc_id, rank, 1 AS label
+  FROM lexr
+  WHERE EXISTS (SELECT 1 FROM qrels r
+                WHERE r.query_id = lexr.query_id AND r.doc_id = lexr.doc_id)
+  UNION ALL
+  SELECT query_id, doc_id, rank, 0 AS label FROM (
+    SELECT query_id, doc_id, rank,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank ASC) AS _r
+    FROM lexr
+    WHERE NOT EXISTS (SELECT 1 FROM qrels r
+                      WHERE r.query_id = lexr.query_id
+                        AND r.doc_id = lexr.doc_id)
+  ) WHERE _r <= {HN_NEG}
+),
+dlen AS (SELECT doc_id, {_SQL_NW} AS _dt FROM documents),
+qlen AS (SELECT query_id,
+                len(string_split_regex(trim(query_text), '\s+')) AS _qt
+         FROM q),
+sized AS (
+  SELECT m.query_id, m.doc_id, m.rank, m.label,
+         CAST(_qt + _dt + 3 AS BIGINT) AS raw_tokens,
+         CAST(least(_qt + _dt + 3, {TP_CAP}) AS BIGINT) AS pair_tokens,
+         (_qt + _dt + 3) > {TP_CAP} AS truncated,
+         CAST(m.query_id AS BIGINT) * {TP_PAIR_BASE} + m.doc_id AS pair_id
+  FROM mined m JOIN dlen USING (doc_id) JOIN qlen USING (query_id)
+),
+packed AS (
+{pack}
+)
+SELECT s.query_id, s.doc_id, s.rank, s.label, s.raw_tokens,
+       p.n_tokens AS pair_tokens, s.truncated,
+       p.shard, p.start_offset, p.first_seq, p.last_seq
+FROM packed p JOIN sized s USING (pair_id)
+"""
+
+
+SQL_TRAINING_PAIRS = _sql_training_pairs()
+
+
 # ----------------------------------------------- MMR diversified rerank
 MMR_CAND_K = 10
 MMR_K = 4
@@ -2725,6 +2930,7 @@ QUERIES = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
     "q_hard_negatives": q_hard_negatives,
+    "q_training_pairs_pipeline": q_training_pairs_pipeline,
     "q_filter_eval": q_filter_eval,
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_rag_retrieve": q_rag_retrieve,
@@ -2746,6 +2952,7 @@ QUERIES = {
     "q_quality_classifier": q_quality_classifier,
     "q_lsh_recall": q_lsh_recall,
     "q_binary_meta": q_binary_meta,
+    "q_ahash_neardup": q_ahash_neardup,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
@@ -2764,6 +2971,7 @@ QUERIES = {
     "q_ivf_pq_recall": q_ivf_pq_recall,
     "q_hash_embed_sim": q_hash_embed_sim,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_merges_batched": q_bpe_merges_batched,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_phrase_match": q_phrase_match,
     "q_dedup_clusters": q_dedup_clusters,
@@ -2783,6 +2991,7 @@ ORACLES = {
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hard_negatives": SQL_HARD_NEGATIVES,
+    "q_training_pairs_pipeline": SQL_TRAINING_PAIRS,
     "q_filter_eval": SQL_FILTER_EVAL,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "q_rag_retrieve": SQL_RAG_RETRIEVE,
@@ -2805,6 +3014,7 @@ ORACLES = {
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_lsh_recall": SQL_LSH_RECALL,
     "q_binary_meta": SQL_BINARY_META,
+    "q_ahash_neardup": SQL_AHASH_NEARDUP,
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,
@@ -2823,6 +3033,7 @@ ORACLES = {
     "q_ivf_pq_recall": SQL_IVF_PQ_RECALL,
     "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
     "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_merges_batched": SQL_BPE_MERGES,
     "q_bpe_tokenize": SQL_BPE_TOKENIZE,
     "q_phrase_match": SQL_PHRASE_MATCH,
 }

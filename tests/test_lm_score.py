@@ -110,3 +110,58 @@ def test_lm_filter_keeps_low_surprisal(spark):
     assert [r["doc_id"] for r in kept.collect()] == [10]
     # filter preserves the input schema
     assert kept.columns == corpus.columns
+
+
+def test_trigram_model_counts(spark):
+    train = _docs(spark, [(1, "a b c a b c"), (2, "a b d")])
+    model = lm_score.train_trigram_lm(train)
+    tri = {
+        (r["w1"], r["w2"], r["w3"]): r["c123"]
+        for r in model.trigrams.collect()
+    }
+    # doc1: (a,b,c) (b,c,a) (c,a,b) (a,b,c); doc2: (a,b,d)
+    assert tri == {
+        ("a", "b", "c"): 2,
+        ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1,
+        ("a", "b", "d"): 1,
+    }
+    ctx = {(r["w1"], r["w2"]): r["c12"] for r in model.tri_contexts.collect()}
+    assert ctx == {("a", "b"): 3, ("b", "c"): 1, ("c", "a"): 1}
+    # backoff tier: bigram counts over the full stream, keyed (w2, w3)
+    bi = {(r["w2"], r["w3"]): r["c23"] for r in model.bigrams.collect()}
+    assert bi[("a", "b")] == 3 and bi[("b", "c")] == 2
+    assert model.vocab_size == 4  # {a, b, c, d}
+
+
+def test_trigram_backoff_hand_computation(spark):
+    """Seen context scores at the trigram tier; unseen context backs
+    off to the bigram tier; unseen everywhere hits the uniform row —
+    all three hand-verified through the quantized columns."""
+    train = _docs(spark, [(1, "a b c a b c a b d")])
+    model = lm_score.train_trigram_lm(train)
+    v = model.vocab_size  # {a,b,c,d} = 4
+    assert v == 4
+    # trigram tier: ctx (a,b) seen (c12=3), target c: c123=2
+    # -> ppm = floor(1e6 * 3/7); bits = floor(log2(7/3)) = 1
+    # backoff: doc "c b" -> trigram needs 3 tokens; use "x a b" style:
+    corpus = _docs(
+        spark,
+        [
+            (10, "a b c"),  # seen ctx (a,b): (2+1)/(3+4)
+            (11, "b a b"),  # ctx (b,a) unseen -> backoff (a,b): c23=3, c2: a followed 3 times? see below
+            (12, "q q q"),  # unseen everywhere: (0+1)/(0+4)
+        ],
+    )
+    out = {r["doc_id"]: r for r in lm_score.score_docs3(corpus, model).collect()}
+    # doc 10: 1 trigram, no backoff, ppm = floor(1e6*3/7) = 428571
+    assert out[10]["n_trigrams"] == 1 and out[10]["n_backoff"] == 0
+    assert out[10]["sum_prob_ppm"] == 428571
+    assert out[10]["sum_bits"] == 1  # floor(log2(7/3)) = 1
+    # doc 11: ctx (b,a) unseen -> bigram (a,b): c23=3; c2 = tokens after 'a' = 3
+    # ppm = floor(1e6 * 4/7) = 571428; bits = floor(log2(7/4)) = 0
+    assert out[11]["n_backoff"] == 1 and out[11]["n_oov"] == 0
+    assert out[11]["sum_prob_ppm"] == 571428 and out[11]["sum_bits"] == 0
+    # doc 12: all-unseen -> uniform (0+1)/(0+4): ppm=250000, bits=2, oov
+    assert out[12]["n_backoff"] == 1 and out[12]["n_oov"] == 1
+    assert out[12]["sum_prob_ppm"] == 250000 and out[12]["sum_bits"] == 2

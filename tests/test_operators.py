@@ -2348,6 +2348,54 @@ def test_bpe_train_textbook_merges(spark):
     ]
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """The exact-batching invariant: bpe_train_batched emits the SAME
+    merge table as bpe_train — on the textbook chain-merge corpus
+    (top pairs share symbols, forcing 1-merge batches), on a
+    disjoint-heavy corpus (real batching), and on a reused-output
+    corpus (the merged symbol 'ab' must block a later ('ab','c')
+    candidate in the same batch)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    corpora = [
+        # heavy symbol overlap (aa/ab chains)
+        [(1, "aaab aaab aaab"), (2, "aab aab")],
+        # disjoint top pairs: th/in/er merge in one batch
+        [(1, "this thin there " * 4), (2, "inner other hiss " * 3)],
+        # merged-output reuse: 'a b'->'ab' then 'ab c' next round
+        [(1, "abc abc abc abd"), (2, "zq zq zq zq zq zq zq")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        seq = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=12).orderBy("step").collect()
+        ]
+        bat = [
+            tuple(r)
+            for r in bpe_train_batched(docs, n_merges=12)
+            .orderBy("step")
+            .collect()
+        ]
+        assert bat == seq, rows[0]
+    # tiny top_k (heavy tail-bounding) must stay exact too
+    docs = spark.createDataFrame(corpora[1], "doc_id bigint, text string")
+    bat2 = [
+        tuple(r)
+        for r in bpe_train_batched(docs, n_merges=12, top_k=3)
+        .orderBy("step")
+        .collect()
+    ]
+    seq2 = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=12).orderBy("step").collect()
+    ]
+    assert bat2 == seq2
+
+
 def test_bpe_early_exhaustion_parity(spark, tmp_path):
     """When the corpus supports fewer merges than requested, Spark's
     bpe_train breaks early and bpe_segment still tokenizes — and the

@@ -18,8 +18,12 @@ join never amplifies); the residual risk is partition imbalance on the
 w1 hash, which OptimizeSkewedJoin splits for SMJ plans. This probe
 records whether that holds with numbers.
 
+The trigram tier (``score_docs3``) adds a (w2)-keyed backoff-context
+join — the widest fan-in of the four model joins, same stopword shape.
+``order=3`` probes it with the identical corpus construction.
+
 Usage:
-    python3 tools/lm_skew_probe.py [k_copies]    # default 100
+    python3 tools/lm_skew_probe.py [k_copies] [order]   # default 100 2
 """
 
 from __future__ import annotations
@@ -79,6 +83,7 @@ def main() -> None:
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    order = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     report = {}
     for label, conf in (
         ("aqe_skew_on", {}),
@@ -113,18 +118,22 @@ def main() -> None:
 
         # model trains on ONE copy (the trusted slice does not grow with
         # the crawl); scoring fans the full skewed corpus into it
-        model = lm_score.train_bigram_lm(
-            base.filter(F.col("lang") == "en")
-        )
-        t0 = time.time()
-        out = lm_score.score_docs(docs, model).drop("avg_logprob_bits")
+        trusted = base.filter(F.col("lang") == "en")
+        if order == 3:
+            model = lm_score.train_trigram_lm(trusted)
+            t0 = time.time()
+            out = lm_score.score_docs3(docs, model).drop("avg_logprob_bits")
+        else:
+            model = lm_score.train_bigram_lm(trusted)
+            t0 = time.time()
+            out = lm_score.score_docs(docs, model).drop("avg_logprob_bits")
         out.write.format("noop").mode("overwrite").save()
         wall = round(time.time() - t0, 1)
         stats = _stage_task_stats(spark)[:4]
         report[label] = {"wall_s": wall, "heaviest_stages": stats}
         print(f"[{label}] wall={wall}s top stages={stats}")
         spark.stop()
-    print(json.dumps({"k": k, "results": report}))
+    print(json.dumps({"k": k, "order": order, "results": report}))
 
 
 if __name__ == "__main__":

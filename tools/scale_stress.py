@@ -34,6 +34,9 @@ Usage:
         # compare x10 -> x100 for specific queries: distinguishes a
         # broadcast->shuffle plan transition (baseline shuffle artificially
         # ~0 at sf0.1) from genuinely super-linear shuffle growth
+    python3 tools/scale_stress.py 100 /tmp/stress100 --run-only --isolated
+        # delta-isolated incremental rows: standing index trained and
+        # persisted UNTIMED, only the delta fold / frozen-index op timed
 """
 
 from __future__ import annotations
@@ -132,6 +135,13 @@ DEEP = [
     # composed v4 (r6): line dedup -> classifier -> LM gate -> SemDeDup
     # -> budget -> shards
     "q_corpus_pipeline_v4",
+    # r7: composed contrastive-training product (retrieval -> mining ->
+    # budget -> packing), trigram LM (4 merge-hinted model joins),
+    # oracle-checked image-hash banding, exact-batched BPE
+    "q_training_pairs_pipeline",
+    "q_lm_score3",
+    "q_ahash_neardup",
+    "q_bpe_merges_batched",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
@@ -292,6 +302,123 @@ def run(spark, sf_dir: str, queries: list[str]) -> dict[str, dict]:
     return out
 
 
+def run_isolated(spark, sf_dir: str, fixdir: str) -> dict[str, dict]:
+    """Delta-isolated incremental rows (r6 VERDICT #3): the standing
+    index (IVF-PQ coarse centroids + residual codebooks; BM25 tf/stats)
+    is trained and PERSISTED as parquet fixtures UNTIMED, then the
+    timed section runs ONLY the incremental op against the frozen
+    artifacts — so the row measures the delta fold, not the fixture's
+    re-training (q_ivf_pq_delta's x100 wall was ~all Lloyd iterations).
+
+    Rows:
+    - q_ivf_pq_delta@iso: frozen-index delta encode (assign + encode
+      against broadcast codebooks) — delta-sized by construction.
+    - q_ivf_pq_recall@iso: the probe + exact-topk eval against the
+      persisted index (codes read from parquet, no training).
+    - q_bm25_index_delta@iso: the delta-side index build (tokenize +
+      hash-agg of the NEW docs) + the 1-row stats fold — exactly what
+      an index-table append writes; the standing tf is touched only as
+      the 1-row standing stats read.
+    """
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators import text as text_ops
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.quantize import (
+        ivf_pq_build,
+        ivf_pq_encode_delta,
+        ivf_pq_search,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.similarity import (
+        _pair_d2,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries import llm_ops
+    from nasdaq_equity_airflow_ecs_pipeline_spark.sources.tables import load_table
+
+    os.makedirs(fixdir, exist_ok=True)
+    out: dict[str, dict] = {}
+
+    def timed(name, df):
+        w0, r0 = _shuffle_totals(spark)
+        start = time.time()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"rows_{name}_{fixdir.replace('/', '_')}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.format("noop").mode("overwrite").save()
+        n = obs.get["n"]
+        dt = round(time.time() - start, 2)
+        w1, r1 = _shuffle_totals(spark)
+        out[name] = {
+            "s": dt,
+            "rows": n,
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        }
+        print(f"[iso] {name}: {dt}s rows={n} shufW={out[name]['shuffle_write_mb']}MB")
+
+    # ---------- fixtures (UNTIMED standing-index training) ----------
+    emb = llm_ops._emb(spark, sf_dir)
+    standing_e = emb.filter(F.col("vec_id") % 10 < 8)
+    delta_e = emb.filter(F.col("vec_id") % 10 >= 8)
+    coarse, books, codes = ivf_pq_build(
+        standing_e,
+        coarse_k=llm_ops.IVFPQ_COARSE_K,
+        coarse_iters=llm_ops.IVFPQ_COARSE_ITERS,
+        m=llm_ops.PQ_M,
+        ksub=llm_ops.PQ_KSUB,
+        pq_iters=llm_ops.PQ_ITERS,
+    )
+    coarse.write.mode("overwrite").parquet(f"{fixdir}/ivfpq_coarse.parquet")
+    books.write.mode("overwrite").parquet(f"{fixdir}/ivfpq_books.parquet")
+    codes.write.mode("overwrite").parquet(f"{fixdir}/ivfpq_codes.parquet")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    standing_d = d.filter(F.col("doc_id") % 10 < 8)
+    delta_d = d.filter(F.col("doc_id") % 10 >= 8)
+    tf0, st0 = text_ops.bm25_index(standing_d)
+    tf0.write.mode("overwrite").parquet(f"{fixdir}/bm25_tf.parquet")
+    st0.write.mode("overwrite").parquet(f"{fixdir}/bm25_stats.parquet")
+    print("[iso] standing-index fixtures persisted (untimed)")
+
+    coarse_p = spark.read.parquet(f"{fixdir}/ivfpq_coarse.parquet")
+    books_p = spark.read.parquet(f"{fixdir}/ivfpq_books.parquet")
+    codes_p = spark.read.parquet(f"{fixdir}/ivfpq_codes.parquet")
+    st_p = spark.read.parquet(f"{fixdir}/bm25_stats.parquet")
+
+    # ---------- timed delta ops ----------
+    timed("q_ivf_pq_delta@iso", ivf_pq_encode_delta(delta_e, coarse_p, books_p))
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    approx = ivf_pq_search(
+        coarse_p, books_p, codes_p, qvec,
+        nprobe=llm_ops.IVFPQ_NPROBE, k=llm_ops.PQ_K,
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    exact = (
+        standing_e.select(
+            "vec_id",
+            _pair_d2(
+                F.transform("embedding", lambda v: v.cast("double")), qlit
+            ).alias("_d2"),
+        )
+        .orderBy(F.asc("_d2"), F.asc("vec_id"))
+        .limit(llm_ops.PQ_K)
+    )
+    recall = approx.join(
+        exact.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    timed("q_ivf_pq_recall@iso", recall)
+
+    # the delta-side build + 1-row stats fold — what an append writes
+    tf_d, st_d = text_ops.bm25_index(delta_d)
+    folded_stats = st_p.unionByName(st_d).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    timed("q_bm25_index_delta@iso", tf_d.crossJoin(folded_stats))
+    return out
+
+
 def main() -> None:
     from nasdaq_equity_airflow_ecs_pipeline_spark.session import get_spark
 
@@ -331,8 +458,15 @@ def main() -> None:
         build(spark, k, outdir)
     growth = k / base_k  # data-volume multiple between the two runs
     blabel = f"x{base_k}" if base_k > 1 else "sf0.1"
-    base = run(spark, base_dir, queries)
-    big = run(spark, outdir, queries)
+    if "--isolated" in opts:
+        # delta-isolated incremental rows only (standing index persisted
+        # untimed; see run_isolated) — replaces the full query set
+        base = run_isolated(spark, base_dir, f"/tmp/iso_fix_{blabel}")
+        big = run_isolated(spark, outdir, f"/tmp/iso_fix_x{k}")
+        queries = sorted(base)
+    else:
+        base = run(spark, base_dir, queries)
+        big = run(spark, outdir, queries)
     report = {
         name: {
             f"{blabel}_s": base[name]["s"],
