@@ -170,6 +170,9 @@ def main() -> None:
         "q_bm25_prf",
         "q_hybrid_retrieval",
         "q_rag_retrieve",
+        "q_training_pairs_pipeline",
+        "q_corpus_pipeline_v5",
+        "q_lm_score3",
     ):
         fn = queries[name]
         best = float("inf")

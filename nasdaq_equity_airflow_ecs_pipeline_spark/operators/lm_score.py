@@ -371,6 +371,30 @@ def score_docs3(
     )
 
 
+def lm_filter3(
+    df: DataFrame,
+    model: TrigramLM,
+    max_avg_bits_x100: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet gate at the trigram tier: keep documents whose
+    quantized mean trigram surprisal (with bigram backoff) is at or
+    below the threshold. Docs with no trigrams are dropped — same
+    no-evidence policy as lm_filter."""
+    scores = score_docs3(df, model, id_col, text_col).select(
+        id_col, "avg_bits_x100"
+    )
+    return (
+        df.join(scores, [id_col], "left")
+        .filter(
+            F.col("avg_bits_x100").isNotNull()
+            & (F.col("avg_bits_x100") <= max_avg_bits_x100)
+        )
+        .drop("avg_bits_x100")
+    )
+
+
 def lm_filter(
     df: DataFrame,
     model: BigramLM,

@@ -410,6 +410,7 @@ def curate_corpus_v4(
     budget: int = 10_000,
     n_shards: int = 8,
     max_line_docs: int = 2,
+    lm_order: int = 2,
 ) -> dict[str, DataFrame]:
     """The full CCNet-ordered curation product (Wenzek et al. 2020:
     dedup -> LM perplexity filter -> mixture/selection), composing the
@@ -445,7 +446,12 @@ def curate_corpus_v4(
         line_dedup,
         token_budget_select,
     )
-    from ..operators.lm_score import lm_filter, train_bigram_lm
+    from ..operators.lm_score import (
+        lm_filter,
+        lm_filter3,
+        train_bigram_lm,
+        train_trigram_lm,
+    )
     from ..operators.ordering import shuffle_key
     from ..operators.similarity import semantic_dedup
 
@@ -462,8 +468,16 @@ def curate_corpus_v4(
         line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
         "v4",
     )
-    model = train_bigram_lm(kept.filter(F.col("lang") == "en"))
-    lm_kept = _persist(lm_filter(kept, model, lm_max_avg_bits_x100), "v4")
+    if lm_order == 3:
+        # v5: the trigram+backoff tier (one order closer to CCNet's
+        # 5-gram KN), same trusted-slice bootstrap and gate semantics
+        model3 = train_trigram_lm(kept.filter(F.col("lang") == "en"))
+        lm_kept = _persist(
+            lm_filter3(kept, model3, lm_max_avg_bits_x100), "v4"
+        )
+    else:
+        model = train_bigram_lm(kept.filter(F.col("lang") == "en"))
+        lm_kept = _persist(lm_filter(kept, model, lm_max_avg_bits_x100), "v4")
 
     kept_emb = _persist(
         emb.join(lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),

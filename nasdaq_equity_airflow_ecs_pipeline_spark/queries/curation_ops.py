@@ -661,7 +661,44 @@ def q_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages)
 
 
-def _sql_corpus_pipeline_v4() -> str:
+# v5 gate threshold: trigram avg_bits run higher than bigram (sparser
+# counts); 450 sits at the sf0.01 survivor median — a real gate, like
+# v4's 445 at the bigram tier
+V5_LM_MAX_BITS = 450
+
+
+def q_corpus_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
+    """The v4 CCNet curation chain with the LM gate upgraded one order
+    (plans/corpus.py curate_corpus_v4 with lm_order=3): line dedup ->
+    classifier -> TRIGRAM+backoff perplexity gate -> SemDeDup ->
+    token-budget cut -> balanced shards, as the per-stage funnel
+    census. The oracle rebuilds the whole chain in ONE SQL statement
+    with the trigram CTEs spliced into the same composed plan, so the
+    stage interactions under the higher-order gate are value-checked."""
+    from ..plans.corpus import curate_corpus_v4, curate_corpus_v4_funnel
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v4(
+        d,
+        emb,
+        lm_max_avg_bits_x100=V5_LM_MAX_BITS,
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        lm_order=3,
+    )
+    return curate_corpus_v4_funnel(stages)
+
+
+def _sql_corpus_pipeline_v4(lm_order: int = 2) -> str:
     from ..operators.lsh import MERSENNE_P
 
     w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
@@ -669,6 +706,79 @@ def _sql_corpus_pipeline_v4() -> str:
     ntok = r"CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0) AS BIGINT)"
     d2 = ("list_sum(list_transform(generate_series(1, len({a})), "
           "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    if lm_order == 3:
+        # v5's trigram+backoff gate (SQL_LM_SCORE3's CTE chain, trained
+        # on the classifier-survivor 'en' slice, thresholded at V5)
+        lm_block = f"""toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
+tg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+  WHERE len(t) >= 3
+),
+bgall AS (
+  SELECT doc_id, lang, t[i+1] AS w2, t[i+2] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+trictx AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+bi AS (SELECT w2, w3, count(*) AS c23 FROM bgall WHERE lang = 'en' GROUP BY 1, 2),
+bictx AS (SELECT w2, sum(c23) AS c2 FROM bi GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT tg.doc_id,
+         coalesce(tri.c123, 0) AS c123, coalesce(trictx.c12, 0) AS c12,
+         coalesce(bi.c23, 0) AS c23, coalesce(bictx.c2, 0) AS c2
+  FROM tg LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN trictx USING (w1, w2)
+          LEFT JOIN bi USING (w2, w3)
+          LEFT JOIN bictx USING (w2)
+),
+per AS (
+  SELECT doc_id,
+         CAST(length(bin(CAST(floor((((CASE WHEN c12 = 0 THEN c2 ELSE c12 END) + v) * 1.0)
+                                    / ((CASE WHEN c12 = 0 THEN c23 ELSE c123 END) + 1))
+                              AS BIGINT))) - 1 AS BIGINT) AS bits
+  FROM sc, voc
+),
+lmagg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per GROUP BY 1),
+lm AS (
+  SELECT clf.doc_id, clf.text, clf.lang, clf.source
+  FROM clf JOIN lmagg USING (doc_id)
+  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V5_LM_MAX_BITS}
+)"""
+    else:
+        lm_block = f"""toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
+bg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT bg.doc_id, coalesce(model.c12, 0) AS c12, coalesce(ctx.c1, 0) AS c1
+  FROM bg LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1)
+),
+per AS (
+  SELECT doc_id,
+         CAST(length(bin(CAST(floor(((c1 + v) * 1.0) / (c12 + 1)) AS BIGINT))) - 1
+              AS BIGINT) AS bits
+  FROM sc, voc
+),
+lmagg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per GROUP BY 1),
+lm AS (
+  SELECT clf.doc_id, clf.text, clf.lang, clf.source
+  FROM clf JOIN lmagg USING (doc_id)
+  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
+)"""
     return f"""
 WITH relined AS (
   SELECT doc_id, lang, source,
@@ -702,34 +812,7 @@ scored AS (
   FROM line_kept
 ),
 clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0),
-toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
-bg AS (
-  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
-  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
-  WHERE len(t) >= 2
-),
-model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
-ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
-voc AS (
-  SELECT count(DISTINCT tok) AS v
-  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
-),
-sc AS (
-  SELECT bg.doc_id, coalesce(model.c12, 0) AS c12, coalesce(ctx.c1, 0) AS c1
-  FROM bg LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1)
-),
-per AS (
-  SELECT doc_id,
-         CAST(length(bin(CAST(floor(((c1 + v) * 1.0) / (c12 + 1)) AS BIGINT))) - 1
-              AS BIGINT) AS bits
-  FROM sc, voc
-),
-lmagg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per GROUP BY 1),
-lm AS (
-  SELECT clf.doc_id, clf.text, clf.lang, clf.source
-  FROM clf JOIN lmagg USING (doc_id)
-  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
-),
+{lm_block},
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings JOIN lm ON embeddings.vec_id = lm.doc_id
@@ -941,6 +1024,7 @@ QUERIES = {
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
     "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
+    "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
 }
@@ -956,6 +1040,7 @@ ORACLES = {
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
     "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
+    "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
 }

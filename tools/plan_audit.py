@@ -48,6 +48,7 @@ CARTESIAN_OK = {
     "q_incremental_semdedup": "broadcast of k centroid rows (ivf_assign, standing + delta); pairs are cluster-equi-joined delta probes",
     "q_corpus_pipeline_v3": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_corpus_pipeline_v4": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
+    "q_corpus_pipeline_v5": "broadcast of k centroid rows (semantic-dedup stage, same chain as v4 with the trigram gate); pairs are cluster-equi-joined",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
@@ -79,6 +80,11 @@ CARTESIAN_OK = {
     "q_retrieval_metrics": "broadcast of 1-row corpus stats (BM25 results leg)",
     "q_bm25_index_delta": "broadcast of the folded 1-row corpus stats",
     "q_hard_negatives": "broadcast of 1-row corpus stats (BM25 results leg)",
+    "q_training_pairs_pipeline": (
+        "broadcast of 1-row corpus stats (BM25 retrieval leg, inherited "
+        "from q_hard_negatives' shape); mining/budget/packing stages are "
+        "workload-bounded equi-joins + one window prefix-sum"
+    ),
     "q_mmr_rerank": (
         "broadcast of 3 query vectors (cosine_topk_batch candidate leg); "
         "the MMR loop itself joins only workload-bounded candidate frames"

@@ -139,6 +139,7 @@ DEEP = [
     # budget -> packing), trigram LM (4 merge-hinted model joins),
     # oracle-checked image-hash banding, exact-batched BPE
     "q_training_pairs_pipeline",
+    "q_corpus_pipeline_v5",
     "q_lm_score3",
     "q_ahash_neardup",
     "q_bpe_merges_batched",
