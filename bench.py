@@ -173,6 +173,8 @@ def main() -> None:
         "q_training_pairs_pipeline",
         "q_corpus_pipeline_v5",
         "q_lm_score3",
+        "q_qld_topk",
+        "q_phrase_boost",
     ):
         fn = queries[name]
         best = float("inf")

@@ -650,6 +650,110 @@ def bm25_topk(
     )
 
 
+def qld_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    mu: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query_text",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001 — the other classic lexical ranker next to
+    BM25; the standard LM-based baseline in IR evaluation):
+
+        p(w|d) = (tf + mu * cf_w / cf_total) / (dl + mu)
+
+    ranked by the document's total QUANTIZED surprisal over the query
+    terms — lower sum_bits = higher likelihood. Engine-exactness uses
+    the lm_score bit-length discipline at its scale-proof tier: per
+    term, ``bits = floor(log2(1/p))`` computed as the binary length of
+    the INTEGER division
+
+        ((dl + mu) * cf_total) div (tf * cf_total + mu * cf_w)
+
+    (p <= 1 always since tf <= dl and cf_w <= cf_total, so the ratio
+    is >= 1; `div`/`//` is exact integer arithmetic in both engines —
+    no double rounding at any corpus size, unlike a ppm quantization
+    whose cross-products pass 2^53 at web scale). Query terms absent
+    from the corpus carry no evidence and are dropped by the cf join
+    (both engines alike); the aggregate is an order-free bigint sum.
+
+    Scale shape — identical to bm25_topk: tokens explode once, tf/cf
+    are linear hash-aggregates, the query vocabulary broadcasts onto
+    term-keyed postings so only matching postings survive, candidates
+    get one (doc, term)-keyed left join back to tf for the missing-
+    term background mass, and the final top-k is a per-query window.
+    Smoothing means EVERY doc has nonzero likelihood; like every
+    practical engine this ranks only candidates that match >= 1 query
+    term (a no-hit doc can never out-rank a hit under equal dl).
+    Output: (query_id, id, n_hit_terms, sum_bits, rank)."""
+    tf, stats = bm25_index(docs, id_col, text_col)
+    qt = (
+        queries.select(
+            F.col(query_id), F.explode(tokens(query_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # query-vocabulary-bounded + 1-row frames: safe broadcasts
+    cf = F.broadcast(
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("cf_w"))
+        .join(qt.select("term").distinct(), "term")
+    )
+    matched = tf.join(F.broadcast(qt), "term")
+    cand = matched.groupBy(query_id, id_col).agg(
+        F.min("dl").alias("dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+    )
+    full = (
+        cand.join(F.broadcast(qt), query_id)
+        .join(
+            tf.select(F.col(id_col), "term", "tf"), [id_col, "term"], "left"
+        )
+        .join(cf, "term")
+        .crossJoin(
+            F.broadcast(stats.select(F.col("sum_dl").alias("cf_total")))
+        )
+    )
+    num = (F.col("dl").cast("bigint") + F.lit(mu)) * F.col("cf_total").cast(
+        "bigint"
+    )
+    den = (
+        F.coalesce(F.col("tf"), F.lit(0)).cast("bigint")
+        * F.col("cf_total").cast("bigint")
+        + F.lit(mu) * F.col("cf_w")
+    )
+    per = full.select(
+        query_id,
+        id_col,
+        "n_hit_terms",
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        query_id,
+        id_col,
+        "n_hit_terms",
+        # `div` = exact bigint division (no double rounding at any scale)
+        (F.length(F.bin(F.expr("_num div _den"))) - F.lit(1))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    agg = per.groupBy(query_id, id_col).agg(
+        F.max("n_hit_terms").alias("n_hit_terms"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("sum_bits"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "n_hit_terms", "sum_bits", "rank")
+    )
+
+
 def hash_embed(
     docs: DataFrame,
     dim: int = 16,

@@ -1691,6 +1691,76 @@ WITH ptok AS (
 SQL_PHRASE_MATCH = _sql_phrase()
 
 
+# ------------------------------------------ phrase-boosted hybrid rank
+PB_LEG_K = 20
+PB_K = 10
+
+
+def q_phrase_boost(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity-aware lexical ranking: the BM25 bag-of-words leg and
+    the exact-phrase leg (ranked by consecutive-occurrence count) for
+    the SAME phrase workload, fused by quantized RRF — the classic
+    'phrase boost' a lexical engine applies so documents containing
+    the query verbatim outrank bag-of-words matches. Composes
+    bm25_topk + the one-plan phrase_match + rrf_fuse; both legs are
+    top-k'd before the workload-bounded fusion."""
+    from ..operators.retrieval import phrase_match, rrf_fuse
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    q = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id int, query_text string"
+    )
+    lex = text_ops.bm25_topk(d, q, k=PB_LEG_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    phr = (
+        phrase_match(d, q)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PB_LEG_K)
+    )
+    return rrf_fuse([lex, phr], k=PB_K, k_rrf=RRF_K)
+
+
+def _sql_phrase_boost() -> str:
+    return f"""
+WITH {_sql_bm25_ctes(PB_LEG_K, PHRASE_QUERIES)},
+phrase AS (
+{SQL_PHRASE_MATCH}
+),
+phr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_matches DESC, doc_id ASC) AS rank
+    FROM phrase
+  ) WHERE rank <= {PB_LEG_K}
+),
+legs AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM phr
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(_c) AS BIGINT) AS rrf_x1e9,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
+  SELECT query_id, doc_id, rrf_x1e9, n_legs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {PB_K}
+"""
+
+
 # --------------------------------------------------- BPE merge training
 BPE_MERGES = 5
 
@@ -2063,11 +2133,12 @@ _SQL_BM25_CONTRIB = """CAST(FLOOR(
            * 1000000.0) AS BIGINT)"""
 
 
-def _sql_bm25_ctes(k: int) -> str:
+def _sql_bm25_ctes(k: int, qs: list | None = None) -> str:
     """The BM25 pipeline as a CTE chain ending in ``lexr`` (query_id,
     doc_id, score_x1e6, rank<=k) — shared between the standalone oracle
-    and the hybrid-retrieval oracle so the spellings can't diverge."""
-    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    and every composed-retrieval oracle so the spellings can't diverge.
+    ``qs`` overrides the query workload (default BM25_QUERIES)."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in (qs or BM25_QUERIES))
     return rf"""q(query_id, query_text) AS (VALUES {vals}),
 qt AS (
   SELECT DISTINCT query_id,
@@ -2110,6 +2181,79 @@ lexr AS (
 SQL_BM25_TOPK = f"""
 WITH {_sql_bm25_ctes(5)}
 SELECT query_id, doc_id, score_x1e6, rank FROM lexr
+"""
+
+
+# ------------------------- query-likelihood retrieval (Dirichlet)
+QLD_MU = 300
+
+
+def q_qld_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 documents per query under Dirichlet-smoothed query
+    likelihood (Zhai & Lafferty SIGIR'01, operators/text.py:qld_topk)
+    — the LM-based classic next to BM25, ranked by exact integer
+    surprisal bits (lower = more likely)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    return text_ops.qld_topk(d, q, k=5, mu=QLD_MU)
+
+
+SQL_QLD_TOPK = rf"""
+WITH q(query_id, query_text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)}),
+qt AS (
+  SELECT DISTINCT query_id, t AS term FROM (
+    SELECT query_id,
+           unnest(string_split_regex(trim(query_text), '\s+')) AS t
+    FROM q
+  ) WHERE t != ''
+),
+base AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       FROM base GROUP BY 1, 2),
+cf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf_w FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS cf_total
+  FROM documents
+),
+matched AS (SELECT qt.query_id, tf.doc_id, tf.dl FROM tf JOIN qt USING (term)),
+cand AS (
+  SELECT query_id, doc_id, min(dl) AS dl,
+         CAST(count(*) AS BIGINT) AS n_hit_terms
+  FROM matched GROUP BY 1, 2
+),
+fullt AS (
+  SELECT c.query_id, c.doc_id, c.n_hit_terms,
+         (CAST(c.dl AS BIGINT) + {QLD_MU}) * s.cf_total AS num,
+         CAST(coalesce(tf.tf, 0) AS BIGINT) * s.cf_total
+           + {QLD_MU} * cf.cf_w AS den
+  FROM cand c JOIN qt USING (query_id)
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+  JOIN cf ON cf.term = qt.term
+  CROSS JOIN stats s
+),
+per AS (
+  SELECT query_id, doc_id, n_hit_terms,
+         CAST(length(bin(num // den)) - 1 AS BIGINT) AS bits
+  FROM fullt
+),
+agg AS (
+  SELECT query_id, doc_id, max(n_hit_terms) AS n_hit_terms,
+         CAST(sum(bits) AS BIGINT) AS sum_bits
+  FROM per GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_hit_terms, sum_bits, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sum_bits ASC, doc_id ASC) AS rank
+  FROM agg
+) WHERE rank <= 5
 """
 
 
@@ -2925,6 +3069,7 @@ QUERIES = {
     "q_token_count": q_token_count,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25_topk": q_bm25_topk,
+    "q_qld_topk": q_qld_topk,
     "q_bm25_prf": q_bm25_prf,
     "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
@@ -2974,6 +3119,7 @@ QUERIES = {
     "q_bpe_merges_batched": q_bpe_merges_batched,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_phrase_match": q_phrase_match,
+    "q_phrase_boost": q_phrase_boost,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -2986,6 +3132,7 @@ ORACLES = {
     "q_token_count": SQL_TOKEN_COUNT,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25_topk": SQL_BM25_TOPK,
+    "q_qld_topk": SQL_QLD_TOPK,
     "q_bm25_prf": SQL_BM25_PRF,
     "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,
@@ -3036,4 +3183,5 @@ ORACLES = {
     "q_bpe_merges_batched": SQL_BPE_MERGES,
     "q_bpe_tokenize": SQL_BPE_TOKENIZE,
     "q_phrase_match": SQL_PHRASE_MATCH,
+    "q_phrase_boost": _sql_phrase_boost(),
 }

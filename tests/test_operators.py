@@ -1872,6 +1872,65 @@ def test_bm25_max_df_frac(spark):
     assert [r["doc_id"] for r in capped] == [7]
 
 
+def test_qld_topk_hand_computation(spark):
+    """Dirichlet query likelihood on a hand-computable corpus: the
+    background mass ranks docs containing the term above docs that
+    merely match another term; bits = floor(log2(1/p)) per term; OOV
+    query terms carry no evidence."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import qld_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry cherry"),
+         (3, "date date date")],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "apple banana zzz")], "query_id int, query_text string"
+    )
+    # cf_total = 9, cf: apple=3, banana=1 ('zzz' OOV -> dropped)
+    # doc1 (dl=3): apple tf=2 -> p=(2*9+10*3)/((3+10)*9)=48/117, bits=floor(log2(117//48=2))=1
+    #              banana tf=1 -> (9+10)/117 -> 117//19=6 -> bits=2
+    # doc2 (dl=3): apple tf=1 -> (9+30)/117 -> 117//39=3 -> bits=1
+    #              banana tf=0 -> (0+10)/117 -> 117//10=11 -> bits=3
+    # doc3 (dl=3): no hits -> not a candidate
+    out = {r["doc_id"]: r for r in qld_topk(docs, qs, k=5, mu=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_hit_terms"] == 2 and out[2]["n_hit_terms"] == 1
+    assert out[1]["sum_bits"] == 3 and out[2]["sum_bits"] == 4
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
+def test_phrase_boost_prefers_verbatim_match(spark):
+    """RRF phrase boost: between two docs with identical bags of words,
+    the one containing the phrase VERBATIM wins the fused ranking."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.retrieval import (
+        phrase_match,
+        rrf_fuse,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import bm25_topk
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(1, "big order scan runs here"), (2, "order big here scan runs")],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "big order scan")], "query_id int, query_text string"
+    )
+    lex = bm25_topk(docs, qs, k=5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("doc_id")
+    )
+    phr = (
+        phrase_match(docs, qs)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    fused = {r["doc_id"]: r for r in rrf_fuse([lex, phr], k=5).collect()}
+    assert fused[1]["rank"] == 1 and fused[1]["n_legs"] == 2
+    assert fused[2]["rank"] == 2 and fused[2]["n_legs"] == 1
+
+
 def test_bm25_index_delta_reingest_guard(spark):
     """The append-only contract fails LOUDLY instead of silently
     double-counting: on_reingest='error' trips on an overlapping doc

@@ -76,6 +76,11 @@ CARTESIAN_OK = {
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
     "q_bm25_topk": "broadcast of 1-row corpus stats (n_docs, sum_dl)",
+    "q_qld_topk": "broadcast of 1-row corpus token total (cf_total)",
+    "q_phrase_boost": (
+        "broadcast of 1-row corpus stats (BM25 leg) + the exploded "
+        "phrase workload (phrase leg)"
+    ),
     "q_bm25_prf": "broadcast of 1-row corpus stats (n_docs, sum_dl), both scoring passes",
     "q_retrieval_metrics": "broadcast of 1-row corpus stats (BM25 results leg)",
     "q_bm25_index_delta": "broadcast of the folded 1-row corpus stats",
@@ -153,6 +158,11 @@ BROADCAST_OK = {
     "operators/similarity.py::ivf_search": "nprobe centroid rows",
     "operators/similarity.py::ivf_search_quantized": "nprobe centroid rows",
     "operators/text.py::tfidf_topk": "1-row corpus doc count",
+    "operators/text.py::qld_topk": (
+        "query-vocabulary frames (exploded query terms / query-filtered "
+        "collection frequencies), bounded by the workload not the "
+        "corpus, + 1-row corpus token total"
+    ),
     "operators/text.py::bm25_score_terms": (
         "query-vocabulary frames (qterms / query-filtered df), bounded by "
         "the query workload not the corpus, + 1-row corpus stats"

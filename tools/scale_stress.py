@@ -141,6 +141,8 @@ DEEP = [
     "q_training_pairs_pipeline",
     "q_corpus_pipeline_v5",
     "q_lm_score3",
+    "q_qld_topk",
+    "q_phrase_boost",
     "q_ahash_neardup",
     "q_bpe_merges_batched",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
