@@ -2184,6 +2184,57 @@ SELECT query_id, doc_id, score_x1e6, rank FROM lexr
 """
 
 
+# -------------------------------------- winnowing local fingerprints
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprints over the document corpus
+    (operators/text.py:winnow_fingerprint): k=3-gram hashes, window
+    w=4, leftmost-min selection — the partial-overlap detection
+    primitive (any shared run >= w+k-1 tokens shares a fingerprint)."""
+    d = _docs(spark, sf)
+    return text_ops.winnow_fingerprint(d, k=WINNOW_K, w=WINNOW_W)
+
+
+SQL_WINNOW_FINGERPRINT = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(toks) - {WINNOW_K - 1}),
+           i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT
+                  % 2147483647
+         ) AS gh
+  FROM t
+  WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+),
+sel AS (
+  -- (pos, fp) packed into one BIGINT (fp < 2^31 by base_hash31's
+  -- mersenne mod) so list_distinct works (DuckDB lacks struct-list
+  -- dedup); decoded after unnest — the decoded set equals Spark's
+  -- struct array_distinct set exactly
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(gh) - {WINNOW_W - 1}),
+           i -> CAST(i + list_position(gh[i:i+{WINNOW_W - 1}],
+                                       list_min(gh[i:i+{WINNOW_W - 1}])) - 1
+                     AS BIGINT) * 2147483648
+                + list_min(gh[i:i+{WINNOW_W - 1}])
+         )) AS fps
+  FROM g
+),
+ex AS (SELECT doc_id, unnest(fps) AS code FROM sel)
+SELECT doc_id, code // 2147483648 AS pos,
+       CAST(code % 2147483648 AS BIGINT) AS fp_hash
+FROM ex
+"""
+
+
 # ------------------------- query-likelihood retrieval (Dirichlet)
 QLD_MU = 300
 
@@ -3070,6 +3121,7 @@ QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25_topk": q_bm25_topk,
     "q_qld_topk": q_qld_topk,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_bm25_prf": q_bm25_prf,
     "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
@@ -3133,6 +3185,7 @@ ORACLES = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_qld_topk": SQL_QLD_TOPK,
+    "q_winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "q_bm25_prf": SQL_BM25_PRF,
     "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,

@@ -1872,6 +1872,42 @@ def test_bm25_max_df_frac(spark):
     assert [r["doc_id"] for r in capped] == [7]
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    """The winnowing theorem holds: two documents sharing a token run
+    of length >= w + k - 1 share at least one selected fingerprint
+    HASH; documents with no shared k-gram share none; density is the
+    expected ~2/(w+1) of grams; short docs yield no fingerprints."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        winnow_fingerprint,
+    )
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five"),
+            (2, f"x1 y2 z3 {shared} q7 r8"),
+            (3, "p q r s t u v w nothing shared here at all"),
+            (4, "too short"),  # < k + w - 1 tokens -> no fingerprints
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = winnow_fingerprint(docs, k=k, w=w)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density bound: selected <= windows, and >= grams/(w) loose floor
+    n1 = len([r for r in rows if r["doc_id"] == 1])
+    grams1 = 11 - k + 1  # doc 1 has 11 tokens
+    assert 2 <= n1 <= grams1 - w + 1
+    # positions are valid 1-based k-gram starts
+    assert all(1 <= r["pos"] <= grams1 for r in rows if r["doc_id"] == 1)
+
+
 def test_qld_topk_hand_computation(spark):
     """Dirichlet query likelihood on a hand-computable corpus: the
     background mass ranks docs containing the term above docs that
