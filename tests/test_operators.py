@@ -1872,6 +1872,79 @@ def test_bm25_max_df_frac(spark):
     assert [r["doc_id"] for r in capped] == [7]
 
 
+def _make_wav(samples, framerate=8000, sampwidth=2, channels=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s)) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_neardup(spark):
+    """Audio fingerprint semantics: a lightly perturbed copy of a real
+    PCM signal is hamming-near its original; a structurally different
+    signal is far; non-audio and too-short payloads yield None; the
+    pair stage reuses the banded image path end-to-end."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprints,
+        image_neardup_pairs,
+    )
+
+    # a deterministic amplitude-modulated sawtooth: energy varies
+    # across frames so delta bits carry real structure
+    base = [
+        ((i % 64) - 32) * (4 + (i // 300) % 7) * 16 for i in range(3000)
+    ]
+    near = list(base)
+    for i in range(0, 3000, 97):  # sparse small perturbation
+        near[i] = min(32767, near[i] + 40)
+    far = [((i % 23) - 11) * (9 - (i // 150) % 9) * 23 for i in range(3000)]
+    wav_a, wav_b, wav_c = _make_wav(base), _make_wav(near), _make_wav(far)
+
+    fa, fb, fc = (
+        audio_fingerprint(wav_a),
+        audio_fingerprint(wav_b),
+        audio_fingerprint(wav_c),
+    )
+    assert fa is not None and fb is not None and fc is not None
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(fa, fb) <= 6
+    assert ham(fa, fc) > 10
+    assert audio_fingerprint(b"not audio") is None
+    assert audio_fingerprint(_make_wav([1, 2, 3])) is None  # too short
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64"):
+        audio_fingerprint(wav_a, n_frames=5, n_bands=8)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_a)), (2, bytearray(wav_b)),
+         (3, bytearray(wav_c)), (4, bytearray(b"opaque")), (5, None)],
+        "content_id bigint, payload binary",
+    )
+    fps = audio_fingerprints(df)
+    rows = {r["content_id"]: r for r in fps.collect()}
+    assert rows[1]["afp"] == fa and rows[4]["afp"] is None
+    assert rows[5]["afp"] is None and not rows[5]["decodable"]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(
+            fps, max_hamming=6, n_bands=8, hash_col="afp"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """The winnowing theorem holds: two documents sharing a token run
     of length >= w + k - 1 share at least one selected fingerprint
