@@ -224,6 +224,49 @@ def winnow_fingerprint(
     )
 
 
+def winnow_overlap(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    hash_col: str = "fp_hash",
+) -> DataFrame:
+    """Partial-overlap pairs from :func:`winnow_fingerprint` output:
+    documents sharing >= ``min_shared`` selected fingerprint hashes —
+    the MOSS match step. ``max_df`` drops stop-fingerprints (hashes in
+    more than max_df docs: boilerplate the caller should treat with
+    line_dedup, and the quadratic bucket a 100 TB self-join must not
+    pay — the same df-cap discipline as boilerplate_flags and
+    ngram_jaccard's capped twin).
+
+    Scale shape: distinct + optional df-cap are hash-aggs; the pair
+    join is fp_hash-keyed (banding shape, collision/df-bounded, never
+    all-pairs); the count-filter is one more hash-agg."""
+    f = fps.select(F.col(id_col), F.col(hash_col)).distinct()
+    if max_df is not None:
+        keep = (
+            f.groupBy(hash_col)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select(hash_col)
+        )
+        f = f.join(keep, hash_col)
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def tfidf_topk(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2198,10 +2198,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.winnow_fingerprint(d, k=WINNOW_K, w=WINNOW_W)
 
 
-SQL_WINNOW_FINGERPRINT = rf"""
-WITH t AS (
+def _sql_winnow_ctes(src: str) -> str:
+    """The winnowing chain as CTEs (t, g, sel, ex) over a source table
+    expression yielding (doc_id, text) — shared by the fingerprint
+    oracle and the overlap-pairs oracle."""
+    return rf"""t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-  FROM documents
+  FROM {src}
 ),
 g AS (
   SELECT doc_id,
@@ -2228,10 +2231,75 @@ sel AS (
          )) AS fps
   FROM g
 ),
-ex AS (SELECT doc_id, unnest(fps) AS code FROM sel)
+ex AS (SELECT doc_id, unnest(fps) AS code FROM sel)"""
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH {_sql_winnow_ctes("documents")}
 SELECT doc_id, code // 2147483648 AS pos,
        CAST(code % 2147483648 AS BIGINT) AS fp_hash
 FROM ex
+"""
+
+
+# ------------------------------------- winnowing overlap-pair match
+WINNOW_BOILER = "qq0 ww1 ee2 rr3 tt4 yy5 uu6 ii7"  # 8 synthetic tokens
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 20
+
+
+def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """The MOSS match step, oracle-checked end-to-end: each doc pair
+    (doc_id % 50 < 2, grouped by doc_id // 50) gets a shared 9-token
+    run (8 boiler tokens + a group token — >= w+k-1, synthesized
+    in-engine per the q_url_dedup fixture convention), so the
+    winnowing guarantee forces those pairs to share fingerprints at
+    df=2 — BELOW the stop-fingerprint cap at any scale (a run shared
+    corpus-wide would be df-capped away, by design: that is
+    line_dedup's job). winnow_overlap returns pairs sharing >= 2
+    selected hashes (operators/text.py:winnow_overlap); natural
+    fixture overlaps surface alongside the planted ones."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 < 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" " + WINNOW_BOILER + " g"),
+                F.floor(F.col("doc_id") / 50).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fps = text_ops.winnow_fingerprint(d, k=WINNOW_K, w=WINNOW_W)
+    return text_ops.winnow_overlap(
+        fps, min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF
+    )
+
+
+def _sql_winnow_overlap() -> str:
+    src = (
+        "(SELECT doc_id, CASE WHEN doc_id % 50 < 2 "
+        f"THEN text || ' {WINNOW_BOILER} g' || CAST(doc_id // 50 AS VARCHAR) "
+        "ELSE text END AS text "
+        "FROM documents)"
+    )
+    return f"""
+WITH {_sql_winnow_ctes(src)},
+fpd AS (
+  SELECT DISTINCT doc_id, CAST(code % 2147483648 AS BIGINT) AS fp_hash
+  FROM ex
+),
+keep AS (
+  SELECT fp_hash FROM fpd GROUP BY 1 HAVING count(*) <= {WINNOW_MAX_DF}
+),
+ff AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd JOIN keep USING (fp_hash))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ff a JOIN ff b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
@@ -3122,6 +3190,7 @@ QUERIES = {
     "q_bm25_topk": q_bm25_topk,
     "q_qld_topk": q_qld_topk,
     "q_winnow_fingerprint": q_winnow_fingerprint,
+    "q_winnow_overlap": q_winnow_overlap,
     "q_bm25_prf": q_bm25_prf,
     "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
@@ -3186,6 +3255,7 @@ ORACLES = {
     "q_bm25_topk": SQL_BM25_TOPK,
     "q_qld_topk": SQL_QLD_TOPK,
     "q_winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "q_winnow_overlap": _sql_winnow_overlap(),
     "q_bm25_prf": SQL_BM25_PRF,
     "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,

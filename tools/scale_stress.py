@@ -144,6 +144,7 @@ DEEP = [
     "q_qld_topk",
     "q_phrase_boost",
     "q_winnow_fingerprint",
+    "q_winnow_overlap",
     "q_ahash_neardup",
     "q_bpe_merges_batched",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
