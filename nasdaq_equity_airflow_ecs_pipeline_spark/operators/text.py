@@ -267,6 +267,89 @@ def winnow_overlap(
     )
 
 
+def winnow_index_delta(
+    standing_fps: DataFrame,
+    delta_docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MOSS maintenance — the winnowing member of the
+    repo's incremental-index family (LSH / SemDeDup / BM25 / IVF-PQ
+    all follow this discipline): fingerprint ONLY the delta batch
+    (map-side, delta-sized), append to the standing fingerprint table,
+    and probe NEW-vs-ALL overlaps with a fp-keyed join — standing
+    documents are never re-tokenized, and standing-vs-standing pairs
+    are never recomputed (they were reported when their younger member
+    arrived).
+
+    Returns (folded_fps, new_pairs):
+    - folded_fps: standing ∪ delta fingerprints — the next standing
+      table (append-only; the caller owns id uniqueness, as in
+      bm25_index_delta's documented contract).
+    - new_pairs: (id_a, id_b, n_shared) where at least one side is a
+      delta doc — delta-vs-standing AND delta-vs-delta. ``max_df``
+      caps stop-fingerprints over the FOLDED table (df is a global
+      property; an incrementally-maintained cap must see the merged
+      counts or a hash that crossed the cap this batch would still
+      pair).
+
+    Equivalence contract (q_winnow_incremental pins it): new_pairs ==
+    full-rebuild winnow_overlap(all docs) restricted to pairs touching
+    a delta id.
+
+    Scale shape: the ONLY standing-side work is index-shaped — one
+    df-count hash-agg over the standing fingerprint TABLE (the merged
+    df cap is a global property, same reason bm25_score_terms
+    recomputes df from the merged tf) and one fp-keyed equi-join
+    probed BY THE DELTA side. No standing-vs-standing self-join, no
+    re-tokenization."""
+    delta_fp = (
+        winnow_fingerprint(
+            delta_docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    folded = standing_fps.select(F.col(id_col), "fp_hash").unionByName(
+        delta_fp
+    )
+    if max_df is not None:
+        keep = (
+            folded.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp_hash")
+        )
+        probe_a = delta_fp.join(keep, "fp_hash")
+        probe_b = folded.select(F.col(id_col), "fp_hash").distinct().join(
+            keep, "fp_hash"
+        )
+    else:
+        probe_a = delta_fp
+        probe_b = folded.select(F.col(id_col), "fp_hash").distinct()
+    a, b = probe_a.alias("a"), probe_b.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.fp_hash") == F.col("b.fp_hash"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        F.col("a.fp_hash").alias("fp_hash"),
+    )
+    new_pairs = (
+        hits.distinct()  # delta-delta pairs arrive from both sides
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return folded, new_pairs
+
+
 def tfidf_topk(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2303,6 +2303,53 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+def q_winnow_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental winnowing maintenance == full rebuild, pinned by
+    the oracle: the 80% standing corpus's fingerprint table folds with
+    the 20% delta (operators/text.py:winnow_index_delta — delta-sized
+    fingerprinting, fp-keyed delta-side probe, merged-df stop-
+    fingerprint cap) and the NEW pairs must equal the full-corpus
+    winnow_overlap restricted to pairs touching a delta doc."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    standing_docs = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    standing_fps = text_ops.winnow_fingerprint(
+        standing_docs, k=WINNOW_K, w=WINNOW_W
+    )
+    _folded, pairs = text_ops.winnow_index_delta(
+        standing_fps,
+        delta,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+    )
+    return pairs
+
+
+def _sql_winnow_incremental() -> str:
+    return f"""
+WITH {_sql_winnow_ctes("documents")},
+fpd AS (
+  SELECT DISTINCT doc_id, CAST(code % 2147483648 AS BIGINT) AS fp_hash
+  FROM ex
+),
+keep AS (
+  SELECT fp_hash FROM fpd GROUP BY 1 HAVING count(*) <= {WINNOW_MAX_DF}
+),
+ff AS (SELECT fpd.doc_id, fpd.fp_hash FROM fpd JOIN keep USING (fp_hash)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ff a JOIN ff b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT id_a, id_b, n_shared FROM pairs
+WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
+"""
+
+
 # ------------------------- query-likelihood retrieval (Dirichlet)
 QLD_MU = 300
 
@@ -3191,6 +3238,7 @@ QUERIES = {
     "q_qld_topk": q_qld_topk,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_winnow_overlap": q_winnow_overlap,
+    "q_winnow_incremental": q_winnow_incremental,
     "q_bm25_prf": q_bm25_prf,
     "q_bm25_index_delta": q_bm25_index_delta,
     "q_mmr_rerank": q_mmr_rerank,
@@ -3256,6 +3304,7 @@ ORACLES = {
     "q_qld_topk": SQL_QLD_TOPK,
     "q_winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "q_winnow_overlap": _sql_winnow_overlap(),
+    "q_winnow_incremental": _sql_winnow_incremental(),
     "q_bm25_prf": SQL_BM25_PRF,
     "q_bm25_index_delta": SQL_BM25_TOPK,
     "q_mmr_rerank": SQL_MMR_RERANK,

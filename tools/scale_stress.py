@@ -145,6 +145,7 @@ DEEP = [
     "q_phrase_boost",
     "q_winnow_fingerprint",
     "q_winnow_overlap",
+    "q_winnow_incremental",
     "q_ahash_neardup",
     "q_bpe_merges_batched",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
@@ -505,6 +506,9 @@ def main() -> None:
         "q_corpus_pipeline",
         # r4 probe 11.4x: tiny dup-window set broadcasts at toy scale only
         "q_substring_dedup",
+        # r7 probe 11.1x (45.6->504.7 MB for 10x): the sf0.1 base's
+        # 2.8 MB fingerprint shuffle is a partial-agg toy-scale floor
+        "q_winnow_incremental",
         # partial-agg baseline artifacts (r4 probe: 9.5x / 11.3x —
         # 420->3998 MB and 13.9->156.7 MB for 10x data)
         "q_weekly_rollup",
