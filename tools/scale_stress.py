@@ -509,6 +509,11 @@ def main() -> None:
         # r7 probe 11.1x (45.6->504.7 MB for 10x): the sf0.1 base's
         # 2.8 MB fingerprint shuffle is a partial-agg toy-scale floor
         "q_winnow_incremental",
+        # r7 probes (x10->x100, --no-broadcast): sub-MB sf0.1 bases are
+        # partial-agg floors; absolute bytes converge to linear-in-input
+        "q_hash_embed_sim",   # 13.2x for 10x (11.6->153.3 MB)
+        "q_hll_distinct",     # 11.1x for 10x (13.4->148.8 MB)
+        "q_lm_score",         # 12.7x for 10x (67.9->860.5 MB)
         # partial-agg baseline artifacts (r4 probe: 9.5x / 11.3x —
         # 420->3998 MB and 13.9->156.7 MB for 10x data)
         "q_weekly_rollup",
