@@ -620,9 +620,6 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     }
 
 
-AUDIO_FP_SCHEMA = "content_id bigint, afp bigint, decodable boolean"
-
-
 def audio_fingerprint(
     payload: bytes, n_frames: int = 9, n_bands: int = 8
 ) -> int | None:
@@ -701,9 +698,10 @@ def audio_fingerprints(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Batch audio fingerprints via mapInPandas (Arrow-batched):
-    (content_id, afp bigint | NULL, decodable). Near-dup pairs come
+    (``id_col``, afp bigint | NULL, decodable). Near-dup pairs come
     from image_neardup_pairs(hash_col='afp') — banding is
-    hash-agnostic."""
+    hash-agnostic. Output id column mirrors ``id_col``, like the other
+    mapInPandas operators in this module."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -715,13 +713,15 @@ def audio_fingerprints(
             ]
             yield pd.DataFrame(
                 {
-                    "content_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "afp": pd.array(fps, dtype="Int64"),
                     "decodable": [f is not None for f in fps],
                 }
             )
 
-    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    return df.mapInPandas(
+        run, schema=f"{id_col} bigint, afp bigint, decodable boolean"
+    )
 
 
 def real_decode(payload: bytes) -> dict[str, Any]:

@@ -287,9 +287,11 @@ def winnow_index_delta(
     arrived).
 
     Returns (folded_fps, new_pairs):
-    - folded_fps: standing ∪ delta fingerprints — the next standing
-      table (append-only; the caller owns id uniqueness, as in
-      bm25_index_delta's documented contract).
+    - folded_fps: standing ∪ delta fingerprints, (id, fp_hash)-distinct
+      — the next standing table (the caller owns id uniqueness, as in
+      bm25_index_delta's documented contract). Dedup matters: df below
+      is per-DOCUMENT frequency, and a raw winnow_fingerprint table has
+      one row per (pos, fp).
     - new_pairs: (id_a, id_b, n_shared) where at least one side is a
       delta doc — delta-vs-standing AND delta-vs-delta. ``max_df``
       caps stop-fingerprints over the FOLDED table (df is a global
@@ -314,8 +316,17 @@ def winnow_index_delta(
         .select(F.col(id_col), "fp_hash")
         .distinct()
     )
-    folded = standing_fps.select(F.col(id_col), "fp_hash").unionByName(
-        delta_fp
+    # (id, fp_hash)-distinct BEFORE the df count: winnow_fingerprint emits
+    # one row per (pos, fp), so a hash selected at several positions in one
+    # standing doc would otherwise count multiple times toward max_df and
+    # the incremental path would drop hashes the full rebuild keeps —
+    # breaking the pinned new_pairs == full-rebuild contract at the cap
+    # boundary. df is per-DOCUMENT frequency, exactly as winnow_overlap
+    # computes it over its own distinct() input.
+    folded = (
+        standing_fps.select(F.col(id_col), "fp_hash")
+        .unionByName(delta_fp)
+        .distinct()
     )
     if max_df is not None:
         keep = (
@@ -325,12 +336,10 @@ def winnow_index_delta(
             .select("fp_hash")
         )
         probe_a = delta_fp.join(keep, "fp_hash")
-        probe_b = folded.select(F.col(id_col), "fp_hash").distinct().join(
-            keep, "fp_hash"
-        )
+        probe_b = folded.join(keep, "fp_hash")
     else:
         probe_a = delta_fp
-        probe_b = folded.select(F.col(id_col), "fp_hash").distinct()
+        probe_b = folded
     a, b = probe_a.alias("a"), probe_b.alias("b")
     hits = a.join(
         b,
@@ -1063,6 +1072,66 @@ def bpe_train(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Dat
     )
 
 
+def _bpe_accept_prefix(
+    cands: list[tuple[str, int]],
+    top_k: int,
+    merged_symbols: set[str],
+    remaining: int,
+) -> list[tuple[str, str, str, int]]:
+    """Pure driver-side acceptance step for :func:`bpe_train_batched`:
+    the maximal rank-order prefix of collected candidates that
+    sequential BPE provably would pick in this order. Factored out so
+    the batching invariants are unit-testable without a corpus.
+
+    ``merged_symbols`` is the set of merge OUTPUTS produced so far
+    (initial symbols are single characters — the per-char split — and
+    merge outputs are >= 2 chars, so tracking outputs alone is exact).
+    A candidate whose ``a + b`` already exists as a symbol is a
+    merge-path collision: the pairs its merge creates — (x, ab) and
+    (ab, y) — FOLD INTO the existing pairs' counts instead of starting
+    from zero, so the created-pair bound below no longer bounds them
+    and ``f_existing + created`` could overtake a later accepted
+    candidate. A colliding candidate is therefore accepted only as the
+    LAST member of its batch (as rank-1 it is exactly sequential
+    BPE's pick; anything after it cannot be proven safe), and a
+    collision with an earlier batch member's output stops the batch
+    before it."""
+    from collections import defaultdict
+
+    tail_bound = cands[-1][1] if len(cands) == top_k else 0
+    maxf_first: dict[str, int] = defaultdict(lambda: tail_bound)
+    maxf_second: dict[str, int] = defaultdict(lambda: tail_bound)
+    for p, f in cands:
+        a, b = p.split(" ", 1)
+        if f > maxf_first[a]:
+            maxf_first[a] = f
+        if f > maxf_second[b]:
+            maxf_second[b] = f
+    accepted: list[tuple[str, str, str, int]] = []
+    used: set[str] = set()
+    batch_merged: set[str] = set()
+    new_pair_bound = -1
+    for p, f in cands:
+        if len(accepted) >= remaining:
+            break
+        a, b = p.split(" ", 1)
+        merged = a + b
+        collision = merged in merged_symbols or merged in batch_merged
+        if accepted and (
+            a in used or b in used or f <= new_pair_bound or collision
+        ):
+            break
+        accepted.append((p, a, b, f))
+        used.update((a, b, merged))
+        batch_merged.add(merged)
+        new_pair_bound = max(
+            new_pair_bound, maxf_second[a], maxf_first[b]
+        )
+        if collision:
+            break
+    return accepted
+
+
 def bpe_train_batched(
     docs: DataFrame,
     n_merges: int = 5,
@@ -1101,11 +1170,16 @@ def bpe_train_batched(
     test_bpe_batched_equals_sequential and the same unrolled DuckDB
     oracle (q_bpe_merges_batched).
 
+    A candidate whose merged output ``a + b`` ALREADY exists as a
+    symbol (created earlier via a different merge path) ends its batch:
+    the pairs its merge creates fold into existing counts, so the
+    created-pair bound above does not cover them — see
+    :func:`_bpe_accept_prefix`, where the acceptance invariants live
+    and are unit-tested.
+
     ``rounds_out``: optional list; one entry (the batch size) is
     appended per Spark round — the measurement hook
     tools/bpe_scale_probe.py reads the batch factor from."""
-    from collections import defaultdict
-
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
@@ -1126,6 +1200,7 @@ def bpe_train_batched(
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     out_rows: list[tuple[int, str, str, int]] = []
+    merged_symbols: set[str] = set()
     while len(out_rows) < n_merges:
         top = (
             cur.select("freq", F.explode(pair_expr).alias("pair"))
@@ -1138,40 +1213,137 @@ def bpe_train_batched(
         if not top:
             break
         cands = [(r["pair"], int(r["f"])) for r in top]
-        tail_bound = cands[-1][1] if len(cands) == top_k else 0
-        maxf_first: dict[str, int] = defaultdict(lambda: tail_bound)
-        maxf_second: dict[str, int] = defaultdict(lambda: tail_bound)
-        for p, f in cands:
-            a, b = p.split(" ", 1)
-            if f > maxf_first[a]:
-                maxf_first[a] = f
-            if f > maxf_second[b]:
-                maxf_second[b] = f
-        accepted: list[tuple[str, str, str, int]] = []
-        used: set[str] = set()
-        new_pair_bound = -1
-        for p, f in cands:
-            if len(out_rows) + len(accepted) >= n_merges:
-                break
-            a, b = p.split(" ", 1)
-            if accepted and (
-                a in used or b in used or f <= new_pair_bound
-            ):
-                break
-            accepted.append((p, a, b, f))
-            used.update((a, b, a + b))
-            new_pair_bound = max(
-                new_pair_bound, maxf_second[a], maxf_first[b]
-            )
+        accepted = _bpe_accept_prefix(
+            cands, top_k, merged_symbols, n_merges - len(out_rows)
+        )
         if rounds_out is not None:
             rounds_out.append(len(accepted))
         arr: Column = F.col("arr")
         for p, a, b, f in accepted:
             out_rows.append((len(out_rows) + 1, p, a + b, f))
+            merged_symbols.add(a + b)
             arr = _bpe_apply_merge(arr, a, b, a + b)
         cur = cur.select(arr.alias("arr"), "freq").localCheckpoint(
             eager=True
         )
+    return spark.createDataFrame(
+        out_rows, "step int, pair string, merged string, freq bigint"
+    )
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    max_vocab: int = 2_000_000,
+) -> DataFrame:
+    """:func:`bpe_train`'s driver-side merge FINISHER — bit-identical
+    merge table, realistic depth (32k merges in seconds, not 25 h of
+    sequential Spark rounds).
+
+    The insight closing the depth bound: after ONE corpus pass, BPE
+    training state is the word-frequency table — VOCABULARY-sized, not
+    corpus-sized (the same trick bpe_train exploits in-engine). That is
+    the bounded-artifact class the repo already collects (k-means
+    centroids at operators/kmeans.py, PQ codebooks, zorder stats), so
+    the table collects under an explicit ``max_vocab`` cap (raises past
+    it — never silent truncation: a truncated vocabulary would train
+    DIFFERENT merges) and the 32k merge rounds run in pure Python with
+    the classic incremental structures (Sennrich's learn_bpe shape):
+    pair counts + a pair->words inverted index + a lazy-deletion heap,
+    so each merge touches only the words containing its pair.
+
+    Determinism parity with bpe_train, piece by piece:
+    - counts are integer sums of word freqs — exact in both;
+    - selection orders by (freq desc, pair-string asc); the heap orders
+      by the literal ``"a b"`` string, and Python's code-point order ==
+      Spark UTF8_BINARY's UTF-8 byte order (UTF-8 preserves code-point
+      order), so ties break identically;
+    - the merge application is the same greedy left-to-right
+      non-overlapping fold as :func:`_bpe_apply_merge`.
+
+    Pinned by test_bpe_local_equals_engine (both probe corpora) and the
+    q_bpe_merges oracle (q_bpe_merges_local)."""
+    import heapq
+    from collections import Counter
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rows = words.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; a truncated "
+            f"vocabulary would train different merges — raise the cap "
+            f"or use bpe_train_batched"
+        )
+    seqs: list[list[str]] = [list(r["w"]) for r in rows]
+    freqs: list[int] = [int(r["freq"]) for r in rows]
+
+    # pair state: counts, inverted index, lazy-deletion heap. Heap
+    # entries are (-freq, "a b", (a, b)) pushed on EVERY count change;
+    # an entry is live iff its freq matches the current count, so the
+    # heap top is always the true (freq desc, pair asc) winner.
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, seq in enumerate(seqs):
+        f = freqs[idx]
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(idx)
+    heap: list[tuple[int, str, tuple[str, str]]] = [
+        (-f, f"{p[0]} {p[1]}", p) for p, f in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int) -> None:
+        nf = pair_counts[p] + delta
+        if nf <= 0:
+            pair_counts.pop(p, None)
+            pair_words.pop(p, None)
+        else:
+            pair_counts[p] = nf
+            heapq.heappush(heap, (-nf, f"{p[0]} {p[1]}", p))
+
+    out_rows: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            nf, _ps, p = heap[0]
+            if pair_counts.get(p) == -nf:
+                best = p
+                break
+            heapq.heappop(heap)  # stale
+        if best is None:
+            break
+        a, b = best
+        merged, f = a + b, pair_counts[best]
+        out_rows.append((step, f"{a} {b}", merged, f))
+        for idx in sorted(pair_words.get(best, ())):
+            seq, wf = seqs[idx], freqs[idx]
+            old = Counter(zip(seq, seq[1:]))
+            new_seq: list[str] = []
+            for t in seq:
+                if new_seq and new_seq[-1] == a and t == b:
+                    new_seq[-1] = merged
+                else:
+                    new_seq.append(t)
+            seqs[idx] = new_seq
+            new = Counter(zip(new_seq, new_seq[1:]))
+            for p in set(old) | set(new):
+                d = new[p] - old[p]
+                if d:
+                    bump(p, d * wf)
+                if new[p] == 0:
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(idx)
+                elif old[p] == 0 and p in pair_counts:
+                    pair_words.setdefault(p, set()).add(idx)
     return spark.createDataFrame(
         out_rows, "step int, pair string, merged string, freq bigint"
     )

@@ -455,6 +455,11 @@ def curate_corpus_v4(
     from ..operators.ordering import shuffle_key
     from ..operators.similarity import semantic_dedup
 
+    if lm_order not in (2, 3):
+        # a typo here would silently change CURATION SEMANTICS (which
+        # LM gates the corpus), so unsupported orders are an error,
+        # not a fallback
+        raise ValueError(f"lm_order must be 2 or 3, got {lm_order!r}")
     _release("v4")
     base = docs.select("doc_id", "text", "lang", "source")
     ld = line_dedup(base, max_docs=max_line_docs)

@@ -1835,6 +1835,16 @@ def q_bpe_merges_batched(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_train_batched(_docs(spark, sf), n_merges=BPE_MERGES)
 
 
+def q_bpe_merges_local(spark: SparkSession, sf: str) -> DataFrame:
+    """bpe_train_local (operators/text.py): the driver-side merge
+    FINISHER — one corpus pass to the vocabulary-sized word-frequency
+    table, capped collect, then pure-Python incremental merge rounds
+    (pair counts + inverted index + lazy heap). Bit-identical to
+    bpe_train by the determinism-parity argument in its docstring,
+    checked here against the SAME unrolled sequential DuckDB oracle."""
+    return text_ops.bpe_train_local(_docs(spark, sf), n_merges=BPE_MERGES)
+
+
 SQL_BPE_MERGES = f"""{_sql_bpe_ctes()}
 {_sql_bpe_union()}"""
 
@@ -3286,6 +3296,7 @@ QUERIES = {
     "q_hash_embed_sim": q_hash_embed_sim,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_merges_batched": q_bpe_merges_batched,
+    "q_bpe_merges_local": q_bpe_merges_local,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_phrase_match": q_phrase_match,
     "q_phrase_boost": q_phrase_boost,
@@ -3353,6 +3364,7 @@ ORACLES = {
     "q_hash_embed_sim": SQL_HASH_EMBED_SIM,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_merges_batched": SQL_BPE_MERGES,
+    "q_bpe_merges_local": SQL_BPE_MERGES,
     "q_bpe_tokenize": SQL_BPE_TOKENIZE,
     "q_phrase_match": SQL_PHRASE_MATCH,
     "q_phrase_boost": _sql_phrase_boost(),

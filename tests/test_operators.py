@@ -1944,6 +1944,37 @@ def test_audio_fingerprint_neardup(spark):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    # id_col override: output schema mirrors the caller's id column
+    # (regression: content_id was hardcoded in the yielded frame/schema)
+    df2 = spark.createDataFrame(
+        [(7, bytearray(wav_a))], "track_id bigint, payload binary"
+    )
+    out2 = audio_fingerprints(df2, id_col="track_id")
+    assert out2.columns == ["track_id", "afp", "decodable"]
+    r2 = out2.collect()[0]
+    assert r2["track_id"] == 7 and r2["afp"] == fa
+
+
+def test_curate_corpus_v4_rejects_bad_lm_order(spark):
+    """lm_order outside {2, 3} must raise, not silently fall back to
+    the bigram gate — a typo would otherwise change curation semantics
+    without any signal."""
+    import pytest as _pytest
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.plans.corpus import (
+        curate_corpus_v4,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="lm_order"):
+        curate_corpus_v4(docs, emb, lm_max_avg_bits_x100=450, lm_order=5)
+
 
 def test_winnow_fingerprint_guarantee(spark):
     """The winnowing theorem holds: two documents sharing a token run
@@ -1979,6 +2010,65 @@ def test_winnow_fingerprint_guarantee(spark):
     assert 2 <= n1 <= grams1 - w + 1
     # positions are valid 1-based k-gram starts
     assert all(1 <= r["pos"] <= grams1 for r in rows if r["doc_id"] == 1)
+
+
+def test_winnow_index_delta_max_df_boundary(spark):
+    """Regression: a hash selected at MULTIPLE positions inside one
+    standing doc must count ONCE toward max_df. Pre-fix, the raw
+    (pos, fp) standing rows inflated the df count past the cap, so the
+    incremental path dropped hashes (and their pairs) that the full
+    rebuild kept — breaking the pinned new_pairs == full-rebuild
+    contract exactly at the cap boundary."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        winnow_fingerprint,
+        winnow_index_delta,
+        winnow_overlap,
+    )
+
+    k, w = 3, 4
+    run = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        # doc 1 repeats the run: some selected hash appears at 2+ positions
+        (1, f"{run} filler1 filler2 {run}"),
+        (2, f"pre1 pre2 {run} post1 post2"),
+    ]
+    delta = [(3, f"x1 y2 {run} z3 w4")]
+    standing_docs = spark.createDataFrame(docs, "doc_id bigint, text string")
+    delta_docs = spark.createDataFrame(delta, "doc_id bigint, text string")
+    standing_fps = winnow_fingerprint(standing_docs, k=k, w=w)
+
+    # Precondition: the trap is real — at least one hash selected at >1
+    # position in doc 1, so raw rows over-count its document frequency.
+    from collections import Counter
+
+    c = Counter(
+        (r["doc_id"], r["fp_hash"]) for r in standing_fps.collect()
+    )
+    assert any(n > 1 for (d, _h), n in c.items() if d == 1)
+
+    # max_df = 3 = true per-document df of the shared hash in the folded
+    # corpus (3 docs, once each). Inflated counting sees 4 and drops it.
+    max_df, min_shared = 3, 1
+    _folded, new_pairs = winnow_index_delta(
+        standing_fps, delta_docs, k=k, w=w,
+        min_shared=min_shared, max_df=max_df,
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"]) for r in new_pairs.collect()
+    }
+    all_docs = standing_docs.unionByName(delta_docs)
+    full = winnow_overlap(
+        winnow_fingerprint(all_docs, k=k, w=w),
+        min_shared=min_shared, max_df=max_df,
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in full.collect()
+        if r["id_a"] == 3 or r["id_b"] == 3
+    }
+    assert got == want and got  # non-empty: the shared hash survived
+    # folded table is (id, fp_hash)-distinct — safe to fold again
+    assert _folded.count() == _folded.distinct().count()
 
 
 def test_qld_topk_hand_computation(spark):
@@ -2516,6 +2606,56 @@ def test_bpe_train_textbook_merges(spark):
     ]
 
 
+def test_bpe_accept_prefix_collision_guard():
+    """Constructed two-path merge collision (pure driver-side unit —
+    no corpus): when a candidate's merged output already exists as a
+    symbol (e.g. 'est' built via ('es','t') in an earlier round and
+    ('e','st') proposed now), the pairs its merge creates FOLD INTO the
+    existing (x,'est')/('est',y) counts, so f_existing + created can
+    overtake a later accepted candidate and sequential BPE would pick
+    differently. The acceptance step must therefore end the batch at a
+    colliding candidate."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        _bpe_accept_prefix,
+    )
+
+    big_k = 512  # len(cands) < top_k -> tail_bound 0
+
+    # rank-1 collision: accepted ALONE (it is sequential's pick), even
+    # though ('q','r') is disjoint and would otherwise batch.
+    acc = _bpe_accept_prefix(
+        [("e st", 100), ("q r", 80)], big_k, {"est"}, 10
+    )
+    assert acc == [("e st", "e", "st", 100)]
+
+    # collision mid-prefix: batch stops BEFORE the colliding candidate.
+    acc = _bpe_accept_prefix(
+        [("q r", 100), ("e st", 90), ("u v", 80)], big_k, {"est"}, 10
+    )
+    assert acc == [("q r", "q", "r", 100)]
+
+    # within-batch output collision: ('x','yz') and ('xy','z') both
+    # concatenate to 'xyz'; the second's symbols are NOT in `used`, so
+    # only the output-collision guard catches it.
+    acc = _bpe_accept_prefix(
+        [("x yz", 100), ("xy z", 90)], big_k, set(), 10
+    )
+    assert acc == [("x yz", "x", "yz", 100)]
+
+    # no collision: disjoint candidates still batch (guard must not
+    # shrink conflict-free prefixes).
+    acc = _bpe_accept_prefix(
+        [("t h", 100), ("i n", 90)], big_k, {"er", "on"}, 10
+    )
+    assert [p for p, *_ in acc] == ["t h", "i n"]
+
+    # remaining-cap still respected.
+    acc = _bpe_accept_prefix(
+        [("t h", 100), ("i n", 90)], big_k, set(), 1
+    )
+    assert len(acc) == 1
+
+
 def test_bpe_batched_equals_sequential(spark):
     """The exact-batching invariant: bpe_train_batched emits the SAME
     merge table as bpe_train — on the textbook chain-merge corpus
@@ -2535,6 +2675,9 @@ def test_bpe_batched_equals_sequential(spark):
         [(1, "this thin there " * 4), (2, "inner other hiss " * 3)],
         # merged-output reuse: 'a b'->'ab' then 'ab c' next round
         [(1, "abc abc abc abd"), (2, "zq zq zq zq zq zq zq")],
+        # unary runs (the GPT-2 space-run analog): greedy leftmost
+        # tiling + overlap leftovers stress the created-pair bound
+        [(1, "aaaa aaa aa aaaaa aaaaaa " * 3), (2, "aa aaa aaaa " * 5)],
     ]
     for rows in corpora:
         docs = spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -2562,6 +2705,68 @@ def test_bpe_batched_equals_sequential(spark):
         for r in bpe_train(docs, n_merges=12).orderBy("step").collect()
     ]
     assert bat2 == seq2
+
+
+def test_bpe_local_equals_engine(spark):
+    """bpe_train_local (driver-side incremental finisher) emits the
+    SAME merge table as bpe_train on every probe corpus — including a
+    deep run (40 merges on md5-hex words) where the lazy-heap +
+    inverted-index bookkeeping is actually exercised, and a depth that
+    EXHAUSTS the vocabulary (early-stop parity). The vocabulary cap
+    raises rather than silently truncating."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    corpora = [
+        [(1, "aaab aaab aaab"), (2, "aab aab")],
+        [(1, "this thin there " * 4), (2, "inner other hiss " * 3)],
+        [(1, "aaaa aaa aa aaaaa aaaaaa " * 3), (2, "aa aaa aaaa " * 5)],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        seq = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=12).orderBy("step").collect()
+        ]
+        loc = [
+            tuple(r)
+            for r in bpe_train_local(docs, n_merges=12)
+            .orderBy("step")
+            .collect()
+        ]
+        assert loc == seq, rows[0]
+
+    # deep: 40 merges over md5-hex words (16 symbols, 32 chars)
+    deep = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    seq = [
+        tuple(r) for r in bpe_train(deep, n_merges=40).orderBy("step").collect()
+    ]
+    loc = [
+        tuple(r)
+        for r in bpe_train_local(deep, n_merges=40).orderBy("step").collect()
+    ]
+    assert loc == seq and len(loc) == 40
+
+    # exhaustion parity: more merges than the corpus supports
+    tiny = spark.createDataFrame([(1, "ab ab ba")], "doc_id bigint, text string")
+    seq = [tuple(r) for r in bpe_train(tiny, n_merges=10).orderBy("step").collect()]
+    loc = [
+        tuple(r)
+        for r in bpe_train_local(tiny, n_merges=10).orderBy("step").collect()
+    ]
+    assert loc == seq and len(loc) < 10
+
+    # the cap GUARDS, never truncates
+    with _pytest.raises(ValueError, match="max_vocab"):
+        bpe_train_local(deep, n_merges=2, max_vocab=10)
 
 
 def test_bpe_early_exhaustion_parity(spark, tmp_path):

@@ -45,17 +45,23 @@ def measure(text_ops, docs, n: int) -> dict:
     t0 = time.time()
     bat = text_ops.bpe_train_batched(docs, n_merges=n, rounds_out=rounds).collect()
     bat_wall = round(time.time() - t0, 1)
+    t0 = time.time()
+    loc = text_ops.bpe_train_local(docs, n_merges=n).collect()
+    loc_wall = round(time.time() - t0, 1)
     merges = len(seq)
     return {
         "n_requested": n,
         "n_merges": merges,
         "equal": [tuple(r) for r in seq] == [tuple(r) for r in bat],
+        "local_equal": [tuple(r) for r in seq] == [tuple(r) for r in loc],
         "seq_wall_s": seq_wall,
         "seq_rounds": merges,
         "bat_wall_s": bat_wall,
         "bat_rounds": len(rounds),
+        "loc_wall_s": loc_wall,
         "batch_factor": round(merges / max(len(rounds), 1), 2),
         "speedup": round(seq_wall / max(bat_wall, 1e-9), 2),
+        "loc_speedup": round(seq_wall / max(loc_wall, 1e-9), 2),
         "seq_s_per_merge": round(seq_wall / max(merges, 1), 3),
         "seq_32k_extrapolation_min": round(
             seq_wall / max(merges, 1) * 32000 / 60, 1
@@ -64,6 +70,16 @@ def measure(text_ops, docs, n: int) -> dict:
             bat_wall / max(merges, 1) * 32000 / 60, 1
         ),
     }
+
+
+def measure_local_32k(text_ops, docs) -> dict:
+    """The depth bound bpe_train_local exists to close: a REAL 32k-merge
+    run (no extrapolation) — one corpus pass + capped vocab collect +
+    32k pure-Python incremental rounds."""
+    t0 = time.time()
+    out = text_ops.bpe_train_local(docs, n_merges=32_000).collect()
+    wall = round(time.time() - t0, 1)
+    return {"n_requested": 32_000, "n_merges": len(out), "loc_wall_s": wall}
 
 
 def main() -> None:
@@ -86,6 +102,7 @@ def main() -> None:
     report = {
         "fixture_sf0.1": measure(text_ops, fixture, n),
         f"deep_md5_{deep_rows}w": measure(text_ops, deep, n),
+        f"local_32k_md5_{deep_rows}w": measure_local_32k(text_ops, deep),
     }
     print(json.dumps(report))
     spark.stop()
