@@ -371,6 +371,282 @@ def score_docs3(
     )
 
 
+class KNTrigramLM(NamedTuple):
+    """Interpolated Kneser-Ney trigram state (single discount D = 3/4,
+    smoothed continuation-bigram lower tier). All four count frames are
+    corpus-sized model state and are NEVER broadcast — scoring reaches
+    them through merge-hinted equi-joins, the module discipline.
+
+    The two continuation frames are the KN novelty vs TrigramLM: the
+    lower tier scores how many DISTINCT contexts a bigram continues
+    (type counts), not how often it occurs (token counts) — Kneser &
+    Ney 1995; the CCNet gate trains 5-gram KN (Wenzek et al. 2020).
+    Both derive from the trigram count frame by hash-agg, so training
+    stays a single corpus pass."""
+
+    trigrams: DataFrame  # (w1, w2, w3, c123)
+    contexts: DataFrame  # (w1, w2, c12, n1pp) — totals + distinct-w3 count
+    cont_bigrams: DataFrame  # (w2, w3, cont23) = |{w1 : c123 > 0}|
+    cont_contexts: DataFrame  # (w2, cont2) = |{(w1, w3) : c123 > 0}|
+    vocab_size: int
+
+
+def train_kn_trigram_lm(
+    train_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> KNTrigramLM:
+    """Fit interpolated Kneser-Ney counts on ``train_df``: trigram
+    counts, per-context totals + distinct-continuation counts N1+(w1,
+    w2,·), and the continuation-bigram tier N1+(·,w2,w3) / N1+(·,w2,·)
+    — all hash-aggs over ONE trigram explode (the continuation frames
+    aggregate the trigram count frame itself, not the corpus). One
+    action (the 1-row vocabulary count), everything else lazy."""
+    tg = _trigram_rows(train_df, id_col, text_col)
+    trigrams = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    contexts = trigrams.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"),
+        F.count(F.lit(1)).alias("n1pp"),
+    )
+    cont_bigrams = trigrams.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cont23")
+    )
+    cont_contexts = cont_bigrams.groupBy("w2").agg(
+        F.sum("cont23").alias("cont2")
+    )
+    vocab = (
+        train_df.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    return KNTrigramLM(
+        trigrams=trigrams,
+        contexts=contexts,
+        cont_bigrams=cont_bigrams,
+        cont_contexts=cont_contexts,
+        vocab_size=int(vocab),
+    )
+
+
+def score_docs_kn(
+    df: DataFrame,
+    model: KNTrigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document likelihood under interpolated Kneser-Ney (discount
+    D = 3/4, quantized-ppm domain — the model's DEFINITION, engine-
+    exact by construction):
+
+    - lower tier (smoothed continuation bigram — normalizes to exactly
+      1 over the vocabulary):
+        pc_ppm = floor(1e6 * (cont23 + 1) / (cont2 + V))
+    - seen context (c12 > 0), absolute discounting + interpolation:
+        ppm = floor(1e6 * max(4*c123 - 3, 0) / (4*c12))        [t1]
+            + floor(3 * n1pp * pc_ppm / (4*c12))               [t2]
+      (exact form: max(c123-D,0)/c12 + D*(n1pp/c12)*pc — the discount
+      mass 3/4 * n1pp / c12 is exactly what t1 leaves on the table, so
+      the distribution sums to <= 1 and the quantization floors never
+      push it over)
+    - unseen context: ppm = pc_ppm (pure continuation backoff; both
+      tiers empty degrades to the uniform 1/V row via the coalesces)
+    - bits = floor(log2(1e6/ppm)) via binary string length; ppm = 0
+      caps at the quantization resolution, 20 bits.
+
+    No libm: the only non-integer ops are IEEE double products < 2^53
+    (exact while per-context counts stay < ~2.25e9 — same documented
+    headroom class as _prob_ppm's c1 < 9e9; a 100 TB corpus keeps
+    per-(w1,w2)-context totals orders of magnitude below it) and
+    correctly-rounded single divisions, so DuckDB floors the same
+    doubles. Output shape mirrors score_docs3 (n_backoff counts
+    continuation-tier fallbacks; n_oov counts trigrams with zero
+    evidence at BOTH tiers).
+
+    Scale shape: one map-side trigram explode; four merge-hinted left
+    equi-joins against never-broadcast model state; one per-doc
+    hash-agg. The (w2)-keyed continuation-context join is the widest
+    fan-in (stopword skew) — measured by tools/lm_skew_probe.py."""
+    v = model.vocab_size
+    tg = _trigram_rows(df, id_col, text_col)
+    scored = (
+        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+        .join(model.contexts.hint("merge"), ["w1", "w2"], "left")
+        .join(model.cont_bigrams.hint("merge"), ["w2", "w3"], "left")
+        .join(model.cont_contexts.hint("merge"), ["w2"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            F.coalesce(F.col("n1pp"), F.lit(0)).alias("n1pp"),
+            F.coalesce(F.col("cont23"), F.lit(0)).alias("cont23"),
+            F.coalesce(F.col("cont2"), F.lit(0)).alias("cont2"),
+        )
+    )
+    pc_ppm = F.floor(
+        F.lit(1000000.0) * (F.col("cont23") + F.lit(1))
+        / (F.col("cont2") + F.lit(v))
+    ).cast("bigint")
+    t1 = F.floor(
+        F.lit(1000000.0)
+        * F.greatest(F.lit(4) * F.col("c123") - F.lit(3), F.lit(0))
+        / (F.lit(4.0) * F.col("c12"))
+    ).cast("bigint")
+    t2 = F.floor(
+        (F.lit(3) * F.col("n1pp") * pc_ppm).cast("double")
+        / (F.lit(4.0) * F.col("c12"))
+    ).cast("bigint")
+    seen = F.col("c12") > 0
+    ppm = F.when(seen, t1 + t2).otherwise(pc_ppm)
+    per_tg = scored.select(
+        id_col,
+        (~seen).cast("int").alias("backoff"),
+        ((F.col("c123") == 0) & (F.col("cont23") == 0))
+        .cast("int")
+        .alias("oov"),
+        ppm.alias("ppm"),
+        F.when(
+            ppm > 0,
+            (
+                F.length(
+                    F.bin(
+                        F.floor(F.lit(1000000.0) / ppm).cast("bigint")
+                    )
+                )
+                - F.lit(1)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(20))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    agg = per_tg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("ppm").alias("sum_prob_ppm"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias(
+                "n_backoff"
+            ),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("sum_prob_ppm", F.lit(0)).cast("bigint").alias(
+                "sum_prob_ppm"
+            ),
+            F.coalesce("sum_bits", F.lit(0)).cast("bigint").alias("sum_bits"),
+        )
+    )
+    n = F.col("n_trigrams")
+    return out.select(
+        id_col,
+        "n_trigrams",
+        "n_backoff",
+        "n_oov",
+        "sum_prob_ppm",
+        "sum_bits",
+        F.when(n > 0, F.floor(F.col("sum_prob_ppm") / n).cast("bigint")).alias(
+            "mean_prob_ppm"
+        ),
+        F.when(
+            n > 0,
+            F.floor(F.lit(100.0) * F.col("sum_bits") / n).cast("bigint"),
+        ).alias("avg_bits_x100"),
+        F.when(n > 0, F.col("sum_bits") / n).alias("avg_logprob_bits"),
+    )
+
+
+def lm_filter_kn(
+    df: DataFrame,
+    model: KNTrigramLM,
+    max_avg_bits_x100: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet gate at the Kneser-Ney tier: keep documents whose
+    quantized mean KN surprisal is at or below the threshold. Docs
+    with no trigrams are dropped — same no-evidence policy as
+    lm_filter / lm_filter3."""
+    scores = score_docs_kn(df, model, id_col, text_col).select(
+        id_col, "avg_bits_x100"
+    )
+    return (
+        df.join(scores, [id_col], "left")
+        .filter(
+            F.col("avg_bits_x100").isNotNull()
+            & (F.col("avg_bits_x100") <= max_avg_bits_x100)
+        )
+        .drop("avg_bits_x100")
+    )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    model: KNTrigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    width: float = 25.0,
+) -> DataFrame:
+    """CCNet's head/middle/tail selection (Wenzek et al. 2020 §4.4):
+    per-``group_col`` perplexity TERCILES bucket every document —
+    'head' at or below the 33rd percentile of quantized mean KN
+    surprisal, 'middle' at or below the 67th, 'tail' above (CCNet
+    keeps head+middle for LM training). This is the distribution-
+    relative mechanism the fixed avg_bits threshold in the v4/v5
+    pipelines approximates.
+
+    Composition: :func:`score_docs_kn` -> ``hist_build`` /
+    ``hist_quantiles`` (functions/sketches.py — deterministic
+    fixed-grid sketch, so the tercile cuts are mergeable 100 TB state
+    AND DuckDB-oracle-exact, within one bucket ``width`` of the exact
+    order statistic) -> one equi-join of the per-group cut rows back
+    onto the scored docs. Docs with no trigram evidence are excluded
+    (the lm_filter no-evidence policy).
+
+    Scale shape: scoring is score_docs_kn's plan; the histogram is one
+    hash-agg whose state is range/width rows per group; the cuts frame
+    is 1 row per group (language-universe-bounded) joined by key — no
+    broadcast hint needed, AQE handles a frame that size."""
+    from ..functions.sketches import hist_build, hist_quantiles
+
+    scores = (
+        score_docs_kn(df, model, id_col, text_col)
+        .filter(F.col("avg_bits_x100").isNotNull())
+        .select(id_col, "avg_bits_x100")
+    )
+    scored = df.select(F.col(id_col), F.col(group_col)).join(
+        scores, [id_col]
+    )
+    hist = hist_build(scored, [group_col], "avg_bits_x100", width)
+    qs = hist_quantiles(
+        hist, [group_col], width, [1.0 / 3.0, 2.0 / 3.0]
+    )
+    cuts = qs.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("q") < 0.5, F.col("est_quantile"))
+        ).alias("t_head"),
+        F.min(
+            F.when(F.col("q") >= 0.5, F.col("est_quantile"))
+        ).alias("t_middle"),
+    )
+    bucket = (
+        F.when(F.col("avg_bits_x100") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("avg_bits_x100") <= F.col("t_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(cuts, [group_col]).select(
+        id_col, group_col, "avg_bits_x100", bucket.alias("ppl_bucket")
+    )
+
+
 def lm_filter3(
     df: DataFrame,
     model: TrigramLM,

@@ -1013,6 +1013,178 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ------------------------------ interpolated Kneser-Ney trigram tier
+def q_lm_score_kn(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (operators/lm_score.py:
+    score_docs_kn) — the smoothing CCNet's 5-gram gate actually uses
+    (Wenzek et al. 2020), here at order 3: absolute discount D=3/4 on
+    the trigram tier, interpolated with a smoothed CONTINUATION-bigram
+    lower tier (type counts, not token counts — the KN insight). Train
+    on the 'en' slice, score every document. All arithmetic is the
+    module's quantized-ppm discipline, so the oracle floors the same
+    IEEE doubles; the libm convenience column is dropped."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_kn_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.score_docs_kn(docs, model).drop("avg_logprob_bits")
+
+
+# the KN chain as CTEs (toks .. agg) — shared by the score oracle and
+# the composed CCNet-buckets oracle
+_SQL_KN_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+tg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+  WHERE len(t) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1pp FROM tri GROUP BY 1, 2),
+cbg AS (SELECT w2, w3, count(*) AS cont23 FROM tri GROUP BY 1, 2),
+cctx AS (SELECT w2, sum(cont23) AS cont2 FROM cbg GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT tg.doc_id,
+         coalesce(tri.c123, 0) AS c123,
+         coalesce(ctx.c12, 0) AS c12,
+         coalesce(ctx.n1pp, 0) AS n1pp,
+         coalesce(cbg.cont23, 0) AS cont23,
+         coalesce(cctx.cont2, 0) AS cont2
+  FROM tg LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN ctx USING (w1, w2)
+          LEFT JOIN cbg USING (w2, w3)
+          LEFT JOIN cctx USING (w2)
+),
+pc AS (
+  SELECT doc_id, c123, c12, n1pp, cont23,
+         CAST(floor((1000000.0 * (cont23 + 1)) / (cont2 + v)) AS BIGINT) AS pcppm
+  FROM sc, voc
+),
+pm AS (
+  SELECT doc_id,
+         CASE WHEN c12 = 0 THEN 1 ELSE 0 END AS backoff,
+         CASE WHEN c123 = 0 AND cont23 = 0 THEN 1 ELSE 0 END AS oov,
+         CASE WHEN c12 > 0
+              THEN CAST(floor((1000000.0 * greatest(4 * c123 - 3, 0))
+                              / (4.0 * c12)) AS BIGINT)
+                 + CAST(floor(((3 * n1pp * pcppm) * 1.0)
+                              / (4.0 * c12)) AS BIGINT)
+              ELSE pcppm END AS ppm
+  FROM pc
+),
+per AS (
+  SELECT doc_id, backoff, oov, ppm,
+         CASE WHEN ppm > 0
+              THEN CAST(length(bin(CAST(floor(1000000.0 / ppm) AS BIGINT))) - 1
+                        AS BIGINT)
+              ELSE CAST(20 AS BIGINT) END AS bits
+  FROM pm
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(backoff) AS bo, sum(oov) AS oov,
+         sum(ppm) AS sppm, sum(bits) AS sbits
+  FROM per GROUP BY 1
+)"""
+
+SQL_LM_SCORE_KN = (
+    _SQL_KN_CTES
+    + r"""
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(a.bo, 0) AS BIGINT) AS n_backoff,
+       CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(a.sppm, 0) AS BIGINT) AS sum_prob_ppm,
+       CAST(coalesce(a.sbits, 0) AS BIGINT) AS sum_bits,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((a.sppm * 1.0) / a.n) AS BIGINT) END AS mean_prob_ppm,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((100.0 * a.sbits) / a.n) AS BIGINT) END AS avg_bits_x100
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
+# ------------------------- CCNet head/middle/tail perplexity buckets
+CCNET_BUCKET_WIDTH = 25.0
+CCNET_QS = [1.0 / 3.0, 2.0 / 3.0]
+
+
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's ACTUAL selection mechanism (Wenzek et al. 2020 §4.4):
+    per-language perplexity TERCILES assign every document to a head /
+    middle / tail bucket (downstream corpora keep head+middle), instead
+    of the fixed threshold the v4/v5 pipelines gate on. Composition
+    (operators/lm_score.py:ppl_buckets): KN trigram scoring -> per-lang
+    hist_build/hist_quantiles tercile cuts (the mergeable deterministic
+    sketch, one-bucket-width accuracy) -> bucket assignment — verified
+    against ONE composed DuckDB oracle."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_kn_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.ppl_buckets(
+        docs, model, group_col="lang", width=CCNET_BUCKET_WIDTH
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    w = repr(CCNET_BUCKET_WIDTH)
+    qlist = ", ".join(f"'{q!r}'::DOUBLE" for q in CCNET_QS)
+    return (
+        _SQL_KN_CTES
+        + f""",
+score AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor((100.0 * a.sbits) / a.n) AS BIGINT) AS avg_bits_x100
+  FROM documents d JOIN agg a USING (doc_id) WHERE a.n > 0
+),
+hist AS (
+  SELECT lang, CAST(floor(avg_bits_x100 / {w}) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM score GROUP BY 1, 2
+),
+hc AS (
+  SELECT lang, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_rows
+  FROM hist
+),
+hq AS (SELECT hc.*, q FROM hc, (SELECT unnest([{qlist}]) AS q)),
+cand AS (
+  SELECT *, greatest(CAST(1 AS BIGINT),
+                     CAST(ceil(q * CAST(n_rows AS DOUBLE)) AS BIGINT)) AS r
+  FROM hq
+),
+pick AS (
+  SELECT lang, q, min(bucket) AS bucket
+  FROM cand WHERE cum >= r GROUP BY 1, 2
+),
+est AS (
+  SELECT p.lang, p.q,
+         CAST(a.bucket AS DOUBLE) * {w}
+           + {w} * (CAST(a.r - (a.cum - a.n) AS DOUBLE) / CAST(a.n AS DOUBLE))
+           AS est_quantile
+  FROM pick p
+  JOIN cand a ON a.lang = p.lang AND a.q = p.q AND a.bucket = p.bucket
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN q < 0.5 THEN est_quantile END) AS t_head,
+         min(CASE WHEN q >= 0.5 THEN est_quantile END) AS t_middle
+  FROM est GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.avg_bits_x100,
+       CASE WHEN s.avg_bits_x100 <= c.t_head THEN 'head'
+            WHEN s.avg_bits_x100 <= c.t_middle THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM score s JOIN cuts c USING (lang)
+"""
+    )
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
@@ -1027,6 +1199,8 @@ QUERIES = {
     "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
+    "q_lm_score_kn": q_lm_score_kn,
+    "q_ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLES = {
@@ -1043,4 +1217,6 @@ ORACLES = {
     "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
+    "q_lm_score_kn": SQL_LM_SCORE_KN,
+    "q_ccnet_buckets": _sql_ccnet_buckets(),
 }

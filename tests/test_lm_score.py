@@ -165,3 +165,145 @@ def test_trigram_backoff_hand_computation(spark):
     # doc 12: all-unseen -> uniform (0+1)/(0+4): ppm=250000, bits=2, oov
     assert out[12]["n_backoff"] == 1 and out[12]["n_oov"] == 1
     assert out[12]["sum_prob_ppm"] == 250000 and out[12]["sum_bits"] == 2
+
+
+def test_kn_model_counts_are_type_counts(spark):
+    """The KN insight pinned at the count level: the continuation tier
+    counts DISTINCT preceding contexts (types), not occurrences
+    (tokens) — a bigram seen 3 times under 2 distinct w1's has
+    cont23 = 2."""
+    # trigrams: (a,z,w) x2, (b,z,w) x1, plus the connective ones
+    train = _docs(spark, [(1, "a z w b z w a z w")])
+    model = lm_score.train_kn_trigram_lm(train)
+    cbg = {
+        (r["w2"], r["w3"]): r["cont23"]
+        for r in model.cont_bigrams.collect()
+    }
+    assert cbg[("z", "w")] == 2  # {a, b}, NOT the 3 occurrences
+    ctx = {
+        (r["w1"], r["w2"]): (r["c12"], r["n1pp"])
+        for r in model.contexts.collect()
+    }
+    assert ctx[("a", "z")] == (2, 1)  # two tokens, one distinct w3
+    cctx = {r["w2"]: r["cont2"] for r in model.cont_contexts.collect()}
+    # cont2(z) = distinct (w1, w3) around z = {(a,w),(b,w)} = 2
+    assert cctx["z"] == 2
+
+
+def test_kn_hand_computation(spark):
+    """Interpolated KN through the quantized columns, all three paths
+    hand-verified: seen context (discount + interpolation), unseen
+    context (continuation backoff), unseen everywhere (uniform row)."""
+    train = _docs(spark, [(1, "a b c a b c a b d")])
+    model = lm_score.train_kn_trigram_lm(train)
+    assert model.vocab_size == 4  # {a,b,c,d}
+    corpus = _docs(
+        spark,
+        [
+            (10, "a b c"),  # seen ctx (a,b): c123=2, c12=3, n1pp=2
+            (11, "b a b"),  # ctx (b,a) unseen -> continuation (a,b)
+            (12, "q q q"),  # unseen everywhere -> uniform
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_score.score_docs_kn(corpus, model).collect()
+    }
+    # doc 10: cont23(b,c)=1, cont2(b)=2 -> pc = floor(1e6*2/6) = 333333
+    #   t1 = floor(1e6 * (4*2-3) / (4*3)) = floor(5e6/12)  = 416666
+    #   t2 = floor(3*2*333333 / 12)       = floor(166666.5) = 166666
+    #   ppm = 583332; bits = floor(log2(1e6/583332)) = 0
+    assert out[10]["n_trigrams"] == 1 and out[10]["n_backoff"] == 0
+    assert out[10]["sum_prob_ppm"] == 583332 and out[10]["sum_bits"] == 0
+    assert out[10]["n_oov"] == 0
+    # doc 11: ctx (b,a) unseen -> pc over cont23(a,b)=1, cont2(a)=1:
+    #   ppm = floor(1e6*2/5) = 400000; bits = floor(log2(2.5)) = 1
+    assert out[11]["n_backoff"] == 1 and out[11]["n_oov"] == 0
+    assert out[11]["sum_prob_ppm"] == 400000 and out[11]["sum_bits"] == 1
+    # doc 12: all-unseen -> uniform (0+1)/(0+4): ppm=250000, bits=2
+    assert out[12]["n_backoff"] == 1 and out[12]["n_oov"] == 1
+    assert out[12]["sum_prob_ppm"] == 250000 and out[12]["sum_bits"] == 2
+
+
+def test_kn_distribution_normalizes(spark):
+    """Engine-level sanity for the interpolation algebra: summing the
+    quantized KN probability over the WHOLE vocabulary for a fixed
+    seen context stays <= 1e6 (the floors only lose mass), and is
+    close enough to 1e6 that the distribution is genuinely normalized
+    (not accidentally a sub-probability)."""
+    train = _docs(spark, [(1, "a b c a b c a b d b c d c d a")])
+    model = lm_score.train_kn_trigram_lm(train)
+    vocab = ["a", "b", "c", "d"]
+    probe = _docs(
+        spark, [(i, f"a b {w}") for i, w in enumerate(vocab)]
+    )
+    rows = lm_score.score_docs_kn(probe, model).collect()
+    total = sum(r["sum_prob_ppm"] for r in rows)
+    assert total <= 1_000_000
+    assert total >= 1_000_000 - 4 * len(vocab)  # floors lose < ~4/term
+
+
+def test_lm_filter_kn_gate(spark):
+    """lm_filter_kn keeps low-surprisal docs, drops high, preserves
+    schema, drops no-trigram docs (no-evidence policy)."""
+    train = _docs(spark, [(1, "the cat sat on the mat " * 5)])
+    model = lm_score.train_kn_trigram_lm(train)
+    corpus = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat", "en"),
+            (11, "zz qq ww rr tt yy", "xx"),
+            (12, "hi", "en"),  # < 3 tokens: no evidence
+        ],
+        "doc_id long, text string, lang string",
+    )
+    scores = {
+        r["doc_id"]: r["avg_bits_x100"]
+        for r in lm_score.score_docs_kn(corpus, model).collect()
+        if r["n_trigrams"] > 0
+    }
+    assert scores[10] < scores[11]
+    kept = lm_score.lm_filter_kn(corpus, model, int(scores[10]))
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+    assert kept.columns == corpus.columns
+
+
+def test_ppl_buckets_terciles(spark):
+    """CCNet bucket semantics: within each group, docs split into
+    head/middle/tail by perplexity terciles — every head doc scores at
+    or below every middle doc, every middle at or below every tail,
+    and the split is roughly a third each. No-evidence docs are
+    excluded."""
+    train = _docs(
+        spark, [(1, "the cat sat on the mat and the dog ran off " * 3)]
+    )
+    model = lm_score.train_kn_trigram_lm(train)
+    rows = [
+        # three score clusters (1-bit quantization ties docs within a
+        # cluster): pure in-domain (0), one-OOV-token (100-133),
+        # all-OOV uniform rows (300)
+        (10, "the cat sat on the mat", "en"),
+        (11, "the dog ran off", "en"),
+        (12, "the cat sat on the mat and the dog", "en"),
+        (13, "the cat sat on the mat zz", "en"),
+        (14, "the dog ran off qq", "en"),
+        (15, "the mat and the dog ww", "en"),
+        (16, "zz qq ww rr tt", "en"),
+        (17, "aa bb cc dd", "en"),
+        (18, "ee ff gg hh ii jj", "en"),
+        (19, "hi", "en"),  # no trigram -> excluded
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = lm_score.ppl_buckets(corpus, model, width=5.0).collect()
+    assert len(out) == 9  # doc 19 excluded
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(
+            r["avg_bits_x100"]
+        )
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # terciles: each cluster of 3 lands in its own bucket
+    assert all(len(v) == 3 for v in by_bucket.values())

@@ -21,6 +21,8 @@ records whether that holds with numbers.
 The trigram tier (``score_docs3``) adds a (w2)-keyed backoff-context
 join — the widest fan-in of the four model joins, same stopword shape.
 ``order=3`` probes it with the identical corpus construction.
+``order=4`` probes the Kneser-Ney tier (``score_docs_kn``), whose
+(w2)-keyed continuation-context join has the same stopword profile.
 
 Usage:
     python3 tools/lm_skew_probe.py [k_copies] [order]   # default 100 2
@@ -119,7 +121,13 @@ def main() -> None:
         # model trains on ONE copy (the trusted slice does not grow with
         # the crawl); scoring fans the full skewed corpus into it
         trusted = base.filter(F.col("lang") == "en")
-        if order == 3:
+        if order == 4:
+            model = lm_score.train_kn_trigram_lm(trusted)
+            t0 = time.time()
+            out = lm_score.score_docs_kn(docs, model).drop(
+                "avg_logprob_bits"
+            )
+        elif order == 3:
             model = lm_score.train_trigram_lm(trusted)
             t0 = time.time()
             out = lm_score.score_docs3(docs, model).drop("avg_logprob_bits")
