@@ -175,6 +175,15 @@ def main() -> None:
         "q_lm_score3",
         "q_qld_topk",
         "q_phrase_boost",
+        # r9: winnow match + delta-isolated incremental row (VERDICT r8
+        # #8 — delta-path regressions visible without EXPLAIN.md prose),
+        # KN tier, CCNet terciles, substring apply, video near-dup
+        "q_winnow_overlap",
+        "q_winnow_incremental",
+        "q_lm_score_kn",
+        "q_ccnet_buckets",
+        "q_substring_dedup_apply",
+        "q_video_neardup",
     ):
         fn = queries[name]
         best = float("inf")

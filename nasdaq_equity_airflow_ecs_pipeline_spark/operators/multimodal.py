@@ -939,6 +939,157 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+# --------------------------------------------------- video near-dup chain
+def ahash_bytes(payload: bytes) -> int | None:
+    """Byte-signal twin of :func:`ahash_image` for frames that are not
+    decodable images (the fake_frame_iter byte slices, or any opaque
+    frame payload): the byte sequence splits into 64 equal cells of
+    INTEGER sums, one bit per cell = cell > integer mean of cells.
+    Same all-integer determinism, same 64-bit signed fold, hamming-
+    comparable. A production deployment injects :func:`ahash_image`
+    over real decoded frames at this exact seam (``hash_fn``).
+    Returns None for payloads shorter than 64 bytes (honest absence)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 64:
+        return None
+    s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    s = s[: len(s) - len(s) % 64]
+    cells = s.reshape(64, -1).sum(axis=1)
+    mean = int(cells.sum()) // 64
+    bits = 0
+    for i, c in enumerate(cells.tolist()):
+        if c > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    n_frames: int = 8,
+    every_nth: int = 1,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+    frame_fn: Callable[[bytes, int], list[bytes]] = fake_frame_iter,
+    hash_fn: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """Per-frame perceptual hashes via mapInPandas (table-generating:
+    one row per sampled frame): frame sampling through the injectable
+    ``frame_fn`` seam (fake byte-slicer here; pyav/ffmpeg keyframe
+    iterator in production — same discipline as :func:`sample_frames`),
+    then ``hash_fn`` per frame (:func:`ahash_bytes` default;
+    :func:`ahash_image` for decodable frames). Output: (id, frame_idx,
+    fhash bigint | NULL)."""
+    hash_fn = hash_fn or ahash_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for _, row in pdf.iterrows():
+                frames = frame_fn(bytes(row[payload_col]), n_frames)
+                for i in range(0, len(frames), every_nth):
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    hs.append(hash_fn(frames[i]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "fhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} bigint, frame_idx int, fhash bigint"
+    )
+
+
+def video_signature(
+    frame_hashes: DataFrame,
+    id_col: str = "content_id",
+    hash_col: str = "fhash",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Per-video 64-bit fingerprint from its frame-hash SEQUENCE:
+    majority vote per bit position across frames (the SimHash fold
+    applied to frames instead of shingles) — bit i of the signature is
+    set iff strictly more than half the sampled frames set bit i.
+    Robust by construction: a perturbation touching a minority of
+    frames cannot flip any bit whose frame votes were not already at
+    the boundary, so near-duplicate videos land hamming-near and pair
+    through the SAME banded path q_ahash_neardup verifies
+    (:func:`image_neardup_pairs` with hash_col='vhash').
+
+    Engine-exact: integer bit extraction + integer vote sums + strict
+    comparison (ties clear the bit); bit 63 folds as -2^63 so the
+    signed-bigint two's complement is exact. NULL frame hashes
+    (undecodable frames) abstain from the vote.
+
+    Scale shape: ONE hash-agg keyed by video id (map-side combine over
+    n_bits integer sums + a count); the signature assembly is a scalar
+    expression. No joins, no explode — frames in, one row per video
+    out."""
+    fh = frame_hashes.filter(F.col(hash_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_frames")]
+    for i in range(n_bits):
+        aggs.append(
+            F.sum(
+                F.shiftrightunsigned(F.col(hash_col), i).bitwiseAND(F.lit(1))
+            ).alias(f"_b{i}")
+        )
+    g = fh.groupBy(id_col).agg(*aggs)
+    vhash = None
+    for i in range(n_bits):
+        maj = (F.lit(2) * F.col(f"_b{i}")) > F.col("n_frames")
+        val = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(maj, val).otherwise(F.lit(0)).cast("bigint")
+        vhash = term if vhash is None else vhash + term
+    return g.select(
+        F.col(id_col),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        vhash.cast("bigint").alias("vhash"),
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    n_frames: int = 8,
+    every_nth: int = 1,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+    frame_fn: Callable[[bytes, int], list[bytes]] = fake_frame_iter,
+    hash_fn: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs, completing the multimodal family:
+    frame sampling -> per-frame perceptual hash -> per-video majority
+    signature -> banded pairs + exact hamming verify through
+    :func:`image_neardup_pairs` (the q_ahash_neardup-verified path).
+    The decode seams (``frame_fn``/``hash_fn``) are injectable; the
+    Spark shape — mapInPandas explode, one signature hash-agg, banded
+    equi-join — is what this operator owns."""
+    frames = video_frame_hashes(
+        df,
+        n_frames=n_frames,
+        every_nth=every_nth,
+        id_col=id_col,
+        payload_col=payload_col,
+        frame_fn=frame_fn,
+        hash_fn=hash_fn,
+    )
+    sigs = video_signature(frames, id_col=id_col)
+    return image_neardup_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col=id_col,
+        hash_col="vhash",
+    )
+
+
 # ------------------------------------------------ perceptual image hash
 AHASH_SCHEMA = "content_id bigint, ahash bigint, decodable boolean"
 

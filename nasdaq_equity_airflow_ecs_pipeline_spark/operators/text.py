@@ -227,7 +227,7 @@ def winnow_fingerprint(
 def winnow_overlap(
     fps: DataFrame,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
     id_col: str = "doc_id",
     hash_col: str = "fp_hash",
 ) -> DataFrame:
@@ -237,7 +237,11 @@ def winnow_overlap(
     more than max_df docs: boilerplate the caller should treat with
     line_dedup, and the quadratic bucket a 100 TB self-join must not
     pay — the same df-cap discipline as boilerplate_flags and
-    ngram_jaccard's capped twin).
+    ngram_jaccard's capped twin). The cap is ON BY DEFAULT (1000: a
+    fingerprint in >1000 docs contributes >10^6 join rows of pure
+    boilerplate signal) because the uncapped self-join is the one
+    shape here that can go quadratic at 100 TB; pass ``max_df=None``
+    explicitly for the exact validation twin on bounded corpora.
 
     Scale shape: distinct + optional df-cap are hash-aggs; the pair
     join is fp_hash-keyed (banding shape, collision/df-bounded, never
@@ -273,7 +277,7 @@ def winnow_index_delta(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
@@ -297,7 +301,8 @@ def winnow_index_delta(
       caps stop-fingerprints over the FOLDED table (df is a global
       property; an incrementally-maintained cap must see the merged
       counts or a hash that crossed the cap this batch would still
-      pair).
+      pair). The cap is on by default — winnow_overlap's discipline;
+      ``max_df=None`` is the explicit exact twin.
 
     Equivalence contract (q_winnow_incremental pins it): new_pairs ==
     full-rebuild winnow_overlap(all docs) restricted to pairs touching
@@ -536,6 +541,97 @@ def substring_dup_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
+    )
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+) -> DataFrame:
+    """APPLY substring-level dedup (the remove step Lee et al. 2022
+    perform after finding duplicated spans; :func:`substring_dup_stats`
+    only reports): remove all but ONE copy of every duplicated
+    ``window``-char chunk across the corpus, keeping the canonical
+    first occurrence (smallest (id, chunk_idx) — deterministic,
+    partitioning-independent), and reassemble every document from its
+    surviving chunks in original order — line_dedup's order-preserving
+    rebuild convention at the substring granularity.
+
+    Chunking is the NON-OVERLAPPING tiling (stride == window): apply
+    semantics need each character owned by exactly one chunk, or
+    removing one overlapping window would tear text a kept window still
+    claims. The honest trade vs the stats operator's stride-32 windows:
+    a shared run must tile-align to dedup (verbatim-duplicated
+    documents and long aligned runs do; arbitrarily-offset shared runs
+    need Lee '22's suffix array, whose global suffix sort is the cost
+    this tiling avoids). The sub-window tail of each document is never
+    removed.
+
+    Output: (id, kept_text, n_chunks, n_removed) — n_chunks full
+    windows, n_removed of them deleted as non-canonical copies; docs
+    shorter than ``window`` pass through verbatim with n_chunks = 0.
+
+    Scale shape: one chunk explode (1/window of corpus chars as rows);
+    canonical pick is ONE hash-agg on the chunk hash (min struct —
+    map-side combine); an equi-join back on the hash (no broadcast: the
+    dup set is corpus-scale on a duplicated corpus, exactly
+    substring_dup_stats' reasoning); per-doc rebuild is a collect_list
+    bounded by document chunk count, line_dedup's class."""
+    chunk_arr = F.when(
+        F.length(text_col) >= window,
+        F.expr(
+            f"transform(sequence(1, CAST(floor(length({text_col}) * 1.0 "
+            f"/ {window}) AS INT)), j -> struct(CAST(j AS BIGINT) AS idx, "
+            f"substring({text_col}, (j - 1) * {window} + 1, {window}) "
+            f"AS chunk))"
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<idx:bigint,chunk:string>>")
+    )
+    chunks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(chunk_arr).alias("c"))
+        .select("_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+        .withColumn("ck", F.md5("chunk"))
+    )
+    canon = chunks.groupBy("ck").agg(
+        F.min(F.struct(F.col("_id"), F.col("idx"))).alias("first")
+    )
+    kept = chunks.join(canon, "ck").filter(
+        (F.col("_id") == F.col("first._id"))
+        & (F.col("idx") == F.col("first.idx"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            "",
+        ).alias("_body"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_full = F.floor(F.length(text_col) * F.lit(1.0) / F.lit(window)).cast(
+        "bigint"
+    )
+    tail = F.expr(
+        f"substring({text_col}, CAST(floor(length({text_col}) * 1.0 "
+        f"/ {window}) AS INT) * {window} + 1)"
+    )
+    return (
+        df.select(F.col(id_col), n_full.alias("n_chunks"), tail.alias("_tail"))
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.concat(
+                F.coalesce(F.col("_body"), F.lit("")), F.col("_tail")
+            ).alias("kept_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
     )
 
 

@@ -18,7 +18,7 @@ from ..functions.sketches import kmv_distinct
 from ..functions.stable import sql_davg, sql_dcorr, sql_dec2dbl
 from ..operators.funnel import funnel_stages
 from ..operators.pagerank import co_order_edges, pagerank_fixed_point
-from ..operators.text import substring_dup_stats
+from ..operators.text import substring_dedup_apply, substring_dup_stats
 from ..sources.tables import load_table
 
 
@@ -211,6 +211,51 @@ SELECT doc.doc_id,
             THEN CAST(n_dup_windows AS DOUBLE) / n_windows
             ELSE 0.0 END AS dup_frac
 FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+"""
+
+
+def q_substring_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY substring dedup (operators/text.py:substring_dedup_apply —
+    Lee et al. 2022's remove step, not just the report): delete all but
+    the canonical first occurrence of every duplicated 64-char aligned
+    chunk and reassemble each document order-preservingly; sub-window
+    tails pass through."""
+    docs = load_table(spark, sf, "documents")
+    return substring_dedup_apply(docs, window=SUB_WINDOW)
+
+
+SQL_SUBSTRING_DEDUP_APPLY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(floor(length(text) * 1.0 / {SUB_WINDOW}) AS BIGINT) AS n_full
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS idx,
+         substring(text, CAST((j - 1) * {SUB_WINDOW} + 1 AS INT),
+                   {SUB_WINDOW}) AS chunk
+  FROM base, unnest(generate_series(1, n_full)) AS u(j)
+),
+keep AS (
+  SELECT doc_id, idx, chunk FROM (
+    SELECT doc_id, idx, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, idx) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY idx) AS body,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(r.body, '')
+         || substring(b.text, CAST(b.n_full * {SUB_WINDOW} + 1 AS INT))
+         AS kept_text,
+       b.n_full AS n_chunks,
+       CAST(b.n_full - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN reb r USING (doc_id)
 """
 
 
@@ -1063,6 +1108,7 @@ QUERIES = {
     "q_distinct_kmv": q_distinct_kmv,
     "q_hll_distinct": q_hll_distinct,
     "q_substring_dedup": q_substring_dedup,
+    "q_substring_dedup_apply": q_substring_dedup_apply,
     "q_pagerank": q_pagerank,
     "q_triangle_count": q_triangle_count,
     "q_window_ranks": q_window_ranks,
@@ -1101,6 +1147,7 @@ ORACLES = {
     "q_event_funnel": SQL_EVENT_FUNNEL,
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
+    "q_substring_dedup_apply": SQL_SUBSTRING_DEDUP_APPLY,
     "q_pagerank": SQL_PAGERANK,
     "q_triangle_count": SQL_TRIANGLE_COUNT,
     "q_window_ranks": SQL_WINDOW_RANKS,

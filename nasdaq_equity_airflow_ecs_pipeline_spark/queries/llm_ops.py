@@ -2063,6 +2063,89 @@ WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup, the signature + pair stages oracle-checked
+    (operators/multimodal.py:video_signature + image_neardup_pairs):
+    per-video majority-vote bit fold over the frame-hash sequence, then
+    the banded hamming path. Deterministic stand-in frame hashes (8
+    frames per 'video' = doc_id//3 group: 60-bit md5 of the group XOR
+    frame_idx, members XOR a per-member 2-bit delta on EVERY frame so
+    planted near-dups land at hamming 1-2) stand in for the real frame
+    decode, which is binary and pytest-pinned
+    (test_video_neardup_chain) — the q_ahash_neardup discipline."""
+    from ..operators.multimodal import image_neardup_pairs, video_signature
+
+    d = _docs(spark, sf)
+    base = F.conv(
+        F.substring(
+            F.md5(F.floor(F.col("doc_id") / 3).cast("string")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frames = d.select(
+        F.col("doc_id").alias("content_id"),
+        base.alias("_base"),
+        (F.col("doc_id") % 3).alias("_m"),
+    ).select(
+        "content_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+        "_base",
+        "_m",
+    ).select(
+        "content_id",
+        "frame_idx",
+        F.col("_base")
+        .bitwiseXOR(F.col("frame_idx").cast("bigint"))
+        .bitwiseXOR(F.col("_m") * F.lit(16))
+        .alias("fhash"),
+    )
+    sigs = video_signature(frames, id_col="content_id", n_bits=60)
+    return image_neardup_pairs(
+        sigs,
+        max_hamming=3,
+        n_bands=4,
+        id_col="content_id",
+        hash_col="vhash",
+    )
+
+
+def _sql_video_neardup() -> str:
+    vote = " + ".join(
+        f"(CASE WHEN 2 * sum((fhash >> {i}) & 1) > count(*) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH fr AS (
+  SELECT doc_id AS content_id, u.i AS frame_idx,
+         xor(xor(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT,
+                 u.i),
+             (doc_id % 3) * 16) AS fhash
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS i) u
+),
+sig AS (
+  SELECT content_id, CAST({vote} AS BIGINT) AS vhash
+  FROM fr GROUP BY 1
+),
+bands AS (
+  SELECT content_id, vhash, b.i AS band_idx,
+         (vhash >> (16 * b.i)) & 65535 AS band_val
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.content_id AS id_a, b.content_id AS id_b,
+                  a.vhash AS ha, b.vhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.content_id < b.content_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 # ------------------------------------------------------------ sessionization
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -3277,6 +3360,7 @@ QUERIES = {
     "q_lsh_recall": q_lsh_recall,
     "q_binary_meta": q_binary_meta,
     "q_ahash_neardup": q_ahash_neardup,
+    "q_video_neardup": q_video_neardup,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
@@ -3345,6 +3429,7 @@ ORACLES = {
     "q_lsh_recall": SQL_LSH_RECALL,
     "q_binary_meta": SQL_BINARY_META,
     "q_ahash_neardup": SQL_AHASH_NEARDUP,
+    "q_video_neardup": _sql_video_neardup(),
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,

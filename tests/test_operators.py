@@ -1976,6 +1976,91 @@ def test_curate_corpus_v4_rejects_bad_lm_order(spark):
         curate_corpus_v4(docs, emb, lm_max_avg_bits_x100=450, lm_order=5)
 
 
+def test_video_neardup_chain(spark):
+    """Video near-dup completes the multimodal family: a lightly
+    perturbed copy of a structured payload pairs with its original
+    (the majority-vote signature absorbs minority-frame noise), a
+    structurally different payload stays far, and a too-short payload
+    (every frame under the 64-byte hash floor) honestly produces no
+    signature at all."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        ahash_bytes,
+        video_frame_hashes,
+        video_neardup_pairs,
+        video_signature,
+    )
+
+    base = bytes((i * 7) % 251 for i in range(4096))
+    near = bytearray(base)
+    for i in range(0, 4096, 257):  # sparse byte bumps
+        near[i] = min(255, near[i] + 9)
+    far = bytes((i * i + 3) % 241 for i in range(4096))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(near)),
+            (3, bytearray(far)),
+            (4, bytearray(b"tiny")),
+        ],
+        "content_id bigint, payload binary",
+    )
+    frames = video_frame_hashes(df)
+    sigs = {r["content_id"]: r for r in video_signature(frames).collect()}
+    assert set(sigs) == {1, 2, 3}  # video 4: all frames < 64 bytes
+    assert all(r["n_frames"] == 8 for r in sigs.values())
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sigs[1]["vhash"], sigs[2]["vhash"]) <= 3
+    assert ham(sigs[1]["vhash"], sigs[3]["vhash"]) > 10
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_neardup_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+    assert pairs == {(1, 2)}
+    # the byte-hash floor is honest absence, not a fake value
+    assert ahash_bytes(b"x" * 63) is None
+    assert ahash_bytes(b"x" * 64) is not None
+
+
+def test_substring_dedup_apply_semantics(spark):
+    """Apply-mode substring dedup: the canonical FIRST occurrence of a
+    duplicated chunk survives, every other copy (cross-doc AND
+    within-doc) is removed, surviving chunks reassemble in original
+    order, sub-window tails always pass through, and short docs are
+    verbatim."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        substring_dedup_apply,
+    )
+
+    w = 8
+    a = "AAAAAAAA"  # one aligned chunk
+    b = "BBBBBBBB"
+    c = "CCCCCCCC"
+    docs = spark.createDataFrame(
+        [
+            (1, a + b + "tail1"),          # canonical owner of A and B
+            (2, a + c + "tl"),             # A removed, C kept, tail kept
+            (3, c + c + a),                # within-doc dup: first C is
+                                           # doc 2's copy -> both removed;
+                                           # A removed (doc 1 owns it)
+            (4, "short"),                  # < window: verbatim
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_apply(docs, window=w).collect()
+    }
+    assert out[1]["kept_text"] == a + b + "tail1"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 0
+    assert out[2]["kept_text"] == c + "tl"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_removed"] == 1
+    # doc 3: C canonical is (2, 2) < (3, 1), A canonical is (1, 1)
+    assert out[3]["kept_text"] == ""
+    assert out[3]["n_chunks"] == 3 and out[3]["n_removed"] == 3
+    assert out[4]["kept_text"] == "short"
+    assert out[4]["n_chunks"] == 0 and out[4]["n_removed"] == 0
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """The winnowing theorem holds: two documents sharing a token run
     of length >= w + k - 1 share at least one selected fingerprint

@@ -148,6 +148,16 @@ DEEP = [
     "q_winnow_incremental",
     "q_ahash_neardup",
     "q_bpe_merges_batched",
+    # r9: KN tier (4 merge-hinted joins + 2 continuation frames), CCNet
+    # terciles (KN + histogram sketch + cut join), substring APPLY
+    # (chunk explode + canonical min hash-agg + rebuild), video near-dup
+    # (majority-fold hash-agg + banded pairs), driver-side BPE finisher
+    # (one corpus pass + capped vocab collect)
+    "q_lm_score_kn",
+    "q_ccnet_buckets",
+    "q_substring_dedup_apply",
+    "q_video_neardup",
+    "q_bpe_merges_local",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
