@@ -622,9 +622,13 @@ def ppl_buckets(
         .filter(F.col("avg_bits_x100").isNotNull())
         .select(id_col, "avg_bits_x100")
     )
+    # the scored frame feeds BOTH the tercile histogram and the final
+    # assignment join; pin it (2 narrow columns per doc) or the whole
+    # KN scoring chain — five joins deep — computes twice (the
+    # global_sort_index / balanced_shards multi-pass convention)
     scored = df.select(F.col(id_col), F.col(group_col)).join(
         scores, [id_col]
-    )
+    ).localCheckpoint(eager=False)
     hist = hist_build(scored, [group_col], "avg_bits_x100", width)
     qs = hist_quantiles(
         hist, [group_col], width, [1.0 / 3.0, 2.0 / 3.0]

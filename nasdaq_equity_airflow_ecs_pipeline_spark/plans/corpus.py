@@ -44,7 +44,7 @@ from ..operators.sampling import stratified_sample
 # the frames its PREVIOUS invocation cached — at most one call's frames
 # stay resident, and the frames a caller is still consuming lazily are
 # only released once it asks for a fresh pipeline.
-_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": []}
+_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": [], "v6": []}
 
 
 def _persist(frame, slot: str):
@@ -514,6 +514,112 @@ def curate_corpus_v4(
     )
     budgeted = _persist(
         token_budget_select(sized, budget, ["pri", "doc_id"]), "v4"
+    )
+    sharded = balanced_shards(
+        budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]
+    )
+    return {
+        "raw": base,
+        "line_dedup": line_kept,
+        "classifier": kept,
+        "lm_gate": lm_kept,
+        "semdedup": sem,
+        "budget": budgeted,
+        "sharded": sharded,
+    }
+
+
+def curate_corpus_v6(
+    docs: DataFrame,
+    emb: DataFrame,
+    neardup_threshold: float = 0.4,
+    cluster_target: int = 250,
+    budget: int = 10_000,
+    n_shards: int = 8,
+    max_line_docs: int = 2,
+    bucket_width: float = 25.0,
+) -> dict[str, DataFrame]:
+    """The v4 CCNet chain with the selection CCNet ACTUALLY uses
+    (Wenzek et al. 2020 §4.4) in place of the fixed perplexity
+    threshold: interpolated Kneser-Ney scoring + per-language
+    perplexity TERCILES, keeping the head and middle buckets —
+    distribution-relative, so the gate adapts to each language's score
+    range instead of hard-coding a bits threshold:
+
+        raw -> line dedup -> classifier filter
+            -> KN tercile select  (train KN trigram LM on the
+                                   surviving 'en' slice; per-lang
+                                   head/middle/tail via the histogram
+                                   quantile sketch; DROP the tail)
+            -> semantic dedup -> token-budget cut -> balanced shards
+
+    Same stage discipline as v4 (every gate runs on the previous
+    stage's survivors; the LM trains on line-deduped, classifier-kept
+    text); stage plans are the operators' own. Returns each stage's
+    surviving frame under the v4 funnel's stage keys ('lm_gate' is the
+    tercile selection here)."""
+    from ..operators.curation import (
+        balanced_shards,
+        line_dedup,
+        token_budget_select,
+    )
+    from ..operators.lm_score import ppl_buckets, train_kn_trigram_lm
+    from ..operators.ordering import shuffle_key
+    from ..operators.similarity import semantic_dedup
+
+    _release("v6")
+    base = docs.select("doc_id", "text", "lang", "source")
+    ld = line_dedup(base, max_docs=max_line_docs)
+    line_kept = _persist(
+        ld.filter(F.col("n_removed") < F.col("n_lines"))
+        .join(base.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", F.col("kept_text").alias("text"), "lang", "source"),
+        "v6",
+    )
+    kept = _persist(
+        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
+        "v6",
+    )
+    model = train_kn_trigram_lm(kept.filter(F.col("lang") == "en"))
+    buckets = ppl_buckets(kept, model, width=bucket_width)
+    lm_kept = _persist(
+        kept.join(
+            buckets.filter(F.col("ppl_bucket") != "tail").select("doc_id"),
+            "doc_id",
+        ),
+        "v6",
+    )
+
+    kept_emb = _persist(
+        emb.join(lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        "v6",
+    )
+    n = kept_emb.count()
+    k = max(8, -(-n // cluster_target))
+    centroids = (
+        kept_emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    surv = semantic_dedup(kept_emb, centroids, threshold=neardup_threshold)
+    sem = _persist(
+        lm_kept.join(surv.select(F.col("vec_id").alias("doc_id")), "doc_id"),
+        "v6",
+    )
+
+    sized = sem.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    budgeted = _persist(
+        token_budget_select(sized, budget, ["pri", "doc_id"]), "v6"
     )
     sharded = balanced_shards(
         budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]

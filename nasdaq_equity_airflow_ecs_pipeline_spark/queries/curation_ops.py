@@ -698,15 +698,152 @@ def q_corpus_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages)
 
 
-def _sql_corpus_pipeline_v4(lm_order: int = 2) -> str:
+def q_corpus_pipeline_v6(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet-FAITHFUL curation chain (plans/corpus.py
+    curate_corpus_v6): line dedup -> classifier -> interpolated-KN
+    scoring + per-language perplexity TERCILES keeping head+middle
+    (Wenzek et al. 2020 §4.4's actual selection — distribution-
+    relative, not the fixed bits threshold v4/v5 gate on) -> SemDeDup
+    -> token-budget cut -> balanced shards, as the per-stage funnel
+    census. The oracle rebuilds the WHOLE chain — KN counts trained on
+    exactly the classifier-kept 'en' slice, histogram tercile cuts,
+    bucket assignment — in one SQL statement, so the stage
+    interactions under the distribution-relative gate are
+    value-checked."""
+    from ..plans.corpus import curate_corpus_v4_funnel, curate_corpus_v6
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v6(
+        d,
+        emb,
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        bucket_width=CCNET_BUCKET_WIDTH,
+    )
+    return curate_corpus_v4_funnel(stages)
+
+
+def _sql_corpus_pipeline_v4(lm_order: int | str = 2) -> str:
     from ..operators.lsh import MERSENNE_P
+
+    if lm_order not in (2, 3, "kn"):  # mirror curate_corpus_v4's guard
+        raise ValueError(f"lm_order must be 2, 3 or 'kn', got {lm_order!r}")
 
     w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
          " % 4096) % 2001 - 1000) / 1000.0")
     ntok = r"CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0) AS BIGINT)"
     d2 = ("list_sum(list_transform(generate_series(1, len({a})), "
           "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
-    if lm_order == 3:
+    if lm_order == "kn":
+        # v6's CCNet-faithful gate: interpolated KN scoring (trained on
+        # the classifier-survivor 'en' slice) + per-language perplexity
+        # TERCILES via the histogram sketch; keep head + middle
+        bw = repr(CCNET_BUCKET_WIDTH)
+        qlist = ", ".join(f"'{q!r}'::DOUBLE" for q in CCNET_QS)
+        lm_block = f"""toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
+tg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+  WHERE len(t) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+kctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1pp FROM tri GROUP BY 1, 2),
+kcbg AS (SELECT w2, w3, count(*) AS cont23 FROM tri GROUP BY 1, 2),
+kcctx AS (SELECT w2, sum(cont23) AS cont2 FROM kcbg GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+ksc AS (
+  SELECT tg.doc_id,
+         coalesce(tri.c123, 0) AS c123, coalesce(kctx.c12, 0) AS c12,
+         coalesce(kctx.n1pp, 0) AS n1pp, coalesce(kcbg.cont23, 0) AS cont23,
+         coalesce(kcctx.cont2, 0) AS cont2
+  FROM tg LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN kctx USING (w1, w2)
+          LEFT JOIN kcbg USING (w2, w3)
+          LEFT JOIN kcctx USING (w2)
+),
+kpc AS (
+  SELECT doc_id, c123, c12, n1pp, cont23,
+         CAST(floor((1000000.0 * (cont23 + 1)) / (cont2 + v)) AS BIGINT) AS pcppm
+  FROM ksc, voc
+),
+kpm AS (
+  SELECT doc_id,
+         CASE WHEN c12 > 0
+              THEN CAST(floor((1000000.0 * greatest(4 * c123 - 3, 0))
+                              / (4.0 * c12)) AS BIGINT)
+                 + CAST(floor(((3 * n1pp * pcppm) * 1.0)
+                              / (4.0 * c12)) AS BIGINT)
+              ELSE pcppm END AS ppm
+  FROM kpc
+),
+kper AS (
+  SELECT doc_id,
+         CASE WHEN ppm > 0
+              THEN CAST(length(bin(CAST(floor(1000000.0 / ppm) AS BIGINT))) - 1
+                        AS BIGINT)
+              ELSE CAST(20 AS BIGINT) END AS bits
+  FROM kpm
+),
+kagg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM kper GROUP BY 1),
+kscore AS (
+  SELECT clf.doc_id, clf.lang,
+         CAST(floor((100.0 * sbits) / n) AS BIGINT) AS ab
+  FROM clf JOIN kagg USING (doc_id) WHERE n > 0
+),
+khist AS (
+  SELECT lang, CAST(floor(ab / {bw}) AS BIGINT) AS bucket, count(*) AS n
+  FROM kscore GROUP BY 1, 2
+),
+khc AS (
+  SELECT lang, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_rows
+  FROM khist
+),
+khq AS (SELECT khc.*, q FROM khc, (SELECT unnest([{qlist}]) AS q)),
+kcand AS (
+  SELECT *, greatest(CAST(1 AS BIGINT),
+                     CAST(ceil(q * CAST(n_rows AS DOUBLE)) AS BIGINT)) AS r
+  FROM khq
+),
+kpick AS (
+  SELECT lang, q, min(bucket) AS bucket
+  FROM kcand WHERE cum >= r GROUP BY 1, 2
+),
+kest AS (
+  SELECT p.lang, p.q,
+         CAST(a.bucket AS DOUBLE) * {bw}
+           + {bw} * (CAST(a.r - (a.cum - a.n) AS DOUBLE) / CAST(a.n AS DOUBLE))
+           AS est_quantile
+  FROM kpick p
+  JOIN kcand a ON a.lang = p.lang AND a.q = p.q AND a.bucket = p.bucket
+),
+kcuts AS (
+  SELECT lang,
+         min(CASE WHEN q >= 0.5 THEN est_quantile END) AS t_middle
+  FROM kest GROUP BY 1
+),
+lm AS (
+  SELECT clf.doc_id, clf.text, clf.lang, clf.source
+  FROM clf
+  JOIN kscore USING (doc_id)
+  JOIN kcuts ON kcuts.lang = clf.lang
+  WHERE kscore.ab <= kcuts.t_middle
+)"""
+    elif lm_order == 3:
         # v5's trigram+backoff gate (SQL_LM_SCORE3's CTE chain, trained
         # on the classifier-survivor 'en' slice, thresholded at V5)
         lm_block = f"""toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf),
@@ -779,7 +916,7 @@ lm AS (
   FROM clf JOIN lmagg USING (doc_id)
   WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
 )"""
-    return f"""
+    sql = f"""
 WITH relined AS (
   SELECT doc_id, lang, source,
          regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
@@ -874,6 +1011,15 @@ UNION ALL SELECT 4, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
 UNION ALL SELECT 5, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
 UNION ALL SELECT 6, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
 """
+    # MATERIALIZE the multiply-referenced heavy CTEs: DuckDB inlines
+    # plain CTEs per reference, so the KN/LM pyramid hanging off `clf`
+    # re-evaluates once per consumer — 143 s -> 0.3 s at sf0.01 for the
+    # kn variant when pinned (results identical; it is purely a
+    # materialization hint)
+    for cte in ("line_kept AS (", "clf AS (", "toks AS (", "tri AS (",
+                "model AS (", "kscore AS (", "lm AS ("):
+        sql = sql.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
+    return sql
 
 
 # ----------------------------------------------- bigram-LM quality score
@@ -1197,6 +1343,7 @@ QUERIES = {
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
     "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
     "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
+    "q_corpus_pipeline_v6": q_corpus_pipeline_v6,
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
     "q_lm_score_kn": q_lm_score_kn,
@@ -1215,6 +1362,7 @@ ORACLES = {
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
     "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
     "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
+    "q_corpus_pipeline_v6": _sql_corpus_pipeline_v4(lm_order="kn"),
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
     "q_lm_score_kn": SQL_LM_SCORE_KN,
