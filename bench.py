@@ -183,7 +183,10 @@ def main() -> None:
         "q_lm_score_kn",
         "q_ccnet_buckets",
         "q_substring_dedup_apply",
+        "q_substring_index_delta",
         "q_video_neardup",
+        "q_ahash_index_delta",
+        "q_corpus_pipeline_v6",
     ):
         fn = queries[name]
         best = float("inf")

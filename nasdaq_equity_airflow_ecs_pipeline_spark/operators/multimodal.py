@@ -1090,6 +1090,104 @@ def video_neardup_pairs(
     )
 
 
+def hamming_index_delta(
+    standing_hashes: DataFrame,
+    delta_hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "content_id",
+    hash_col: str = "ahash",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental 64-bit perceptual-hash index — the banded hamming
+    path's member of the repo's incremental-index family (LSH /
+    SemDeDup / BM25 / winnow / substring discipline), serving every
+    hash this module produces (image aHash, audio fingerprints, video
+    signatures — banding is hash-agnostic): band ONLY the delta batch,
+    probe NEW-vs-ALL candidates with a band-keyed equi-join against
+    the folded table, and verify with the exact bit_count hamming
+    filter. Standing items are never re-paired (their pairs were
+    reported when their younger member arrived).
+
+    Returns (folded_hashes, new_pairs):
+    - folded_hashes: standing ∪ delta (id, hash) rows — the next
+      standing table (caller owns id uniqueness, the bm25_index_delta
+      contract).
+    - new_pairs: (id_a, id_b, hamming) where at least one side is a
+      delta item — delta-vs-standing AND delta-vs-delta.
+
+    Equivalence contract (q_ahash_index_delta pins it): new_pairs ==
+    full-rebuild image_neardup_pairs(all hashes) restricted to pairs
+    touching a delta id — EXACT, not approximate, because banding
+    recall is pigeonhole-guaranteed below the band count (enforced
+    here exactly as in image_neardup_pairs).
+
+    Scale shape: delta-side banding is a delta-sized n_bands-x
+    explode; the candidate join is band-keyed and probed BY THE DELTA
+    side (collision-bounded); verify is a bit op. The only
+    standing-side work is the folded table's own banding — index-
+    shaped, no standing-vs-standing self-join."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= n_bands {n_bands}: banding "
+            "only guarantees recall below the band count — raise n_bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        h = df.filter(F.col(hash_col).isNotNull()).select(
+            F.col(id_col), F.col(hash_col)
+        )
+        return h.select(
+            id_col,
+            hash_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftrightunsigned(F.col(hash_col), width * i)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_col, hash_col, "b.band_idx", "b.band_val")
+
+    folded = standing_hashes.select(F.col(id_col), F.col(hash_col)).unionByName(
+        delta_hashes.select(F.col(id_col), F.col(hash_col))
+    )
+    a = bands_of(delta_hashes).alias("a")
+    b = bands_of(folded).alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    # hamming computed BEFORE the distinct: a delta-vs-delta pair
+    # arrives from both probe directions with (_ha, _hb) swapped, so
+    # deduping on the raw hash tuple would keep both orientations —
+    # XOR is symmetric, so (id_a, id_b, hamming) is orientation-free
+    new_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (ia != ib),
+        )
+        .select(
+            F.least(ia, ib).alias("id_a"),
+            F.greatest(ia, ib).alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return folded, new_pairs
+
+
 # ------------------------------------------------ perceptual image hash
 AHASH_SCHEMA = "content_id bigint, ahash bigint, decodable boolean"
 

@@ -544,6 +544,33 @@ def substring_dup_stats(
     )
 
 
+def _substring_chunks(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(_id, idx, chunk, ck) — the non-overlapping ``window``-char
+    tiling of each document (1-based idx; sub-window tails excluded),
+    ck = md5(chunk). Shared by the apply operator and the incremental
+    index twin so both see the identical chunking."""
+    chunk_arr = F.when(
+        F.length(text_col) >= window,
+        F.expr(
+            f"transform(sequence(1, CAST(floor(length({text_col}) * 1.0 "
+            f"/ {window}) AS INT)), j -> struct(CAST(j AS BIGINT) AS idx, "
+            f"substring({text_col}, (j - 1) * {window} + 1, {window}) "
+            f"AS chunk))"
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<idx:bigint,chunk:string>>")
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(chunk_arr).alias("c"))
+        .select(
+            "_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk")
+        )
+        .withColumn("ck", F.md5("chunk"))
+    )
+
+
 def substring_dedup_apply(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -579,22 +606,7 @@ def substring_dedup_apply(
     dup set is corpus-scale on a duplicated corpus, exactly
     substring_dup_stats' reasoning); per-doc rebuild is a collect_list
     bounded by document chunk count, line_dedup's class."""
-    chunk_arr = F.when(
-        F.length(text_col) >= window,
-        F.expr(
-            f"transform(sequence(1, CAST(floor(length({text_col}) * 1.0 "
-            f"/ {window}) AS INT)), j -> struct(CAST(j AS BIGINT) AS idx, "
-            f"substring({text_col}, (j - 1) * {window} + 1, {window}) "
-            f"AS chunk))"
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<idx:bigint,chunk:string>>")
-    )
-    chunks = (
-        df.select(F.col(id_col).alias("_id"), F.explode(chunk_arr).alias("c"))
-        .select("_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
-        .withColumn("ck", F.md5("chunk"))
-    )
+    chunks = _substring_chunks(df, id_col, text_col, window)
     canon = chunks.groupBy("ck").agg(
         F.min(F.struct(F.col("_id"), F.col("idx"))).alias("first")
     )
@@ -602,6 +614,18 @@ def substring_dedup_apply(
         (F.col("_id") == F.col("first._id"))
         & (F.col("idx") == F.col("first.idx"))
     )
+    return _substring_rebuild(df, kept, id_col, text_col, window)
+
+
+def _substring_rebuild(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+) -> DataFrame:
+    """Order-preserving reassembly of surviving chunks + the untouched
+    sub-window tail: (id, kept_text, n_chunks, n_removed)."""
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(
@@ -633,6 +657,85 @@ def substring_dedup_apply(
             .alias("n_removed"),
         )
     )
+
+
+def substring_kept_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+) -> DataFrame:
+    """The standing-index form of :func:`substring_dedup_apply`'s
+    decision: the SURVIVING chunk rows (id, idx, ck) after canonical-
+    first dedup — hash-sized state, no chunk text. This is the table
+    :func:`substring_index_delta` folds; re-chunking the reassembled
+    kept_text would shift offsets, so the index must be these rows,
+    not a re-tiling."""
+    chunks = _substring_chunks(df, id_col, text_col, window)
+    canon = chunks.groupBy("ck").agg(
+        F.min(F.struct(F.col("_id"), F.col("idx"))).alias("first")
+    )
+    return (
+        chunks.join(canon, "ck")
+        .filter(
+            (F.col("_id") == F.col("first._id"))
+            & (F.col("idx") == F.col("first.idx"))
+        )
+        .select(F.col("_id").alias(id_col), "idx", "ck")
+    )
+
+
+def substring_index_delta(
+    standing_chunks: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental substring dedup — the apply operator's member of
+    the repo's incremental-index family (LSH / SemDeDup / BM25 /
+    winnow / IVF-PQ discipline): chunk ONLY the delta batch, remove
+    delta chunks whose hash the standing index already owns (standing
+    documents are NEVER rewritten — their copies were canonical when
+    they arrived), dedup canonically within the delta, and reassemble
+    only delta documents.
+
+    Returns (folded_chunks, delta_result):
+    - folded_chunks: standing ∪ surviving delta chunk rows
+      (id, idx, ck) — the next standing index.
+    - delta_result: (id, kept_text, n_chunks, n_removed) for the
+      delta docs.
+
+    Equivalence contract (q_substring_index_delta pins it): under
+    APPEND-ONLY MONOTONE ids (every delta id greater than every
+    standing id — the natural ingest order, and the same caller-owned
+    precondition class as bm25_index_delta's id uniqueness),
+    delta_result == full-rebuild substring_dedup_apply(standing kept
+    texts ∪ delta docs) restricted to delta ids: a standing-owned hash
+    has the globally smallest (id, idx) occurrence in the standing
+    corpus, so the full rebuild removes exactly the delta copies the
+    anti-join removes here.
+
+    Scale shape: delta-sized chunk explode; ownership is ONE
+    hash-keyed left-anti join against the standing index (probed by
+    the delta side); within-delta canonical pick is the same
+    min-struct hash-agg; standing chunks are never re-read beyond the
+    index itself."""
+    dchunks = _substring_chunks(delta_docs, id_col, text_col, window)
+    canon = dchunks.groupBy("ck").agg(
+        F.min(F.struct(F.col("_id"), F.col("idx"))).alias("first")
+    )
+    delta_canon = dchunks.join(canon, "ck").filter(
+        (F.col("_id") == F.col("first._id"))
+        & (F.col("idx") == F.col("first.idx"))
+    )
+    owned = standing_chunks.select("ck").distinct()
+    kept = delta_canon.join(owned, "ck", "left_anti")
+    folded = standing_chunks.select(id_col, "idx", "ck").unionByName(
+        kept.select(F.col("_id").alias(id_col), "idx", "ck")
+    )
+    result = _substring_rebuild(delta_docs, kept, id_col, text_col, window)
+    return folded, result
 
 
 def inverted_index(

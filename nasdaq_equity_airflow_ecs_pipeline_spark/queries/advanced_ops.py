@@ -18,7 +18,12 @@ from ..functions.sketches import kmv_distinct
 from ..functions.stable import sql_davg, sql_dcorr, sql_dec2dbl
 from ..operators.funnel import funnel_stages
 from ..operators.pagerank import co_order_edges, pagerank_fixed_point
-from ..operators.text import substring_dedup_apply, substring_dup_stats
+from ..operators.text import (
+    substring_dedup_apply,
+    substring_dup_stats,
+    substring_index_delta,
+    substring_kept_chunks,
+)
 from ..sources.tables import load_table
 
 
@@ -256,6 +261,64 @@ SELECT b.doc_id,
        b.n_full AS n_chunks,
        CAST(b.n_full - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def q_substring_index_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental substring-dedup maintenance == full rebuild, pinned
+    by the oracle (operators/text.py:substring_index_delta): the
+    standing 80%-by-id corpus's KEPT-chunk index folds with the newest
+    20% of doc ids (append-only monotone ids — the contract's
+    precondition), delta chunks owned by the standing index are
+    removed via one hash-keyed anti-join, and the delta result must
+    equal the full-corpus substring_dedup_apply restricted to delta
+    ids."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    mx = int(docs.agg(F.max("doc_id")).collect()[0][0])  # 1-row bound
+    thr = mx * 4 // 5
+    standing_docs = docs.filter(F.col("doc_id") <= thr)
+    delta_docs = docs.filter(F.col("doc_id") > thr)
+    standing_chunks = substring_kept_chunks(standing_docs, window=SUB_WINDOW)
+    _folded, result = substring_index_delta(
+        standing_chunks, delta_docs, window=SUB_WINDOW
+    )
+    return result
+
+
+SQL_SUBSTRING_INDEX_DELTA = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(floor(length(text) * 1.0 / {SUB_WINDOW}) AS BIGINT) AS n_full
+  FROM documents
+),
+thr AS (SELECT max(doc_id) * 4 // 5 AS t FROM base),
+ch AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS idx,
+         substring(text, CAST((j - 1) * {SUB_WINDOW} + 1 AS INT),
+                   {SUB_WINDOW}) AS chunk
+  FROM base, unnest(generate_series(1, n_full)) AS u(j)
+),
+keep AS (
+  SELECT doc_id, idx, chunk FROM (
+    SELECT doc_id, idx, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, idx) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY idx) AS body,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(r.body, '')
+         || substring(b.text, CAST(b.n_full * {SUB_WINDOW} + 1 AS INT))
+         AS kept_text,
+       b.n_full AS n_chunks,
+       CAST(b.n_full - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN reb r USING (doc_id) CROSS JOIN thr
+WHERE b.doc_id > thr.t
 """
 
 
@@ -1109,6 +1172,7 @@ QUERIES = {
     "q_hll_distinct": q_hll_distinct,
     "q_substring_dedup": q_substring_dedup,
     "q_substring_dedup_apply": q_substring_dedup_apply,
+    "q_substring_index_delta": q_substring_index_delta,
     "q_pagerank": q_pagerank,
     "q_triangle_count": q_triangle_count,
     "q_window_ranks": q_window_ranks,
@@ -1148,6 +1212,7 @@ ORACLES = {
     "q_distinct_kmv": SQL_DISTINCT_KMV,
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
     "q_substring_dedup_apply": SQL_SUBSTRING_DEDUP_APPLY,
+    "q_substring_index_delta": SQL_SUBSTRING_INDEX_DELTA,
     "q_pagerank": SQL_PAGERANK,
     "q_triangle_count": SQL_TRIANGLE_COUNT,
     "q_window_ranks": SQL_WINDOW_RANKS,

@@ -2063,6 +2063,63 @@ WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_ahash_index_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental perceptual-hash index maintenance == full rebuild,
+    pinned by the oracle (operators/multimodal.py:hamming_index_delta —
+    the banded hamming path's incremental twin, serving image aHash /
+    audio fingerprints / video signatures alike): the 80% standing
+    hash table folds with the 20% delta, the delta side probes the
+    folded bands, and the NEW pairs must equal the full-corpus banded
+    pairs restricted to pairs touching a delta id — EXACT because
+    banding recall is pigeonhole-guaranteed below the band count.
+    Same planted-triplet stand-in hashes as q_ahash_neardup."""
+    from ..operators.multimodal import hamming_index_delta
+
+    d = _docs(spark, sf)
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.floor(F.col("doc_id") / 3).cast("string")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashes = d.select(
+        "doc_id", h60.bitwiseXOR((F.col("doc_id") % 3) * 3).alias("ahash")
+    )
+    standing = hashes.filter(F.col("doc_id") % 10 < 8)
+    delta = hashes.filter(F.col("doc_id") % 10 >= 8)
+    _folded, pairs = hamming_index_delta(
+        standing, delta, max_hamming=3, n_bands=4, id_col="doc_id"
+    )
+    return pairs
+
+
+SQL_AHASH_INDEX_DELTA = """
+WITH h AS (
+  SELECT doc_id,
+         xor(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15))::BIGINT,
+             (doc_id % 3) * 3) AS ahash
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, ahash, b.i AS band_idx,
+         (ahash >> (16 * b.i)) & 65535 AS band_val
+  FROM h, (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+  AND (id_a % 10 >= 8 OR id_b % 10 >= 8)
+"""
+
+
 def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Video near-dup, the signature + pair stages oracle-checked
     (operators/multimodal.py:video_signature + image_neardup_pairs):
@@ -3360,6 +3417,7 @@ QUERIES = {
     "q_lsh_recall": q_lsh_recall,
     "q_binary_meta": q_binary_meta,
     "q_ahash_neardup": q_ahash_neardup,
+    "q_ahash_index_delta": q_ahash_index_delta,
     "q_video_neardup": q_video_neardup,
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
@@ -3429,6 +3487,7 @@ ORACLES = {
     "q_lsh_recall": SQL_LSH_RECALL,
     "q_binary_meta": SQL_BINARY_META,
     "q_ahash_neardup": SQL_AHASH_NEARDUP,
+    "q_ahash_index_delta": SQL_AHASH_INDEX_DELTA,
     "q_video_neardup": _sql_video_neardup(),
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,

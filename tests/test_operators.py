@@ -1976,6 +1976,97 @@ def test_curate_corpus_v4_rejects_bad_lm_order(spark):
         curate_corpus_v4(docs, emb, lm_max_avg_bits_x100=450, lm_order=5)
 
 
+def test_substring_index_delta_equals_full_rebuild(spark):
+    """The incremental substring-dedup contract: under append-only
+    monotone ids, the delta result equals the full-corpus apply
+    restricted to delta ids — standing-owned chunks removed from delta
+    copies, within-delta canonical dedup, standing never rewritten.
+    The folded index then serves a SECOND delta fold identically."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        substring_dedup_apply,
+        substring_index_delta,
+        substring_kept_chunks,
+    )
+
+    w = 8
+    a, b, c, d = "AAAAAAAA", "BBBBBBBB", "CCCCCCCC", "DDDDDDDD"
+    standing_rows = [(1, a + b + "t1"), (2, a + c)]  # 2's A copy removed
+    delta1_rows = [(10, b + d + "t2"), (11, d + d)]
+    delta2_rows = [(20, c + d + a)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    standing = mk(standing_rows)
+    idx = substring_kept_chunks(standing, window=w)
+    folded1, res1 = substring_index_delta(idx, mk(delta1_rows), window=w)
+    full1 = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup_apply(
+            mk(standing_rows + delta1_rows), window=w
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    got1 = {r["doc_id"]: tuple(r) for r in res1.collect()}
+    assert got1 == full1
+    # doc 10: B owned by standing -> removed; D new -> kept
+    assert got1[10][1] == d + "t2" and got1[10][3] == 1
+    # doc 11: first D owned by doc 10's canonical -> both copies gone
+    assert got1[11][1] == "" and got1[11][3] == 2
+
+    # second fold against the FOLDED index
+    _folded2, res2 = substring_index_delta(folded1, mk(delta2_rows), window=w)
+    full2 = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup_apply(
+            mk(standing_rows + delta1_rows + delta2_rows), window=w
+        ).collect()
+        if r["doc_id"] >= 20
+    }
+    assert {r["doc_id"]: tuple(r) for r in res2.collect()} == full2
+
+
+def test_hamming_index_delta_equals_full_rebuild(spark):
+    """The incremental banded-hamming contract: new_pairs equals the
+    full-rebuild image_neardup_pairs restricted to pairs touching a
+    delta id — exact, because recall below the band count is
+    pigeonhole-guaranteed. Covers delta-vs-standing AND
+    delta-vs-delta; standing-vs-standing pairs never reappear."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        hamming_index_delta,
+        image_neardup_pairs,
+    )
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),          # standing
+        (2, base ^ 0b11),   # standing, near 1 (hamming 2)
+        (3, -42),           # standing, far
+        (10, base ^ 0b101),  # delta, near 1 and 2
+        (11, (base ^ 0b101) ^ 0b1000),  # delta, near 10
+        (12, None),         # delta, undecodable: never pairs
+    ]
+    hashes = spark.createDataFrame(rows, "content_id bigint, ahash bigint")
+    standing = hashes.filter(F.col("content_id") < 10)
+    delta = hashes.filter(F.col("content_id") >= 10)
+    _folded, pairs = hamming_index_delta(
+        standing, delta, max_hamming=3, n_bands=4
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_neardup_pairs(
+            hashes, max_hamming=3, n_bands=4
+        ).collect()
+        if r["id_a"] >= 10 or r["id_b"] >= 10
+    }
+    assert got == full and got
+    # the standing-vs-standing pair (1,2) must NOT reappear
+    assert not any(a < 10 and b < 10 for a, b, _ in got)
+    assert (10, 11, 1) in got
+    # folded table is the standing ∪ delta hash rows
+    assert _folded.count() == 6
+
+
 def test_video_neardup_chain(spark):
     """Video near-dup completes the multimodal family: a lightly
     perturbed copy of a structured payload pairs with its original

@@ -156,7 +156,9 @@ DEEP = [
     "q_lm_score_kn",
     "q_ccnet_buckets",
     "q_substring_dedup_apply",
+    "q_substring_index_delta",
     "q_video_neardup",
+    "q_ahash_index_delta",
     "q_bpe_merges_local",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
