@@ -337,6 +337,11 @@ def run_isolated(spark, sf_dir: str, fixdir: str) -> dict[str, dict]:
       hash-agg of the NEW docs) + the 1-row stats fold — exactly what
       an index-table append writes; the standing tf is touched only as
       the 1-row standing stats read.
+    - q_substring_index_delta@iso (r9): delta chunking + the ownership
+      anti-join against the persisted standing kept-chunk index + the
+      delta-only rebuild.
+    - q_ahash_index_delta@iso (r9): delta-side banding probing the
+      persisted standing hash table + exact hamming verify.
     """
     from pyspark.sql import functions as F
 
@@ -434,6 +439,48 @@ def run_isolated(spark, sf_dir: str, fixdir: str) -> dict[str, dict]:
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
     )
     timed("q_bm25_index_delta@iso", tf_d.crossJoin(folded_stats))
+
+    # r9: substring-dedup index delta (standing kept-chunk index
+    # persisted untimed; timed = delta chunking + ownership anti-join
+    # + delta-only rebuild). Monotone-id split per the contract.
+    mx = int(d.agg(F.max("doc_id")).collect()[0][0])
+    thr = mx * 4 // 5
+    text_ops.substring_kept_chunks(
+        d.filter(F.col("doc_id") <= thr)
+    ).write.mode("overwrite").parquet(f"{fixdir}/substr_chunks.parquet")
+    chunks_p = spark.read.parquet(f"{fixdir}/substr_chunks.parquet")
+    _fold_s, sub_res = text_ops.substring_index_delta(
+        chunks_p, d.filter(F.col("doc_id") > thr)
+    )
+    timed("q_substring_index_delta@iso", sub_res)
+
+    # r9: banded-hamming index delta (standing hash table persisted
+    # untimed; timed = delta-side banding probe + exact verify) —
+    # the q_ahash_neardup planted-triplet stand-in hash frame.
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        hamming_index_delta,
+    )
+
+    h60 = F.conv(
+        F.substring(F.md5(F.floor(F.col("doc_id") / 3).cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    hashes = d.select(
+        "doc_id", h60.bitwiseXOR((F.col("doc_id") % 3) * 3).alias("ahash")
+    )
+    hashes.filter(F.col("doc_id") % 10 < 8).write.mode("overwrite").parquet(
+        f"{fixdir}/ahash_standing.parquet"
+    )
+    standing_h = spark.read.parquet(f"{fixdir}/ahash_standing.parquet")
+    _fold_h, ham_pairs = hamming_index_delta(
+        standing_h,
+        hashes.filter(F.col("doc_id") % 10 >= 8),
+        max_hamming=3,
+        n_bands=4,
+        id_col="doc_id",
+    )
+    timed("q_ahash_index_delta@iso", ham_pairs)
     return out
 
 
