@@ -453,3 +453,234 @@ def test_bm25_prf_matches_python_reference(doc_words, query_words):
     ranked = sorted(pass2.items(), key=lambda kv: (-kv[1], kv[0]))
     expected = {d: (s, i + 1) for i, (d, s) in enumerate(ranked)}
     assert got == expected
+
+
+# ---------------------------------------------------------------- r9 ops
+_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_words)
+def test_bpe_local_matches_naive_reference(words):
+    """bpe_train_local == a naive pure-Python BPE (recount every round,
+    greedy leftmost fold, ties on the pair string) on arbitrary tiny
+    corpora — the incremental pair-count/lazy-heap bookkeeping cannot
+    drift from the textbook dynamics."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bpe_train_local,
+    )
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_train_local(docs, n_merges=8).orderBy("step").collect()
+    ]
+
+    freq: dict[str, int] = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    seqs = {w: list(w) for w in freq}
+    expected = []
+    for step in range(1, 9):
+        counts: dict[str, int] = {}
+        for w, f in freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = f"{s[i]} {s[i + 1]}"
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best.split(" ", 1)
+        expected.append((step, best, a + b, counts[best]))
+        for w in seqs:
+            s, out = seqs[w], []
+            for t in s:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            seqs[w] = out
+    assert got == expected
+
+
+_docs_txt = st.lists(
+    st.text(alphabet="xy", min_size=0, max_size=20), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs_txt)
+def test_substring_apply_matches_naive_reference(texts):
+    """substring_dedup_apply == a naive pure-Python implementation of
+    its spec (non-overlapping window-4 tiling, canonical smallest
+    (id, idx) copy kept, order-preserving rebuild, tail untouched) on
+    arbitrary docs — including empty docs, all-identical docs, and
+    within-doc repeats."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        substring_dedup_apply,
+    )
+
+    w = 4
+    spark = _get_spark()
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_chunks"], r["n_removed"])
+        for r in substring_dedup_apply(docs, window=w).collect()
+    }
+
+    owner: dict[str, tuple[int, int]] = {}
+    chunks: dict[int, list[tuple[int, str]]] = {}
+    for i, t in rows:
+        n = len(t) // w
+        chunks[i] = [(j, t[(j - 1) * w : j * w]) for j in range(1, n + 1)]
+        for j, c in chunks[i]:
+            if c not in owner or (i, j) < owner[c]:
+                owner[c] = (i, j)
+    expected = {}
+    for i, t in rows:
+        kept = [c for j, c in chunks[i] if owner[c] == (i, j)]
+        n = len(chunks[i])
+        expected[i] = ("".join(kept) + t[n * w :], n, n - len(kept))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**20), min_size=2, max_size=10),
+    st.data(),
+)
+def test_hamming_index_delta_matches_brute_force(seeds, data):
+    """hamming_index_delta == brute-force pairs restricted to
+    delta-touching ids, on hash families seeded with planted near-dups
+    (each hash = a seed base or a <=2-bit perturbation of one) and an
+    arbitrary standing/delta split — the banding+probe path can never
+    miss below the band count (pigeonhole)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        hamming_index_delta,
+    )
+
+    spark = _get_spark()
+    hashes = []
+    for i, s in enumerate(seeds):
+        base = (s * 0x9E3779B97F4A7C15) & (2**63 - 1)
+        flip = data.draw(st.integers(0, 3), label=f"flip{i}")
+        h = base ^ ((1 << (s % 60)) if flip & 1 else 0) ^ (
+            (1 << ((s // 7) % 60)) if flip & 2 else 0
+        )
+        hashes.append((i, h))
+    n_delta = data.draw(
+        st.integers(1, len(hashes) - 1), label="n_delta"
+    )
+    standing_rows = hashes[:-n_delta]
+    delta_rows = hashes[-n_delta:]
+    delta_ids = {i for i, _ in delta_rows}
+    mk = lambda rows: _get_spark().createDataFrame(  # noqa: E731
+        rows, "content_id long, ahash long"
+    )
+    if not standing_rows:
+        return
+    _folded, pairs = hamming_index_delta(
+        mk(standing_rows), mk(delta_rows), max_hamming=3, n_bands=4
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    expected = {
+        (a, b, ham(ha, hb))
+        for (a, ha) in hashes
+        for (b, hb) in hashes
+        if a < b
+        and ham(ha, hb) <= 3
+        and (a in delta_ids or b in delta_ids)
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=2),
+             min_size=3, max_size=15),
+    st.lists(
+        st.lists(st.text(alphabet="abcq", min_size=1, max_size=2),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    ),
+)
+def test_kn_scores_match_python_reference(train_words, score_docs):
+    """score_docs_kn == a pure-Python implementation of its quantized
+    interpolated-KN spec (floor-quantized ppm tiers, D=3/4, smoothed
+    continuation lower tier, bit-length surprisal, 20-bit cap) on
+    arbitrary corpora — Python floats ARE IEEE doubles, so the
+    reference floors the same values the JVM does."""
+    import math
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators import lm_score
+
+    spark = _get_spark()
+    train = spark.createDataFrame(
+        [(1, " ".join(train_words))], "doc_id long, text string"
+    )
+    corpus_rows = [(i + 10, " ".join(ws)) for i, ws in enumerate(score_docs)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    model = lm_score.train_kn_trigram_lm(train)
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"], r["n_backoff"], r["n_oov"],
+            r["sum_prob_ppm"], r["sum_bits"],
+        )
+        for r in lm_score.score_docs_kn(corpus, model).collect()
+    }
+
+    tg = list(zip(train_words, train_words[1:], train_words[2:]))
+    c123: dict = {}
+    for t in tg:
+        c123[t] = c123.get(t, 0) + 1
+    c12: dict = {}
+    n1pp: dict = {}
+    cont23: dict = {}
+    cont2: dict = {}
+    for (w1, w2, w3), c in c123.items():
+        c12[(w1, w2)] = c12.get((w1, w2), 0) + c
+        n1pp[(w1, w2)] = n1pp.get((w1, w2), 0) + 1
+        cont23[(w2, w3)] = cont23.get((w2, w3), 0) + 1
+    for (w2, _w3), c in cont23.items():
+        cont2[w2] = cont2.get(w2, 0) + c
+    v = len(set(train_words))
+
+    expected = {}
+    for i, ws in enumerate(score_docs):
+        doc_id = i + 10
+        trigs = list(zip(ws, ws[1:], ws[2:]))
+        n = len(trigs)
+        bo = oov = sppm = sbits = 0
+        for t in trigs:
+            w1, w2, w3 = t
+            tc = c123.get(t, 0)
+            ctx = c12.get((w1, w2), 0)
+            npp = n1pp.get((w1, w2), 0)
+            cb = cont23.get((w2, w3), 0)
+            cc = cont2.get(w2, 0)
+            pc = math.floor(1000000.0 * (cb + 1) / (cc + v))
+            if ctx > 0:
+                t1 = math.floor(
+                    1000000.0 * max(4 * tc - 3, 0) / (4.0 * ctx)
+                )
+                t2 = math.floor((3 * npp * pc) * 1.0 / (4.0 * ctx))
+                ppm = t1 + t2
+            else:
+                bo += 1
+                ppm = pc
+            if tc == 0 and cb == 0:
+                oov += 1
+            sppm += ppm
+            sbits += (
+                len(bin(math.floor(1000000.0 / ppm))) - 3 if ppm > 0 else 20
+            )
+        expected[doc_id] = (n, bo, oov, sppm, sbits)
+    assert got == expected
