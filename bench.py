@@ -184,6 +184,7 @@ def main() -> None:
         "q_ccnet_buckets",
         "q_substring_dedup_apply",
         "q_substring_index_delta",
+        "q_cdc_dedup_apply",
         "q_video_neardup",
         "q_ahash_index_delta",
         "q_corpus_pipeline_v6",

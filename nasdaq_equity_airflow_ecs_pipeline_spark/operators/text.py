@@ -738,6 +738,135 @@ def substring_index_delta(
     return folded, result
 
 
+def cdc_chunk_table(
+    df: DataFrame,
+    m: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over TOKENS (the text analog of the
+    storage-dedup CDC family — Muthitacharoen et al. LBFS SOSP'01,
+    FastCDC ATC'16): a chunk boundary falls after every token whose
+    portable 31-bit hash is ≡ 0 (mod ``m``), so boundaries are a LOCAL
+    property of the content. The payoff vs fixed tiling
+    (:func:`substring_dedup_apply`'s documented trade): an insertion
+    or deletion shifts every aligned window after it, but CDC
+    boundaries downstream of the edit are unchanged — shared runs
+    dedup at ANY offset. Expected chunk length is ``m`` tokens
+    (geometric); no min/max clamp, keeping the boundary rule stateless
+    and engine-exact.
+
+    Output: (id, chunk_id, chunk, ck) — chunk_id is the 0-based
+    chunk ordinal, chunk the space-joined token span, ck = md5(chunk).
+
+    Scale shape: tokenize explode (narrow); the chunk ordinal is a
+    per-document running count of boundary flags — one window keyed by
+    the document id (the line_dedup/collect_list class, linear); chunk
+    assembly is a (id, chunk_id) hash-agg with an ordered array_sort
+    fold."""
+    from pyspark.sql import Window
+
+    from .lsh import base_hash31
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    flag = (base_hash31(F.col("tok")) % F.lit(m) == 0).cast("int")
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # boundary token ENDS its chunk: ordinal = flags strictly before it
+    with_chunk = toks.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(flag).over(w), F.lit(0)).cast("bigint"),
+    )
+    return (
+        with_chunk.groupBy("_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "chunk_id",
+            "chunk",
+            F.md5("chunk").alias("ck"),
+        )
+    )
+
+
+def cdc_dedup_apply(
+    df: DataFrame,
+    m: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY dedup over content-defined chunks: remove all but the
+    canonical first copy (smallest (id, chunk_id)) of every duplicated
+    CDC chunk and reassemble each document from its surviving chunks
+    in order — :func:`substring_dedup_apply`'s semantics on
+    :func:`cdc_chunk_table`'s boundaries, closing that operator's
+    alignment-sensitivity trade: a shared run dedups wherever it sits
+    in the document (pinned by the insertion-robustness test).
+
+    Output: (id, kept_text, n_chunks, n_removed); kept_text is the
+    surviving chunks joined by single spaces (token-level rebuild —
+    original whitespace is not preserved, same as line_dedup's
+    line-level convention).
+
+    Scale shape: cdc_chunk_table's doc-keyed window + hash-agg; the
+    canonical pick is one min-struct hash-agg on the chunk hash; join
+    back on the hash (no broadcast — corpus-scale dup set on the
+    corpus that needs this); per-doc rebuild bounded by chunk count."""
+    chunks = cdc_chunk_table(df, m=m, id_col=id_col, text_col=text_col)
+    canon = chunks.groupBy("ck").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("first")
+    )
+    kept = chunks.join(canon, "ck").filter(
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("chunk_id") == F.col("first.chunk_id"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("_body"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, [id_col], "left")
+        .join(rebuilt, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_body"), F.lit("")).alias("kept_text"),
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+            (
+                F.coalesce(F.col("n_chunks"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -19,6 +19,7 @@ from ..functions.stable import sql_davg, sql_dcorr, sql_dec2dbl
 from ..operators.funnel import funnel_stages
 from ..operators.pagerank import co_order_edges, pagerank_fixed_point
 from ..operators.text import (
+    cdc_dedup_apply,
     substring_dedup_apply,
     substring_dup_stats,
     substring_index_delta,
@@ -319,6 +320,73 @@ SELECT b.doc_id,
        CAST(b.n_full - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN reb r USING (doc_id) CROSS JOIN thr
 WHERE b.doc_id > thr.t
+"""
+
+
+CDC_M = 16
+
+
+def q_cdc_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined-chunking dedup APPLY (operators/text.py:
+    cdc_dedup_apply — LBFS/FastCDC boundaries over tokens): chunk
+    boundaries fall where a token's content hash is 0 mod 16, so
+    duplicated runs dedup at ANY document offset — closing the
+    alignment sensitivity of the fixed-tiling q_substring_dedup_apply.
+    Canonical first copy survives; documents reassemble
+    order-preservingly from surviving chunks."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return cdc_dedup_apply(docs, m=CDC_M)
+
+
+SQL_CDC_DEDUP_APPLY = rf"""
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t))) AS u(i)
+  WHERE t[u.i] != ''
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+                   % {CDC_M} = 0 THEN 1 ELSE 0 END AS flag
+  FROM toks
+),
+wc AS (
+  SELECT doc_id, pos, tok,
+         CAST(coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM flagged
+),
+ch AS (
+  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM wc GROUP BY 1, 2
+),
+keep AS (
+  SELECT doc_id, chunk_id, chunk FROM (
+    SELECT doc_id, chunk_id, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, chunk_id) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_id) AS body,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(r.body, '') AS kept_text,
+       coalesce(t.n_chunks, 0) AS n_chunks,
+       CAST(coalesce(t.n_chunks, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
 """
 
 
@@ -1173,6 +1241,7 @@ QUERIES = {
     "q_substring_dedup": q_substring_dedup,
     "q_substring_dedup_apply": q_substring_dedup_apply,
     "q_substring_index_delta": q_substring_index_delta,
+    "q_cdc_dedup_apply": q_cdc_dedup_apply,
     "q_pagerank": q_pagerank,
     "q_triangle_count": q_triangle_count,
     "q_window_ranks": q_window_ranks,
@@ -1213,6 +1282,7 @@ ORACLES = {
     "q_substring_dedup": SQL_SUBSTRING_DEDUP,
     "q_substring_dedup_apply": SQL_SUBSTRING_DEDUP_APPLY,
     "q_substring_index_delta": SQL_SUBSTRING_INDEX_DELTA,
+    "q_cdc_dedup_apply": SQL_CDC_DEDUP_APPLY,
     "q_pagerank": SQL_PAGERANK,
     "q_triangle_count": SQL_TRIANGLE_COUNT,
     "q_window_ranks": SQL_WINDOW_RANKS,

@@ -2067,6 +2067,64 @@ def test_hamming_index_delta_equals_full_rebuild(spark):
     assert _folded.count() == 6
 
 
+def test_cdc_dedup_insertion_robustness(spark):
+    """The CDC payoff, pinned: a duplicated token run dedups even when
+    an insertion SHIFTS its offset in the copy — the exact case the
+    aligned fixed-window apply (substring_dedup_apply) documented as
+    its trade. Boundaries are a local property of content, so the
+    shared run produces identical chunks in both docs regardless of
+    what precedes it."""
+    import hashlib
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.lsh import (
+        MERSENNE_P,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        cdc_dedup_apply,
+        substring_dedup_apply,
+    )
+
+    m = 4
+
+    def h31(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MERSENNE_P
+
+    # build a long shared run containing >= 2 interior CDC boundaries
+    # (so at least one full chunk is common), from a deterministic pool
+    pool = [f"w{i}" for i in range(200)]
+    run, boundaries = [], 0
+    for t in pool:
+        run.append(t)
+        if h31(t) % m == 0:
+            boundaries += 1
+        if boundaries >= 3 and len(run) >= 12:
+            break
+    assert boundaries >= 3
+    shared = " ".join(run)
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " t1a t1b"),
+            # the copy is OFFSET by a 3-token insertion: aligned windows
+            # all shift, CDC chunks downstream of the edit do not
+            (2, "ins1 ins2 ins3 " + shared + " t2a"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_dedup_apply(docs, m=m).collect()}
+    assert out[2]["n_removed"] >= 1, "shifted duplicate run must dedup"
+    # the doc-1 canonical copy survives intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["kept_text"] == shared + " t1a t1b"
+
+    # honest contrast: the aligned 16-char tiling misses the shifted
+    # copy entirely (15-char offset != window multiple)
+    aligned = {
+        r["doc_id"]: r
+        for r in substring_dedup_apply(docs, window=16).collect()
+    }
+    assert aligned[2]["n_removed"] == 0
+
+
 def test_video_neardup_chain(spark):
     """Video near-dup completes the multimodal family: a lightly
     perturbed copy of a structured payload pairs with its original

@@ -684,3 +684,63 @@ def test_kn_scores_match_python_reference(train_words, score_docs):
             )
         expected[doc_id] = (n, bo, oov, sppm, sbits)
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="pqr", min_size=1, max_size=2),
+                 min_size=0, max_size=25),
+        min_size=1, max_size=5,
+    )
+)
+def test_cdc_dedup_matches_naive_reference(doc_tokens):
+    """cdc_dedup_apply == a pure-Python implementation of its spec
+    (boundary after every token with hash31 % m == 0, boundary token
+    ends its chunk, canonical smallest (id, chunk_id) survives,
+    space-joined order-preserving rebuild) on arbitrary token lists —
+    including empty docs and heavy duplication."""
+    import hashlib
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.lsh import (
+        MERSENNE_P,
+    )
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        cdc_dedup_apply,
+    )
+
+    m = 4
+    spark = _get_spark()
+    rows = [(i + 1, " ".join(ts)) for i, ts in enumerate(doc_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_chunks"], r["n_removed"])
+        for r in cdc_dedup_apply(docs, m=m).collect()
+    }
+
+    def h31(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MERSENNE_P
+
+    chunks: dict[int, list[str]] = {}
+    for i, ts in [(i + 1, ts) for i, ts in enumerate(doc_tokens)]:
+        out, cur = [], []
+        for t in ts:
+            if not t:
+                continue
+            cur.append(t)
+            if h31(t) % m == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        chunks[i] = out
+    owner: dict[str, tuple[int, int]] = {}
+    for i, cs in chunks.items():
+        for j, c in enumerate(cs):
+            if c not in owner or (i, j) < owner[c]:
+                owner[c] = (i, j)
+    expected = {}
+    for i, cs in chunks.items():
+        kept = [c for j, c in enumerate(cs) if owner[c] == (i, j)]
+        expected[i] = (" ".join(kept), len(cs), len(cs) - len(kept))
+    assert got == expected
