@@ -1677,6 +1677,84 @@ def bpe_train_local(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus to TOKEN IDS with a trained merge list — the
+    artifact consumer a training pipeline actually feeds (bpe_segment
+    stops at counts): (id, seq_pos, token_id), one row per BPE symbol
+    in document order.
+
+    Vocabulary ids are the standard tokenizer-file convention (GPT-2
+    style: base alphabet first, then merges in training order):
+    distinct corpus characters sorted lexicographically take ids
+    0..C-1, merge outputs take C+step-1. Characters are length-1 and
+    merge outputs length>=2, so the ranges never collide; duplicate
+    merge OUTPUTS (two paths to one symbol — see _bpe_accept_prefix)
+    keep the earliest id.
+
+    Scale shape: the folds apply on the DISTINCT-WORD vocabulary
+    (bpe_segment's production shape); the char-id frame is an
+    alphabet-sized single-partition window (the zorder-boundary
+    class); symbol->id is an equi-join against the bounded vocab frame
+    (AQE broadcasts it); the per-doc sequence index is one doc-keyed
+    row_number window."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "w")
+    ).filter(F.col("w") != "")
+    vocab_words = words.select("w").distinct()
+    arr = F.split(F.trim(F.regexp_replace("w", "(.)", "$1 ")), " ")
+    chars = vocab_words.select(F.explode(arr).alias("sym")).distinct()
+    w_char = Window.orderBy("sym")
+    char_ids = chars.select(
+        "sym", (F.row_number().over(w_char) - F.lit(1)).cast("bigint").alias(
+            "token_id"
+        )
+    )
+    n_chars = char_ids.agg(F.count(F.lit(1)).alias("_c"))
+    merge_rows = spark.createDataFrame(
+        [(m, i) for i, (_a, _b, m) in enumerate(merges)],
+        "sym string, _step int",
+    )
+    merge_ids = (
+        merge_rows.groupBy("sym")
+        .agg(F.min("_step").alias("_step"))  # earliest id on output dup
+        .crossJoin(F.broadcast(n_chars))
+        .select(
+            "sym", (F.col("_c") + F.col("_step")).cast("bigint").alias(
+                "token_id"
+            )
+        )
+    )
+    vocab = char_ids.unionByName(merge_ids)
+    folded = arr
+    for a, b, merged in merges:
+        folded = _bpe_apply_merge(folded, a, b, merged)
+    seg = vocab_words.select("w", folded.alias("_syms"))
+    symrows = words.join(seg, "w").select(
+        F.col(id_col),
+        "wpos",
+        F.posexplode("_syms").alias("spos", "sym"),
+    )
+    w_seq = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    return (
+        symrows.join(vocab, "sym")
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w_seq) - F.lit(1)).cast("bigint").alias(
+                "seq_pos"
+            ),
+            "token_id",
+        )
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str, str]],

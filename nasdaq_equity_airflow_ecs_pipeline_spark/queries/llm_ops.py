@@ -1864,6 +1864,89 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_segment(d, merges)
 
 
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode the corpus to TOKEN IDS with the trained merges
+    (operators/text.py:bpe_encode) — the artifact consumer a training
+    pipeline feeds: one row per BPE symbol in document order, ids in
+    the tokenizer-file convention (sorted base alphabet, then merges
+    in training order). The oracle re-derives the training chain,
+    re-applies the keyed folds, assigns the same ids, and emits the
+    same (doc, seq_pos, token_id) rows."""
+    d = _docs(spark, sf)
+    trained = text_ops.bpe_train(d, n_merges=BPE_MERGES)
+    merges = [
+        (r["pair"].split(" ", 1)[0], r["pair"].split(" ", 1)[1], r["merged"])
+        for r in trained.orderBy("step").collect()
+    ]
+    return text_ops.bpe_encode(d, merges)
+
+
+def _sql_bpe_encode() -> str:
+    parts = [_sql_bpe_ctes()]
+    parts.append(""",
+v0 AS (
+  SELECT w, string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')
+           AS arr
+  FROM wf
+)""")
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+v{i} AS (
+  SELECT w, list_reduce(
+           list_transform(arr, tk -> [tk]),
+           (acc, tk) -> CASE
+             WHEN len(acc) > 0
+                  AND acc[-1] = split_part(t.pair, ' ', 1)
+                  AND tk[1] = split_part(t.pair, ' ', 2)
+             THEN acc[1:len(acc) - 1] || [t.merged]
+             ELSE acc || tk END) AS arr
+  FROM v{i - 1} LEFT JOIN t{i} t ON TRUE
+)""")
+    merge_union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS step, merged FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    parts.append(f""",
+chars AS (
+  SELECT DISTINCT unnest(string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')) AS sym
+  FROM wf
+),
+cid AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+           AS token_id
+  FROM chars
+),
+nch AS (SELECT count(*) AS c FROM cid),
+mid AS (
+  SELECT m.merged AS sym, CAST(nch.c + m.step - 1 AS BIGINT) AS token_id
+  FROM (SELECT merged, min(step) AS step FROM ({merge_union}) GROUP BY 1) m,
+       nch
+),
+voc2 AS (SELECT * FROM cid UNION ALL SELECT * FROM mid),
+dw AS (
+  SELECT doc_id, u.i AS wpos, t[u.i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t))) AS u(i)
+  WHERE t[u.i] != ''
+),
+sy AS (
+  SELECT dw.doc_id, dw.wpos, s.i AS spos, v.arr[s.i] AS sym
+  FROM dw JOIN v{BPE_MERGES} v ON v.w = dw.w,
+       unnest(generate_series(1, len(v.arr))) AS s(i)
+)
+SELECT sy.doc_id,
+       CAST(row_number() OVER (PARTITION BY sy.doc_id
+                               ORDER BY sy.wpos, sy.spos) - 1 AS BIGINT)
+         AS seq_pos,
+       voc2.token_id
+FROM sy JOIN voc2 ON voc2.sym = sy.sym""")
+    return "".join(parts)
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
 def _sql_bpe_tokenize() -> str:
     # re-derive the trained chain, then segment the per-doc words with
     # the same folds; the s{i} vocabulary frames lost the word key, so
@@ -3440,6 +3523,7 @@ QUERIES = {
     "q_bpe_merges_batched": q_bpe_merges_batched,
     "q_bpe_merges_local": q_bpe_merges_local,
     "q_bpe_tokenize": q_bpe_tokenize,
+    "q_bpe_encode": q_bpe_encode,
     "q_phrase_match": q_phrase_match,
     "q_phrase_boost": q_phrase_boost,
     "q_dedup_clusters": q_dedup_clusters,
@@ -3510,6 +3594,7 @@ ORACLES = {
     "q_bpe_merges_batched": SQL_BPE_MERGES,
     "q_bpe_merges_local": SQL_BPE_MERGES,
     "q_bpe_tokenize": SQL_BPE_TOKENIZE,
+    "q_bpe_encode": SQL_BPE_ENCODE,
     "q_phrase_match": SQL_PHRASE_MATCH,
     "q_phrase_boost": _sql_phrase_boost(),
 }

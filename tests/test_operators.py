@@ -3003,6 +3003,33 @@ def test_bpe_local_equals_engine(spark):
         bpe_train_local(deep, n_merges=2, max_vocab=10)
 
 
+def test_bpe_encode_hand_computation(spark):
+    """Token-id encoding semantics pinned by hand: base alphabet ids
+    by sorted chars, merge outputs by training order after them,
+    symbols emitted in document order, folds identical to
+    bpe_segment's."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        bpe_encode,
+    )
+
+    # chars {a, b, c} -> ids a=0, b=1, c=2; merges: ('a','b')->'ab'=3,
+    # ('ab','c')->'abc'=4
+    merges = [("a", "b", "ab"), ("ab", "c", "abc")]
+    docs = spark.createDataFrame(
+        [(1, "abc ba"), (2, "cab abc abc")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq_pos"], r["token_id"])
+        for r in bpe_encode(docs, merges).collect()
+    )
+    # doc 1: 'abc' -> [abc]=4; 'ba' -> b,a = 1,0
+    # doc 2: 'cab' -> c,[ab] = 2,3; 'abc' -> 4; 'abc' -> 4
+    assert rows == [
+        (1, 0, 4), (1, 1, 1), (1, 2, 0),
+        (2, 0, 2), (2, 1, 3), (2, 2, 4), (2, 3, 4),
+    ]
+
+
 def test_bpe_early_exhaustion_parity(spark, tmp_path):
     """When the corpus supports fewer merges than requested, Spark's
     bpe_train breaks early and bpe_segment still tokenizes — and the

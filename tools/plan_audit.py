@@ -168,6 +168,7 @@ BROADCAST_OK = {
         "the query workload not the corpus, + 1-row corpus stats"
     ),
     "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
+    "operators/text.py::bpe_encode": "1-row char-alphabet count (joins ids onto the merge-output vocab rows)",
     "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
     "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
     "queries/llm_ops.py::q_hash_embed_sim": (
