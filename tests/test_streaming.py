@@ -641,3 +641,80 @@ def test_streaming_bm25_index_maintenance(spark, tmp_path):
         tuple(r) for r in bm25_score_terms(tf_full, stats_full, qt).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_streaming_hamming_index_fold(spark, tmp_path):
+    """The incremental-index family IS the streaming maintenance body:
+    a file stream of arriving perceptual hashes folds into a standing
+    parquet hash table via hamming_index_delta inside foreachBatch
+    (AvailableNow + checkpoint = exactly-once batches), and the
+    accumulated pair log equals the batch-mode full rebuild's pairs —
+    each pair reported exactly once, when its younger member arrives."""
+    import json
+    import os
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.multimodal import (
+        hamming_index_delta,
+        image_neardup_pairs,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    standing_path = os.path.join(str(tmp_path), "standing")
+    os.makedirs(src)
+    base = 0x5A5A5A5A5A5A5A5A
+    batches = [
+        [(1, base), (2, base ^ 0b11)],            # near pair inside batch 1
+        [(3, base ^ 0b100), (4, -77)],            # 3 near 1 and 2; 4 far
+        [(5, (base ^ 0b100) ^ 0b1000)],           # 5 near 3 (and 1 at h=2)
+    ]
+    pair_log: list[tuple] = []
+
+    def fold(batch_df, _bid):
+        if not os.path.exists(standing_path):
+            standing = batch_df.sparkSession.createDataFrame(
+                [], "content_id bigint, ahash bigint"
+            )
+        else:
+            standing = batch_df.sparkSession.read.parquet(standing_path)
+        folded, pairs = hamming_index_delta(
+            standing, batch_df, max_hamming=3, n_bands=4
+        )
+        pair_log.extend(
+            (r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()
+        )
+        folded.write.mode("overwrite").parquet(standing_path + ".next")
+        # atomic-enough swap for the test (real sinks use the versioned
+        # catalog's CAS commit)
+        import shutil
+
+        if os.path.exists(standing_path):
+            shutil.rmtree(standing_path)
+        os.rename(standing_path + ".next", standing_path)
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for cid, h in rows:
+                f.write(json.dumps({"content_id": cid, "ahash": h}) + "\n")
+        q = (
+            spark.readStream.schema("content_id bigint, ahash bigint")
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    all_hashes = spark.createDataFrame(
+        [r for b in batches for r in b], "content_id bigint, ahash bigint"
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_neardup_pairs(
+            all_hashes, max_hamming=3, n_bands=4
+        ).collect()
+    )
+    assert sorted(pair_log) == want and want
+    # standing table accumulated every arrival
+    assert spark.read.parquet(standing_path).count() == 5

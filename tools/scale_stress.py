@@ -161,6 +161,7 @@ DEEP = [
     "q_video_neardup",
     "q_ahash_index_delta",
     "q_bpe_merges_local",
+    "q_bpe_encode",
     # zorder layout (r5): lineitem key shifts mask into the 16-bit code
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
