@@ -651,6 +651,41 @@ def ppl_buckets(
     )
 
 
+def ppl_bucket_sample(
+    df: DataFrame,
+    model: KNTrigramLM,
+    rates: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    width: float = 25.0,
+) -> DataFrame:
+    """CCNet selection with per-bucket SAMPLING: compose
+    :func:`ppl_buckets`' tercile assignment with the deterministic
+    hash-threshold sampler (operators/sampling.py) — keep the head
+    fully, sample the middle, keep (or drop) a tail slice. Membership
+    is a pure function of (id, bucket rate): reproducible across
+    partitionings, engines, and reruns — the property a training-mix
+    builder needs and an RNG sample cannot give.
+
+    Returns the input rows that survive, with ``ppl_bucket`` attached.
+    Default rates: head 1.0, middle 0.5, tail 0.0 (CCNet's keep
+    head+middle with the middle thinned)."""
+    from .sampling import stratified_sample
+
+    rates = rates if rates is not None else {
+        "head": 1.0, "middle": 0.5, "tail": 0.0,
+    }
+    buckets = ppl_buckets(
+        df, model, id_col=id_col, text_col=text_col,
+        group_col=group_col, width=width,
+    )
+    tagged = df.join(
+        buckets.select(id_col, "ppl_bucket"), [id_col]
+    )
+    return stratified_sample(tagged, rates, "ppl_bucket", id_col)
+
+
 def lm_filter3(
     df: DataFrame,
     model: TrigramLM,

@@ -1275,7 +1275,10 @@ def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_ccnet_buckets() -> str:
+def _sql_ccnet_assign_ctes() -> str:
+    """The KN-score -> per-lang tercile -> bucket-assignment chain as
+    CTEs ending in ``assigned`` — shared by the buckets oracle and the
+    bucket-sampling oracle."""
     w = repr(CCNET_BUCKET_WIDTH)
     qlist = ", ".join(f"'{q!r}'::DOUBLE" for q in CCNET_QS)
     return (
@@ -1321,13 +1324,53 @@ cuts AS (
          min(CASE WHEN q < 0.5 THEN est_quantile END) AS t_head,
          min(CASE WHEN q >= 0.5 THEN est_quantile END) AS t_middle
   FROM est GROUP BY 1
+),
+assigned AS (
+  SELECT s.doc_id, s.lang, s.avg_bits_x100,
+         CASE WHEN s.avg_bits_x100 <= c.t_head THEN 'head'
+              WHEN s.avg_bits_x100 <= c.t_middle THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM score s JOIN cuts c USING (lang)
 )
-SELECT s.doc_id, s.lang, s.avg_bits_x100,
-       CASE WHEN s.avg_bits_x100 <= c.t_head THEN 'head'
-            WHEN s.avg_bits_x100 <= c.t_middle THEN 'middle'
-            ELSE 'tail' END AS ppl_bucket
-FROM score s JOIN cuts c USING (lang)
 """
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    return _sql_ccnet_assign_ctes() + "SELECT * FROM assigned"
+
+
+# CCNet keep-head / SAMPLE-middle / drop-tail selection rates
+CCNET_SAMPLE_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def q_ccnet_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet selection with per-bucket SAMPLING (operators/lm_score.py:
+    ppl_bucket_sample): keep the head fully, sample the middle at 50%,
+    keep a 10% tail slice (some pipelines keep a hard-example sliver
+    rather than dropping the tail outright). Membership is the
+    deterministic hash-threshold discipline (operators/sampling.py) —
+    a pure function of doc_id, reproducible across partitionings and
+    engines — composed over the tercile assignment."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_kn_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.ppl_bucket_sample(
+        docs.select("doc_id", "text", "lang"),
+        model,
+        rates=CCNET_SAMPLE_RATES,
+        width=CCNET_BUCKET_WIDTH,
+    ).select("doc_id", "lang", "ppl_bucket")
+
+
+def _sql_ccnet_sample() -> str:
+    from ..operators.sampling import sql_stratified_sample
+
+    inner = sql_stratified_sample(
+        "assigned", CCNET_SAMPLE_RATES, "ppl_bucket", "doc_id"
+    )
+    return (
+        _sql_ccnet_assign_ctes()
+        + f"SELECT doc_id, lang, ppl_bucket FROM ({inner})"
     )
 
 
@@ -1348,6 +1391,7 @@ QUERIES = {
     "q_lm_score3": q_lm_score3,
     "q_lm_score_kn": q_lm_score_kn,
     "q_ccnet_buckets": q_ccnet_buckets,
+    "q_ccnet_sample": q_ccnet_sample,
 }
 
 ORACLES = {
@@ -1367,4 +1411,5 @@ ORACLES = {
     "q_lm_score3": SQL_LM_SCORE3,
     "q_lm_score_kn": SQL_LM_SCORE_KN,
     "q_ccnet_buckets": _sql_ccnet_buckets(),
+    "q_ccnet_sample": _sql_ccnet_sample(),
 }

@@ -49,6 +49,8 @@ CARTESIAN_OK = {
     "q_corpus_pipeline_v3": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_corpus_pipeline_v4": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_corpus_pipeline_v5": "broadcast of k centroid rows (semantic-dedup stage, same chain as v4 with the trigram gate); pairs are cluster-equi-joined",
+    "q_corpus_pipeline_v6": "broadcast of k centroid rows (semantic-dedup stage, same chain as v4 with the KN-tercile gate); pairs are cluster-equi-joined",
+    "q_bpe_encode": "broadcast of the 1-row char-alphabet count (merge-output id offset)",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
     "q_kmeans_centroids": "broadcast of k centroid rows per iteration",
