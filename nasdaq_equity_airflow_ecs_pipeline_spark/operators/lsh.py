@@ -242,6 +242,78 @@ def simhash(
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Broder's SECOND resemblance measure (Broder 1997 §2):
+    CONTAINMENT C(A,B) = |S(A) ∩ S(B)| / |S(A)| — asymmetric, so it
+    catches the pairs Jaccard structurally cannot rank high: a short
+    document quoted inside a long one, an aggregation page wrapping an
+    article, a doc that IS a subset of another (Jaccard dilutes by the
+    union; containment of the smaller side is 1.0 regardless of how
+    big the container is). The dedup policy consumer usually drops the
+    CONTAINED side.
+
+    Output per unordered candidate pair: (id_a, id_b, shared, n_a,
+    n_b, containment_a, containment_b), kept when EITHER direction
+    reaches ``threshold``. The containments are single IEEE divides
+    over exact integers (the tfidf cross-engine discipline).
+
+    Scale shape: identical to ngram_jaccard_pairs — distinct shingles
+    explode once, the shingle equi-join is the prefilter (zero-overlap
+    pairs never materialize), ``max_df`` caps stop-shingle fan-out on
+    the JOIN ONLY (per-doc sizes stay exact, so containments are
+    underestimates only for boilerplate-dominated pairs)."""
+    sh = _exploded_shingles(df, id_col, text_col, n, parallelism)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df_count")
+        )
+        sh = sh.join(
+            df_counts.filter(F.col("df_count") <= max_df), "shingle"
+        ).select(F.col(id_col), "shingle")
+    pair_counts = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    a_sizes = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    b_sizes = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # no broadcast hints: sizes are one row per corpus document (see
+    # ngram_jaccard_pairs' note) — AQE decides
+    ca = F.col("shared").cast("double") / F.col("n_a")
+    cb = F.col("shared").cast("double") / F.col("n_b")
+    return (
+        pair_counts.join(a_sizes, "id_a")
+        .join(b_sizes, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(F.greatest(ca, cb) >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

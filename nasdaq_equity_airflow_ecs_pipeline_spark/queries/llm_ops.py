@@ -454,6 +454,38 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Broder containment pairs (operators/lsh.py:containment_pairs) —
+    the ASYMMETRIC resemblance measure: shared/|S(A)| per direction,
+    kept when either direction reaches the threshold. Catches
+    quote/aggregation/subset relationships Jaccard dilutes away."""
+    return lsh.containment_pairs(
+        _docs(spark, sf),
+        threshold=CONTAINMENT_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pc AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(shared AS DOUBLE) / sa.n_sh AS containment_a,
+       CAST(shared AS DOUBLE) / sb.n_sh AS containment_b
+FROM pc JOIN sizes sa ON pc.id_a = sa.doc_id JOIN sizes sb ON pc.id_b = sb.doc_id
+WHERE greatest(CAST(shared AS DOUBLE) / sa.n_sh,
+               CAST(shared AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard pairs
     (operators/prefix_join.py). Deliberately shares the exact-pairs
@@ -3488,6 +3520,7 @@ QUERIES = {
     "q_incremental_lsh": q_incremental_lsh,
     "q_simhash": q_simhash,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_containment_pairs": q_containment_pairs,
     "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "q_jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "q_embedding_topk": q_embedding_topk,
@@ -3558,6 +3591,7 @@ ORACLES = {
     "q_incremental_lsh": SQL_MINHASH_PAIRS,
     "q_simhash": SQL_SIMHASH,
     "q_ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "q_containment_pairs": SQL_CONTAINMENT_PAIRS,
     "q_ngram_jaccard_capped": SQL_NGRAM_JACCARD_CAPPED,
     # same oracle as the exact pairs: prefix filtering must be lossless
     "q_jaccard_prefix_pairs": SQL_NGRAM_JACCARD_PAIRS,

@@ -2067,6 +2067,41 @@ def test_hamming_index_delta_equals_full_rebuild(spark):
     assert _folded.count() == 6
 
 
+def test_containment_asymmetry(spark):
+    """Broder containment catches what Jaccard dilutes: a short doc
+    fully quoted inside a long one has containment 1.0 from the short
+    side while its Jaccard stays low; the long side's containment is
+    proportionally small; unrelated docs never pair."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.lsh import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"f{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                      # the quoted short doc
+            (2, filler + " " + quote),       # the container
+            (3, "totally different words entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # every shingle of doc 1 appears in doc 2 (the join spans the seam
+    # too, but all 3 of doc 1's shingles are verbatim inside doc 2)
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.2
+    # the honest contrast: Jaccard at the same bar finds nothing
+    j = ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert j == []
+
+
 def test_cdc_dedup_insertion_robustness(spark):
     """The CDC payoff, pinned: a duplicated token run dedups even when
     an insertion SHIFTS its offset in the copy — the exact case the
