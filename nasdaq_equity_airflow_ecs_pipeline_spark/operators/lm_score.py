@@ -587,6 +587,205 @@ def lm_filter_kn(
     )
 
 
+class KNFullLM(NamedTuple):
+    """Fully recursive interpolated Kneser-Ney state (Chen & Goodman
+    1999 eq. 18 shape, at order 3): discounts and interpolation at
+    EVERY tier, continuation (type) counts below the top —
+    :class:`KNTrigramLM` discounts only the top tier and add-one
+    smooths the lower one; this is the textbook-complete ladder. Six
+    corpus-sized count frames, all reached by merge-hinted
+    never-broadcast joins."""
+
+    trigrams: DataFrame  # (w1, w2, w3, c123)
+    contexts: DataFrame  # (w1, w2, c12, n1pp)
+    cont_bigrams: DataFrame  # (w2, w3, cont23)
+    cont_contexts: DataFrame  # (w2, cont2, n1pp2) — totals + distinct w3
+    cont_unigrams: DataFrame  # (w3, cu3) = |{(w1,w2) : c123 > 0}|
+    n_tri_types: int  # |distinct trigrams| — the unigram-tier total
+    vocab_size: int
+
+
+def train_kn_full_lm(
+    train_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> KNFullLM:
+    """Fit the fully recursive KN ladder: every frame is a hash-agg of
+    the trigram count frame (training stays one corpus pass); two
+    actions (the 1-row vocabulary and distinct-trigram counts — the
+    k-means-centroid bounded class)."""
+    tg = _trigram_rows(train_df, id_col, text_col)
+    trigrams = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    contexts = trigrams.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1pp")
+    )
+    cont_bigrams = trigrams.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cont23")
+    )
+    cont_contexts = cont_bigrams.groupBy("w2").agg(
+        F.sum("cont23").alias("cont2"),
+        F.count(F.lit(1)).alias("n1pp2"),
+    )
+    cont_unigrams = trigrams.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("cu3")
+    )
+    n_tri_types = int(
+        trigrams.agg(F.count(F.lit(1)).alias("t")).collect()[0]["t"]
+    )
+    vocab = (
+        train_df.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    return KNFullLM(
+        trigrams=trigrams,
+        contexts=contexts,
+        cont_bigrams=cont_bigrams,
+        cont_contexts=cont_contexts,
+        cont_unigrams=cont_unigrams,
+        n_tri_types=n_tri_types,
+        vocab_size=int(vocab),
+    )
+
+
+def score_docs_kn_full(
+    df: DataFrame,
+    model: KNFullLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document likelihood under FULLY recursive interpolated KN
+    (discount D = 3/4 at the trigram AND continuation-bigram tiers,
+    quantized-ppm domain — the model definition, engine-exact):
+
+    - unigram tier (smoothed continuation unigram — normalizes to 1):
+        p1 = floor(1e6 * (cu3 + 1) / (T + V)),  T = distinct trigrams
+    - continuation-bigram tier, discounted + interpolated with p1:
+        p2 = floor(1e6 * max(4*cont23 - 3, 0) / (4*cont2))
+           + floor(3 * n1pp2 * p1 / (4*cont2))     [cont2 = 0 -> p1]
+    - trigram tier, discounted + interpolated with p2:
+        ppm = floor(1e6 * max(4*c123 - 3, 0) / (4*c12))
+            + floor(3 * n1pp * p2 / (4*c12))       [c12 = 0 -> p2]
+
+    Each tier's discount mass (3/4 per observed continuation type)
+    exactly funds the tier below, so every tier sums to <= 1 and the
+    floors only lose mass — the same normalization argument as
+    score_docs_kn, applied recursively. bits and output shape are
+    score_docs_kn's (n_backoff = unseen trigram context; n_oov = zero
+    evidence at every tier)."""
+    v = model.vocab_size
+    t_types = model.n_tri_types
+    tg = _trigram_rows(df, id_col, text_col)
+    scored = (
+        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+        .join(model.contexts.hint("merge"), ["w1", "w2"], "left")
+        .join(model.cont_bigrams.hint("merge"), ["w2", "w3"], "left")
+        .join(model.cont_contexts.hint("merge"), ["w2"], "left")
+        .join(model.cont_unigrams.hint("merge"), ["w3"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            F.coalesce(F.col("n1pp"), F.lit(0)).alias("n1pp"),
+            F.coalesce(F.col("cont23"), F.lit(0)).alias("cont23"),
+            F.coalesce(F.col("cont2"), F.lit(0)).alias("cont2"),
+            F.coalesce(F.col("n1pp2"), F.lit(0)).alias("n1pp2"),
+            F.coalesce(F.col("cu3"), F.lit(0)).alias("cu3"),
+        )
+    )
+    p1 = F.floor(
+        F.lit(1000000.0) * (F.col("cu3") + F.lit(1))
+        / (F.lit(float(t_types)) + F.lit(v))
+    ).cast("bigint")
+    p2_disc = F.floor(
+        F.lit(1000000.0)
+        * F.greatest(F.lit(4) * F.col("cont23") - F.lit(3), F.lit(0))
+        / (F.lit(4.0) * F.col("cont2"))
+    ).cast("bigint")
+    p2_int = F.floor(
+        (F.lit(3) * F.col("n1pp2") * p1).cast("double")
+        / (F.lit(4.0) * F.col("cont2"))
+    ).cast("bigint")
+    p2 = F.when(F.col("cont2") > 0, p2_disc + p2_int).otherwise(p1)
+    t1 = F.floor(
+        F.lit(1000000.0)
+        * F.greatest(F.lit(4) * F.col("c123") - F.lit(3), F.lit(0))
+        / (F.lit(4.0) * F.col("c12"))
+    ).cast("bigint")
+    t2 = F.floor(
+        (F.lit(3) * F.col("n1pp") * p2).cast("double")
+        / (F.lit(4.0) * F.col("c12"))
+    ).cast("bigint")
+    seen = F.col("c12") > 0
+    ppm = F.when(seen, t1 + t2).otherwise(p2)
+    per_tg = scored.select(
+        id_col,
+        (~seen).cast("int").alias("backoff"),
+        (
+            (F.col("c123") == 0)
+            & (F.col("cont23") == 0)
+            & (F.col("cu3") == 0)
+        )
+        .cast("int")
+        .alias("oov"),
+        ppm.alias("ppm"),
+        F.when(
+            ppm > 0,
+            (
+                F.length(
+                    F.bin(F.floor(F.lit(1000000.0) / ppm).cast("bigint"))
+                )
+                - F.lit(1)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(20))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    agg = per_tg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("ppm").alias("sum_prob_ppm"),
+        F.sum("bits").alias("sum_bits"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias(
+                "n_backoff"
+            ),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("sum_prob_ppm", F.lit(0)).cast("bigint").alias(
+                "sum_prob_ppm"
+            ),
+            F.coalesce("sum_bits", F.lit(0)).cast("bigint").alias("sum_bits"),
+        )
+    )
+    n = F.col("n_trigrams")
+    return out.select(
+        id_col,
+        "n_trigrams",
+        "n_backoff",
+        "n_oov",
+        "sum_prob_ppm",
+        "sum_bits",
+        F.when(n > 0, F.floor(F.col("sum_prob_ppm") / n).cast("bigint")).alias(
+            "mean_prob_ppm"
+        ),
+        F.when(
+            n > 0,
+            F.floor(F.lit(100.0) * F.col("sum_bits") / n).cast("bigint"),
+        ).alias("avg_bits_x100"),
+        F.when(n > 0, F.col("sum_bits") / n).alias("avg_logprob_bits"),
+    )
+
+
 def ppl_buckets(
     df: DataFrame,
     model: KNTrigramLM,

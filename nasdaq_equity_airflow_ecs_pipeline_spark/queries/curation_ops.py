@@ -1254,6 +1254,107 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 
 
+def q_lm_score_kn_full(spark: SparkSession, sf: str) -> DataFrame:
+    """FULLY recursive interpolated Kneser-Ney (operators/lm_score.py:
+    score_docs_kn_full — Chen & Goodman 1999's textbook form at order
+    3): discount 3/4 and interpolation at the trigram AND
+    continuation-bigram tiers, smoothed continuation-unigram floor.
+    Each tier's discount mass exactly funds the tier below; all
+    arithmetic stays in the quantized-ppm discipline so the oracle
+    floors the same IEEE doubles."""
+    docs = _docs(spark, sf)
+    model = lm_score.train_kn_full_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score.score_docs_kn_full(docs, model).drop("avg_logprob_bits")
+
+
+SQL_LM_SCORE_KN_FULL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+tg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+  FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+  WHERE len(t) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE lang = 'en' GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n1pp FROM tri GROUP BY 1, 2),
+cbg AS (SELECT w2, w3, count(*) AS cont23 FROM tri GROUP BY 1, 2),
+cctx AS (SELECT w2, sum(cont23) AS cont2, count(*) AS n1pp2 FROM cbg GROUP BY 1),
+cuni AS (SELECT w3, count(*) AS cu3 FROM tri GROUP BY 1),
+tt AS (SELECT count(*) AS t_types FROM tri),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+sc AS (
+  SELECT tg.doc_id,
+         coalesce(tri.c123, 0) AS c123,
+         coalesce(ctx.c12, 0) AS c12,
+         coalesce(ctx.n1pp, 0) AS n1pp,
+         coalesce(cbg.cont23, 0) AS cont23,
+         coalesce(cctx.cont2, 0) AS cont2,
+         coalesce(cctx.n1pp2, 0) AS n1pp2,
+         coalesce(cuni.cu3, 0) AS cu3
+  FROM tg LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN ctx USING (w1, w2)
+          LEFT JOIN cbg USING (w2, w3)
+          LEFT JOIN cctx USING (w2)
+          LEFT JOIN cuni USING (w3)
+),
+p1t AS (
+  SELECT sc.*,
+         CAST(floor((1000000.0 * (cu3 + 1)) / (t_types + v)) AS BIGINT) AS p1
+  FROM sc, tt, voc
+),
+p2t AS (
+  SELECT doc_id, c123, c12, n1pp, cont23, cu3,
+         CASE WHEN cont2 > 0
+              THEN CAST(floor((1000000.0 * greatest(4 * cont23 - 3, 0))
+                              / (4.0 * cont2)) AS BIGINT)
+                 + CAST(floor(((3 * n1pp2 * p1) * 1.0)
+                              / (4.0 * cont2)) AS BIGINT)
+              ELSE p1 END AS p2
+  FROM p1t
+),
+pm AS (
+  SELECT doc_id,
+         CASE WHEN c12 = 0 THEN 1 ELSE 0 END AS backoff,
+         CASE WHEN c123 = 0 AND cont23 = 0 AND cu3 = 0 THEN 1 ELSE 0 END AS oov,
+         CASE WHEN c12 > 0
+              THEN CAST(floor((1000000.0 * greatest(4 * c123 - 3, 0))
+                              / (4.0 * c12)) AS BIGINT)
+                 + CAST(floor(((3 * n1pp * p2) * 1.0)
+                              / (4.0 * c12)) AS BIGINT)
+              ELSE p2 END AS ppm
+  FROM p2t
+),
+per AS (
+  SELECT doc_id, backoff, oov, ppm,
+         CASE WHEN ppm > 0
+              THEN CAST(length(bin(CAST(floor(1000000.0 / ppm) AS BIGINT))) - 1
+                        AS BIGINT)
+              ELSE CAST(20 AS BIGINT) END AS bits
+  FROM pm
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(backoff) AS bo, sum(oov) AS oov,
+         sum(ppm) AS sppm, sum(bits) AS sbits
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(a.bo, 0) AS BIGINT) AS n_backoff,
+       CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(a.sppm, 0) AS BIGINT) AS sum_prob_ppm,
+       CAST(coalesce(a.sbits, 0) AS BIGINT) AS sum_bits,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((a.sppm * 1.0) / a.n) AS BIGINT) END AS mean_prob_ppm,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(floor((100.0 * a.sbits) / a.n) AS BIGINT) END AS avg_bits_x100
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ------------------------- CCNet head/middle/tail perplexity buckets
 CCNET_BUCKET_WIDTH = 25.0
 CCNET_QS = [1.0 / 3.0, 2.0 / 3.0]
@@ -1390,6 +1491,7 @@ QUERIES = {
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
     "q_lm_score_kn": q_lm_score_kn,
+    "q_lm_score_kn_full": q_lm_score_kn_full,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_ccnet_sample": q_ccnet_sample,
 }
@@ -1410,6 +1512,7 @@ ORACLES = {
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
     "q_lm_score_kn": SQL_LM_SCORE_KN,
+    "q_lm_score_kn_full": SQL_LM_SCORE_KN_FULL,
     "q_ccnet_buckets": _sql_ccnet_buckets(),
     "q_ccnet_sample": _sql_ccnet_sample(),
 }

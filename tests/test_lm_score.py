@@ -307,3 +307,48 @@ def test_ppl_buckets_terciles(spark):
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
     # terciles: each cluster of 3 lands in its own bucket
     assert all(len(v) == 3 for v in by_bucket.values())
+
+
+def test_kn_full_hand_computation(spark):
+    """Fully recursive KN through the quantized columns, all three
+    paths hand-verified: seen context (two nested discount+interpolate
+    tiers), unseen context (discounted continuation tier), unseen
+    everywhere (continuation-unigram floor)."""
+    train = _docs(spark, [(1, "a b c a b c a b d")])
+    model = lm_score.train_kn_full_lm(train)
+    assert model.vocab_size == 4 and model.n_tri_types == 4
+    corpus = _docs(
+        spark,
+        [(10, "a b c"), (11, "b a b"), (12, "q q q")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_score.score_docs_kn_full(corpus, model).collect()
+    }
+    # doc 10: p1(c)=floor(1e6*2/8)=250000;
+    #   p2 = floor(1e6*1/8) + floor(3*2*250000/8) = 125000+187500 = 312500
+    #   ppm = floor(1e6*5/12) + floor(3*2*312500/12) = 416666+156250 = 572916
+    assert out[10]["sum_prob_ppm"] == 572916 and out[10]["sum_bits"] == 0
+    assert out[10]["n_backoff"] == 0 and out[10]["n_oov"] == 0
+    # doc 11: ctx (b,a) unseen -> p2 of (a,b): p1(b)=250000,
+    #   p2 = floor(1e6/4) + floor(3*1*250000/4) = 250000+187500 = 437500
+    assert out[11]["sum_prob_ppm"] == 437500 and out[11]["sum_bits"] == 1
+    assert out[11]["n_backoff"] == 1 and out[11]["n_oov"] == 0
+    # doc 12: zero evidence everywhere -> p1 floor = 1e6*1/8 = 125000
+    assert out[12]["sum_prob_ppm"] == 125000 and out[12]["sum_bits"] == 3
+    assert out[12]["n_backoff"] == 1 and out[12]["n_oov"] == 1
+
+
+def test_kn_full_distribution_normalizes(spark):
+    """The recursive interpolation algebra: each tier's discount mass
+    funds the one below, so summing the quantized probability over the
+    vocabulary for a fixed seen context stays <= 1e6 and close to it
+    (floors only lose mass) — at every tier depth."""
+    train = _docs(spark, [(1, "a b c a b c a b d b c d c d a")])
+    model = lm_score.train_kn_full_lm(train)
+    vocab = ["a", "b", "c", "d"]
+    probe = _docs(spark, [(i, f"a b {w}") for i, w in enumerate(vocab)])
+    rows = lm_score.score_docs_kn_full(probe, model).collect()
+    total = sum(r["sum_prob_ppm"] for r in rows)
+    assert total <= 1_000_000
+    assert total >= 1_000_000 - 6 * len(vocab)  # nested floors, < ~6/term
