@@ -154,7 +154,9 @@ DEEP = [
     # (majority-fold hash-agg + banded pairs), driver-side BPE finisher
     # (one corpus pass + capped vocab collect)
     "q_lm_score_kn",
+    "q_lm_score_kn_full",
     "q_ccnet_buckets",
+    "q_ccnet_sample",
     "q_substring_dedup_apply",
     "q_substring_index_delta",
     "q_cdc_dedup_apply",
