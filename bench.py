@@ -188,6 +188,10 @@ def main() -> None:
         "q_video_neardup",
         "q_ahash_index_delta",
         "q_corpus_pipeline_v6",
+        "q_lm_score_kn_full",
+        "q_containment_pairs",
+        "q_ccnet_sample",
+        "q_bpe_encode",
     ):
         fn = queries[name]
         best = float("inf")
