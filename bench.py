@@ -111,6 +111,23 @@ def main() -> None:
     t0 = time.monotonic()
     spark.range(50_000_000).selectExpr("sum(id)").collect()
     jvm_canary = round(time.monotonic() - t0, 3)
+    # I/O canary (VERDICT r9 #4): the CPU canaries cannot adjudicate
+    # scan-bound drift — r9 saw q_scan_project_cast move +49% raw on a
+    # byte-identical plan with 0.0 shuffle while the CPU canary got
+    # FASTER. A fixed full-column parquet scan of lineitem (the largest
+    # table) through the noop sink times the scan+decode path itself;
+    # best-of-2 so the first rep's page-cache fill doesn't pollute it
+    # (the cold rep is reported too — it's the number that matches a
+    # cold bench run).
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    io_cold = io_canary = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        li.write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        if io_cold is None:
+            io_cold = dt
+        io_canary = dt if io_canary is None else min(io_canary, dt)
 
     # two reps: rep 1 is the cold number (JIT compiling, page cache
     # filling), the min is the reproducible warm number. Both totals are
@@ -213,6 +230,14 @@ def main() -> None:
     # not raw seconds. jvm_canary is the denominator because the queries
     # are JVM-bound; py_canary is reported for cross-checking the drift.
     norm = lambda v: round(v / max(jvm_canary, 1e-9), 3)  # noqa: E731
+    # scan-dominated rows (measured ~zero shuffle this run) get an
+    # io-canary normalization too — cross-round drift on these rows is
+    # adjudicated against io_canary_sec, not the CPU canaries
+    io_norm = {
+        k: round(v / max(io_canary, 1e-9), 3)
+        for k, v in timings.items()
+        if shufw.get(k, 1.0) < 1.0
+    }
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -227,12 +252,17 @@ def main() -> None:
         "shufW_mb": shufw,
         "startup_sec": startup,
         "cpu_canary_sec": {"py_md5_64mb": py_canary, "jvm_range_sum_50m": jvm_canary},
+        "io_canary_sec": io_canary,
+        "io_canary_cold_sec": io_cold,
+        "queries_io_normalized": io_norm,
         "reps": "2 (+1 when warm best <1s)",
         "timing": "best-of-2 per query, best-of-3 when sub-second; "
                   "cold_total = first-rep sum; "
                   "startup_sec = session build + first parquet touch; "
                   "*_normalized = wall / jvm_range_sum_50m canary (unitless "
-                  "machine-drift-corrected work, comparable across rounds)",
+                  "machine-drift-corrected work, comparable across rounds); "
+                  "queries_io_normalized = wall / io_canary_sec for rows with "
+                  "measured shufW < 1MB (scan-bound drift adjudication)",
     }
     # Full detail goes to a file; stdout's LAST line is a COMPACT summary
     # the driver's tail-capture window can always hold (VERDICT r4 #2:
@@ -251,6 +281,7 @@ def main() -> None:
         "cold_total": detail["cold_total"],
         "startup_sec": startup,
         "cpu_canary_sec": {"py_md5_64mb": py_canary, "jvm_range_sum_50m": jvm_canary},
+        "io_canary_sec": io_canary,
         "detail": "BENCH_DETAIL.json",
     }))
 

@@ -1318,6 +1318,35 @@ def hash_embed(
     )
 
 
+# GPT-2-convention byte-level pre-tokenization: split the text into
+# pieces that KEEP their leading whitespace (" word"), plus a trailing
+# pure-whitespace piece, so concat(pieces) == text exactly and the
+# tokenizer round-trips losslessly. Both Java regex and RE2 treat the
+# alternation identically (pinned by test_bpe_bytes_roundtrip).
+BYTE_PIECES = r"\s*\S+|\s+$"
+
+
+def byte_pieces(text: Column | str) -> Column:
+    """Whitespace-preserving pre-tokenizer pieces (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BYTE_PIECES), 0)
+
+
+def byte_syms(word: Column | str) -> Column:
+    """A piece as its UTF-8 byte sequence, one 2-hex-digit symbol per
+    byte (array<string>). Hex-pair symbols instead of GPT-2's printable
+    remapping: the engine-portable spelling (Spark hex == DuckDB hex,
+    both uppercase; chr() beyond 255 is engine-specific), losslessly
+    reversible via unhex. Merge outputs concatenate, so every BPE symbol
+    at any depth is the hex of the exact bytes it covers — decode is
+    one unhex of the concatenated symbols."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.split(
+        F.trim(F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", "$1 ")),
+        " ",
+    )
+
+
 def _bpe_apply_merge(arr, a: str, b: str, merged: str):
     """Apply one BPE merge to a token array: textbook greedy
     left-to-right fold — every non-overlapping (a, b) becomes
@@ -1564,6 +1593,7 @@ def bpe_train_local(
     n_merges: int = 5,
     text_col: str = "text",
     max_vocab: int = 2_000_000,
+    unit: str = "char",
 ) -> DataFrame:
     """:func:`bpe_train`'s driver-side merge FINISHER — bit-identical
     merge table, realistic depth (32k merges in seconds, not 25 h of
@@ -1590,14 +1620,30 @@ def bpe_train_local(
     - the merge application is the same greedy left-to-right
       non-overlapping fold as :func:`_bpe_apply_merge`.
 
+    ``unit="byte"`` trains BYTE-LEVEL BPE (the GPT-2 convention): the
+    word table comes from the whitespace-preserving pre-tokenizer
+    (:func:`byte_pieces`) and initial symbols are 2-hex-digit bytes
+    (:func:`byte_syms`) — no OOV is possible (any text is bytes) and
+    unicode splits are deterministic. Tie-break parity holds in byte
+    mode too: hex-pair symbols are fixed-width ASCII, so lexicographic
+    order on symbol strings == numeric order on bytes in both engines.
+
     Pinned by test_bpe_local_equals_engine (both probe corpora) and the
-    q_bpe_merges oracle (q_bpe_merges_local)."""
+    q_bpe_merges oracle (q_bpe_merges_local); byte mode by
+    q_bpe_bytes_merges vs the byte-flavored unrolled oracle."""
     import heapq
     from collections import Counter
 
+    if unit not in ("char", "byte"):
+        raise ValueError(f"unit must be char|byte, got {unit!r}")
     spark = docs.sparkSession
+    word_src = (
+        F.explode(tokens(text_col))
+        if unit == "char"
+        else F.explode(byte_pieces(text_col))
+    )
     words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        docs.select(word_src.alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1609,7 +1655,14 @@ def bpe_train_local(
             f"vocabulary would train different merges — raise the cap "
             f"or use bpe_train_batched"
         )
-    seqs: list[list[str]] = [list(r["w"]) for r in rows]
+
+    def _split(w: str) -> list[str]:
+        if unit == "char":
+            return list(w)
+        h = w.encode("utf-8").hex().upper()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+    seqs: list[list[str]] = [_split(r["w"]) for r in rows]
     freqs: list[int] = [int(r["freq"]) for r in rows]
 
     # pair state: counts, inverted index, lazy-deletion heap. Heap
@@ -1784,4 +1837,113 @@ def bpe_segment(
         words.join(seg, "w")
         .groupBy(id_col)
         .agg(F.sum("_n_tok").cast("bigint").alias("n_bpe_tokens"))
+    )
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level :func:`bpe_encode` (the GPT-2 convention): encode the
+    corpus to token ids over a FIXED 256-byte base alphabet — no OOV is
+    possible, and unlike the char-level path there is no alphabet
+    window at all (the id of a base symbol IS its byte value; merge
+    outputs take 256+step-1, earliest id on duplicate outputs).
+    Pre-tokenization keeps whitespace (:func:`byte_pieces`), so the
+    id stream is losslessly decodable (:func:`bpe_decode_bytes`);
+    ``merges`` must come from a ``unit="byte"`` trainer (hex-pair
+    symbols).
+
+    Scale shape: folds on the distinct-piece vocabulary; corpus-
+    proportional work is one explode + one equi-join + one per-doc
+    row_number window (same as bpe_encode)."""
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col), F.posexplode(byte_pieces(text_col)).alias("wpos", "w")
+    )
+    vocab_words = words.select("w").distinct()
+    folded = byte_syms("w")
+    for a, b, merged in merges:
+        folded = _bpe_apply_merge(folded, a, b, merged)
+    seg = vocab_words.select("w", folded.alias("_syms"))
+    merge_rows = spark.createDataFrame(
+        [(m, i) for i, (_a, _b, m) in enumerate(merges)],
+        "sym string, _step int",
+    )
+    merge_ids = merge_rows.groupBy("sym").agg(
+        (F.lit(256) + F.min("_step")).cast("bigint").alias("token_id")
+    )
+    symrows = words.join(seg, "w").select(
+        F.col(id_col), "wpos", F.posexplode("_syms").alias("spos", "sym")
+    )
+    from pyspark.sql import Window
+
+    w_seq = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    return (
+        symrows.join(F.broadcast(merge_ids), "sym", "left")
+        .select(
+            F.col(id_col),
+            "wpos",
+            "spos",
+            # base alphabet: a 2-hex-digit symbol is its byte value
+            F.coalesce(
+                F.col("token_id"), F.conv("sym", 16, 10).cast("bigint")
+            ).alias("token_id"),
+        )
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w_seq) - F.lit(1)).cast("bigint").alias(
+                "seq_pos"
+            ),
+            "token_id",
+        )
+    )
+
+
+def bpe_decode_bytes(
+    encoded: DataFrame,
+    merges: list[tuple[str, str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Invert :func:`bpe_encode_bytes`: (id, seq_pos, token_id) back to
+    (id, text). Every symbol is the hex of the exact bytes it covers,
+    so decode = map ids to symbols (byte value or merge output),
+    concatenate in sequence order, unhex, UTF-8 decode — exact byte
+    round-trip (decode(encode(x)) == x), pinned by
+    test_bpe_bytes_roundtrip and q_bpe_bytes_roundtrip.
+
+    Scale shape: one bounded broadcast (the vocab is 256 + n_merges
+    rows) + one doc-keyed sort_array aggregation."""
+    spark = encoded.sparkSession
+    base = spark.range(256).select(
+        F.col("id").cast("bigint").alias("token_id"),
+        F.lpad(F.hex("id"), 2, "0").alias("sym"),
+    )
+    merge_rows = spark.createDataFrame(
+        [(m, i) for i, (_a, _b, m) in enumerate(merges)],
+        "sym string, _step int",
+    )
+    mids = merge_rows.groupBy("sym").agg(
+        (F.lit(256) + F.min("_step")).cast("bigint").alias("token_id")
+    )
+    vocab = base.unionByName(mids.select("token_id", "sym"))
+    return (
+        encoded.join(F.broadcast(vocab), "token_id")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seq_pos", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("_hex")
+        )
+        .select(
+            F.col(id_col), F.decode(F.unhex("_hex"), "UTF-8").alias("text")
+        )
     )

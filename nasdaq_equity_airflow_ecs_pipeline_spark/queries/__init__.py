@@ -15,6 +15,7 @@ from . import extended_ops
 from . import tpch_suite
 from . import advanced_ops
 from . import curation_ops
+from . import ml_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -26,6 +27,7 @@ for _m in (
     tpch_suite,
     advanced_ops,
     curation_ops,
+    ml_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
