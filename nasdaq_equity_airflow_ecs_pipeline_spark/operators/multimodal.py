@@ -1090,6 +1090,79 @@ def video_neardup_pairs(
     )
 
 
+def video_shingle_fingerprints(
+    frame_hashes: DataFrame,
+    k: int = 2,
+    w: int = 3,
+    id_col: str = "content_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """ORDER-AWARE video fingerprints: winnowing over the per-frame
+    hash SEQUENCE — the exact MOSS machinery
+    (operators/text.py:winnow_fingerprint) applied to frame hashes as
+    tokens. Closes the majority-vote signature's blind spot
+    (:func:`video_signature` is offset-blind: a trimmed or shifted clip
+    shares frames but can lose the majority vote — pinned by the
+    contrast test): the winnowing guarantee transfers verbatim — any
+    shared CONSECUTIVE frame run of length >= w + k - 1 contributes at
+    least one shared selected fingerprint, wherever it sits in either
+    video.
+
+    Scale shape: one video-keyed hash-agg assembles the ordered hash
+    string (frame counts are sample-bounded — n_frames per video — so
+    per-group state is bounded); the winnowing itself is entirely
+    map-side (winnow_fingerprint's shape). NULL frame hashes
+    (undecodable frames) are dropped before sequencing, same as the
+    majority vote's abstention."""
+    from .text import winnow_fingerprint
+
+    seq = (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(idx_col, hash_col))
+                    ),
+                    lambda s: s[hash_col].cast("string"),
+                ),
+                " ",
+            ).alias("_fseq")
+        )
+    )
+    return winnow_fingerprint(seq, k=k, w=w, id_col=id_col, text_col="_fseq")
+
+
+def video_shingle_pairs(
+    frame_hashes: DataFrame,
+    k: int = 2,
+    w: int = 3,
+    min_shared: int = 1,
+    max_df: int | None = 1000,
+    id_col: str = "content_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "fhash",
+) -> DataFrame:
+    """Shifted/trimmed-clip near-duplicate pairs: videos sharing >=
+    ``min_shared`` winnowed frame-sequence fingerprints
+    (:func:`video_shingle_fingerprints` -> text.winnow_overlap — the
+    fp-keyed equi-join with the stop-fingerprint df cap, never
+    all-pairs). Complements :func:`video_neardup_pairs`: the majority
+    vote catches whole-asset near-dups cheaply; this catches clips at
+    an offset the vote cannot see."""
+    from .text import winnow_overlap
+
+    fps = video_shingle_fingerprints(
+        frame_hashes, k=k, w=w, id_col=id_col, idx_col=idx_col,
+        hash_col=hash_col,
+    )
+    return winnow_overlap(
+        fps, min_shared=min_shared, max_df=max_df, id_col=id_col
+    )
+
+
 def hamming_index_delta(
     standing_hashes: DataFrame,
     delta_hashes: DataFrame,

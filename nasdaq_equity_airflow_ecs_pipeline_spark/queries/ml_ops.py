@@ -376,17 +376,270 @@ FROM documents d LEFT JOIN rec r USING (doc_id)
 """
 
 
+# ============================================ order-aware video near-dup
+# VERDICT r9 #3: the majority-vote signature is offset-blind; winnowing
+# over the frame-hash sequence (MOSS applied to frames) catches
+# shifted/trimmed clips. Synthetic shifted clips: per group gid =
+# doc_id//3, a global frame stream fh(gid, t); member m samples frames
+# t = 4m..4m+11 (12 frames, shift 4) — members share 8- and 4-frame
+# runs, >= w+k-1 = 4, so the winnowing guarantee forces shared
+# fingerprints while the majority votes diverge (contrast pytest).
+VSH_K = 2
+VSH_W = 3
+VSH_FRAMES = 12
+VSH_SHIFT = 4
+VSH_MIN_SHARED = 1
+VSH_MAX_DF = 20
+
+
+def q_video_shingle_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Shifted-clip video near-dup pairs
+    (operators/multimodal.py:video_shingle_pairs): frame-hash sequence
+    -> winnowed k=2-gram fingerprints (w=3, leftmost-min) ->
+    fp-keyed overlap pairs with the stop-fingerprint df cap. Stand-in
+    frame hashes per the q_video_neardup discipline (real frame decode
+    is binary and pytest-pinned)."""
+    from ..operators.multimodal import video_shingle_pairs
+
+    d = _docs(spark, sf)
+    frames = (
+        d.select(
+            F.col("doc_id").alias("content_id"),
+            F.floor(F.col("doc_id") / 3).cast("bigint").alias("_g"),
+            (F.col("doc_id") % 3).cast("bigint").alias("_m"),
+        )
+        .select(
+            "content_id",
+            "_g",
+            "_m",
+            F.explode(F.sequence(F.lit(0), F.lit(VSH_FRAMES - 1))).alias(
+                "frame_idx"
+            ),
+        )
+        .select(
+            "content_id",
+            "frame_idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("_g").cast("string"),
+                                (F.col("_m") * VSH_SHIFT + F.col("frame_idx"))
+                                .cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2147483647
+            ).alias("fhash"),
+        )
+    )
+    return video_shingle_pairs(
+        frames,
+        k=VSH_K,
+        w=VSH_W,
+        min_shared=VSH_MIN_SHARED,
+        max_df=VSH_MAX_DF,
+    )
+
+
+SQL_VIDEO_SHINGLE_NEARDUP = f"""
+WITH fh AS (
+  SELECT doc_id AS content_id, u.i AS fi,
+         ('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR) || ':' ||
+                             CAST((doc_id % 3) * {VSH_SHIFT} + u.i AS VARCHAR)),
+                         1, 15))::BIGINT % 2147483647 AS fhash
+  FROM documents, unnest(generate_series(0, {VSH_FRAMES - 1})) AS u(i)
+),
+seqs AS (
+  SELECT content_id,
+         string_agg(CAST(fhash AS VARCHAR), ' ' ORDER BY fi) AS fseq
+  FROM fh GROUP BY 1
+),
+t AS (SELECT content_id, string_split(fseq, ' ') AS toks FROM seqs),
+g AS (
+  SELECT content_id,
+         list_transform(
+           generate_series(1, len(toks) - {VSH_K - 1}),
+           i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT
+                  % 2147483647
+         ) AS gh
+  FROM t
+  WHERE len(toks) >= {VSH_K + VSH_W - 1}
+),
+sel AS (
+  SELECT content_id,
+         list_distinct(list_transform(
+           generate_series(1, len(gh) - {VSH_W - 1}),
+           i -> CAST(i + list_position(gh[i:i+{VSH_W - 1}],
+                                       list_min(gh[i:i+{VSH_W - 1}])) - 1
+                     AS BIGINT) * 2147483648
+                + list_min(gh[i:i+{VSH_W - 1}])
+         )) AS fps
+  FROM g
+),
+fpd AS (
+  SELECT DISTINCT content_id, CAST(code % 2147483648 AS BIGINT) AS fp_hash
+  FROM (SELECT content_id, unnest(fps) AS code FROM sel)
+),
+keep AS (
+  SELECT fp_hash FROM fpd GROUP BY 1 HAVING count(*) <= {VSH_MAX_DF}
+),
+ff AS (SELECT fpd.content_id, fpd.fp_hash FROM fpd JOIN keep USING (fp_hash))
+SELECT a.content_id AS id_a, b.content_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ff a JOIN ff b ON a.fp_hash = b.fp_hash AND a.content_id < b.content_id
+GROUP BY 1, 2
+HAVING count(*) >= {VSH_MIN_SHARED}
+"""
+
+
+# ============================================== DoReMi mixture reweighting
+DOREMI_ROUNDS = 3
+DOREMI_ETA = (1, 8)
+DOREMI_SMOOTH = (1, 5)
+_DS = 1_000_000  # operators/doremi.py SCALE
+# The synthetic corpus's 20 sources are statistically identical, so
+# honest DoReMi returns uniform weights (measured: excess bits floor to
+# 0 everywhere). To exercise the mechanism the query PLANTS domain
+# heterogeneity in-engine (the WINNOW_BOILER / q_video_neardup fixture
+# convention): "specialist" domains get 8 copies of a domain-unique
+# marker token — cheap under their own model, expensive under the
+# mixture — so their excess loss is positive and the iteration visibly
+# upweights them (asserted in tests/test_doremi.py).
+DOREMI_SPECIALISTS = ("src0", "src1", "src2", "src3", "src4")
+_DOREMI_MARKS = 8
+
+
+def q_doremi_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting
+    (operators/doremi.py): 3 multiplicative-weights rounds where each
+    round recomputes per-domain excess code length (integer floor-log2
+    bits under the CURRENT alpha-weighted mixture unigram model vs the
+    domain's own model), updates weights by the linearized MWU factor,
+    renormalizes, and smooths toward uniform — all in 10^-6 fixed-point
+    integer arithmetic. The oracle unrolls the same 3 rounds."""
+    from ..operators.doremi import doremi_weights
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("source").isin(*DOREMI_SPECIALISTS),
+                F.repeat(
+                    F.concat(F.lit(" m_"), F.col("source")), _DOREMI_MARKS
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return doremi_weights(
+        d,
+        rounds=DOREMI_ROUNDS,
+        eta_num=DOREMI_ETA[0],
+        eta_den=DOREMI_ETA[1],
+        smooth_num=DOREMI_SMOOTH[0],
+        smooth_den=DOREMI_SMOOTH[1],
+    )
+
+
+def _sql_doremi() -> str:
+    en, ed = DOREMI_ETA
+    sn, sd = DOREMI_SMOOTH
+    rounds = []
+    prev = "w0"
+    for i in range(1, DOREMI_ROUNDS + 1):
+        rounds.append(f"""
+mc{i} AS (
+  SELECT d.tok, SUM(w.w * d.cnt) AS mc
+  FROM dtc d JOIN {prev} w USING (domain) GROUP BY 1
+),
+mt{i} AS (
+  SELECT SUM(w.w * n.n_tok) AS mt FROM ntd n JOIN {prev} w USING (domain)
+),
+lm{i} AS (
+  SELECT d.domain,
+         SUM(d.cnt * (length(bin(mt.mt // m.mc)) - 1)) AS l_mix
+  FROM dtc d JOIN mc{i} m USING (tok), mt{i} mt GROUP BY 1
+),
+up{i} AS (
+  SELECT w.domain,
+         CAST((w.w * ({_DS}
+                + (greatest(0, ((l.l_mix - b.l_own) * {_DS}) // n.n_tok)
+                   * {en}) // {ed})) // {_DS} AS BIGINT) AS w
+  FROM {prev} w
+  JOIN lm{i} l USING (domain)
+  JOIN base b USING (domain)
+  JOIN ntd n USING (domain)
+),
+tw{i} AS (SELECT SUM(w) AS tw FROM up{i}),
+w{i} AS MATERIALIZED (
+  SELECT u.domain,
+         CAST((((u.w * {_DS}) // t.tw) * {sd - sn}) // {sd}
+              + ({_DS} * {sn}) // ({sd} * kk.k) AS BIGINT) AS w
+  FROM up{i} u, tw{i} t, kk
+)""")
+        prev = f"w{i}"
+    specialists = ", ".join(f"'{s}'" for s in DOREMI_SPECIALISTS)
+    return f"""
+WITH aug AS (
+  SELECT source,
+         text || CASE WHEN source IN ({specialists})
+                      THEN repeat(' m_' || source, {_DOREMI_MARKS})
+                      ELSE '' END AS text
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT source AS domain,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM aug
+),
+dtc AS MATERIALIZED (
+  SELECT domain, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok != '' GROUP BY 1, 2
+),
+ntd AS MATERIALIZED (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_tok
+  FROM toks WHERE tok != '' GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT d.domain,
+         SUM(d.cnt * (length(bin(n.n_tok // d.cnt)) - 1)) AS l_own
+  FROM dtc d JOIN ntd n USING (domain) GROUP BY 1
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ntd),
+w0 AS MATERIALIZED (
+  SELECT domain, CAST({_DS} // k AS BIGINT) AS w FROM ntd, kk
+),{",".join(rounds)}
+SELECT domain, w FROM w{DOREMI_ROUNDS}
+"""
+
+
+SQL_DOREMI_WEIGHTS = _sql_doremi()
+
+
 QUERIES.update(
     {
+        "q_doremi_weights": q_doremi_weights,
         "q_classifier_train": q_classifier_train,
         "q_filter_eval_trained": q_filter_eval_trained,
         "q_bpe_bytes_merges": q_bpe_bytes_merges,
         "q_bpe_bytes_encode": q_bpe_bytes_encode,
         "q_bpe_bytes_roundtrip": q_bpe_bytes_roundtrip,
+        "q_video_shingle_neardup": q_video_shingle_neardup,
     }
 )
 ORACLES.update(
     {
+        "q_doremi_weights": SQL_DOREMI_WEIGHTS,
+        "q_video_shingle_neardup": SQL_VIDEO_SHINGLE_NEARDUP,
         "q_classifier_train": SQL_CLASSIFIER_TRAIN,
         "q_filter_eval_trained": SQL_FILTER_EVAL_TRAINED,
         "q_bpe_bytes_merges": SQL_BPE_BYTES_MERGES,
