@@ -206,6 +206,92 @@ def line_dedup(
     )
 
 
+def line_freq(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The publishable line-frequency index behind :func:`line_dedup`:
+    (line_key, n_docs_with_line) with line_key = md5(line). Frequencies
+    fold ADDITIVELY across disjoint corpora (doc sets are disjoint, so
+    count_distinct sums), which is what makes the incremental line
+    dedup (:func:`line_dedup_delta`) exact."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line_key", F.md5("line"))
+        .groupBy("line_key")
+        .agg(F.count_distinct("_id").alias("n_docs_with_line"))
+    )
+
+
+def line_dedup_delta(
+    standing_freq: DataFrame,
+    delta_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 2,
+) -> DataFrame:
+    """Incremental :func:`line_dedup` for a DELTA batch against a
+    standing line-frequency index (:func:`line_freq` output): a delta
+    doc's line is boilerplate iff its MERGED document frequency
+    (standing + delta) exceeds ``max_docs`` — exactly the df a full
+    union rebuild would compute for that line, so delta docs' kept_text
+    equals the union rebuild's restricted to delta docs (standing docs'
+    own rewrites are the standing corpus's rebuild decision, out of
+    scope by the incremental-index discipline).
+
+    Scale shape: delta-sized explode + hash-agg for delta frequencies,
+    ONE line_key-keyed join probing the standing index (index-shaped,
+    delta-keyed — the winnow_index_delta class), then line_dedup's own
+    per-doc rebuild bounded by delta line counts. Same output schema as
+    line_dedup."""
+    lines = delta_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5("line"))
+    freq_d = lines.groupBy("line_key").agg(
+        F.count_distinct("_id").alias("_nd_delta")
+    )
+    merged = freq_d.join(
+        standing_freq.withColumnRenamed("n_docs_with_line", "_nd_standing"),
+        "line_key",
+        "left",
+    ).select(
+        "line_key",
+        (
+            F.coalesce(F.col("_nd_standing"), F.lit(0)) + F.col("_nd_delta")
+        ).alias("n_docs_with_line"),
+    )
+    kept = lines.join(merged, "line_key").filter(
+        F.col("n_docs_with_line") <= max_docs
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        delta_df.withColumn(
+            "n_lines", F.size(F.split(F.col(text_col), "\n"))
+        )
+        .join(rebuilt, delta_df[id_col] == rebuilt["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def weighted_resample(
     df: DataFrame,
     weights: DataFrame,

@@ -44,7 +44,7 @@ from ..operators.sampling import stratified_sample
 # the frames its PREVIOUS invocation cached — at most one call's frames
 # stay resident, and the frames a caller is still consuming lazily are
 # only released once it asks for a fresh pipeline.
-_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": [], "v6": []}
+_CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": [], "v6": [], "idx": []}
 
 
 def _persist(frame, slot: str):
@@ -633,6 +633,254 @@ def curate_corpus_v6(
         "budget": budgeted,
         "sharded": sharded,
     }
+
+
+def curate_corpus_index(
+    docs: DataFrame,
+    emb: DataFrame,
+    lm_max_avg_bits_x100: int,
+    neardup_threshold: float = 0.4,
+    cluster_target: int = 250,
+    max_line_docs: int = 2,
+) -> dict[str, object]:
+    """Publish the standing curated corpus's INDEX ARTIFACTS — the
+    state :func:`curate_corpus_delta` folds daily batches into. One
+    v4-chain (bigram, fixed threshold) pass over the standing corpus
+    producing, per stage, exactly the artifact a production pipeline
+    writes to the lake:
+
+    - ``line_freq``      line-frequency index (operators/curation.py)
+    - ``model``          the trained bigram LM count frames — CCNet's
+                         perplexity model is a PUBLISHED STATIC
+                         artifact (Wenzek et al. 2020 train it once on
+                         Wikipedia), not retrained per batch
+    - ``centroids``      the SemDeDup cluster centroids (frozen — the
+                         incremental_semantic_dedup contract)
+    - ``assigned``       every standing LM-survivor vector with its
+                         cluster id (the published dedup index: ALL
+                         survivors, not just dedup winners — lowest-id-
+                         wins needs losers too)
+    - ``sized``          the standing post-SemDeDup survivors with
+                         (pri, n_tokens) — the budget stage's standing
+                         prefix state
+
+    Callers persist these between folds (the q_substring_index_delta
+    stress convention isolates the fold cost from this build)."""
+    from ..operators.curation import line_dedup, line_freq
+    from ..operators.lm_score import lm_filter, train_bigram_lm
+    from ..operators.ordering import shuffle_key
+    from ..operators.similarity import ivf_assign, semantic_dedup
+
+    _release("idx")
+    base = docs.select("doc_id", "text", "lang", "source")
+    lfreq = line_freq(base)
+    ld = line_dedup(base, max_docs=max_line_docs)
+    line_kept = (
+        ld.filter(F.col("n_removed") < F.col("n_lines"))
+        .join(base.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", F.col("kept_text").alias("text"), "lang", "source")
+    )
+    kept = _persist(
+        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
+        "idx",
+    )
+    model = train_bigram_lm(kept.filter(F.col("lang") == "en"))
+    lm_kept = lm_filter(kept, model, lm_max_avg_bits_x100)
+
+    kept_emb = _persist(
+        emb.join(lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        "idx",
+    )
+    n = kept_emb.count()
+    k = max(8, -(-n // cluster_target))
+    centroids = (
+        kept_emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    assigned = kept_emb.join(
+        ivf_assign(kept_emb, centroids).select("vec_id", "centroid_id"),
+        "vec_id",
+    ).select("vec_id", "embedding", "centroid_id")
+    surv = semantic_dedup(kept_emb, centroids, threshold=neardup_threshold)
+    sem = lm_kept.join(
+        surv.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    sized = sem.select(
+        "doc_id",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    return {
+        "line_freq": lfreq,
+        "model": model,
+        "centroids": centroids,
+        "assigned": assigned,
+        "sized": sized,
+    }
+
+
+def curate_corpus_delta(
+    index: dict[str, object],
+    delta_docs: DataFrame,
+    delta_emb: DataFrame,
+    lm_max_avg_bits_x100: int,
+    budget: int = 10_000,
+    neardup_threshold: float = 0.4,
+    max_line_docs: int = 2,
+) -> DataFrame:
+    """Fold a DELTA batch into a standing curated corpus — the
+    incremental twin of the composed v4 CCNet chain, closing the
+    incremental-index family over the COMPOSITION (VERDICT r9 #2):
+    every stage is its own delta operator, chained:
+
+        delta raw -> line_dedup_delta   (merged standing+delta line dfs)
+                  -> classifier filter  (per-doc, delta-local)
+                  -> frozen-LM gate     (score against the published
+                                         standing model)
+                  -> incremental SemDeDup (delta probes the standing
+                                         cluster index; standing rows
+                                         never re-paired)
+                  -> budget fill        (union prefix-sum; delta docs
+                                         admitted where the merged
+                                         cumulative fits)
+
+    Equivalence contract (q_corpus_pipeline_delta pins it): the output
+    == the full v4 rebuild over standing ∪ delta RESTRICTED TO DELTA
+    DOCS, with the standing index artifacts held fixed — the frozen-
+    artifact semantics production actually runs: CCNet's LM is a static
+    published model, SemDeDup's published clustering is immutable, and
+    already-shipped shards are not recalled. What a RETRAINED rebuild
+    would additionally change (LM counts shifting standing scores,
+    centroid sets, tercile thresholds — the v6 gate is distribution-
+    relative and so CANNOT be folded delta-sized: re-thresholding
+    requires rescoring every standing doc under the merged model) is a
+    rebuild decision, not a fold; that boundary is documented here
+    rather than approximated silently.
+
+    Scale shape: stages 1-4 are delta-sized probes of standing indexes
+    (delta-keyed joins — the winnow/bm25/semdedup delta class); the
+    budget stage is one two-pass distributed prefix sum over the
+    standing sized table ∪ delta (index-PASS bounded, no pairing, no
+    retraining — token_budget_select's own shape). Returns the admitted
+    delta docs as (doc_id, n_tokens, cum_tokens)."""
+    _new_index, admitted = curate_corpus_fold(
+        index,
+        delta_docs,
+        delta_emb,
+        lm_max_avg_bits_x100,
+        budget=budget,
+        neardup_threshold=neardup_threshold,
+        max_line_docs=max_line_docs,
+    )
+    return admitted
+
+
+def curate_corpus_fold(
+    index: dict[str, object],
+    delta_docs: DataFrame,
+    delta_emb: DataFrame,
+    lm_max_avg_bits_x100: int,
+    budget: int = 10_000,
+    neardup_threshold: float = 0.4,
+    max_line_docs: int = 2,
+) -> tuple[dict[str, object], DataFrame]:
+    """:func:`curate_corpus_delta` plus the NEXT standing index — the
+    (folded_state, new_output) pair every incremental twin in the repo
+    returns (bm25_index_delta / hamming_index_delta), which makes this
+    the streaming maintenance body directly (foreachBatch: fold, write
+    the new artifacts, emit the admissions — pinned by
+    tests/test_streaming_curation.py). Folds forward:
+
+    - ``line_freq``  += delta line document-frequencies (additive,
+                        full-outer merge on line_key)
+    - ``assigned``   += ALL delta LM-survivor vectors with their frozen-
+                        centroid assignment (losers included — future
+                        lowest-id-wins verdicts need them)
+    - ``sized``      += delta post-SemDeDup survivors
+    - ``model`` / ``centroids`` unchanged: static published artifacts
+                        (retraining is a rebuild decision, see above)."""
+    from ..operators.curation import (
+        line_dedup_delta,
+        line_freq,
+        token_budget_select,
+    )
+    from ..operators.lm_score import lm_filter
+    from ..operators.ordering import shuffle_key
+    from ..operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_assign,
+    )
+
+    base_d = delta_docs.select("doc_id", "text", "lang", "source")
+    ld = line_dedup_delta(
+        index["line_freq"], base_d, max_docs=max_line_docs
+    )
+    line_kept = (
+        ld.filter(F.col("n_removed") < F.col("n_lines"))
+        .join(base_d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", F.col("kept_text").alias("text"), "lang", "source")
+    )
+    kept = line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0)
+    lm_kept = lm_filter(kept, index["model"], lm_max_avg_bits_x100)
+
+    kept_emb = delta_emb.join(
+        lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    surv = incremental_semantic_dedup(
+        index["assigned"],
+        kept_emb,
+        index["centroids"],
+        threshold=neardup_threshold,
+    )
+    sem = lm_kept.join(
+        surv.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    sized_d = sem.select(
+        "doc_id",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        shuffle_key("doc_id").alias("pri"),
+    )
+    union = index["sized"].unionByName(sized_d)
+    admitted = token_budget_select(union, budget, ["pri", "doc_id"]).join(
+        sized_d.select("doc_id"), "doc_id"
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+    # folded artifacts for the next batch
+    freq_d = line_freq(base_d)
+    lf = (
+        index["line_freq"]
+        .withColumnRenamed("n_docs_with_line", "_s")
+        .join(
+            freq_d.withColumnRenamed("n_docs_with_line", "_d"),
+            "line_key",
+            "full_outer",
+        )
+        .select(
+            "line_key",
+            (
+                F.coalesce(F.col("_s"), F.lit(0))
+                + F.coalesce(F.col("_d"), F.lit(0))
+            ).alias("n_docs_with_line"),
+        )
+    )
+    assigned_d = kept_emb.join(
+        ivf_assign(kept_emb, index["centroids"]).select(
+            "vec_id", "centroid_id"
+        ),
+        "vec_id",
+    ).select("vec_id", "embedding", "centroid_id")
+    new_index = {
+        "line_freq": lf,
+        "model": index["model"],
+        "centroids": index["centroids"],
+        "assigned": index["assigned"].unionByName(assigned_d),
+        "sized": union,
+    }
+    return new_index, admitted
 
 
 _STAGE_ORDER_V4 = [

@@ -732,6 +732,251 @@ def q_corpus_pipeline_v6(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages)
 
 
+def q_corpus_pipeline_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental COMPOSED curation (plans/corpus.py
+    curate_corpus_delta — VERDICT r9 #2): the 80% standing corpus
+    publishes its index artifacts (line-frequency index, static bigram
+    LM, SemDeDup centroids + cluster assignments, sized prefix table)
+    and the 20% delta batch folds through every stage's delta twin:
+    merged-df line dedup -> classifier -> frozen-LM gate -> incremental
+    SemDeDup -> union budget fill. The oracle rebuilds the SAME
+    frozen-artifact union chain in one SQL statement and restricts to
+    delta docs — the q_substring_index_delta equivalence pattern
+    applied to the whole composition. Returns the admitted delta docs
+    (doc_id, n_tokens, cum_tokens)."""
+    from ..plans.corpus import curate_corpus_delta, curate_corpus_index
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    standing = d.filter(F.col("doc_id") % 10 < 8)
+    delta = d.filter(F.col("doc_id") % 10 >= 8)
+    index = curate_corpus_index(
+        standing,
+        emb,
+        lm_max_avg_bits_x100=V4_LM_MAX_BITS,
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+    )
+    return curate_corpus_delta(
+        index,
+        delta,
+        emb,
+        lm_max_avg_bits_x100=V4_LM_MAX_BITS,
+        budget=V3_BUDGET,
+        neardup_threshold=V3_NEARDUP,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+    )
+
+
+def _sql_corpus_pipeline_delta() -> str:
+    """The frozen-artifact union rebuild, restricted to delta docs: the
+    standing chain (v4-bigram) over doc_id%10<8 publishes freq/LM/
+    centroid/assignment/sized artifacts; the delta chain consumes them
+    with merged line dfs; one budget window over the union."""
+    from ..operators.lsh import MERSENNE_P
+
+    w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
+         " % 4096) % 2001 - 1000) / 1000.0")
+    d2 = ("list_sum(list_transform(generate_series(1, len({a})), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    score = (
+        "list_sum(list_transform(string_split_regex(trim(text), '\\s+'), "
+        f"tok -> {w})) "
+        "/ CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+    )
+    sql = f"""
+WITH relined AS (
+  SELECT doc_id, lang, source, (doc_id % 10 >= 8) AS is_delta,
+         regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+ls AS (
+  SELECT doc_id, lang, source, is_delta, string_split(text, chr(10)) AS arr
+  FROM relined
+),
+lns AS (
+  SELECT doc_id, is_delta, unnest(arr) AS line,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM ls
+),
+freq_s AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lns
+  WHERE NOT is_delta GROUP BY 1
+),
+freq_d AS (
+  SELECT line, count(DISTINCT doc_id) AS nd FROM lns
+  WHERE is_delta GROUP BY 1
+),
+keptl_s AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lns l JOIN freq_s f USING (line)
+  WHERE NOT l.is_delta AND f.nd <= {LINE_DEDUP_MAX_DOCS}
+),
+reb_s AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
+  FROM keptl_s GROUP BY 1
+),
+clf_s AS (
+  SELECT * FROM (
+    SELECT ls.doc_id, reb_s.kept_text AS text, ls.lang, ls.source
+    FROM ls JOIN reb_s USING (doc_id)
+  ) WHERE {score} >= 0.0
+),
+toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM clf_s
+),
+bg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+),
+per_s AS (
+  SELECT bg.doc_id,
+         CAST(length(bin(CAST(floor(((coalesce(ctx.c1, 0) + v) * 1.0)
+                                    / (coalesce(model.c12, 0) + 1)) AS BIGINT)))
+              - 1 AS BIGINT) AS bits
+  FROM bg LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1), voc
+),
+lmagg_s AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per_s GROUP BY 1),
+lm_s AS (
+  SELECT clf_s.doc_id, clf_s.text FROM clf_s JOIN lmagg_s USING (doc_id)
+  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
+),
+keptl_d AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lns l
+  JOIN freq_d fd USING (line)
+  LEFT JOIN freq_s fs USING (line)
+  WHERE l.is_delta AND (coalesce(fs.nd, 0) + fd.nd) <= {LINE_DEDUP_MAX_DOCS}
+),
+reb_d AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
+  FROM keptl_d GROUP BY 1
+),
+clf_d AS (
+  SELECT * FROM (
+    SELECT ls.doc_id, reb_d.kept_text AS text, ls.lang, ls.source
+    FROM ls JOIN reb_d USING (doc_id) WHERE ls.is_delta
+  ) WHERE {score} >= 0.0
+),
+tokd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM clf_d
+),
+bgd AS (
+  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+  FROM tokd, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+per_d AS (
+  SELECT bgd.doc_id,
+         CAST(length(bin(CAST(floor(((coalesce(ctx.c1, 0) + v) * 1.0)
+                                    / (coalesce(model.c12, 0) + 1)) AS BIGINT)))
+              - 1 AS BIGINT) AS bits
+  FROM bgd LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1), voc
+),
+lmagg_d AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM per_d GROUP BY 1),
+lm_d AS (
+  SELECT clf_d.doc_id, clf_d.text FROM clf_d JOIN lmagg_d USING (doc_id)
+  WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
+),
+e_s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings JOIN lm_s ON embeddings.vec_id = lm_s.doc_id
+),
+kk AS (SELECT greatest(8, CAST(ceil(count(*) / {V3_CLUSTER_TARGET}.0) AS BIGINT)) AS k FROM e_s),
+c AS (
+  SELECT vec_id AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e_s), kk
+  WHERE rn <= kk.k
+),
+assign_s AS (
+  SELECT e_s.vec_id,
+         (min(struct_pack(d2 := {d2.format(a='v', b='cv')},
+                          cid := c.centroid_id))).cid AS centroid_id
+  FROM e_s CROSS JOIN c GROUP BY e_s.vec_id
+),
+dups_s AS (
+  SELECT DISTINCT bb.vec_id
+  FROM e_s a
+  JOIN assign_s aa ON a.vec_id = aa.vec_id
+  JOIN assign_s ab ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+  JOIN e_s bb ON bb.vec_id = ab.vec_id
+  WHERE list_dot_product(a.v, bb.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+        >= {V3_NEARDUP}
+),
+sem_s AS (
+  SELECT lm_s.doc_id, lm_s.text
+  FROM lm_s JOIN assign_s ON lm_s.doc_id = assign_s.vec_id
+  WHERE assign_s.vec_id NOT IN (SELECT vec_id FROM dups_s)
+),
+e_d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings JOIN lm_d ON embeddings.vec_id = lm_d.doc_id
+),
+assign_d AS (
+  SELECT e_d.vec_id,
+         (min(struct_pack(d2 := {d2.format(a='v', b='cv')},
+                          cid := c.centroid_id))).cid AS centroid_id
+  FROM e_d CROSS JOIN c GROUP BY e_d.vec_id
+),
+eall AS (
+  SELECT e_s.vec_id, e_s.v, assign_s.centroid_id
+  FROM e_s JOIN assign_s USING (vec_id)
+  UNION ALL
+  SELECT e_d.vec_id, e_d.v, assign_d.centroid_id
+  FROM e_d JOIN assign_d USING (vec_id)
+),
+dups_d AS (
+  SELECT DISTINCT y.vec_id
+  FROM eall x
+  JOIN (SELECT e_d.vec_id, e_d.v, assign_d.centroid_id
+        FROM e_d JOIN assign_d USING (vec_id)) y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        >= {V3_NEARDUP}
+),
+sem_d AS (
+  SELECT lm_d.doc_id, lm_d.text
+  FROM lm_d JOIN assign_d ON lm_d.doc_id = assign_d.vec_id
+  WHERE assign_d.vec_id NOT IN (SELECT vec_id FROM dups_d)
+),
+sized AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
+           % {MERSENNE_P} AS pri
+  FROM (SELECT doc_id, text FROM sem_s UNION ALL SELECT doc_id, text FROM sem_d)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM cum WHERE cum <= {V3_BUDGET} AND doc_id % 10 >= 8
+"""
+    for cte in ("lns AS (", "clf_s AS (", "clf_d AS (", "toks AS (",
+                "model AS (", "lm_s AS (", "lm_d AS (", "e_s AS (",
+                "e_d AS (", "assign_s AS (", "assign_d AS (", "c AS ("):
+        sql = sql.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
+    return sql
+
+
 def _sql_corpus_pipeline_v4(lm_order: int | str = 2) -> str:
     from ..operators.lsh import MERSENNE_P
 
@@ -1486,6 +1731,7 @@ QUERIES = {
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
     "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
+    "q_corpus_pipeline_delta": q_corpus_pipeline_delta,
     "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
     "q_corpus_pipeline_v6": q_corpus_pipeline_v6,
     "q_lm_score": q_lm_score,
@@ -1507,6 +1753,7 @@ ORACLES = {
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
     "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
+    "q_corpus_pipeline_delta": _sql_corpus_pipeline_delta(),
     "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
     "q_corpus_pipeline_v6": _sql_corpus_pipeline_v4(lm_order="kn"),
     "q_lm_score": SQL_LM_SCORE,
