@@ -1318,6 +1318,136 @@ def hash_embed(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT any-offset duplicate-substring detection (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    suffix-array semantics, arXiv:2107.06499): every maximal token span
+    that is part of a duplicated run of >= ``min_len`` tokens, at ANY
+    offset, in any document — the capability the aligned 64-char tiling
+    and CDC chunking (substring_dedup_* above) approximate at chunk
+    granularity and provably miss at non-boundary offsets (pinned by
+    the contrast test).
+
+    The suffix-array reduction: a run of >= L tokens is shared iff some
+    SLIDING L-gram (stride 1 — not the tiled stride-L grams) is shared,
+    so exact detection is an equi-join on the hashed L-gram — the same
+    linear-rows shape as the BM25 explode, replacing the suffix array's
+    sequential construction with one corpus-keyed shuffle. Gram keys
+    are full md5 hex (the exact-dedup equality class, not a 31-bit
+    sketch). Canonicality: the lexicographically first occurrence
+    (doc_id, pos) of each gram survives; spans are reported for
+    NON-canonical occurrences only, merged to maximal form by
+    gaps-and-islands (consecutive duplicated window starts).
+
+    Output: (doc_id, span_start, span_end, n_windows) with 1-based
+    inclusive token indices, end = last window start + L - 1.
+
+    Scale shape: the gram explode is one map-side transform (token-
+    count rows, ~50 B each); duplication + canonicality is ONE hash-agg
+    keyed by gram; the island merge is a doc-keyed window over the
+    duplicated positions only (dup-proportional, not corpus-
+    proportional). No pairwise joins, no suffix sort."""
+    arr = tokens(text_col)
+    base = docs.select(F.col(id_col), arr.alias("_t")).filter(
+        F.size("_t") >= min_len
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_t"), i + j) for j in range(min_len)]
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - F.lit(min_len - 1)),
+        lambda i: F.struct(i.cast("bigint").alias("pos"),
+                           F.md5(gram(i)).alias("gkey")),
+    )
+    occ = base.select(F.col(id_col), F.explode(gh).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey")
+    )
+    stats = occ.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    noncanon = (
+        occ.join(stats, "gkey")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        noncanon.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .drop("_grp")
+    )
+
+
+def substring_dedup_any_offset_apply(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-first REMOVAL under the any-offset semantics: every
+    token covered by a non-canonical duplicated span
+    (:func:`substring_dup_spans`) is cut; the remainder rejoins in
+    token order — the Lee '22 policy (keep exactly the first
+    occurrence of each duplicated run) at token granularity.
+
+    Scale shape: spans explode to their covered token indices
+    (REMOVED-token-proportional — spans are maximal, so no overlap
+    blowup), one anti-join against the posexploded corpus, one per-doc
+    rebuild agg."""
+    spans = substring_dup_spans(docs, min_len, id_col, text_col)
+    removed = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("tpos"),
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_p0", "tok"),
+    ).select(id_col, (F.col("_p0") + 1).alias("tpos"), "tok")
+    kept = toks.join(removed, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        docs.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 # GPT-2-convention byte-level pre-tokenization: split the text into
 # pieces that KEEP their leading whitespace (" word"), plus a trailing
 # pure-whitespace piece, so concat(pieces) == text exactly and the

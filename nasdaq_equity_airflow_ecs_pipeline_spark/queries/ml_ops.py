@@ -625,8 +625,134 @@ SELECT domain, w FROM w{DOREMI_ROUNDS}
 SQL_DOREMI_WEIGHTS = _sql_doremi()
 
 
+# ================================= exact any-offset substring dedup
+# VERDICT r9 #6 (Lee '22 suffix-array semantics): planted >=min_len
+# token runs shared at DIFFERENT offsets (appended to the tail of one
+# doc, PREPENDED to its partner) — exactly what the aligned tiling /
+# CDC approximations miss and the sliding-gram reduction catches.
+SSO_L = 8
+SSO_RUN = "dupa dupb dupc dupd dupe dupf dupg duph dupi dupj dupk"  # 11 toks
+
+
+def _sso_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    grp = F.floor(F.col("doc_id") / 50).cast("string")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" " + SSO_RUN + " g"), grp),
+        )
+        .when(
+            F.col("doc_id") % 50 == 1,
+            F.concat(F.lit(SSO_RUN + " g"), grp, F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SQL_SSO_SRC = f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN text || ' {SSO_RUN} g' || CAST(doc_id // 50 AS VARCHAR)
+              WHEN doc_id % 50 = 1
+              THEN '{SSO_RUN} g' || CAST(doc_id // 50 AS VARCHAR) || ' ' || text
+              ELSE text END AS text
+  FROM documents
+)"""
+
+_SQL_SSO_CTES = f"""
+t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM {_SQL_SSO_SRC}
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i:u.i+{SSO_L - 1}], ' ')) AS gkey
+  FROM t, unnest(generate_series(1, len(t) - {SSO_L - 1})) AS u(i)
+  WHERE len(t) >= {SSO_L}
+),
+stats AS (
+  SELECT gkey, count(*) AS n,
+         min(struct_pack(d := doc_id, p := pos)) AS fst
+  FROM occ GROUP BY 1
+),
+nc AS (
+  SELECT DISTINCT o.doc_id, o.pos
+  FROM occ o JOIN stats s USING (gkey)
+  WHERE s.n > 1 AND NOT (o.doc_id = s.fst.d AND o.pos = s.fst.p)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM nc
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         CAST(max(pos) + {SSO_L - 1} AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+
+def q_substring_anyoffset_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact any-offset duplicate spans
+    (operators/text.py:substring_dup_spans): sliding min_len-gram
+    equi-join + canonical-first + gaps-and-islands merge — the
+    suffix-array semantics as one corpus-keyed shuffle."""
+    return text_ops.substring_dup_spans(
+        _sso_docs(spark, sf), min_len=SSO_L
+    )
+
+
+SQL_SUBSTRING_ANYOFFSET_SPANS = f"""
+WITH {_SQL_SSO_CTES}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+def q_substring_anyoffset_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-first removal under the any-offset semantics
+    (operators/text.py:substring_dedup_any_offset_apply): tokens
+    covered by non-canonical duplicated spans are cut, remainder
+    rejoined — Lee '22's keep-first-occurrence policy."""
+    return text_ops.substring_dedup_any_offset_apply(
+        _sso_docs(spark, sf), min_len=SSO_L
+    )
+
+
+SQL_SUBSTRING_ANYOFFSET_APPLY = f"""
+WITH {_SQL_SSO_CTES},
+rem AS (
+  SELECT DISTINCT doc_id, u.i AS tpos
+  FROM spans, unnest(generate_series(span_start, span_end)) AS u(i)
+),
+tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, t[u.i] AS tok
+  FROM t, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.tpos = rem.tpos
+  WHERE rem.tpos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(reb.kept_text, '') AS kept_text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN reb USING (doc_id)
+"""
+
+
 QUERIES.update(
     {
+        "q_substring_anyoffset_spans": q_substring_anyoffset_spans,
+        "q_substring_anyoffset_apply": q_substring_anyoffset_apply,
         "q_doremi_weights": q_doremi_weights,
         "q_classifier_train": q_classifier_train,
         "q_filter_eval_trained": q_filter_eval_trained,
@@ -638,6 +764,8 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "q_substring_anyoffset_spans": SQL_SUBSTRING_ANYOFFSET_SPANS,
+        "q_substring_anyoffset_apply": SQL_SUBSTRING_ANYOFFSET_APPLY,
         "q_doremi_weights": SQL_DOREMI_WEIGHTS,
         "q_video_shingle_neardup": SQL_VIDEO_SHINGLE_NEARDUP,
         "q_classifier_train": SQL_CLASSIFIER_TRAIN,
