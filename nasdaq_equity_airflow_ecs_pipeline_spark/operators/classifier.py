@@ -214,14 +214,26 @@ def train_logreg_fixed_point(
             )
         )
         # EAGER lineage cut each round: the weight frame is referenced
-        # TWICE per round (forward pass + update), so a lazy checkpoint
-        # would let the logical plan double every round — 2^steps plan
-        # nodes by round 16, an analysis-time hang measured at minutes.
-        # The frame is <= n_buckets+1 rows; the eager materialization is
-        # one tiny job per round (the bpe_train convention, not the
-        # pagerank eager=False one — pagerank runs 3 rounds, this 16).
-        weights = weights.localCheckpoint(eager=True)
+        # TWICE per round (forward pass + update), so a lazy plan would
+        # double every round — 2^steps plan nodes by round 16, an
+        # analysis-time hang measured at minutes. The frame is
+        # <= n_buckets+1 rows BY CONSTRUCTION (one row per distinct
+        # feature bucket), so this is a bounded-artifact collect (the
+        # k-centroid / codebook class), not a corpus collect. A collect
+        # beats localCheckpoint here: checkpoint RDDs linger pinned in
+        # the JVM until Python GC releases the frame — 16 steps of them
+        # made executor-cache contents nondeterministic (the zorder leak
+        # test caught the ContextCleaner racing a later test's count).
+        weights = _materialize_weights(weights)
+    _release()  # the returned literal frame no longer needs fj pinned
     return weights
+
+
+def _materialize_weights(weights: DataFrame) -> DataFrame:
+    rows = [(r["bucket"], r["w"]) for r in weights.collect()]
+    return weights.sparkSession.createDataFrame(
+        rows, schema="bucket bigint, w bigint"
+    )
 
 
 def trained_score(

@@ -172,9 +172,15 @@ def doremi_weights(
                 ).cast("bigint").alias("w"),
             )
         )
-        # k-row frame, referenced 3x next round: cut lineage eagerly
-        # (the classifier convention — lazy checkpoints double the plan)
-        weights = weights.localCheckpoint(eager=True)
+        # k-row frame (one row per domain), referenced 3x next round:
+        # cut lineage with a bounded-artifact collect (the classifier
+        # convention — a floating localCheckpoint leaves a pinned JVM
+        # RDD per round until Python GC, which made executor-cache
+        # contents nondeterministic across the test session)
+        rows = [(r["domain"], r["w"]) for r in weights.collect()]
+        weights = docs.sparkSession.createDataFrame(
+            rows, schema="domain string, w bigint"
+        )
     dtc.unpersist()
     ntd.unpersist()
     return weights

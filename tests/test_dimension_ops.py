@@ -216,18 +216,26 @@ def test_zorder_does_not_leak_cached_frames(spark, tmp_path):
 
     from .conftest import SF_SMALL
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def cached_ids():
+        # SET of ids, not a count: the JVM ContextCleaner releases
+        # checkpoint RDDs of frames Python has GC'd at arbitrary later
+        # points, so counts can DROP mid-test from unrelated earlier
+        # tests; a leak is strictly a NEW id that survives the call.
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
-    before = n_cached()
+    before = cached_ids()
     li = load_table(spark, SF_SMALL, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
     write_zordered(li, str(tmp_path / "zleak"), "l_partkey", "l_suppkey")
-    assert n_cached() == before, "write_zordered left a cached frame behind"
+    leaked = cached_ids() - before
+    assert not leaked, f"write_zordered left cached frames behind: {leaked}"
 
     q_zorder_layout(spark, SF_SMALL).collect()
-    assert n_cached() == before, "q_zorder_layout cached an unreleasable frame"
+    leaked = cached_ids() - before
+    assert not leaked, f"q_zorder_layout cached an unreleasable frame: {leaked}"
 
 
 def test_zorder_dense_codes_no_per_code_join(spark):
