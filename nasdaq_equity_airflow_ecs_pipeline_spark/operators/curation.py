@@ -562,3 +562,110 @@ def balanced_shards(
         .withColumn(shard_col, shard)
         .drop("_pid", "_off", "_excl")
     )
+
+
+# --------------------------------------------------------- domain filtering
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of an http(s) URL: userinfo and port stripped,
+    path/query/fragment gone. One regex extract — the RefinedWeb-style
+    domain-filter key. (No eTLD+1 collapse: a correct registered-domain
+    cut needs the public-suffix list, which is policy data, not engine
+    logic; ``blocklist_filter`` instead matches the full suffix chain,
+    which subsumes any suffix cut the policy layer chooses.)"""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.lower(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def host_suffixes(host: Column, max_labels: int = 8) -> Column:
+    """All dot-suffixes of a host, deepest first: ``a.b.example.com ->
+    [a.b.example.com, b.example.com, example.com, com]``, capped at the
+    last ``max_labels`` labels (hosts deeper than that keep only their
+    shallowest ``max_labels`` suffixes — blocklist entries are never
+    that deep, and the cap bounds the explode fan-out at scale).
+
+    This is what turns subdomain blocking into an EQUI-join: explode
+    the suffix chain and hash-join it against the blocklist, instead of
+    a non-equi ``endswith`` theta-join (which Spark can only execute as
+    BroadcastNestedLoopJoin — per-row scans of the whole blocklist)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(n - F.lit(max_labels) + 1, F.lit(1))
+    return F.transform(
+        F.sequence(start, n),
+        lambda i: F.array_join(
+            F.slice(labels, i, n - i + F.lit(1)), "."
+        ),
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host corpus profile: doc count and corpus share in basis
+    points (integer-exact: share_bp = 10000*docs div total). The triage
+    table a domain-filter policy is written against. One hash-agg keyed
+    on host + one 1-row total joined back — linear, skew-free."""
+    hosts = df.select(url_host(url_col).alias("host"), F.col(id_col))
+    per = hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("_t"))  # 1 row
+    return per.join(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        F.expr("(10000 * n_docs) div _t").alias("share_bp"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    max_labels: int = 8,
+) -> DataFrame:
+    """Drop every row whose URL host equals OR is a subdomain of any
+    blocklist entry. Returns the surviving rows (original schema).
+
+    Plan shape: project (id, suffix-chain) -> explode (<= ``max_labels``
+    rows per doc, two narrow columns) -> LEFT SEMI equi-join against the
+    blocklist to find doomed ids -> LEFT ANTI join back on the id (a
+    non-null equi key — anti-joining on the full row would both widen
+    the shuffle to every column and silently keep doomed rows that carry
+    a NULL anywhere). The blocklist is a policy file — thousands to low
+    millions of rows — so the semi-join side is broadcast-or-shuffle by
+    AQE's choice; the corpus is never re-partitioned by anything
+    lower-cardinality than doc id."""
+    doomed = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                host_suffixes(url_host(url_col), max_labels)
+            ).alias("_sfx"),
+        )
+        .join(
+            blocklist.select(F.lower(F.col(domain_col)).alias("_sfx")),
+            "_sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
+def url_word_score(
+    col: Column | str, flag_words: list[str]
+) -> Column:
+    """RefinedWeb's soft URL signal: how many flagged fragments appear
+    in the lowercased URL (0..len(flag_words)). A bounded sum of
+    ``contains`` tests — one expression, no join, no UDF; the policy
+    layer thresholds it (e.g. score >= 2 drops, == 1 down-weights)."""
+    u = F.lower(F.col(col) if isinstance(col, str) else col)
+    score = F.lit(0)
+    for w in flag_words:
+        score = score + F.when(u.contains(w.lower()), 1).otherwise(0)
+    return score

@@ -640,16 +640,26 @@ def audio_fingerprint(
     swaps the band energies for spectral ones at this exact seam.
     Channels mix by integer sum. Returns None for undecodable/short
     payloads (honest absence)."""
-    import io
-    import wave
-
-    import numpy as np
-
     if (n_frames - 1) * n_bands != 64:
         raise ValueError(
             f"(n_frames-1)*n_bands must be 64 (a signed-bigint hash); "
             f"got {(n_frames - 1) * n_bands} bits"
         )
+    s = _wav_pcm(payload)
+    if s is None:
+        return None
+    return _pcm_fingerprint(s, n_frames, n_bands)
+
+
+def _wav_pcm(payload: bytes):
+    """Decode a WAV payload to one mono int64 PCM array (channels mixed
+    by integer sum; 8-bit recentred, 32-bit >>16 — see
+    :func:`audio_fingerprint`'s rationale). None if undecodable."""
+    import io
+    import wave
+
+    import numpy as np
+
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
@@ -673,6 +683,13 @@ def audio_fingerprint(
             s = s.reshape(-1, n_channels).sum(axis=1)
     except Exception:
         return None
+    return s
+
+
+def _pcm_fingerprint(s, n_frames: int, n_bands: int) -> int | None:
+    """The 64-bit band-energy-delta hash over one PCM window (module
+    arithmetic contract: all-integer; None for windows shorter than one
+    cell per band)."""
     cells = n_frames * n_bands
     if s.size < cells:
         return None
@@ -721,6 +738,68 @@ def audio_fingerprints(
 
     return df.mapInPandas(
         run, schema=f"{id_col} bigint, afp bigint, decodable boolean"
+    )
+
+
+def audio_window_fingerprints(
+    df: DataFrame,
+    window_samples: int = 4096,
+    hop_samples: int = 1024,
+    n_frames: int = 9,
+    n_bands: int = 8,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-WINDOW audio fingerprint sequence: decode the WAV once,
+    slide a ``window_samples`` window at ``hop_samples`` hop over the
+    mono PCM, and hash each full window with the same 64-bit
+    band-energy-delta construction as :func:`audio_fingerprint`.
+    Rows: (``id_col``, window_idx, whash).
+
+    This is the trimmed/shifted-clip path the whole-clip ``afp`` cannot
+    be: one fingerprint over the entire signal moves when ANY sample
+    moves, but a clip trimmed by a multiple of ``hop_samples`` shares
+    every interior window verbatim, so winnowing the whash SEQUENCE
+    (video_shingle_pairs — the shingler is hash-agnostic, pass
+    idx_col='window_idx', hash_col='whash') catches it exactly like
+    shifted video clips. Honest granularity bound: trims that are NOT a
+    hop multiple realign every window (the aligned-tiling caveat of
+    substring dedup, before its CDC fix); shrink ``hop_samples`` to
+    tighten it at linearly more rows — 1/hop rows per sample, each
+    window hashed independently, still one Arrow batch pass.
+
+    At scale this is mapInPandas over (id, payload) only — no shuffle;
+    the downstream shingle join is the winnow_overlap fp-keyed plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            hashes: list[int | None] = []
+            for cid, p in zip(pdf[id_col], pdf[payload_col]):
+                s = None if p is None else _wav_pcm(bytes(p))
+                if s is None:
+                    continue
+                j = 0
+                while j * hop_samples + window_samples <= s.size:
+                    w = s[j * hop_samples : j * hop_samples + window_samples]
+                    h = _pcm_fingerprint(w, n_frames, n_bands)
+                    if h is not None:
+                        ids.append(cid)
+                        idxs.append(j)
+                        hashes.append(h)
+                    j += 1
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "window_idx": pd.array(idxs, dtype="Int64"),
+                    "whash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} bigint, window_idx bigint, whash bigint",
     )
 
 

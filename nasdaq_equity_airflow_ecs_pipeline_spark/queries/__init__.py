@@ -16,6 +16,7 @@ from . import tpch_suite
 from . import advanced_ops
 from . import curation_ops
 from . import ml_ops
+from . import privacy_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -28,6 +29,7 @@ for _m in (
     advanced_ops,
     curation_ops,
     ml_ops,
+    privacy_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

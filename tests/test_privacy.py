@@ -1,0 +1,141 @@
+"""PII redaction apply + URL/domain filtering front
+(operators/privacy.py, operators/curation.py domain ops)."""
+
+from pyspark.sql import functions as F
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+    blocklist_filter,
+    domain_stats,
+    host_suffixes,
+    url_host,
+    url_word_score,
+)
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators.privacy import pii_redact
+
+
+def test_pii_redact_order_contract(spark):
+    """URLs are consumed FIRST: an email or digit run inside a URL
+    disappears with the URL and never shows up in the later counts;
+    free-standing PII after the URL is still typed and counted."""
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "see https://x.com/a@b.com?z=900000000123 "
+                "mail c@d.example.org tel 123456789 done",
+            ),
+            (2, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    r1 = got[1]
+    assert (r1["n_url"], r1["n_email"], r1["n_longnum"]) == (1, 1, 1)
+    assert r1["redacted"] == "see <URL> mail <EMAIL> tel <NUM> done"
+    r2 = got[2]
+    assert (r2["n_url"], r2["n_email"], r2["n_longnum"]) == (0, 0, 0)
+    assert r2["redacted"] == "no pii here at all"
+
+
+def test_pii_redact_placeholders_are_stable(spark):
+    """A second pass over redacted text is a no-op: placeholders must
+    not themselves match any pattern (the idempotence a multi-pass
+    pipeline silently relies on)."""
+    df = spark.createDataFrame(
+        [(1, "x 9876543210 y a@b.co z https://e.com/q?r=1")],
+        "doc_id bigint, text string",
+    )
+    once = pii_redact(df).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    twice = pii_redact(once).collect()[0]
+    assert (twice["n_url"], twice["n_email"], twice["n_longnum"]) == (0, 0, 0)
+    assert twice["redacted"] == "x <NUM> y <EMAIL> z <URL>"
+
+
+def test_url_host_and_suffixes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://user:pw@Ads.Example.NET:443/banner?id=1"),
+            (2, "http://a.b.c.d.e.f.g.h.i.j.example.com/x"),
+            (3, "not a url"),
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            url_host("url").alias("h"),
+            host_suffixes(url_host("url")).alias("s"),
+        ).collect()
+    }
+    assert rows[1]["h"] == "ads.example.net"
+    assert rows[1]["s"] == [
+        "ads.example.net",
+        "example.net",
+        "net",
+    ]
+    # 12-label host, cap 8: only the shallowest 8 suffixes survive
+    assert len(rows[2]["s"]) == 8
+    assert rows[2]["s"][0] == "e.f.g.h.i.j.example.com"
+    assert rows[2]["s"][-1] == "com"
+    assert rows[3]["h"] == ""
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    """Exact host and any-depth subdomains block; an INFIX occurrence
+    of a blocked domain does not; non-URL rows survive (empty host)."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://Ads.Example.NET/x"),  # exact (case-noise)
+            (2, "https://a.b.ads.example.net/y"),  # deep subdomain
+            (3, "https://ads.example.net.evil.org/z"),  # infix: KEEP
+            (4, "https://news.example.com/ok"),  # clean
+            (5, None),  # no URL at all
+        ],
+        "doc_id bigint, url string",
+    )
+    bl = spark.createDataFrame([("ads.example.net",)], "domain string")
+    kept = sorted(
+        r["doc_id"] for r in blocklist_filter(df, bl).collect()
+    )
+    assert kept == [3, 4, 5]
+
+
+def test_domain_stats_shares(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.example.com/{i}") for i in range(10)],
+        "doc_id bigint, url string",
+    )
+    rows = domain_stats(df).collect()
+    assert sum(r["n_docs"] for r in rows) == 10
+    # integer-truncated shares never exceed 10000 in total
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    by_host = {r["host"]: r["n_docs"] for r in rows}
+    assert by_host == {
+        "h0.example.com": 4,
+        "h1.example.com": 3,
+        "h2.example.com": 3,
+    }
+
+
+def test_url_word_score_counts_fragments(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://ADS.site/banner.gif"),
+            (2, "https://news.example.com/article"),
+            (3, "http://spam.tracker.example.net/p"),
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            url_word_score("url", ["ads", "banner", "spam", "tracker"]).alias(
+                "s"
+            ),
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 2}

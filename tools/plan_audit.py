@@ -74,7 +74,13 @@ CARTESIAN_OK = {
         "broadcast of the query doc's sparse vector (<= dim rows) and its "
         "1-row norm"
     ),
+    "q_corpus_pipeline_delta": (
+        "broadcast of k centroid rows (standing-index ivf_assign on the "
+        "delta batch, the incremental-semdedup stage); pairs are "
+        "cluster-equi-joined delta probes"
+    ),
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
+    "q_domain_stats": "broadcast of the 1-row corpus doc total (share_bp)",
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
     "q_bm25_topk": "broadcast of 1-row corpus stats (n_docs, sum_dl)",
@@ -185,6 +191,22 @@ BROADCAST_OK = {
     "queries/tpch_suite.py::q_tpch_q9_product_profit": "nation=25 rows by TPC-H spec",
     "queries/tpch_suite.py::q_tpch_q11_important_stock": "nation=25 rows + 1-row total",
     "queries/tpch_suite.py::q_tpch_q20_excess_stock": "nation=25 rows by TPC-H spec",
+    "operators/classifier.py::train_logreg_fixed_point": (
+        "weight table <= n_buckets+1 rows by construction + 1-row doc "
+        "count (the per-step forward-pass/update joins)"
+    ),
+    "operators/classifier.py::trained_score": "weight table <= n_buckets+1 rows by construction",
+    "operators/doremi.py::doremi_weights": (
+        "per-domain frames (weights / token totals / reference losses: "
+        "one row per domain, k-bounded) + 1-row mixture total + 1-row "
+        "domain count"
+    ),
+    "operators/curation.py::domain_stats": "1-row corpus doc total",
+    "operators/text.py::bpe_encode_bytes": (
+        "merge-output vocab rows (<= n_merges, the trained artifact) — "
+        "the id-assignment join"
+    ),
+    "operators/text.py::bpe_decode_bytes": "merge-output vocab rows (<= n_merges, the trained artifact)",
 }
 
 
