@@ -538,6 +538,7 @@ def curate_corpus_v6(
     n_shards: int = 8,
     max_line_docs: int = 2,
     bucket_width: float = 25.0,
+    quality_gate=None,
 ) -> dict[str, DataFrame]:
     """The v4 CCNet chain with the selection CCNet ACTUALLY uses
     (Wenzek et al. 2020 §4.4) in place of the fixed perplexity
@@ -576,8 +577,13 @@ def curate_corpus_v6(
         .select("doc_id", F.col("kept_text").alias("text"), "lang", "source"),
         "v6",
     )
+    # quality gate: default = the placeholder-weight expression score;
+    # v7 injects the TRAINED-classifier gate here (same stage, same
+    # survivor frame contract: a subset of line_kept, schema unchanged)
     kept = _persist(
-        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
+        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0)
+        if quality_gate is None
+        else quality_gate(line_kept),
         "v6",
     )
     model = train_kn_trigram_lm(kept.filter(F.col("lang") == "en"))
@@ -633,6 +639,59 @@ def curate_corpus_v6(
         "budget": budgeted,
         "sharded": sharded,
     }
+
+
+def curate_corpus_v7(
+    docs: DataFrame,
+    emb: DataFrame,
+    train_docs: DataFrame | None = None,
+    clf_buckets: int = 512,
+    clf_seed: str = "clf-v1",
+    clf_steps: int = 16,
+    clf_lr_num: int = 4,
+    clf_lr_den: int = 1,
+    clf_cb_neg: int = 10,
+    **v6_kwargs,
+) -> dict[str, DataFrame]:
+    """The v6 CCNet chain gating on the TRAINED quality classifier
+    (VERDICT r9 #1's capstone): train the hashed-feature fixed-point
+    logistic regression in-engine (operators/classifier.py) on
+    ``train_docs`` (the labeler corpus — defaults to the chain input,
+    the fasttext-wikiref setup where the reference corpus that defines
+    'quality' is scored by rules and distilled into token weights),
+    then replace the placeholder-weight expression gate with
+    ``trained_score``'s keep decision. Every other stage is v6's.
+
+    The trained weight table is a local literal frame (bounded-artifact
+    collect, <= clf_buckets+1 rows), so the gate adds one broadcast
+    join + one doc-keyed hash-agg to the chain — the same shape as the
+    placeholder expression at 100 TB, after a training cost of
+    ``clf_steps`` corpus passes paid once per retrain, not per run."""
+    from ..operators import classifier as clf
+
+    td = (train_docs if train_docs is not None else docs).select(
+        "doc_id", "text"
+    )
+    weights = clf.train_logreg_fixed_point(
+        clf.hashed_token_features(
+            td, n_buckets=clf_buckets, seed=clf_seed
+        ),
+        clf.rule_labels(td),
+        steps=clf_steps,
+        lr_num=clf_lr_num,
+        lr_den=clf_lr_den,
+        cb_neg=clf_cb_neg,
+    )
+
+    def gate(line_kept: DataFrame) -> DataFrame:
+        scored = clf.trained_score(
+            line_kept, weights, n_buckets=clf_buckets, seed=clf_seed
+        )
+        return line_kept.join(
+            scored.filter(F.col("kept")).select("doc_id"), "doc_id"
+        )
+
+    return curate_corpus_v6(docs, emb, quality_gate=gate, **v6_kwargs)
 
 
 def curate_corpus_index(

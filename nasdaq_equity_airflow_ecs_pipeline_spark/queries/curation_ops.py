@@ -732,6 +732,43 @@ def q_corpus_pipeline_v6(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages)
 
 
+def q_corpus_pipeline_v7(spark: SparkSession, sf: str) -> DataFrame:
+    """The v6 CCNet chain gating on the TRAINED quality classifier
+    (plans/corpus.py curate_corpus_v7 — VERDICT r9 #1's capstone): the
+    16-round fixed-point logistic regression trains in-engine on the
+    raw corpus (the labeler corpus, exactly q_classifier_train's
+    setup), and its keep decision replaces the placeholder-weight
+    expression at the classifier stage; every other stage is v6's. The
+    oracle splices the unrolled 16-round training CTEs (prefix 'c')
+    into the SAME one-statement chain rebuild and re-featurizes the
+    line-deduped text for the gate, so the learned-weight stage
+    interaction — not just the weights — is value-checked."""
+    from ..plans.corpus import curate_corpus_v4_funnel, curate_corpus_v7
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v7(
+        d,
+        emb,
+        # labeler corpus = RAW text (labels are rule scores on the raw
+        # docs; \s+ tokenization makes raw/relined features identical)
+        train_docs=_docs(spark, sf).select("doc_id", "text"),
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        bucket_width=CCNET_BUCKET_WIDTH,
+    )
+    return curate_corpus_v4_funnel(stages)
+
+
+
 def q_corpus_pipeline_delta(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental COMPOSED curation (plans/corpus.py
     curate_corpus_delta — VERDICT r9 #2): the 80% standing corpus
@@ -977,11 +1014,15 @@ FROM cum WHERE cum <= {V3_BUDGET} AND doc_id % 10 >= 8
     return sql
 
 
-def _sql_corpus_pipeline_v4(lm_order: int | str = 2) -> str:
+def _sql_corpus_pipeline_v4(
+    lm_order: int | str = 2, clf_gate: str = "placeholder"
+) -> str:
     from ..operators.lsh import MERSENNE_P
 
     if lm_order not in (2, 3, "kn"):  # mirror curate_corpus_v4's guard
         raise ValueError(f"lm_order must be 2, 3 or 'kn', got {lm_order!r}")
+    if clf_gate not in ("placeholder", "trained"):
+        raise ValueError(f"clf_gate must be placeholder|trained, got {clf_gate!r}")
 
     w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
          " % 4096) % 2001 - 1000) / 1000.0")
@@ -1161,8 +1202,46 @@ lm AS (
   FROM clf JOIN lmagg USING (doc_id)
   WHERE CAST(floor((100.0 * sbits) / n) AS BIGINT) <= {V4_LM_MAX_BITS}
 )"""
+    # classifier stage: the placeholder-weight expression score, or the
+    # 16-round TRAINED fixed-point weights (v7) — training CTEs spliced
+    # in under a 'c' prefix (trained on RAW documents, the labeler
+    # corpus; tokenization is \s+ so raw vs relined makes no difference
+    # to the features, but the LABELS come from raw text exactly like
+    # q_classifier_train), then the gate re-featurizes the LINE-DEDUPED
+    # text and keeps z >= 0 (trained_score's keep decision).
+    if clf_gate == "trained":
+        from .ml_ops import _SQL_CLF_BUCKET, _sql_clf_prefix, CLF_STEPS
+
+        train_ctes = (
+            _sql_clf_prefix(p="c").strip().removeprefix("WITH ").rstrip()
+        ) + ",\n"
+        clf_block = f"""scored AS (
+  SELECT f.doc_id, COALESCE(sum(w.w), 0) AS z
+  FROM (
+    SELECT DISTINCT doc_id, CAST({_SQL_CLF_BUCKET} AS BIGINT) AS bucket
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM line_kept)
+    UNION ALL
+    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM line_kept
+  ) f LEFT JOIN cw{CLF_STEPS} w USING (bucket)
+  GROUP BY f.doc_id
+),
+clf AS (
+  SELECT line_kept.doc_id, line_kept.text, line_kept.lang, line_kept.source
+  FROM line_kept JOIN scored USING (doc_id) WHERE scored.z >= 0
+)"""
+    else:
+        train_ctes = ""
+        clf_block = f"""scored AS (
+  SELECT doc_id, text, lang, source,
+         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 tok -> {w}))
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS score
+  FROM line_kept
+),
+clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0)"""
     sql = f"""
-WITH relined AS (
+WITH {train_ctes}relined AS (
   SELECT doc_id, lang, source,
          regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
   FROM documents
@@ -1186,14 +1265,7 @@ line_kept AS (
   SELECT ls.doc_id, reb.kept_text AS text, ls.lang, ls.source
   FROM ls JOIN reb USING (doc_id)
 ),
-scored AS (
-  SELECT doc_id, text, lang, source,
-         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-                                 tok -> {w}))
-           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS score
-  FROM line_kept
-),
-clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0),
+{clf_block},
 {lm_block},
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1734,6 +1806,7 @@ QUERIES = {
     "q_corpus_pipeline_delta": q_corpus_pipeline_delta,
     "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
     "q_corpus_pipeline_v6": q_corpus_pipeline_v6,
+    "q_corpus_pipeline_v7": q_corpus_pipeline_v7,
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
     "q_lm_score_kn": q_lm_score_kn,
@@ -1756,6 +1829,7 @@ ORACLES = {
     "q_corpus_pipeline_delta": _sql_corpus_pipeline_delta(),
     "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
     "q_corpus_pipeline_v6": _sql_corpus_pipeline_v4(lm_order="kn"),
+    "q_corpus_pipeline_v7": _sql_corpus_pipeline_v4(lm_order="kn", clf_gate="trained"),
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
     "q_lm_score_kn": SQL_LM_SCORE_KN,

@@ -77,65 +77,68 @@ _SQL_CLF_LABEL = f"""({_SQL_QRULE_CHECKS}
   ) >= 5"""
 
 
-def _sql_clf_prefix() -> str:
+def _sql_clf_prefix(p: str = "") -> str:
     """Shared CTE prefix: binary presence features + labels + the
     unrolled gradient rounds w0..w{CLF_STEPS}. Composable suffix picks
     weights or scores. Mirrors operators/classifier.py term for term:
     clamped rational sigmoid, class-balanced error, truncating integer
-    division (DuckDB // == Spark div, both toward zero)."""
+    division (DuckDB // == Spark div, both toward zero). ``p`` prefixes
+    every generated CTE name so the block can splice into a larger
+    statement (the v7 composed-chain oracle) without colliding with the
+    host query's CTEs."""
     rounds = []
-    prev = "w0"
+    prev = f"{p}w0"
     for i in range(1, CLF_STEPS + 1):
         rounds.append(f"""
-z{i} AS (
+{p}z{i} AS (
   SELECT f.doc_id, min(f.y) AS y, COALESCE(sum(w.w), 0) AS z
-  FROM fj f LEFT JOIN {prev} w USING (bucket) GROUP BY 1
+  FROM {p}fj f LEFT JOIN {prev} w USING (bucket) GROUP BY 1
 ),
-e{i} AS (
+{p}e{i} AS (
   SELECT doc_id,
          (({_S} // 2)
           + (greatest(-{_ZC}, least({_ZC}, z)) * {_S})
             // (2 * ({_S} + abs(greatest(-{_ZC}, least({_ZC}, z)))))
           - y * {_S})
          * (CASE WHEN y = 0 THEN {CLF_CB_NEG} ELSE 1 END) AS err
-  FROM z{i}
+  FROM {p}z{i}
 ),
-g{i} AS (
+{p}g{i} AS (
   SELECT f.bucket, sum(e.err) AS g
-  FROM fj f JOIN e{i} e USING (doc_id) GROUP BY 1
+  FROM {p}fj f JOIN {p}e{i} e USING (doc_id) GROUP BY 1
 ),
-w{i} AS MATERIALIZED (
+{p}w{i} AS MATERIALIZED (
   SELECT w.bucket,
          CAST(w.w - (COALESCE(g.g, 0) * {CLF_LR_NUM})
-                    // ({CLF_LR_DEN} * nd.n) AS BIGINT) AS w
-  FROM {prev} w LEFT JOIN g{i} g USING (bucket), nd
+                    // ({CLF_LR_DEN} * {p}nd.n) AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN {p}g{i} g USING (bucket), {p}nd
 )""")
-        prev = f"w{i}"
+        prev = f"{p}w{i}"
     return f"""
-WITH toks AS MATERIALIZED (
+WITH {p}toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents
 ),
-labels AS MATERIALIZED (
+{p}labels AS MATERIALIZED (
   SELECT doc_id,
          CAST(CASE WHEN {_SQL_CLF_LABEL} THEN 1 ELSE 0 END AS BIGINT) AS y
   FROM documents
 ),
-feats0 AS (
+{p}feats0 AS (
   SELECT DISTINCT doc_id, CAST({_SQL_CLF_BUCKET} AS BIGINT) AS bucket
-  FROM toks
+  FROM {p}toks
 ),
-fj AS MATERIALIZED (
+{p}fj AS MATERIALIZED (
   SELECT f.doc_id, f.bucket, l.y
   FROM (
-    SELECT doc_id, bucket FROM feats0
+    SELECT doc_id, bucket FROM {p}feats0
     UNION ALL
     SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM documents
   ) f
-  JOIN labels l USING (doc_id)
+  JOIN {p}labels l USING (doc_id)
 ),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM fj),
-w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM fj),{",".join(rounds)}
+{p}nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM {p}fj),
+{p}w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM {p}fj),{",".join(rounds)}
 """
 
 
@@ -775,3 +778,75 @@ ORACLES.update(
         "q_bpe_bytes_roundtrip": SQL_BPE_BYTES_ROUNDTRIP,
     }
 )
+
+
+# ============================================== tokenizer evaluation metrics
+def q_tokenizer_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer quality metrics over the byte-level BPE encoder — the
+    numbers a tokenizer ablation reports (fertility = tokens per word,
+    compression = bytes per token, both x100 integer-exact), computed
+    entirely in-engine on the encoder's own id stream: encode
+    (operators/text.py bpe_encode_bytes) -> one doc-keyed count agg ->
+    one narrow join onto per-doc byte/word counts. Docs the
+    pre-tokenizer yields nothing for (empty text) report zero tokens
+    and zero ratios, not NULLs."""
+    d = _docs(spark, sf)
+    enc = text_ops.bpe_encode_bytes(d, _byte_merges(spark, sf))
+    per = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.count_distinct("token_id").alias("_nd"),
+    )
+    base = d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("bigint").alias("n_words"),
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("_nd"), F.lit(0)).cast("bigint").alias(
+            "n_distinct_tokens"
+        ),
+        "n_bytes",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (100 * coalesce(_nt, 0)) div n_words"
+            " ELSE 0 END"
+        ).cast("bigint").alias("fertility_x100"),
+        F.expr(
+            "CASE WHEN coalesce(_nt, 0) > 0 THEN (100 * n_bytes) div _nt"
+            " ELSE 0 END"
+        ).cast("bigint").alias("bytes_per_token_x100"),
+    )
+
+
+SQL_TOKENIZER_EVAL = f"""
+WITH enc AS ({SQL_BPE_BYTES_ENCODE}),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         CAST(count(DISTINCT token_id) AS BIGINT) AS nd
+  FROM enc GROUP BY 1
+),
+base AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT b.doc_id,
+       COALESCE(p.nt, 0) AS n_tokens,
+       COALESCE(p.nd, 0) AS n_distinct_tokens,
+       b.n_bytes, b.n_words,
+       CAST(CASE WHEN b.n_words > 0
+                 THEN (100 * COALESCE(p.nt, 0)) // b.n_words
+                 ELSE 0 END AS BIGINT) AS fertility_x100,
+       CAST(CASE WHEN COALESCE(p.nt, 0) > 0
+                 THEN (100 * b.n_bytes) // p.nt
+                 ELSE 0 END AS BIGINT) AS bytes_per_token_x100
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+QUERIES["q_tokenizer_eval"] = q_tokenizer_eval
+ORACLES["q_tokenizer_eval"] = SQL_TOKENIZER_EVAL
