@@ -931,3 +931,57 @@ def lm_filter(
         )
         .drop("avg_bits_x100")
     )
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_domain_cond: Column,
+    max_delta_bits_x100: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-entropy DIFFERENCE selection (Moore & Lewis 2010,
+    "Intelligent Selection of Language Model Training Data" — the
+    classic contrastive data-selection method CCNet's single-LM gate
+    descends from): score every document under an IN-DOMAIN bigram LM
+    (trained on the ``in_domain_cond`` slice) and a GENERAL bigram LM
+    (trained on the whole corpus), and keep documents whose surprisal
+    difference ``H_in - H_gen`` is small — text the domain model likes
+    MORE than a generic model does, which strips both generic boilerplate
+    (low under both) and out-of-domain text (high under the in-domain
+    model) in one decision the single-threshold gate cannot express.
+
+    Returns (id, n_bigrams, bits_in_x100, bits_gen_x100, delta_x100,
+    kept); docs with < 2 tokens score NULL bits on both sides and NULL
+    kept (no evidence — the caller's policy, not a silent drop).
+    All-integer avg-bits (score_docs' quantization), so delta is exact
+    and the DuckDB oracle replays both pyramids bit-for-bit.
+
+    Scale shape: both trainings and both scorings are the bigram
+    hash-agg + merge-join plans of train_bigram_lm/score_docs (model
+    frames never broadcast); the delta is one id-keyed equi-join of two
+    doc-keyed aggregates. ~2x the single-LM gate's cost, linear."""
+    m_in = train_bigram_lm(
+        docs.filter(in_domain_cond), id_col=id_col, text_col=text_col
+    )
+    m_gen = train_bigram_lm(docs, id_col=id_col, text_col=text_col)
+    s_in = score_docs(docs, m_in, id_col=id_col, text_col=text_col).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("avg_bits_x100").alias("bits_in_x100"),
+    )
+    s_gen = score_docs(docs, m_gen, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("avg_bits_x100").alias("bits_gen_x100")
+    )
+    delta = F.col("bits_in_x100") - F.col("bits_gen_x100")
+    return (
+        s_in.join(s_gen, id_col)
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "bits_in_x100",
+            "bits_gen_x100",
+            delta.alias("delta_x100"),
+            (delta <= max_delta_bits_x100).alias("kept"),
+        )
+    )

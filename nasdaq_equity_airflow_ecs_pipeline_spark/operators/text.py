@@ -1894,6 +1894,12 @@ def bpe_encode(
     vocab_words = words.select("w").distinct()
     arr = F.split(F.trim(F.regexp_replace("w", "(.)", "$1 ")), " ")
     chars = vocab_words.select(F.explode(arr).alias("sym")).distinct()
+    # Unpartitioned Window.orderBy = single-partition sort, but over the
+    # DISTINCT-CHARACTER frame: alphabet-sized (hundreds of rows at any
+    # corpus scale), the same bounded class as the zorder boundary
+    # window. This is the source of the 'WindowExec: No Partition
+    # Defined' warnings in the bench tail — expected and safe here; it
+    # would be a scale bug only on a corpus-sized frame.
     w_char = Window.orderBy("sym")
     char_ids = chars.select(
         "sym", (F.row_number().over(w_char) - F.lit(1)).cast("bigint").alias(

@@ -1792,6 +1792,79 @@ def _sql_ccnet_sample() -> str:
     )
 
 
+
+# ------------------------------------ Moore-Lewis contrastive selection
+ML_MAX_DELTA_X100 = 0
+
+
+def q_moore_lewis(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-entropy difference selection (operators/lm_score.py
+    moore_lewis_scores — Moore & Lewis 2010): per-doc surprisal under
+    the in-domain ('en'-trained) bigram LM MINUS surprisal under the
+    general (all-docs-trained) LM, kept when the delta favors the
+    domain. Both pyramids are the add-one bigram machinery of
+    q_lm_score; the oracle replays them side by side and differences
+    the same quantized integers."""
+    docs = _docs(spark, sf)
+    return lm_score.moore_lewis_scores(
+        docs, F.col("lang") == "en", ML_MAX_DELTA_X100
+    )
+
+
+def _sql_moore_lewis() -> str:
+    def pyramid(p: str, where: str) -> str:
+        return f"""{p}model AS (SELECT w1, w2, count(*) AS c12 FROM bg {where} GROUP BY 1, 2),
+{p}ctx AS (SELECT w1, sum(c12) AS c1 FROM {p}model GROUP BY 1),
+{p}voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks {where})
+),
+{p}per AS (
+  SELECT bg.doc_id,
+         CAST(length(bin(CAST(floor(((coalesce({p}ctx.c1, 0) + v) * 1.0)
+                                    / (coalesce({p}model.c12, 0) + 1)) AS BIGINT)))
+              - 1 AS BIGINT) AS bits
+  FROM bg LEFT JOIN {p}model USING (w1, w2)
+          LEFT JOIN {p}ctx USING (w1), {p}voc
+),
+{p}agg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sbits FROM {p}per GROUP BY 1)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+  WHERE len(t) >= 2
+),
+{pyramid('i', "WHERE lang = 'en'")},
+{pyramid('g', '')}
+SELECT d.doc_id,
+       CAST(coalesce(ia.n, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN coalesce(ia.n, 0) > 0
+            THEN CAST(floor((100.0 * ia.sbits) / ia.n) AS BIGINT) END
+         AS bits_in_x100,
+       CASE WHEN coalesce(ga.n, 0) > 0
+            THEN CAST(floor((100.0 * ga.sbits) / ga.n) AS BIGINT) END
+         AS bits_gen_x100,
+       CASE WHEN coalesce(ia.n, 0) > 0
+            THEN CAST(floor((100.0 * ia.sbits) / ia.n) AS BIGINT)
+                 - CAST(floor((100.0 * ga.sbits) / ga.n) AS BIGINT) END
+         AS delta_x100,
+       CASE WHEN coalesce(ia.n, 0) > 0
+            THEN (CAST(floor((100.0 * ia.sbits) / ia.n) AS BIGINT)
+                  - CAST(floor((100.0 * ga.sbits) / ga.n) AS BIGINT))
+                 <= {ML_MAX_DELTA_X100} END AS kept
+FROM documents d
+LEFT JOIN iagg ia USING (doc_id)
+LEFT JOIN gagg ga USING (doc_id)
+"""
+
+
+SQL_MOORE_LEWIS = _sql_moore_lewis()
+
+
 QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
@@ -1813,9 +1886,11 @@ QUERIES = {
     "q_lm_score_kn_full": q_lm_score_kn_full,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_ccnet_sample": q_ccnet_sample,
+    "q_moore_lewis": q_moore_lewis,
 }
 
 ORACLES = {
+    "q_moore_lewis": SQL_MOORE_LEWIS,
     "q_url_dedup": SQL_URL_DEDUP,
     "q_token_budget": _sql_token_budget(),
     "q_balanced_shards": _sql_balanced_shards(),

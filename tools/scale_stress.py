@@ -168,6 +168,28 @@ DEEP = [
     # space, so the code distribution densifies with K — the boundary
     # collect stays <= n_buckets rows at any density by construction
     "q_zorder_layout",
+    # r10: in-engine trainers (per-step = one broadcast join + two
+    # hash-aggs; weights collected bounded-artifact), byte-BPE encode
+    # (vocab-keyed folds + corpus-sized id stream), any-offset substring
+    # spans (stride-1 gram hash-agg), video/audio sequence shingling,
+    # incremental composed curation (frozen-artifact delta fold), the
+    # trained-gate chain, PII redaction (narrow regexp map, no shuffle),
+    # domain filtering (suffix-chain explode -> semi/anti equi-joins),
+    # tokenizer eval (encode plan + one count agg + narrow join)
+    "q_classifier_train",
+    "q_doremi_weights",
+    "q_bpe_bytes_encode",
+    "q_substring_anyoffset_spans",
+    "q_substring_anyoffset_apply",
+    "q_video_shingle_neardup",
+    "q_corpus_pipeline_delta",
+    "q_corpus_pipeline_v6",
+    "q_corpus_pipeline_v7",
+    "q_pii_redact",
+    "q_domain_stats",
+    "q_blocklist_filter",
+    "q_url_word_score",
+    "q_tokenizer_eval",
 ]
 
 
