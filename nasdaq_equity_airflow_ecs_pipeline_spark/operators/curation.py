@@ -365,6 +365,7 @@ def importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR-lite importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling", arXiv:2302.03169):
@@ -385,12 +386,39 @@ def importance_weights(
     Plan: one explode (linear), one bucket aggregation (<= n_buckets
     rows out), one equi-join of tokens to the bounded bucket table
     (auto-broadcast — bounded by construction), one per-doc sum.
+
+    ``ngram=2`` is the paper-faithful feature space (DSIR §3 hashes
+    unigrams AND bigrams into the bucket table): the feature stream
+    becomes every token plus every adjacent ``"tok_i tok_i+1"`` pair —
+    same plan shape, < 2x the exploded rows, and it distinguishes
+    word-ORDER affinity that a bag of unigrams cannot (pinned by the
+    q_importance_bigram fixture where target and non-target share the
+    unigram distribution and differ only in ordering).
     """
-    toks = df.select(
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
         F.col(id_col).alias("_id"),
         target_cond.alias("is_target"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        arr.alias("_arr"),
+    )
+    if ngram == 2:
+        units = F.concat(
+            F.col("_arr"),
+            F.expr(
+                "zip_with(slice(_arr, 1, greatest(size(_arr) - 1, 0)),"
+                " slice(_arr, 2, greatest(size(_arr) - 1, 0)),"
+                " (x, y) -> concat(x, ' ', y))"
+            ),
+        )
+    else:
+        units = F.col("_arr")
+    toks = base.select(
+        "_id", "is_target", F.explode(units).alias("tok")
+    )
     bucket = F.pmod(
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
         F.lit(n_buckets),

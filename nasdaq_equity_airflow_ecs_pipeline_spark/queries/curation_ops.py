@@ -273,6 +273,67 @@ FROM per, tot
 """
 
 
+def q_importance_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Paper-faithful DSIR features (Xie et al. 2023 section 3 hashes
+    unigrams AND bigrams): importance of every document against the
+    English-target distribution with the feature stream = tokens plus
+    adjacent "tok_i tok_i+1" pairs. Same rational log-free form and
+    plan shape as q_importance_weights (< 2x exploded rows); the
+    order-affinity it adds over the bag of unigrams is pinned by the
+    constructed-corpus pytest (tests/test_importance_bigram.py)."""
+    return importance_weights(
+        _docs(spark, sf),
+        F.col("lang") == "en",
+        n_buckets=IMPORTANCE_BUCKETS,
+        ngram=2,
+    )
+
+
+SQL_IMPORTANCE_BIGRAM = f"""
+WITH t0 AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, is_target, tok,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {IMPORTANCE_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS tok
+    FROM t0
+  )
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+         count(*) AS a_cnt
+  FROM tk GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS total_target,
+         count(*) AS total_corpus
+  FROM tk
+),
+per AS (
+  SELECT tk.doc_id,
+         CAST(sum(s.t_cnt + 1) AS BIGINT) AS target_mass,
+         CAST(sum(s.a_cnt + 1) AS BIGINT) AS corpus_mass,
+         count(*) AS n_tokens
+  FROM tk JOIN stats s USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, target_mass, corpus_mass,
+       CAST(target_mass AS DOUBLE) * CAST(tot.total_corpus AS DOUBLE)
+         / (CAST(corpus_mass AS DOUBLE) * CAST(tot.total_target AS DOUBLE))
+         AS importance
+FROM per, tot
+"""
+
+
 # ------------------------------------------------- composed v2 pipeline
 V2_IMPORTANCE_MIN = 1.0
 V2_ALPHA = 0.5
@@ -1873,6 +1934,7 @@ QUERIES = {
     "q_temperature_mixture": q_temperature_mixture,
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
+    "q_importance_bigram": q_importance_bigram,
     "q_corpus_pipeline_v2": q_corpus_pipeline_v2,
     "q_corpus_pipeline_v3": q_corpus_pipeline_v3,
     "q_corpus_pipeline_v4": q_corpus_pipeline_v4,
@@ -1898,6 +1960,7 @@ ORACLES = {
     "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
+    "q_importance_bigram": SQL_IMPORTANCE_BIGRAM,
     "q_corpus_pipeline_v2": _sql_corpus_pipeline_v2(),
     "q_corpus_pipeline_v3": _sql_corpus_pipeline_v3(),
     "q_corpus_pipeline_v4": _sql_corpus_pipeline_v4(),
