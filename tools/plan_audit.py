@@ -50,6 +50,11 @@ CARTESIAN_OK = {
     "q_corpus_pipeline_v4": "broadcast of k centroid rows (semantic-dedup stage); pairs are cluster-equi-joined",
     "q_corpus_pipeline_v5": "broadcast of k centroid rows (semantic-dedup stage, same chain as v4 with the trigram gate); pairs are cluster-equi-joined",
     "q_corpus_pipeline_v6": "broadcast of k centroid rows (semantic-dedup stage, same chain as v4 with the KN-tercile gate); pairs are cluster-equi-joined",
+    "q_corpus_pipeline_v7": (
+        "broadcast of k centroid rows (semantic-dedup stage, v6's chain) "
+        "+ the trainer's 1-row doc count per gradient step; pairs are "
+        "cluster-equi-joined"
+    ),
     "q_bpe_encode": "broadcast of the 1-row char-alphabet count (merge-output id offset)",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
@@ -119,6 +124,7 @@ CARTESIAN_OK = {
     "q_boilerplate_score": "broadcast of 1-row corpus doc count",
     "q_bloom_prune_join": "broadcast of 1-row bloom bitmap map",
     "q_importance_weights": "broadcast of 1-row token-totals frame",
+    "q_importance_bigram": "broadcast of 1-row unit-totals frame (same shape, unigram+bigram units)",
     "q_corpus_pipeline_v2": "broadcast of 1-row token-totals frame (importance stage)",
 }
 
