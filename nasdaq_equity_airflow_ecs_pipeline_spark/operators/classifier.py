@@ -166,7 +166,20 @@ def train_logreg_fixed_point(
     partitioning (module docstring); the DuckDB oracle unrolls the same
     rounds as CTEs."""
     _release()
-    fj = _persist(feats.join(labels, id_col))
+    # Pin the feature frame ALREADY partitioned and sorted on the doc
+    # key: every step's forward pass groups by id and every step's
+    # gradient joins back on id, so a plainly-persisted fj re-shuffles
+    # once per step as soon as the err side outgrows broadcast (x100
+    # probe: 16 steps x ~260 MB = 4.2 GB, 20x shuffle for 10x data).
+    # With the exchange+sort folded INTO the cached plan, the cached
+    # frame advertises hash(id) partitioning and id order, so per-step
+    # joins shuffle only the doc-keyed err frame — per-step shuffle is
+    # then O(docs), not O(feature rows).
+    fj = _persist(
+        feats.join(labels, id_col)
+        .repartition(F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
     n1 = fj.agg(F.count_distinct(F.col(id_col)).alias("n"))  # 1 row
 
     weights = fj.select("bucket").distinct().select(

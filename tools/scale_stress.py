@@ -617,12 +617,27 @@ def main() -> None:
     agg_ceiling_ok = {
         "q_retention_cohorts",
     }
+    # PROBE_LINEAR_OK: broadcast->SMJ transitions that fire BETWEEN the
+    # two-scale points (not at the sf0.1 toy base), each verified linear
+    # with the `--no-broadcast` probe at the same pair of scales (the
+    # forced-SMJ plan is the 100 TB shape at every scale). Applies at
+    # any base_k; the per-entry ratio is the re-check evidence.
+    probe_linear_ok = {
+        # r10 probe x10->x100 --no-broadcast: 75.1 -> 975.2 MB = 13.0x
+        # for 10x data (excess over 10x = the stress fixture's per-copy
+        # token suffixes growing vocab ~10x/decade — Heaps' law says a
+        # real corpus does not; same artifact class as q_lm_score).
+        # With broadcast on, the vocab-keyed encode join flips
+        # broadcast->SMJ between x10 and x100, which reads as 17.3x.
+        "q_tokenizer_eval",
+    }
     bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * growth}
     shuf_bad = {
         n: r for n, r in report.items()
         if r[f"x{k}_shufW_mb"] > 50 and r["shuffle_scale"] > 1.5 * growth
         and not (base_k == 1 and n in plan_transition_ok)
         and n not in agg_ceiling_ok
+        and n not in probe_linear_ok
     }
     exempt = [n for n in plan_transition_ok
               if base_k == 1 and n in report and report[n]["shuffle_scale"] > 1.5 * growth]
@@ -632,6 +647,10 @@ def main() -> None:
                if n in report and report[n]["shuffle_scale"] > 1.5 * growth]
     if ceiling:
         print(f"agg-ceiling exempt (bytes at the linear-in-input ceiling): {sorted(ceiling)}")
+    probed = [n for n in probe_linear_ok
+              if n in report and report[n]["shuffle_scale"] > 1.5 * growth]
+    if probed:
+        print(f"probe-linear exempt (--no-broadcast two-scale verified): {sorted(probed)}")
     if bad or shuf_bad:
         print(f"NONLINEAR wall: {sorted(bad)}  shuffle: {sorted(shuf_bad)}")
         sys.exit(1)
