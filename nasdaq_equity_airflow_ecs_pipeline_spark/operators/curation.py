@@ -697,3 +697,105 @@ def url_word_score(
     for w in flag_words:
         score = score + F.when(u.contains(w.lower()), 1).otherwise(0)
     return score
+
+
+def flagged_word_stats(
+    df: DataFrame,
+    flag_words: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Content-level flagged-word screen — the C4/RefinedWeb wordlist
+    filter applied to DOCUMENT TEXT (``url_word_score`` covers the URL
+    side): per doc, the number of tokens on the policy wordlist and the
+    density in basis points (10000 * hits div n_tokens, integer-exact).
+    The policy layer thresholds (C4 drops any hit; RefinedWeb uses a
+    density cut).
+
+    The wordlist is a DataFrame, not a literal: policy lists run to
+    thousands of entries and change without code edits, so matching is
+    one equi-join of the exploded lowercased token stream against the
+    (auto-broadcast, bounded-by-policy) list — never a per-word
+    expression chain, which would rebuild the plan per revision and
+    blow past codegen limits at real list sizes. Docs with zero tokens
+    report density 0 (no evidence, not NULL-poisoned).
+
+    Scale: one explode (linear), one broadcast semi-shaped join, one
+    doc-keyed hash-agg with map-side partials. No corpus-keyed shuffle
+    beyond the per-doc agg."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_arr(text_col)).alias("_tok"),
+    )
+    wl = flag_words.select(
+        F.lower(F.col(word_col)).alias("_tok")
+    ).distinct()
+    hits = (
+        toks.join(wl, "_tok", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_arr(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("bigint").alias(
+            "n_flagged"
+        ),
+        F.expr(
+            "CASE WHEN n_tokens > 0"
+            " THEN (10000 * coalesce(n_flagged, 0)) div n_tokens"
+            " ELSE 0 END"
+        ).cast("bigint").alias("density_bp"),
+    )
+
+
+def tokens_arr(text_col: str) -> Column:
+    """Lowercased whitespace tokens as an array (empties dropped) —
+    the flagged-word matching unit."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def domain_stats_delta(
+    standing: DataFrame, delta: DataFrame,
+    url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a delta batch into a standing per-host stats table — the
+    incremental-index twin of :func:`domain_stats` (the LSH / SemDeDup
+    / BM25 delta discipline applied to the domain-filter front):
+    aggregate ONLY the delta batch by host, full-outer-merge the counts
+    onto the standing (host, n_docs) frame, and recompute the shares
+    from the merged totals. == ``domain_stats(standing_docs UNION
+    delta_docs)`` exactly (pinned by the q_domain_stats_delta
+    restricted-equality oracle); per-fold cost is delta-sized plus one
+    pass over the standing stats table (host-cardinality, not corpus-
+    cardinality)."""
+    d = (
+        delta.select(url_host(url_col).alias("host"), F.col(id_col))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_dn"))
+    )
+    merged = (
+        standing.select("host", "n_docs")
+        .join(d, "host", "full_outer")
+        .select(
+            "host",
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("bigint").alias("n_docs"),
+        )
+    )
+    tot = merged.agg(F.sum("n_docs").alias("_t"))  # 1 row
+    return merged.join(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        F.expr("(10000 * n_docs) div _t").alias("share_bp"),
+    )

@@ -251,3 +251,93 @@ ORACLES = {
     "q_blocklist_filter": SQL_BLOCKLIST_FILTER,
     "q_url_word_score": SQL_URL_WORD_SCORE,
 }
+
+
+# -------------------------------------------------- content word screen
+# policy list with real fixture hits (slow/batch/scan occur in the word
+# soup) plus a never-hits entry (exercises the unmatched-list path) and
+# a mixed-case entry (matching is lowercased both sides)
+CONTENT_FLAG_WORDS = ("slow", "batch", "Scan", "zzz-never-present")
+
+
+def q_flagged_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-level flagged-word screen (operators/curation.py
+    flagged_word_stats — the C4/RefinedWeb wordlist filter on document
+    TEXT): per-doc policy-word hits + integer density in basis points.
+    The wordlist is a joined frame (policy data, not code), so the plan
+    is one explode + one bounded semi-join + one doc-keyed agg."""
+    d = _docs(spark, sf)
+    wl = spark.createDataFrame(
+        [(w,) for w in CONTENT_FLAG_WORDS], "word string"
+    )
+    from ..operators.curation import flagged_word_stats
+
+    return flagged_word_stats(d, wl)
+
+
+SQL_FLAGGED_WORDS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+wl AS (
+  SELECT DISTINCT lower(word) AS w
+  FROM (VALUES {', '.join(f"('{w}')" for w in CONTENT_FLAG_WORDS)}) v(word)
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN (SELECT w FROM wl)
+  GROUP BY 1
+)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(hits.n_flagged, 0) AS n_flagged,
+       CAST(CASE WHEN len(toks.t) > 0
+                 THEN (10000 * COALESCE(hits.n_flagged, 0)) // len(toks.t)
+                 ELSE 0 END AS BIGINT) AS density_bp
+FROM toks LEFT JOIN hits USING (doc_id)
+"""
+
+
+# -------------------------------------------- incremental domain stats
+def q_domain_stats_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental domain stats (operators/curation.py
+    domain_stats_delta — the incremental-index discipline on the
+    domain-filter front): the 80% standing corpus publishes its
+    (host, n_docs) table, the 20% delta batch folds in, and the result
+    must equal the full rebuild over the union — which is exactly what
+    the oracle computes."""
+    from ..operators.curation import domain_stats, domain_stats_delta
+
+    d = _docs(spark, sf).select("doc_id", _url_expr().alias("url"))
+    standing = domain_stats(d.filter(F.col("doc_id") % 10 < 8))
+    return domain_stats_delta(standing, d.filter(F.col("doc_id") % 10 >= 8))
+
+
+SQL_DOMAIN_STATS_DELTA = f"""
+WITH urls AS ({_SQL_URLS}),
+per AS (
+  SELECT {_SQL_HOST} AS host, CAST(count(*) AS BIGINT) AS n_docs
+  FROM urls GROUP BY 1
+)
+SELECT host, n_docs,
+       CAST((10000 * n_docs) // (SELECT SUM(n_docs) FROM per) AS BIGINT)
+         AS share_bp
+FROM per
+"""
+
+QUERIES.update(
+    {
+        "q_flagged_words": q_flagged_words,
+        "q_domain_stats_delta": q_domain_stats_delta,
+    }
+)
+ORACLES.update(
+    {
+        "q_flagged_words": SQL_FLAGGED_WORDS,
+        "q_domain_stats_delta": SQL_DOMAIN_STATS_DELTA,
+    }
+)

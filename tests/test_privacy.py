@@ -139,3 +139,49 @@ def test_url_word_score_counts_fragments(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 0, 3: 2}
+
+
+def test_flagged_word_stats_semantics(spark):
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        flagged_word_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Bad WORD bad word clean text here"),
+            (2, "all clean tokens only"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    wl = spark.createDataFrame([("bad",), ("WORD",)], "word string")
+    got = {r["doc_id"]: r for r in flagged_word_stats(df, wl).collect()}
+    # case-insensitive both sides: 4 of 7 tokens hit
+    assert got[1]["n_flagged"] == 4 and got[1]["n_tokens"] == 7
+    assert got[1]["density_bp"] == (10000 * 4) // 7
+    assert got[2]["n_flagged"] == 0 and got[2]["density_bp"] == 0
+    # empty text: zero tokens, zero density (not NULL)
+    assert got[3]["n_tokens"] == 0 and got[3]["density_bp"] == 0
+
+
+def test_domain_stats_delta_equals_rebuild(spark):
+    """Fold == full rebuild over the union, on a DIFFERENT split than
+    the oracle query uses (host seen only in delta, host seen only in
+    standing, host in both)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        domain_stats,
+        domain_stats_delta,
+    )
+
+    urls = [
+        (i, f"https://h{i % 4}.example.com/{i}") for i in range(20)
+    ] + [(100, "https://only-delta.example.org/x")]
+    df = spark.createDataFrame(urls, "doc_id bigint, url string")
+    standing_docs = df.filter(F.col("doc_id") % 4 != 3).filter(
+        F.col("doc_id") != 100
+    )
+    delta_docs = df.join(standing_docs, "doc_id", "left_anti")
+    folded = domain_stats_delta(domain_stats(standing_docs), delta_docs)
+    rebuilt = domain_stats(df)
+    assert folded.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(folded).count() == 0
