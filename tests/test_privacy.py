@@ -185,3 +185,76 @@ def test_domain_stats_delta_equals_rebuild(spark):
     rebuilt = domain_stats(df)
     assert folded.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(folded).count() == 0
+
+
+def test_domain_stats_delta_is_the_streaming_maintenance_body(
+    spark, tmp_path
+):
+    """The incremental fold IS the streaming maintenance body (the
+    house foreachBatch discipline): a file stream of arriving URL
+    batches folds per-host stats through domain_stats_delta inside
+    foreachBatch (AvailableNow + checkpoint), state round-trips via
+    parquet between batches, and the final standing table equals one
+    batch-mode domain_stats over everything that arrived."""
+    import json
+    import os
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.curation import (
+        domain_stats,
+        domain_stats_delta,
+    )
+
+    schema = "doc_id bigint, url string"
+    batches = [
+        [(i, f"https://h{i % 3}.example.com/{i}") for i in range(6)],
+        [(10 + i, f"https://h{i % 4}.example.org/{i}") for i in range(6)],
+    ]
+    state = str(tmp_path / "host_stats")
+    # empty standing table seed
+    spark.createDataFrame([], "host string, n_docs bigint").write.parquet(
+        state
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def fold(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        standing = s.read.parquet(state)
+        folded = domain_stats_delta(standing, batch_df)
+        folded.select("host", "n_docs").write.mode("overwrite").parquet(
+            state + ".next"
+        )
+        import shutil
+
+        shutil.rmtree(state)
+        os.rename(state + ".next", state)
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for did, url in rows:
+                f.write(json.dumps({"doc_id": did, "url": url}) + "\n")
+        q = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = domain_stats_delta(
+        spark.read.parquet(state),
+        spark.createDataFrame([], schema),
+    )
+    want = domain_stats(
+        spark.createDataFrame(
+            [r for b in batches for r in b], schema
+        )
+    )
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
