@@ -341,3 +341,79 @@ ORACLES.update(
         "q_domain_stats_delta": SQL_DOMAIN_STATS_DELTA,
     }
 )
+
+
+# ------------------------------------------------------ corpus profile
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus profile — the first query anyone runs on a new
+    crawl before any curation decision: doc/token/byte totals, language
+    mix (en share in integer basis points), exact-duplicate pressure
+    (docs minus distinct normalized fingerprints — operators/text.py
+    fingerprint's md5-of-normalized-text), and mean doc length. All
+    integer-exact (div, basis points), so the profile is comparable
+    across engines and runs. One corpus pass: a single hash-agg with
+    map-side partials plus the fingerprint-distinct count."""
+    from ..operators.text import fingerprint
+
+    d = _docs(spark, sf)
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        toks.cast("bigint").alias("_nt"),
+        F.octet_length("text").cast("bigint").alias("_nb"),
+    )
+    fp = fingerprint(d.select("doc_id", "text"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nb").alias("n_bytes"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    ndup = fp.agg(
+        (F.count(F.lit(1)) - F.count_distinct("fp_md5"))
+        .cast("bigint")
+        .alias("n_exact_dups")
+    )
+    return agg.join(F.broadcast(ndup)).select(
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        "n_langs",
+        F.expr("(10000 * n_en) div n_docs").cast("bigint").alias(
+            "en_share_bp"
+        ),
+        F.expr("n_tokens div n_docs").cast("bigint").alias(
+            "mean_doc_tokens"
+        ),
+        "n_exact_dups",
+    )
+
+
+SQL_CORPUS_REPORT = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x != '')) AS BIGINT) AS nt,
+         CAST(strlen(text) AS BIGINT) AS nb,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST((10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS en_share_bp,
+       CAST(sum(nt) // count(*) AS BIGINT) AS mean_doc_tokens,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+FROM base
+"""
+
+QUERIES["q_corpus_report"] = q_corpus_report
+ORACLES["q_corpus_report"] = SQL_CORPUS_REPORT

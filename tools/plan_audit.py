@@ -87,6 +87,7 @@ CARTESIAN_OK = {
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_domain_stats": "broadcast of the 1-row corpus doc total (share_bp)",
     "q_domain_stats_delta": "broadcast of the 1-row merged doc total (share_bp recompute)",
+    "q_corpus_report": "broadcast of the 1-row exact-dup count onto the 1-row profile agg",
     "q_embedding_topk": "broadcast of 1-row query vector",
     "q_tfidf_topk": "broadcast of 1-row corpus doc count",
     "q_bm25_topk": "broadcast of 1-row corpus stats (n_docs, sum_dl)",
@@ -210,6 +211,7 @@ BROADCAST_OK = {
     ),
     "operators/curation.py::domain_stats": "1-row corpus doc total",
     "operators/curation.py::domain_stats_delta": "1-row merged doc total",
+    "queries/privacy_ops.py::q_corpus_report": "1-row exact-dup count joined onto the 1-row profile agg",
     "operators/text.py::bpe_encode_bytes": (
         "merge-output vocab rows (<= n_merges, the trained artifact) — "
         "the id-assignment join"
