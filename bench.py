@@ -209,6 +209,29 @@ def main() -> None:
         "q_containment_pairs",
         "q_ccnet_sample",
         "q_bpe_encode",
+        # r10 surface (VERDICT r10 #1 — every r10 query gets a wall+shufW
+        # row so plan-shape drift in them is adjudicable round-over-round)
+        "q_classifier_train",
+        "q_filter_eval_trained",
+        "q_corpus_pipeline_v7",
+        "q_corpus_pipeline_delta",
+        "q_doremi_weights",
+        "q_pii_redact",
+        "q_domain_stats",
+        "q_blocklist_filter",
+        "q_url_word_score",
+        "q_domain_stats_delta",
+        "q_flagged_words",
+        "q_corpus_report",
+        "q_bpe_bytes_merges",
+        "q_bpe_bytes_encode",
+        "q_bpe_bytes_roundtrip",
+        "q_substring_anyoffset_spans",
+        "q_substring_anyoffset_apply",
+        "q_video_shingle_neardup",
+        "q_tokenizer_eval",
+        "q_moore_lewis",
+        "q_importance_bigram",
     ):
         fn = queries[name]
         best = float("inf")

@@ -67,7 +67,8 @@ defaults; larger corpora train on a stratified sample (the fasttext
 convention) or drop SCALE a decade.
 
 Reference parity: the reference is a row-level OHLCV ETL with no ML
-surface (/root/reference/glue/jobs/transform_stock_data.py); this is
+surface (/root/reference/glue/jobs/build_stock_fact_table.py and
+build_stock_aggregations.py are plain projections/rollups); this is
 engine-extension surface (SURVEY.md section 8, VERDICT r9 item #1).
 """
 

@@ -721,36 +721,42 @@ def flagged_word_stats(
     blow past codegen limits at real list sizes. Docs with zero tokens
     report density 0 (no evidence, not NULL-poisoned).
 
-    Scale: one explode (linear), one broadcast semi-shaped join, one
-    doc-keyed hash-agg with map-side partials. No corpus-keyed shuffle
-    beyond the per-doc agg."""
+    Scale: ONE tokenization (ADVICE r10: the earlier two-branch plan
+    regex-tokenized the text twice — once for the exploded hit side,
+    once for the ``F.size`` base side). The array is projected once,
+    ``n_tokens`` rides along through an ``explode_outer`` (so
+    zero-token docs keep their row), hits are marked by one broadcast
+    left join against the list, and a single doc-keyed hash-agg with
+    map-side partials produces both counts. No second scan, no
+    corpus-keyed shuffle beyond the per-doc agg."""
     toks = df.select(
+        F.col(id_col), tokens_arr(text_col).alias("_arr")
+    ).select(
         F.col(id_col),
-        F.explode(tokens_arr(text_col)).alias("_tok"),
+        F.size("_arr").cast("bigint").alias("n_tokens"),
+        F.explode_outer("_arr").alias("_tok"),
     )
     wl = flag_words.select(
         F.lower(F.col(word_col)).alias("_tok")
-    ).distinct()
-    hits = (
-        toks.join(wl, "_tok", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_flagged"))
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(tokens_arr(text_col)).cast("bigint").alias("n_tokens"),
-    )
-    return base.join(hits, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("bigint").alias(
-            "n_flagged"
-        ),
-        F.expr(
-            "CASE WHEN n_tokens > 0"
-            " THEN (10000 * coalesce(n_flagged, 0)) div n_tokens"
-            " ELSE 0 END"
-        ).cast("bigint").alias("density_bp"),
+    ).distinct().withColumn("_hit", F.lit(1))
+    return (
+        toks.join(wl, "_tok", "left")
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias(
+                "n_flagged"
+            )
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_flagged",
+            F.expr(
+                "CASE WHEN n_tokens > 0"
+                " THEN (10000 * n_flagged) div n_tokens"
+                " ELSE 0 END"
+            ).cast("bigint").alias("density_bp"),
+        )
     )
 
 

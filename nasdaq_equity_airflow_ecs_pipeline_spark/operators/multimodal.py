@@ -770,6 +770,15 @@ def audio_window_fingerprints(
 
     At scale this is mapInPandas over (id, payload) only — no shuffle;
     the downstream shingle join is the winnow_overlap fp-keyed plan."""
+    # Same guard audio_fingerprint enforces (ADVICE r10): without it, a
+    # non-default config yields >64 bits and _pcm_fingerprint's sign wrap
+    # (applied only at exactly 2^63) produces values exceeding int64 that
+    # fail/corrupt inside the Int64 column at runtime instead of here.
+    if (n_frames - 1) * n_bands != 64:
+        raise ValueError(
+            f"(n_frames-1)*n_bands must be 64 (a signed-bigint hash); "
+            f"got {(n_frames - 1) * n_bands} bits"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -26,7 +26,8 @@ lineage is cut with localCheckpoint to stop plan growth — the same
 treatment `operators/graph.py` applies to label propagation.
 
 Reference parity: the reference has no graph op at all (it is a
-row-level OHLCV ETL: /root/reference/glue/jobs/transform_stock_data.py);
+row-level OHLCV ETL: /root/reference/glue/jobs/build_stock_fact_table.py
+plus build_stock_aggregations.py rollups);
 this is part of the engine-extension surface (SURVEY.md section 8).
 """
 

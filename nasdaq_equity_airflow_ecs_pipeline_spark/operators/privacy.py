@@ -26,7 +26,8 @@ At 100 TB this is a narrow map over the text column: no shuffle, no
 state, pushdown-friendly (only ``id_col`` and ``text_col`` are read).
 
 Reference parity: the reference pipeline is OHLCV rows with no
-free-text/PII surface (/root/reference/glue/jobs/transform_stock_data.py);
+free-text/PII surface (/root/reference/glue/jobs/build_stock_fact_table.py
+and build_stock_aggregations.py cover its entire column vocabulary);
 this is LLM-curation engine-extension surface (SURVEY.md section 8).
 """
 
@@ -38,8 +39,12 @@ from pyspark.sql import functions as F
 # (name, regex, placeholder) — FIXED order, see module docstring.
 # Regexes are shared with q_pii_scan's scan side and are valid with
 # identical semantics in Java regex and RE2 (no backrefs, no lookaround).
+# The URL terminator is an EXPLICIT whitespace class, not \s: Java's \s
+# includes U+000B (vertical tab) while RE2's does not, so the spelled-out
+# class [ \t\r\n\x0B\f] is the only way both dialects see the same set
+# (ADVICE r10).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", r"https?://[^ \t\r\n\x0B\f]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("longnum", r"[0-9]{9,}", "<NUM>"),
 )

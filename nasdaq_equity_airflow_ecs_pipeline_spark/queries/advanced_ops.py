@@ -3,8 +3,9 @@ sketches, substring-level dedup, and fixed-point PageRank.
 
 Everything here extends the engine beyond the reference surface (the
 reference is a daily-OHLCV ETL with no per-event, sketch, or graph
-analytics — see /root/reference/glue/jobs/transform_stock_data.py for
-its whole computational vocabulary) while keeping the repo's exactness
+analytics — see /root/reference/glue/jobs/build_stock_dimensions.py,
+build_stock_fact_table.py and build_stock_aggregations.py for its whole
+computational vocabulary) while keeping the repo's exactness
 discipline: every query is bit-reproducible on any partitioning and has
 an independent DuckDB oracle.
 """

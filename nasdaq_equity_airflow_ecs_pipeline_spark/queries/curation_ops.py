@@ -1892,7 +1892,7 @@ def _sql_moore_lewis() -> str:
 
     return f"""
 WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 bg AS (
   SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2

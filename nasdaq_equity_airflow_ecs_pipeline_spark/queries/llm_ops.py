@@ -1005,7 +1005,9 @@ FROM g
 # ------------------------------------------------------------- PII patterns
 # dialect-neutral regexes (identical semantics in Java regex and RE2-ish)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_URL_RE = r"https?://[^\s]+"
+# explicit whitespace class, not \s: Java \s includes U+000B, RE2's does
+# not — spelled out so both dialects terminate URLs identically
+_URL_RE = r"https?://[^ \t\r\n\x0B\f]+"
 _LONGNUM_RE = r"[0-9]{9,}"
 
 
