@@ -232,6 +232,15 @@ def main() -> None:
         "q_tokenizer_eval",
         "q_moore_lewis",
         "q_importance_bigram",
+        # r11 surface: subword classifier, span decontamination, learned
+        # reranker, unigram-LM tokenizer family
+        "q_classifier_train_ngram",
+        "q_decontaminate_apply",
+        "q_reranker_train",
+        "q_rag_retrieve_reranked",
+        "q_unigram_lm_train",
+        "q_unigram_encode",
+        "q_tokenizer_compare",
     ):
         fn = queries[name]
         best = float("inf")

@@ -83,6 +83,12 @@ from .text import quality_features, tokens
 SCALE = 1_000_000_000  # 10^9 fixed-point scale for weights/probabilities
 ZCLAMP = 8 * SCALE  # logit clamp: overflow guard + anti-saturation
 BIAS_BUCKET = -1  # bucket id of the constant bias feature (always present)
+# Valued-feature scale (the reranker path): features are BIGINTs in
+# units of 1/XSCALE, clamped to [-XSCALE, XSCALE] by the feature
+# builder. 10^6 (not SCALE) keeps every product inside BIGINT:
+# |x*w| <= 1e6 * ~1e12 = 1e18 and |err*x| <= cb*SCALE*1e6 <= ~1e16,
+# where x = SCALE would overflow the weight product by round 3.
+XSCALE = 1_000_000
 
 # Bounded-cache registry (the plans/corpus.py discipline): entering
 # train_logreg_fixed_point releases the feature frame its PREVIOUS
@@ -133,6 +139,65 @@ def hashed_token_features(
     return present.unionByName(bias)
 
 
+def hashed_subword_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "clf-v1",
+    minn: int = 3,
+    maxn: int = 4,
+) -> DataFrame:
+    """fastText-faithful subword features (Bojanowski et al., TACL 2017):
+    each token contributes its WHOLE-WORD presence feature (the same hash
+    as :func:`hashed_token_features`) plus the presence of every char
+    n-gram, ``minn <= n <= maxn``, of the boundary-marked form
+    ``'<' + token + '>'`` — the source of fastText's robustness to
+    misspellings/morphology (a corrupted marker token still shares most
+    of its n-grams with the clean form, so the learned signal transfers
+    where whole-token hashing sees an unrelated bucket). N-grams hash
+    with a distinct salt (``:ng:``) into the SAME bucket space (the
+    hashing-trick convention); the default space is 8x the token mode's
+    because each doc carries ~2 x len(token) n-grams per token and 512
+    buckets would saturate to all-present.
+
+    Same output contract as hashed_token_features: one (doc, bucket) row
+    per present bucket plus the bias row (bucket -1) — drop-in for
+    :func:`train_logreg_fixed_point`. Scale shape: explode + narrow map
+    + distinct (one hash-agg); no join, no window, no UDF."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    word_rows = toks.select(
+        F.col(id_col),
+        (base_hash31(F.concat(F.col("_tok"), F.lit(":" + seed))) % n_buckets)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    marked = F.concat(F.lit("<"), F.col("_tok"), F.lit(">"))
+    grams = F.expr(
+        f"flatten(transform(sequence({minn}, {maxn}), n -> "
+        f"CASE WHEN length(_m) >= n THEN "
+        f"transform(sequence(1, length(_m) - n + 1), i -> substring(_m, i, n)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END))"
+    )
+    gram_rows = (
+        toks.select(F.col(id_col), marked.alias("_m"))
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(
+            F.col(id_col),
+            (base_hash31(F.concat(F.col("_g"), F.lit(":ng:" + seed))) % n_buckets)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+    )
+    present = word_rows.unionByName(gram_rows).distinct()
+    bias = df.select(
+        F.col(id_col), F.lit(BIAS_BUCKET).cast("bigint").alias("bucket")
+    )
+    return present.unionByName(bias)
+
+
 def rule_labels(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -159,13 +224,26 @@ def train_logreg_fixed_point(
     lr_num: int = 4,
     lr_den: int = 1,
     cb_neg: int = 10,
+    x_col: str | None = None,
 ) -> DataFrame:
     """Class-balanced full-batch gradient descent, ``steps`` rounds,
     learning rate lr_num/lr_den, negative-class error weighted by
     ``cb_neg``, weights initialized to 0. Returns (bucket, w) with w a
     BIGINT in units of 1/SCALE. Bit-reproducible on any engine and any
     partitioning (module docstring); the DuckDB oracle unrolls the same
-    rounds as CTEs."""
+    rounds as CTEs.
+
+    ``x_col=None`` (default) is the binary-presence mode: each feature
+    row contributes its weight verbatim. ``x_col`` names a VALUED
+    feature column (BIGINT, units 1/XSCALE, pre-clamped to
+    [-XSCALE, XSCALE] by the feature builder — the reranker path):
+    the forward pass becomes z = sum((x*w) div XSCALE) and the
+    gradient g = sum((err*x) div XSCALE) — the same truncating
+    integer arithmetic, exact in both engines. The presence mode stays
+    a literal weight sum (NOT x=XSCALE through the valued path): its
+    weights grow to ~6e11 at the defaults and even XSCALE*w would
+    stay representable, but the valued expressions change the plan and
+    the committed oracles pin the literal-sum arithmetic."""
     _release()
     # Pin the feature frame ALREADY partitioned and sorted on the doc
     # key: every step's forward pass groups by id and every step's
@@ -186,12 +264,17 @@ def train_logreg_fixed_point(
     weights = fj.select("bucket").distinct().select(
         "bucket", F.lit(0).cast("bigint").alias("w")
     )
+    wterm = (
+        F.coalesce(F.col("w"), F.lit(0))
+        if x_col is None
+        else F.expr(f"(coalesce(w, 0) * {x_col}) div {XSCALE}")
+    )
     for _ in range(steps):
         zf = (
             fj.join(F.broadcast(weights), "bucket", "left")
             .groupBy(id_col)
             .agg(
-                F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"),
+                F.sum(wterm).alias("z"),
                 F.min("y").alias("y"),
             )
         )
@@ -212,10 +295,15 @@ def train_logreg_fixed_point(
                 * F.when(F.col("y") == 0, cb_neg).otherwise(1)
             ).alias("_err"),
         )
+        gterm = (
+            F.col("_err")
+            if x_col is None
+            else F.expr(f"(_err * {x_col}) div {XSCALE}")
+        )
         grad = (
             fj.join(err, id_col)
             .groupBy("bucket")
-            .agg(F.sum("_err").alias("g"))
+            .agg(F.sum(gterm).alias("g"))
         )
         weights = (
             weights.join(grad, "bucket", "left")
@@ -257,12 +345,17 @@ def trained_score(
     text_col: str = "text",
     n_buckets: int = 512,
     seed: str = "clf-v1",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a trained weight table: per doc the scaled logit
     z = sum of present-bucket weights (BIGINT, units 1/SCALE) and the
     keep decision z >= 0. Same shape as training's forward pass: one
-    broadcast join + one doc-keyed hash-agg."""
-    feats = hashed_token_features(df, id_col, text_col, n_buckets, seed)
+    broadcast join + one doc-keyed hash-agg. Pass ``feats`` to score
+    with a different feature map than the token default (e.g.
+    hashed_subword_features — it must match the map the weights were
+    trained on)."""
+    if feats is None:
+        feats = hashed_token_features(df, id_col, text_col, n_buckets, seed)
     return (
         feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)

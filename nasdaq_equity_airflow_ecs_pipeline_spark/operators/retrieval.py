@@ -571,3 +571,138 @@ def hard_negatives(
         .select(query_id, id_col, rank_col, F.lit(0).alias("label"))
     )
     return pos.unionByName(neg)
+
+
+# ------------------------------------------------- learned reranker
+# Fixed feature ids + quantization (VERDICT r10 #6): per-candidate
+# features are BIGINTs in units of 1/XSCALE (operators/classifier.py),
+# clamped to [-XSCALE, XSCALE] so every trainer product stays inside
+# BIGINT. Divisors are FIXED constants (not corpus-dependent
+# normalizers) so the oracle reproduces them verbatim: BM25 scores on
+# this workload sit in ~[5, 20] (score_x1e6 div 20 -> ~0.25..1.0 of
+# XSCALE), RRF contributions for 2 legs in ~[1.6e7, 3.3e7]
+# (div 40 -> ~0.4..0.85), cosine is already in [-1, 1].
+RERANK_F_BM25 = 0
+RERANK_F_COS = 1
+RERANK_F_RRF = 2
+
+
+def reranker_features(
+    cands: DataFrame,
+    lex: DataFrame,
+    sem: DataFrame,
+    pair_base: int = 1_000_000_000,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantized per-candidate features for the learned reranker:
+    one (pair_id, bucket, x) row per feature of each fused candidate,
+    plus the bias row (bucket -1, x = XSCALE) — the valued-feature
+    input contract of train_logreg_fixed_point(x_col='x').
+
+    ``cands`` is the fused list (query_id, doc_id, rrf_x1e9);
+    ``lex`` the BM25 leg (query_id, doc_id, score_x1e6); ``sem`` the
+    cosine leg (query_id, doc_id, cosine). A candidate missing from a
+    leg's top-k scores 0 for that feature (left joins — the honest
+    absence, exactly reproducible in SQL). pair_id = query_id *
+    ``pair_base`` + doc_id (the q_training_pairs_pipeline convention).
+
+    Scale shape: every frame here is workload-bounded (queries x k
+    rows); two left equi-joins + one narrow unpivot. The corpus-sized
+    work lives inside the legs."""
+    from .classifier import BIAS_BUCKET, XSCALE
+
+    j = (
+        cands.select(query_id, id_col, "rrf_x1e9")
+        .join(
+            lex.select(query_id, id_col, "score_x1e6"),
+            [query_id, id_col],
+            "left",
+        )
+        .join(
+            sem.select(query_id, id_col, "cosine"),
+            [query_id, id_col],
+            "left",
+        )
+        .select(
+            (
+                F.col(query_id).cast("bigint") * pair_base + F.col(id_col)
+            ).alias("pair_id"),
+            F.least(
+                F.expr("coalesce(score_x1e6, 0) div 20"), F.lit(XSCALE)
+            ).cast("bigint").alias("_x_bm25"),
+            F.greatest(
+                F.lit(-XSCALE),
+                F.least(
+                    F.lit(XSCALE),
+                    F.floor(F.coalesce(F.col("cosine"), F.lit(0.0)) * XSCALE),
+                ),
+            ).cast("bigint").alias("_x_cos"),
+            F.least(F.expr("rrf_x1e9 div 40"), F.lit(XSCALE))
+            .cast("bigint")
+            .alias("_x_rrf"),
+        )
+    )
+    feat = lambda b, c: j.select(  # noqa: E731
+        "pair_id",
+        F.lit(b).cast("bigint").alias("bucket"),
+        F.col(c).alias("x"),
+    )
+    bias = j.select(
+        "pair_id",
+        F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+        F.lit(XSCALE).cast("bigint").alias("x"),
+    )
+    return (
+        feat(RERANK_F_BM25, "_x_bm25")
+        .unionByName(feat(RERANK_F_COS, "_x_cos"))
+        .unionByName(feat(RERANK_F_RRF, "_x_rrf"))
+        .unionByName(bias)
+    )
+
+
+def rerank_apply(
+    cands: DataFrame,
+    feats: DataFrame,
+    weights: DataFrame,
+    pair_base: int = 1_000_000_000,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-order fused candidates with a trained weight table: per
+    candidate the scaled logit z = sum((x*w) div XSCALE) over its
+    feature rows (the training forward pass, weights broadcast), then
+    a per-query dense re-rank on (z desc, doc_id asc). Output:
+    (query_id, doc_id, rrf_x1e9, rank, score_scaled, rerank).
+
+    Scale shape: one broadcast join (weights: n_features+1 rows) + one
+    pair-keyed hash-agg + one per-query window over workload-bounded
+    rows."""
+    from .classifier import XSCALE
+
+    z = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.expr(f"(coalesce(w, 0) * x) div {XSCALE}")).alias(
+                "score_scaled"
+            )
+        )
+    )
+    keyed = cands.select(
+        query_id,
+        id_col,
+        "rrf_x1e9",
+        "rank",
+        (F.col(query_id).cast("bigint") * pair_base + F.col(id_col)).alias(
+            "pair_id"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        keyed.join(z, "pair_id")
+        .withColumn("rerank", F.row_number().over(w))
+        .select(query_id, id_col, "rrf_x1e9", "rank", "score_scaled", "rerank")
+    )

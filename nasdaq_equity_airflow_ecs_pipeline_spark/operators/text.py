@@ -1352,21 +1352,7 @@ def substring_dup_spans(
     keyed by gram; the island merge is a doc-keyed window over the
     duplicated positions only (dup-proportional, not corpus-
     proportional). No pairwise joins, no suffix sort."""
-    arr = tokens(text_col)
-    base = docs.select(F.col(id_col), arr.alias("_t")).filter(
-        F.size("_t") >= min_len
-    )
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("_t"), i + j) for j in range(min_len)]
-    )
-    gh = F.transform(
-        F.sequence(F.lit(1), F.size("_t") - F.lit(min_len - 1)),
-        lambda i: F.struct(i.cast("bigint").alias("pos"),
-                           F.md5(gram(i)).alias("gkey")),
-    )
-    occ = base.select(F.col(id_col), F.explode(gh).alias("g")).select(
-        id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey")
-    )
+    occ = _sliding_grams(docs, min_len, id_col, text_col)
     stats = occ.groupBy("gkey").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
@@ -1383,9 +1369,43 @@ def substring_dup_spans(
         .select(id_col, "pos")
         .distinct()
     )
+    return _islands_to_spans(noncanon, min_len, id_col)
+
+
+def _sliding_grams(
+    docs: DataFrame, min_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gkey): every SLIDING (stride-1) ``min_len``-token gram
+    of every doc, keyed by full md5 hex (the exact-equality class).
+    1-based token positions. Shared by the any-offset dedup family and
+    decontamination."""
+    arr = tokens(text_col)
+    base = docs.select(F.col(id_col), arr.alias("_t")).filter(
+        F.size("_t") >= min_len
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_t"), i + j) for j in range(min_len)]
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - F.lit(min_len - 1)),
+        lambda i: F.struct(i.cast("bigint").alias("pos"),
+                           F.md5(gram(i)).alias("gkey")),
+    )
+    return base.select(F.col(id_col), F.explode(gh).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey")
+    )
+
+
+def _islands_to_spans(
+    positions: DataFrame, min_len: int, id_col: str
+) -> DataFrame:
+    """Merge flagged window-start positions to maximal spans by
+    gaps-and-islands: (id, span_start, span_end, n_windows), end =
+    last window start + min_len - 1. Doc-keyed window over the flagged
+    positions only (flag-proportional, not corpus-proportional)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
-        noncanon.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        positions.withColumn("_grp", F.col("pos") - F.row_number().over(w))
         .groupBy(id_col, "_grp")
         .agg(
             F.min("pos").alias("span_start"),
@@ -1394,6 +1414,62 @@ def substring_dup_spans(
         )
         .drop("_grp")
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination DETECTION (VERDICT r10 #5):
+    every maximal corpus token span sharing a >= ``min_len``-token run
+    with the BENCHMARK set, at any offset — :func:`substring_dup_spans`
+    with the reference grams coming from a separate frame and NO
+    canonicality (any overlap with the benchmark is contamination; the
+    benchmark itself is never rewritten). This is the production
+    decontamination semantics (GPT-3 appendix C / PaLM / Llama n-gram
+    overlap): q_decontaminate's whole-doc flag drops the entire
+    document, while the span form cuts the contaminated run and keeps
+    the remainder.
+
+    Output: (doc_id, span_start, span_end, n_windows), 1-based
+    inclusive token indices into the CORPUS doc.
+
+    Scale shape: benchmark gram set is one distinct over the (small,
+    eval-suite-sized) reference frame — AQE broadcasts it; corpus-side
+    work is the same linear sliding-gram explode + one semi equi-join +
+    a flag-proportional island merge. No pairwise joins."""
+    occ = _sliding_grams(docs, min_len, id_col, text_col)
+    bg = (
+        _sliding_grams(bench, min_len, id_col, bench_text_col)
+        .select("gkey")
+        .distinct()
+    )
+    hit = occ.join(bg, "gkey", "left_semi").select(id_col, "pos").distinct()
+    return _islands_to_spans(hit, min_len, id_col)
+
+
+def decontaminate_apply(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination APPLY: cut every token covered by a
+    benchmark-overlap span (:func:`decontaminate_spans`) and rejoin the
+    remainder in token order — the doc survives with the contaminated
+    run removed and its tails intact (pinned by the planted-overlap
+    test + q_decontaminate_apply oracle). Same removal machinery as
+    :func:`substring_dedup_any_offset_apply`."""
+    spans = decontaminate_spans(
+        docs, bench, min_len, id_col, text_col, bench_text_col
+    )
+    return _remove_spans(docs, spans, id_col, text_col)
 
 
 def substring_dedup_any_offset_apply(
@@ -1413,6 +1489,16 @@ def substring_dedup_any_offset_apply(
     blowup), one anti-join against the posexploded corpus, one per-doc
     rebuild agg."""
     spans = substring_dup_spans(docs, min_len, id_col, text_col)
+    return _remove_spans(docs, spans, id_col, text_col)
+
+
+def _remove_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut every token covered by a (span_start, span_end) row and
+    rebuild the remainder in token order: (id, kept_text, n_tokens,
+    n_removed). Shared by the any-offset dedup apply and
+    decontamination apply."""
     removed = spans.select(
         F.col(id_col),
         F.explode(

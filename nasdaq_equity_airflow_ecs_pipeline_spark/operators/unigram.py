@@ -1,0 +1,308 @@
+"""SentencePiece-style unigram-LM tokenizer (Kudo, ACL 2018) trained
+in-engine with fixed-point integer arithmetic — the other production
+tokenizer family next to BPE (operators/text.py bpe_train*).
+
+The production algorithm seeds a large candidate vocabulary, runs EM
+over piece probabilities, and segments by Viterbi under the learned
+unigram LM. This implementation is the hard-EM (Viterbi-EM) form with
+the repo's cross-engine quantization discipline (the Kneser-Ney /
+classifier treatment — VERDICT r10 #3):
+
+- **Costs, not probabilities.** A piece's Viterbi cost is the
+  fixed-point integer ``-log2((cnt+1) / (T+V))`` with
+  ``COST_FRAC_BITS`` fractional bits (Laplace-smoothed so pruned-to-
+  zero required chars stay finite), computed by the shift-and-square
+  binary-log recurrence: normalize the ratio to [1, 2) at scale 2^30,
+  then square-and-truncate ``COST_FRAC_BITS`` times, emitting one
+  result bit per step. Every step is integer multiply + truncating
+  divide — a DEFINED function both engines evaluate bit-identically
+  (Python big-ints driver-side over the bounded piece table; the
+  DuckDB oracle unrolls the same steps as generated CTEs). float
+  log2() would differ in last-ulp between libms and is never used.
+- **Viterbi as a bounded fold.** Segmentation runs on the DISTINCT-
+  WORD vocabulary (the bpe_segment shape): per word, a forward DP over
+  positions where state j holds ``key = total_cost * LKEY + last_len``
+  (one BIGINT — array_min over BIGINT keys gives the (cost, shorter-
+  last-piece) lexicographic tie-break in both engines without struct
+  ordering), then a backtrace fold recovers the piece sequence.
+  Corpus-proportional work is ONE pass for word frequencies; every EM
+  round touches only the vocab frame.
+- **Hard EM.** Each round Viterbi-segments the vocab under current
+  costs and re-counts piece usage (weighted by word frequency);
+  multi-char pieces with zero usage are pruned, single-char pieces
+  are kept unconditionally (the SentencePiece required-character
+  closure, so every word stays segmentable). The piece table is a
+  bounded artifact (<= SEED_MULTI + alphabet rows — it IS the
+  tokenizer file), so per-round materialization is a bounded-artifact
+  collect (the classifier _materialize_weights class), never a corpus
+  collect.
+
+Unknown characters at encode time (absent from the trained alphabet)
+take the fixed ``UNK_COST`` single-char edge and id ``UNK_ID`` — the
+deterministic fallback both engines spell identically.
+
+Reference parity: the reference is a row-level OHLCV ETL
+(/root/reference/glue/jobs/build_stock_fact_table.py,
+build_stock_aggregations.py) with no tokenizer surface; this is
+engine-extension surface (SURVEY.md section 8, VERDICT r10 #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+MAX_PIECE_LEN = 4       # seed substrings up to this many chars
+SEED_MULTI = 256        # multi-char seed pieces kept (top by count)
+SEED_MIN_COUNT = 2      # multi-char seed floor
+EM_ROUNDS = 2           # hard-EM rounds (the oracle unrolls them)
+COST_FRAC_BITS = 8      # fractional bits of the fixed-point log2
+COST_SCALE_BITS = 30    # shift-and-square mantissa scale (2^30)
+LKEY = 64               # dp key = cost * LKEY + piece_len (len < 64)
+UNK_COST = 1 << 20      # single-char fallback cost (>> any real cost)
+UNK_ID = -1             # token id of an out-of-alphabet character
+
+
+def ilog2_cost(total: int, cnt: int) -> int:
+    """Deterministic fixed-point ``log2(total/cnt) * 2^COST_FRAC_BITS``
+    (== -log2(cnt/total) scaled), ``total >= cnt >= 1``, via
+    shift-and-square with truncation at scale 2^COST_SCALE_BITS. The
+    DuckDB oracle unrolls the identical recurrence; the truncations ARE
+    the definition, so both engines agree bit-for-bit. Bounds: safe for
+    ``total`` up to ~8.5e9 (total * 2^30 < 2^63); y*y < 2^62."""
+    if not (total >= cnt >= 1):
+        raise ValueError(f"need total >= cnt >= 1, got {total}, {cnt}")
+    k = (total // cnt).bit_length() - 1  # floor(log2(total/cnt))
+    s = 1 << COST_SCALE_BITS
+    y = (total * s) // (cnt << k)  # in [s, 2s)
+    res = k
+    for _ in range(COST_FRAC_BITS):
+        y = (y * y) // s
+        res <<= 1
+        if y >= 2 * s:
+            res |= 1
+            y //= 2
+    return res
+
+
+def word_freqs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w, freq): the one corpus-proportional pass (hash-agg with
+    map-side combine); everything downstream is vocab-sized."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def seed_pieces(words: DataFrame) -> list[tuple[str, int]]:
+    """Seed vocabulary: every single character of the corpus alphabet
+    (kept unconditionally — the segmentability closure) plus the top
+    ``SEED_MULTI`` substrings of length 2..MAX_PIECE_LEN by weighted
+    occurrence count (ties to the lexicographically smaller piece),
+    floored at SEED_MIN_COUNT. Counts weight overlapping occurrences
+    individually (the (j, l) enumeration). Returns the collected
+    (piece, cnt) list — bounded by construction (alphabet +
+    SEED_MULTI rows; the artifact class). The top-S selection is
+    orderBy+limit (TakeOrdered — no single-partition window)."""
+    cand = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), j -> "
+                f"transform(sequence(1, least({MAX_PIECE_LEN}, j)), l -> "
+                f"substring(w, j - l + 1, l))))"
+            )
+        ).alias("piece"),
+    ).groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    singles = cand.filter(F.length("piece") == 1)
+    multis = (
+        cand.filter(
+            (F.length("piece") >= 2) & (F.col("cnt") >= SEED_MIN_COUNT)
+        )
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(SEED_MULTI)
+    )
+    rows = singles.unionByName(multis).collect()
+    return sorted((r["piece"], r["cnt"]) for r in rows)
+
+
+def piece_costs(pieces: list[tuple[str, int]]) -> list[tuple[str, int]]:
+    """Laplace-smoothed fixed-point costs from a (piece, cnt) table:
+    cost(p) = ilog2_cost(T + V, cnt(p) + 1). Driver-side exact integer
+    arithmetic over the bounded artifact."""
+    total = sum(c for _p, c in pieces) + len(pieces)
+    return [(p, ilog2_cost(total, c + 1)) for p, c in pieces]
+
+
+def viterbi_segment(
+    words: DataFrame, costs: list[tuple[str, int]]
+) -> DataFrame:
+    """Viterbi segmentation of the distinct-word frame under a
+    (piece, cost) table: returns (w, freq, pieces array<string>).
+
+    Per word: edge (j, l) covers positions j-l+1..j with the piece's
+    cost (single-char edges fall back to UNK_COST when the char is not
+    in the table; multi-char edges require membership). Forward DP
+    holds one BIGINT key per position (cost * LKEY + len: array_min =
+    min cost, then shortest last piece); backtrace walks keys to piece
+    boundaries. All as whole-stage-codegen higher-order functions —
+    no UDF, no shuffle beyond the (broadcast) cost join and the
+    word-keyed edge agg."""
+    spark = words.sparkSession
+    cost_df = spark.createDataFrame(costs, "piece string, cost bigint")
+    trips = F.expr(
+        f"flatten(transform(sequence(1, length(w)), j -> "
+        f"transform(sequence(1, least({MAX_PIECE_LEN}, j)), l -> "
+        f"named_struct('j', j, 'l', l, "
+        f"'piece', substring(w, j - l + 1, l)))))"
+    )
+    edges = (
+        words.select("w", F.explode(trips).alias("e"))
+        .select("w", F.col("e.j").alias("j"), F.col("e.l").alias("l"),
+                F.col("e.piece").alias("piece"))
+        .join(F.broadcast(cost_df), "piece", "left")
+        .filter((F.col("l") == 1) | F.col("cost").isNotNull())
+        .select(
+            "w", "j", "l",
+            F.coalesce("cost", F.lit(UNK_COST)).cast("bigint").alias("cost"),
+        )
+    )
+    wedges = (
+        edges.groupBy("w")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("j", "l", "cost"))
+            ).alias("edges")
+        )
+        .join(words, "w")
+        .select("w", "freq", F.length("w").alias("n"), "edges")
+    )
+    dp = F.expr(
+        f"aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), "
+        f"(acc, j) -> concat(acc, array(array_min(transform("
+        f"filter(edges, e -> e.j = j), "
+        f"e -> (element_at(acc, j - e.l + 1) div {LKEY} + e.cost) "
+        f"* {LKEY} + e.l)))))"
+    )
+    parts = F.expr(
+        f"aggregate(sequence(1, n), "
+        f"named_struct('pos', n, "
+        f"'parts', CAST(array() AS ARRAY<STRUCT<s: INT, l: INT>>)), "
+        f"(st, x) -> IF(st.pos <= 0, st, named_struct("
+        f"'pos', st.pos - CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT), "
+        f"'parts', concat(st.parts, array(named_struct("
+        f"'s', st.pos - CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT) + 1, "
+        f"'l', CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT)))))), "
+        f"st -> reverse(st.parts))"
+    )
+    return (
+        wedges.withColumn("dp", dp)
+        .withColumn("_parts", parts)
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "transform(_parts, p -> substring(w, p.s, p.l))"
+            ).alias("pieces"),
+        )
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = EM_ROUNDS,
+) -> DataFrame:
+    """Train the unigram-LM piece table: seed -> ``rounds`` x
+    (cost -> Viterbi -> usage re-count -> prune) -> final costs from
+    final counts. Returns the artifact (piece, cnt, cost) as a literal
+    frame — cnt is the last round's usage (seed count for round 0
+    survivors never re-used... impossible: single chars keep usage 0
+    honestly), cost the table the encoder applies.
+
+    Scale: one corpus pass (word_freqs); each round is vocab-sized
+    (broadcast cost join + word-keyed agg + piece-keyed agg) ending in
+    a bounded-artifact collect of <= alphabet + SEED_MULTI rows."""
+    words = word_freqs(docs, id_col, text_col).persist()
+    try:
+        pieces = seed_pieces(words)
+        singles = {p for p, _c in pieces if len(p) == 1}
+        for _ in range(rounds):
+            costs = piece_costs(pieces)
+            seg = viterbi_segment(words, costs)
+            usage_rows = (
+                seg.select("freq", F.explode("pieces").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .collect()
+            )
+            usage = {r["piece"]: r["cnt"] for r in usage_rows}
+            pieces = sorted(
+                [(p, int(c)) for p, c in usage.items() if p in singles or c > 0]
+                + [(p, 0) for p in singles if p not in usage]
+            )
+        final = [
+            (p, c, cost)
+            for (p, c), (_p2, cost) in zip(pieces, piece_costs(pieces))
+        ]
+        return docs.sparkSession.createDataFrame(
+            final, "piece string, cnt bigint, cost bigint"
+        )
+    finally:
+        words.unpersist()
+
+
+def unigram_encode(
+    docs: DataFrame,
+    piece_table: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a trained (piece, cost) table:
+    (id, seq_pos, token_id), one row per piece in document order.
+    Token ids are the lexicographic rank of the piece (0-based) —
+    the artifact-file convention; out-of-alphabet single chars get
+    UNK_ID. Scale shape: Viterbi folds on the DISTINCT-WORD frame,
+    corpus-proportional work is one explode + one equi-join + one
+    per-doc row_number window (the bpe_encode shape)."""
+    spark = docs.sparkSession
+    wordpos = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "w")
+    ).filter(F.col("w") != "")
+    vocab = wordpos.select("w").distinct().select(
+        "w", F.lit(1).cast("bigint").alias("freq")
+    )
+    seg = viterbi_segment(vocab, piece_table)
+    ids = spark.createDataFrame(
+        [(p, i) for i, (p, _c) in enumerate(sorted(piece_table))],
+        "piece string, token_id bigint",
+    )
+    symrows = wordpos.join(seg.select("w", "pieces"), "w").select(
+        F.col(id_col), "wpos", F.posexplode("pieces").alias("spos", "piece")
+    )
+    w_seq = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    return (
+        symrows.join(F.broadcast(ids), "piece", "left")
+        .select(
+            F.col(id_col),
+            "wpos",
+            "spos",
+            F.coalesce("token_id", F.lit(UNK_ID)).cast("bigint").alias(
+                "token_id"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (F.row_number().over(w_seq) - F.lit(1)).cast("bigint").alias(
+                "seq_pos"
+            ),
+            "token_id",
+        )
+    )

@@ -17,6 +17,7 @@ from . import advanced_ops
 from . import curation_ops
 from . import ml_ops
 from . import privacy_ops
+from . import tokenizer_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -30,6 +31,7 @@ for _m in (
     curation_ops,
     ml_ops,
     privacy_ops,
+    tokenizer_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

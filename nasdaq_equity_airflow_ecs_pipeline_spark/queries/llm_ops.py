@@ -838,6 +838,82 @@ WHERE c.doc_id >= 10
 """
 
 
+# Span-level decontamination APPLY (VERDICT r10 #5): same benchmark
+# convention as q_decontaminate (doc_id < 10 is the reference set), but
+# instead of dropping the whole contaminated doc, the shared run is cut
+# and the remainder kept — the production n-gram-overlap policy.
+DECON_L = 5
+
+
+def q_decontaminate_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (operators/text.py:decontaminate_apply): every corpus token covered
+    by a >= 5-token run shared with the benchmark set is removed; tails
+    stay intact. Whole-doc q_decontaminate flags exactly the docs this
+    query rewrites."""
+    from ..operators.text import decontaminate_apply
+
+    d = _docs(spark, sf)
+    return decontaminate_apply(
+        d.filter(F.col("doc_id") >= 10),
+        d.filter(F.col("doc_id") < 10),
+        min_len=DECON_L,
+    )
+
+
+SQL_DECONTAMINATE_APPLY = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i:u.i+{DECON_L - 1}], ' ')) AS gkey
+  FROM t, unnest(generate_series(1, len(t) - {DECON_L - 1})) AS u(i)
+  WHERE len(t) >= {DECON_L}
+),
+hit AS (
+  SELECT DISTINCT o.doc_id, o.pos
+  FROM occ o
+  JOIN (SELECT DISTINCT gkey FROM occ WHERE doc_id < 10) b USING (gkey)
+  WHERE o.doc_id >= 10
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hit
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         CAST(max(pos) + {DECON_L - 1} AS BIGINT) AS span_end
+  FROM isl GROUP BY doc_id, grp
+),
+rem AS (
+  SELECT DISTINCT doc_id, u.i AS tpos
+  FROM spans, unnest(generate_series(span_start, span_end)) AS u(i)
+),
+tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, t[u.i] AS tok
+  FROM t, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE doc_id >= 10
+),
+kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.tpos = rem.tpos
+  WHERE rem.tpos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(reb.kept_text, '') AS kept_text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN reb USING (doc_id)
+WHERE t.doc_id >= 10
+"""
+
+
 # ----------------------------------------------------- train/test split
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based 90/10 split (portable md5 arithmetic, no
@@ -3127,6 +3203,234 @@ SELECT query_id, doc_id, rank, 0 AS label FROM (
 """
 
 
+# --------------------------------------------------- learned reranker
+# VERDICT r10 #6: close the RAG chain with a trained logistic head over
+# quantized per-candidate features (BM25 leg score, cosine leg score,
+# RRF contribution + bias), trained by the SAME fixed-point trainer as
+# the quality classifier (valued-feature mode, x_col='x') on labels
+# from the conjunctive qrels. 8 unrolled rounds in the oracle.
+RERANK_STEPS = 8
+RERANK_LR_NUM = 4
+RERANK_LR_DEN = 1
+RERANK_CB = 2  # ~ N_pos/N_neg on the fused top-10 vs conjunctive qrels
+RERANK_BASE = 1_000_000_000  # pair_id = query_id * BASE + doc_id
+
+
+def _rerank_frames(spark: SparkSession, sf: str):
+    """Shared legs/candidates/features/labels for the reranker pair:
+    hybrid candidates (q_hybrid_retrieval's exact plan), quantized
+    features, conjunctive-qrels labels."""
+    from ..operators.retrieval import reranker_features, rrf_fuse
+    from ..operators.similarity import cosine_topk_batch
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    lex = text_ops.bm25_topk(d, q, k=HYBRID_LEG_K)
+    emb = _emb(spark, sf)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = cosine_topk_batch(emb, qv, k=HYBRID_LEG_K).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    cands = rrf_fuse([lex, sem], k=HYBRID_K, k_rrf=RRF_K)
+    feats = reranker_features(cands, lex, sem, pair_base=RERANK_BASE)
+    qt = q.select(
+        "query_id", F.explode(text_ops.tokens("query_text")).alias("term")
+    ).distinct()
+    qrels = _conjunctive_qrels(d, qt)
+    labels = (
+        cands.join(qrels.withColumn("_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .select(
+            (
+                F.col("query_id").cast("bigint") * RERANK_BASE
+                + F.col("doc_id")
+            ).alias("pair_id"),
+            F.coalesce(F.col("_rel"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    return cands, feats, labels
+
+
+def _rerank_weights(spark: SparkSession, sf: str):
+    from ..operators import classifier as _clf
+
+    cands, feats, labels = _rerank_frames(spark, sf)
+    w = _clf.train_logreg_fixed_point(
+        feats,
+        labels,
+        id_col="pair_id",
+        steps=RERANK_STEPS,
+        lr_num=RERANK_LR_NUM,
+        lr_den=RERANK_LR_DEN,
+        cb_neg=RERANK_CB,
+        x_col="x",
+    )
+    return cands, feats, w
+
+
+def q_reranker_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the logistic reranker head in-engine: valued-feature
+    fixed-point gradient descent (operators/classifier.py, x_col mode)
+    over the hybrid candidates' quantized (BM25, cosine, RRF) features
+    against conjunctive-qrels labels. Output (bucket, w): buckets
+    0/1/2 = bm25/cosine/rrf, -1 = bias. The oracle unrolls the same
+    8 rounds with DuckDB integer division — weights bit-exact."""
+    _cands, _feats, w = _rerank_weights(spark, sf)
+    return w
+
+
+def q_rag_retrieve_reranked(spark: SparkSession, sf: str) -> DataFrame:
+    """The reranked RAG chain end-to-end: hybrid retrieval -> train the
+    reranker head -> re-order the fused top-10 by the learned logit
+    (operators/retrieval.py:rerank_apply, weights broadcast). Emits
+    both orderings (rank = RRF, rerank = learned) so the contrast is
+    part of the checked contract; test_reranker.py pins that they
+    differ and that the learned order improves the fixture metrics."""
+    from ..operators.retrieval import rerank_apply
+
+    cands, feats, w = _rerank_weights(spark, sf)
+    return rerank_apply(cands, feats, w, pair_base=RERANK_BASE)
+
+
+def _sql_rerank_ctes() -> str:
+    """Hybrid candidates + quantized features + labels + the unrolled
+    valued-feature gradient rounds rw0..rw{RERANK_STEPS} — mirrors
+    operators/retrieval.py reranker_features + classifier.py's valued
+    mode term for term."""
+    from ..operators.classifier import SCALE as _CS, XSCALE as _XS, ZCLAMP as _CZ
+
+    rounds = []
+    prev = "rw0"
+    for i in range(1, RERANK_STEPS + 1):
+        rounds.append(f"""
+rz{i} AS (
+  SELECT f.pair_id, min(f.y) AS y,
+         COALESCE(sum((COALESCE(w.w, 0) * f.x) // {_XS}), 0) AS z
+  FROM rfj f LEFT JOIN {prev} w USING (bucket) GROUP BY 1
+),
+re{i} AS (
+  SELECT pair_id,
+         (({_CS} // 2)
+          + (greatest(-{_CZ}, least({_CZ}, z)) * {_CS})
+            // (2 * ({_CS} + abs(greatest(-{_CZ}, least({_CZ}, z)))))
+          - y * {_CS})
+         * (CASE WHEN y = 0 THEN {RERANK_CB} ELSE 1 END) AS err
+  FROM rz{i}
+),
+rg{i} AS (
+  SELECT f.bucket, sum((e.err * f.x) // {_XS}) AS g
+  FROM rfj f JOIN re{i} e USING (pair_id) GROUP BY 1
+),
+rw{i} AS MATERIALIZED (
+  SELECT w.bucket,
+         CAST(w.w - (COALESCE(g.g, 0) * {RERANK_LR_NUM})
+                    // ({RERANK_LR_DEN} * rnd.n) AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN rg{i} g USING (bucket), rnd
+)""")
+        prev = f"rw{i}"
+    return f"""{_sql_bm25_ctes(HYBRID_LEG_K)},
+{_SQL_QRELS_CTES},
+el AS (SELECT vec_id, {_SQL_EMB_D} AS v FROM embeddings),
+qv AS (SELECT CAST(vec_id + 1 AS INTEGER) AS query_id, v AS qvec
+       FROM el WHERE vec_id < 3),
+semscored AS (
+  SELECT qv.query_id, el.vec_id AS doc_id,
+         list_dot_product(v, qvec)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec)))
+           AS cosine
+  FROM el, qv
+),
+semr AS (
+  SELECT query_id, doc_id, cosine, rank FROM (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM semscored
+  ) WHERE rank <= {HYBRID_LEG_K}
+),
+rlegs AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM lexr
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / ({RRF_K}.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+           AS _c
+  FROM semr
+),
+rfused AS (
+  SELECT query_id, doc_id, CAST(SUM(_c) AS BIGINT) AS rrf_x1e9,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM rlegs GROUP BY 1, 2
+),
+rcand AS MATERIALIZED (
+  SELECT query_id, doc_id, rrf_x1e9, n_legs, rank FROM (
+    SELECT query_id, doc_id, rrf_x1e9, n_legs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_x1e9 DESC, doc_id ASC) AS rank
+    FROM rfused
+  ) WHERE rank <= {HYBRID_K}
+),
+rquant AS (
+  SELECT CAST(c.query_id AS BIGINT) * {RERANK_BASE} + c.doc_id AS pair_id,
+         least(COALESCE(l.score_x1e6, 0) // 20, {_XS}) AS x0,
+         greatest(-{_XS}, least({_XS},
+           CAST(floor(COALESCE(s.cosine, 0.0) * {_XS}) AS BIGINT))) AS x1,
+         least(c.rrf_x1e9 // 40, {_XS}) AS x2
+  FROM rcand c
+  LEFT JOIN lexr l ON l.query_id = c.query_id AND l.doc_id = c.doc_id
+  LEFT JOIN semr s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+),
+rfeats AS MATERIALIZED (
+  SELECT pair_id, CAST(0 AS BIGINT) AS bucket, CAST(x0 AS BIGINT) AS x FROM rquant
+  UNION ALL
+  SELECT pair_id, CAST(1 AS BIGINT), CAST(x1 AS BIGINT) FROM rquant
+  UNION ALL
+  SELECT pair_id, CAST(2 AS BIGINT), CAST(x2 AS BIGINT) FROM rquant
+  UNION ALL
+  SELECT pair_id, CAST(-1 AS BIGINT), CAST({_XS} AS BIGINT) FROM rquant
+),
+rlab AS (
+  SELECT CAST(c.query_id AS BIGINT) * {RERANK_BASE} + c.doc_id AS pair_id,
+         CAST(CASE WHEN EXISTS (SELECT 1 FROM qrels r
+                                WHERE r.query_id = c.query_id
+                                  AND r.doc_id = c.doc_id)
+              THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM rcand c
+),
+rfj AS MATERIALIZED (
+  SELECT f.pair_id, f.bucket, f.x, l.y
+  FROM rfeats f JOIN rlab l USING (pair_id)
+),
+rnd AS (SELECT CAST(count(DISTINCT pair_id) AS BIGINT) AS n FROM rfj),
+rw0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM rfj),{",".join(rounds)}
+"""
+
+
+SQL_RERANKER_TRAIN = (
+    "WITH " + _sql_rerank_ctes() + f"SELECT bucket, w FROM rw{RERANK_STEPS}"
+)
+
+SQL_RAG_RETRIEVE_RERANKED = (
+    "WITH " + _sql_rerank_ctes() + f""",
+rzf AS (
+  SELECT f.pair_id,
+         COALESCE(sum((COALESCE(w.w, 0) * f.x) // 1000000), 0) AS score_scaled
+  FROM rfeats f LEFT JOIN rw{RERANK_STEPS} w USING (bucket) GROUP BY 1
+)
+SELECT c.query_id, c.doc_id, c.rrf_x1e9, c.rank,
+       CAST(z.score_scaled AS BIGINT) AS score_scaled,
+       CAST(row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY z.score_scaled DESC, c.doc_id ASC)
+            AS INTEGER) AS rerank
+FROM rcand c
+JOIN rzf z ON z.pair_id = CAST(c.query_id AS BIGINT) * {RERANK_BASE} + c.doc_id
+"""
+)
+
 # ------------------------ composed contrastive-training-pairs product
 TP_CAP = 64              # per-pair token budget (query + doc + specials)
 TP_SEQ_LEN = 256         # packed training-sequence length
@@ -3511,6 +3815,8 @@ QUERIES = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_retrieval_metrics": q_retrieval_metrics,
     "q_hard_negatives": q_hard_negatives,
+    "q_reranker_train": q_reranker_train,
+    "q_rag_retrieve_reranked": q_rag_retrieve_reranked,
     "q_training_pairs_pipeline": q_training_pairs_pipeline,
     "q_filter_eval": q_filter_eval,
     "q_hybrid_retrieval": q_hybrid_retrieval,
@@ -3540,6 +3846,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
+    "q_decontaminate_apply": q_decontaminate_apply,
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
     "q_embedding_quantize": q_embedding_quantize,
@@ -3582,6 +3889,8 @@ ORACLES = {
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_retrieval_metrics": SQL_RETRIEVAL_METRICS,
     "q_hard_negatives": SQL_HARD_NEGATIVES,
+    "q_reranker_train": SQL_RERANKER_TRAIN,
+    "q_rag_retrieve_reranked": SQL_RAG_RETRIEVE_RERANKED,
     "q_training_pairs_pipeline": SQL_TRAINING_PAIRS,
     "q_filter_eval": SQL_FILTER_EVAL,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
@@ -3612,6 +3921,7 @@ ORACLES = {
     "q_sessionize": SQL_SESSIONIZE,
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_decontaminate_apply": SQL_DECONTAMINATE_APPLY,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_stratified_sample": _sql_stratified_sample(),
     "q_embedding_quantize": _sql_embedding_quantize(),

@@ -69,6 +69,41 @@ _SQL_CLF_BUCKET = (
     f" % 2147483647) % {CLF_BUCKETS}"
 )
 
+# fastText-faithful subword mode (VERDICT r10 #4): whole-word hash plus
+# boundary-marked char n-grams with a distinct salt, 8x bucket space
+# (each doc carries ~2x len(token) n-grams per token; 512 would saturate)
+NG_BUCKETS = 4096
+NG_MINN = 3
+NG_MAXN = 4
+
+
+def _sql_subword_feats(p: str) -> str:
+    """feats0 body for the subword mode — mirrors
+    operators/classifier.py hashed_subword_features term for term."""
+    word_bucket = (
+        f"(('0x' || substr(md5(tok || ':{CLF_SEED}'), 1, 15))::BIGINT"
+        f" % 2147483647) % {NG_BUCKETS}"
+    )
+    gram_bucket = (
+        f"(('0x' || substr(md5(g || ':ng:{CLF_SEED}'), 1, 15))::BIGINT"
+        f" % 2147483647) % {NG_BUCKETS}"
+    )
+    return f"""
+  SELECT DISTINCT doc_id, bucket FROM (
+    SELECT doc_id, CAST({word_bucket} AS BIGINT) AS bucket FROM {p}toks
+    UNION ALL
+    SELECT doc_id, CAST({gram_bucket} AS BIGINT) AS bucket
+    FROM (
+      SELECT doc_id,
+             unnest(flatten(list_transform(generate_series({NG_MINN}, {NG_MAXN}), n ->
+               CASE WHEN length('<' || tok || '>') >= n
+                    THEN list_transform(
+                           generate_series(1, length('<' || tok || '>') - n + 1),
+                           i -> substring('<' || tok || '>', i, n))
+                    ELSE [] END))) AS g
+      FROM {p}toks)
+  )"""
+
 # label = ALL 5 checks pass (rule_labels threshold=1.0): integer
 # comparison, exact in both engines; the 0.6 production threshold is
 # all-positive on this corpus (checks are always 4 or 5)
@@ -77,7 +112,7 @@ _SQL_CLF_LABEL = f"""({_SQL_QRULE_CHECKS}
   ) >= 5"""
 
 
-def _sql_clf_prefix(p: str = "") -> str:
+def _sql_clf_prefix(p: str = "", subword: bool = False) -> str:
     """Shared CTE prefix: binary presence features + labels + the
     unrolled gradient rounds w0..w{CLF_STEPS}. Composable suffix picks
     weights or scores. Mirrors operators/classifier.py term for term:
@@ -85,7 +120,8 @@ def _sql_clf_prefix(p: str = "") -> str:
     division (DuckDB // == Spark div, both toward zero). ``p`` prefixes
     every generated CTE name so the block can splice into a larger
     statement (the v7 composed-chain oracle) without colliding with the
-    host query's CTEs."""
+    host query's CTEs. ``subword=True`` swaps the feats0 body for the
+    fastText char-n-gram mode (hashed_subword_features)."""
     rounds = []
     prev = f"{p}w0"
     for i in range(1, CLF_STEPS + 1):
@@ -124,9 +160,9 @@ WITH {p}toks AS MATERIALIZED (
          CAST(CASE WHEN {_SQL_CLF_LABEL} THEN 1 ELSE 0 END AS BIGINT) AS y
   FROM documents
 ),
-{p}feats0 AS (
+{p}feats0 AS ({_sql_subword_feats(p) if subword else f'''
   SELECT DISTINCT doc_id, CAST({_SQL_CLF_BUCKET} AS BIGINT) AS bucket
-  FROM {p}toks
+  FROM {p}toks'''}
 ),
 {p}fj AS MATERIALIZED (
   SELECT f.doc_id, f.bucket, l.y
@@ -144,6 +180,34 @@ WITH {p}toks AS MATERIALIZED (
 
 SQL_CLASSIFIER_TRAIN = (
     _sql_clf_prefix() + f"SELECT bucket, w FROM w{CLF_STEPS}"
+)
+
+
+def q_classifier_train_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """q_classifier_train with fastText-faithful SUBWORD features
+    (VERDICT r10 #4): whole-word presence plus boundary-marked char
+    {NG_MINN}..{NG_MAXN}-grams hashed into a {NG_BUCKETS}-bucket space.
+    Same 16-round fixed-point trainer, same oracle discipline (the
+    unrolled CTEs differ only in the feats0 body); the subword model's
+    robustness to misspelled markers is pinned by
+    test_classifier_ngram_beats_token_on_misspellings."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    feats = clf.hashed_subword_features(
+        d, n_buckets=NG_BUCKETS, seed=CLF_SEED, minn=NG_MINN, maxn=NG_MAXN
+    )
+    labels = clf.rule_labels(d)
+    return clf.train_logreg_fixed_point(
+        feats,
+        labels,
+        steps=CLF_STEPS,
+        lr_num=CLF_LR_NUM,
+        lr_den=CLF_LR_DEN,
+        cb_neg=CLF_CB_NEG,
+    )
+
+
+SQL_CLASSIFIER_TRAIN_NGRAM = (
+    _sql_clf_prefix(subword=True) + f"SELECT bucket, w FROM w{CLF_STEPS}"
 )
 
 
@@ -758,6 +822,7 @@ QUERIES.update(
         "q_substring_anyoffset_apply": q_substring_anyoffset_apply,
         "q_doremi_weights": q_doremi_weights,
         "q_classifier_train": q_classifier_train,
+        "q_classifier_train_ngram": q_classifier_train_ngram,
         "q_filter_eval_trained": q_filter_eval_trained,
         "q_bpe_bytes_merges": q_bpe_bytes_merges,
         "q_bpe_bytes_encode": q_bpe_bytes_encode,
@@ -772,6 +837,7 @@ ORACLES.update(
         "q_doremi_weights": SQL_DOREMI_WEIGHTS,
         "q_video_shingle_neardup": SQL_VIDEO_SHINGLE_NEARDUP,
         "q_classifier_train": SQL_CLASSIFIER_TRAIN,
+        "q_classifier_train_ngram": SQL_CLASSIFIER_TRAIN_NGRAM,
         "q_filter_eval_trained": SQL_FILTER_EVAL_TRAINED,
         "q_bpe_bytes_merges": SQL_BPE_BYTES_MERGES,
         "q_bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,

@@ -131,6 +131,92 @@ def test_trained_separates_constructed_corpus(spark):
     assert rows == truth  # 100% separation on the separable corpus
 
 
+def test_subword_features_contract(spark):
+    """hashed_subword_features emits the whole-word bucket, every
+    boundary-marked char-n-gram bucket, and the bias row — checked
+    against a hand-computed feature set on one token."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "cab")], "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["bucket"])
+        for r in clf.hashed_subword_features(
+            df, n_buckets=4096, minn=3, maxn=4
+        ).collect()
+    }
+
+    def bucket(s, salt):
+        h = int(hashlib.md5((s + salt).encode()).hexdigest()[:15], 16)
+        return (h % 2147483647) % 4096
+
+    # <cab> has 3-grams {<ca, cab, ab>} and 4-grams {<cab, cab>}
+    want = {(1, clf.BIAS_BUCKET), (1, bucket("cab", ":clf-v1"))} | {
+        (1, bucket(g, ":ng:clf-v1"))
+        for g in ("<ca", "cab", "ab>", "<cab", "cab>")
+    }
+    assert got == want
+
+
+# misspelled-marker fixture (VERDICT r10 #4 non-vacuity): training
+# positives carry 'qualityword', negatives 'junktoken'; the EVAL docs
+# carry character-level corruptions of the markers, so whole-token
+# hashing sees unseen buckets while the char-n-gram features still
+# overlap the clean forms. Filler tokens are identical across classes.
+_NG_TRAIN = [
+    (i, "qualityword alpha beta gamma d%d" % (i % 5), 1) for i in range(30)
+] + [
+    (100 + i, "junktoken alpha beta gamma d%d" % (i % 5), 0) for i in range(30)
+]
+_NG_EVAL = [
+    (200 + i, "qualityw0rd alpha beta gamma d%d" % (i % 5), 1) for i in range(10)
+] + [
+    (300 + i, "junktok3n alpha beta gamma d%d" % (i % 5), 0) for i in range(10)
+]
+
+
+def test_classifier_ngram_beats_token_on_misspellings(spark):
+    """VERDICT r10 #4 done-criterion: on eval docs whose markers are
+    misspelled, the subword model's correct count is >= the token
+    model's AND the two models disagree somewhere (non-vacuity)."""
+    train = spark.createDataFrame(
+        [(i, t) for i, t, _y in _NG_TRAIN], "doc_id bigint, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _t, y in _NG_TRAIN], "doc_id bigint, y bigint"
+    )
+    ev = spark.createDataFrame(
+        [(i, t) for i, t, _y in _NG_EVAL], "doc_id bigint, text string"
+    )
+    truth = {i: bool(y) for i, _t, y in _NG_EVAL}
+
+    w_tok = clf.train_logreg_fixed_point(
+        clf.hashed_token_features(train), labels,
+        steps=16, lr_num=4, lr_den=1, cb_neg=1,
+    )
+    pred_tok = {
+        r["doc_id"]: r["kept"]
+        for r in clf.trained_score(ev, w_tok).collect()
+    }
+
+    w_ng = clf.train_logreg_fixed_point(
+        clf.hashed_subword_features(train, n_buckets=4096), labels,
+        steps=16, lr_num=4, lr_den=1, cb_neg=1,
+    )
+    pred_ng = {
+        r["doc_id"]: r["kept"]
+        for r in clf.trained_score(
+            ev, w_ng, feats=clf.hashed_subword_features(ev, n_buckets=4096)
+        ).collect()
+    }
+
+    correct_tok = sum(pred_tok[i] == truth[i] for i in truth)
+    correct_ng = sum(pred_ng[i] == truth[i] for i in truth)
+    assert pred_ng != pred_tok  # non-vacuity: the models differ
+    assert correct_ng >= correct_tok, (correct_ng, correct_tok)
+    # and the subword model actually reads through the misspellings
+    assert correct_ng == len(truth), (correct_ng, pred_ng)
+
+
 def test_trained_beats_placeholder_on_corpus(spark):
     """VERDICT r9 #1 done-criterion: trained confusion counts improve on
     the placeholder's, against the same rule label, on the real

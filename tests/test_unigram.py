@@ -1,0 +1,140 @@
+"""Unigram-LM tokenizer (operators/unigram.py — VERDICT r10 #3):
+fixed-point log2 contract, Viterbi segmentation against a pure-Python
+twin, EM pruning/closure invariants, and encode determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from nasdaq_equity_airflow_ecs_pipeline_spark.operators import unigram as U
+
+
+def test_ilog2_cost_exact_on_powers_of_two():
+    B = U.COST_FRAC_BITS
+    for k in range(0, 20):
+        assert U.ilog2_cost(1 << k, 1) == k << B
+    assert U.ilog2_cost(12, 12) == 0
+    # monotone: cost grows as cnt shrinks
+    costs = [U.ilog2_cost(10_000, c) for c in (5_000, 1_000, 100, 7, 1)]
+    assert costs == sorted(costs)
+    with pytest.raises(ValueError):
+        U.ilog2_cost(5, 6)
+
+
+def test_ilog2_cost_fractional_bits_close_to_float_log2():
+    """The shift-and-square value is a DEFINED quantization, but it
+    should still track float log2 within ~2 ulp of the B-bit grid —
+    otherwise the 'log2' name is a lie."""
+    import math
+
+    B = U.COST_FRAC_BITS
+    for total, cnt in ((3, 1), (10, 3), (1000, 7), (999983, 17)):
+        got = U.ilog2_cost(total, cnt)
+        want = math.log2(total / cnt) * (1 << B)
+        assert abs(got - want) <= 2.0, (total, cnt, got, want)
+
+
+def _py_viterbi(w: str, costs: dict[str, int]) -> list[str]:
+    """Pure-Python twin of the DP: key = cost * LKEY + len, min key
+    per position (cost first, shorter last piece on ties)."""
+    n = len(w)
+    dp = [0] + [None] * n
+    for j in range(1, n + 1):
+        best = None
+        for l in range(1, min(U.MAX_PIECE_LEN, j) + 1):
+            piece = w[j - l:j]
+            c = costs.get(piece)
+            if c is None:
+                if l != 1:
+                    continue
+                c = U.UNK_COST
+            key = (dp[j - l] // U.LKEY + c) * U.LKEY + l
+            if best is None or key < best:
+                best = key
+        dp[j] = best
+    parts = []
+    pos = n
+    while pos > 0:
+        l = dp[pos] % U.LKEY
+        parts.append(w[pos - l:pos])
+        pos -= l
+    return list(reversed(parts))
+
+
+def test_viterbi_matches_python_twin(spark):
+    words = ["hello", "help", "lowly", "zzz", "a", "qx"]
+    costs = [("hell", 100), ("lo", 150), ("low", 120), ("ly", 90),
+             ("he", 130)] + [(ch, 400) for ch in "abehlopwyz"]
+    # 'q' and 'x' are NOT in the table -> UNK single-char edges
+    df = spark.createDataFrame(
+        [(w, 1) for w in words], "w string, freq bigint"
+    )
+    got = {
+        r["w"]: list(r["pieces"])
+        for r in U.viterbi_segment(df, costs).collect()
+    }
+    cd = dict(costs)
+    for w in words:
+        assert got[w] == _py_viterbi(w, cd), (w, got[w], _py_viterbi(w, cd))
+        assert "".join(got[w]) == w  # lossless concatenation
+
+
+def test_viterbi_prefers_cheaper_then_shorter_last_piece(spark):
+    # two segmentations with equal total cost: ab|cd vs abcd at the
+    # same cost -> the dp key's len term picks the SHORTER last piece
+    costs = [("ab", 100), ("cd", 100), ("abcd", 200),
+             ("a", 500), ("b", 500), ("c", 500), ("d", 500)]
+    df = spark.createDataFrame([("abcd", 1)], "w string, freq bigint")
+    got = U.viterbi_segment(df, costs).collect()[0]["pieces"]
+    assert list(got) == ["ab", "cd"]
+    # and a strictly cheaper long piece wins
+    costs2 = [("ab", 100), ("cd", 100), ("abcd", 150),
+              ("a", 500), ("b", 500), ("c", 500), ("d", 500)]
+    got2 = U.viterbi_segment(df, costs2).collect()[0]["pieces"]
+    assert list(got2) == ["abcd"]
+
+
+def test_train_prunes_and_keeps_alphabet(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "hell no world worldly"),
+         (3, "low lowly hello")],
+        "doc_id bigint, text string",
+    )
+    t = {r["piece"]: (r["cnt"], r["cost"]) for r in U.unigram_train(docs).collect()}
+    alphabet = set("helowrdnly")
+    # closure: every corpus character survives as a single-char piece
+    assert alphabet <= set(p for p in t if len(p) == 1)
+    # pruning: unused multi-char seeds are gone (seed had ~100 pieces)
+    assert len(t) < 30
+    # every piece the final table counts as used has cnt > 0 OR is a
+    # required single char
+    for p, (cnt, _cost) in t.items():
+        assert cnt > 0 or len(p) == 1
+    # cost is monotone in cnt (Laplace-smoothed, same denominator)
+    by_cnt = sorted(t.values())
+    for (c1, k1), (c2, k2) in zip(by_cnt, by_cnt[1:]):
+        if c1 < c2:
+            assert k1 >= k2
+
+
+def test_encode_reconstructs_words(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "worldly low")],
+        "doc_id bigint, text string",
+    )
+    trained = U.unigram_train(docs)
+    pt = [(r["piece"], r["cost"]) for r in trained.collect()]
+    ids = {i: p for i, (p, _c) in enumerate(sorted(pt))}
+    enc = sorted(
+        U.unigram_encode(docs, pt).collect(),
+        key=lambda r: (r["doc_id"], r["seq_pos"]),
+    )
+    # seq_pos dense per doc, ids decode, concatenation rebuilds the text
+    rebuilt: dict[int, str] = {}
+    seen: dict[int, int] = {}
+    for r in enc:
+        assert r["seq_pos"] == seen.get(r["doc_id"], 0)
+        seen[r["doc_id"]] = r["seq_pos"] + 1
+        assert r["token_id"] >= 0  # no UNK when encoding the train corpus
+        rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + ids[r["token_id"]]
+    assert rebuilt == {1: "helloworld", 2: "worldlylow"}

@@ -120,6 +120,17 @@ CARTESIAN_OK = {
     "q_snippet_extract": (
         "broadcast of 1-row corpus stats (BM25 candidate leg)"
     ),
+    "q_tokenizer_compare": (
+        "broadcast of the 1-row corpus byte/word totals onto each "
+        "tokenizer's 1-row token count (and bpe_encode_bytes' 1-row "
+        "alphabet count)"
+    ),
+    "q_rag_retrieve_reranked": (
+        "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
+        "(semantic leg) — q_hybrid_retrieval's candidate plan; the "
+        "trainer's weights are a materialized bounded artifact and the "
+        "rerank join is feature-keyed"
+    ),
     "q_tpch_q22_idle_customers": "scalar subquery (1-row avg) broadcast",
     "q_tpch_q15_top_supplier": "scalar subquery (1-row max) broadcast",
     "q_tpch_q11_important_stock": "scalar subquery (1-row total) broadcast",
@@ -217,6 +228,21 @@ BROADCAST_OK = {
         "the id-assignment join"
     ),
     "operators/text.py::bpe_decode_bytes": "merge-output vocab rows (<= n_merges, the trained artifact)",
+    "operators/retrieval.py::rerank_apply": (
+        "trained reranker weight table: n_features+1 rows (4 at the "
+        "contract constants) by construction"
+    ),
+    "operators/unigram.py::viterbi_segment": (
+        "(piece, cost) table <= alphabet + SEED_MULTI rows by "
+        "construction (it IS the tokenizer artifact)"
+    ),
+    "operators/unigram.py::unigram_encode": (
+        "piece-id table <= alphabet + SEED_MULTI rows (the artifact)"
+    ),
+    "queries/tokenizer_ops.py::_row": (
+        "1-row corpus byte/word totals joined onto each tokenizer's "
+        "1-row token count (q_tokenizer_compare's per-tokenizer row)"
+    ),
 }
 
 
