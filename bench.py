@@ -241,6 +241,10 @@ def main() -> None:
         "q_unigram_lm_train",
         "q_unigram_encode",
         "q_tokenizer_compare",
+        "q_unigram_doc_score",
+        "q_decontaminate_delta",
+        "q_rerank_eval",
+        "q_corpus_pipeline_v8",
     ):
         fn = queries[name]
         best = float("inf")

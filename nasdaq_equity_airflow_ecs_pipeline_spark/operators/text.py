@@ -1442,14 +1442,62 @@ def decontaminate_spans(
     eval-suite-sized) reference frame — AQE broadcasts it; corpus-side
     work is the same linear sliding-gram explode + one semi equi-join +
     a flag-proportional island merge. No pairwise joins."""
-    occ = _sliding_grams(docs, min_len, id_col, text_col)
-    bg = (
-        _sliding_grams(bench, min_len, id_col, bench_text_col)
+    bg = benchmark_gram_index(bench, min_len, id_col, bench_text_col)
+    return decontaminate_spans_indexed(docs, bg, min_len, id_col, text_col)
+
+
+def benchmark_gram_index(
+    bench: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The FROZEN decontamination artifact: the distinct sliding
+    ``min_len``-gram keys of the benchmark set — built (and in a real
+    pipeline persisted) once per benchmark release. Corpus batches are
+    independent given this index (no corpus-corpus interaction in
+    decontamination), so the incremental fold is
+    :func:`decontaminate_apply_indexed` over just the delta batch —
+    delta-sized by construction, == the full rebuild restricted to the
+    delta ids (pinned by test_decontaminate.py)."""
+    return (
+        _sliding_grams(bench, min_len, id_col, text_col)
         .select("gkey")
         .distinct()
     )
-    hit = occ.join(bg, "gkey", "left_semi").select(id_col, "pos").distinct()
+
+
+def decontaminate_spans_indexed(
+    docs: DataFrame,
+    gram_index: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`decontaminate_spans` against a prebuilt
+    :func:`benchmark_gram_index` (the incremental path)."""
+    occ = _sliding_grams(docs, min_len, id_col, text_col)
+    hit = (
+        occ.join(gram_index, "gkey", "left_semi")
+        .select(id_col, "pos")
+        .distinct()
+    )
     return _islands_to_spans(hit, min_len, id_col)
+
+
+def decontaminate_apply_indexed(
+    docs: DataFrame,
+    gram_index: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`decontaminate_apply` against a prebuilt gram index —
+    the per-batch fold of the incremental decontamination story."""
+    spans = decontaminate_spans_indexed(
+        docs, gram_index, min_len, id_col, text_col
+    )
+    return _remove_spans(docs, spans, id_col, text_col)
 
 
 def decontaminate_apply(

@@ -144,7 +144,10 @@ def viterbi_segment(
     words: DataFrame, costs: list[tuple[str, int]]
 ) -> DataFrame:
     """Viterbi segmentation of the distinct-word frame under a
-    (piece, cost) table: returns (w, freq, pieces array<string>).
+    (piece, cost) table: returns (w, freq, pieces array<string>,
+    total_cost) — total_cost is the best path's summed piece cost
+    (the word's unigram-LM negative log2 likelihood in 1/2^
+    COST_FRAC_BITS bits), read directly off the final dp key.
 
     Per word: edge (j, l) covers positions j-l+1..j with the piece's
     cost (single-char edges fall back to UNK_COST when the char is not
@@ -210,6 +213,9 @@ def viterbi_segment(
             F.expr(
                 "transform(_parts, p -> substring(w, p.s, p.l))"
             ).alias("pieces"),
+            F.expr(f"element_at(dp, n + 1) div {LKEY}")
+            .cast("bigint")
+            .alias("total_cost"),
         )
     )
 
@@ -305,4 +311,52 @@ def unigram_encode(
             ),
             "token_id",
         )
+    )
+
+
+def unigram_doc_scores(
+    docs: DataFrame,
+    piece_table: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM cost under a trained (piece, cost)
+    table — the tokenizer doubling as a CCNet-style quality signal:
+    (id, n_pieces, total_cost_x256, bits_per_piece_x256). total_cost
+    is the summed Viterbi path cost (negative log2 likelihood in
+    1/2^COST_FRAC_BITS bits); bits_per_piece is the length-normalized
+    form a perplexity threshold cuts on (rare/garbled words segment
+    into many expensive single chars; UNK chars pay UNK_COST). Docs
+    with no words report zeros, not NULLs.
+
+    Scale shape: Viterbi on the distinct-word vocab; the corpus term
+    is one explode + one equi-join + one doc-keyed agg."""
+    wordpos = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = wordpos.select("w").distinct().select(
+        "w", F.lit(1).cast("bigint").alias("freq")
+    )
+    seg = viterbi_segment(vocab, piece_table).select(
+        "w", F.size("pieces").cast("bigint").alias("_np"), "total_cost"
+    )
+    agg = (
+        wordpos.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+            F.sum("total_cost").cast("bigint").alias("total_cost_x256"),
+        )
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        F.coalesce("total_cost_x256", F.lit(0)).cast("bigint").alias(
+            "total_cost_x256"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(n_pieces, 0) > 0"
+            " THEN coalesce(total_cost_x256, 0) div n_pieces"
+            " ELSE 0 END"
+        ).cast("bigint").alias("bits_per_piece_x256"),
     )

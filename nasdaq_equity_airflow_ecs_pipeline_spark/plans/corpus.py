@@ -539,6 +539,7 @@ def curate_corpus_v6(
     max_line_docs: int = 2,
     bucket_width: float = 25.0,
     quality_gate=None,
+    post_line_stage=None,
 ) -> dict[str, DataFrame]:
     """The v4 CCNet chain with the selection CCNet ACTUALLY uses
     (Wenzek et al. 2020 §4.4) in place of the fixed perplexity
@@ -577,13 +578,28 @@ def curate_corpus_v6(
         .select("doc_id", F.col("kept_text").alias("text"), "lang", "source"),
         "v6",
     )
+    # optional post-line-dedup stage (v8 injects span decontamination
+    # here: same frame contract — (doc_id, text, lang, source), text
+    # possibly rewritten, a subset of line_kept's docs).
+    # localCheckpoint, NOT persist: a persisted frame keeps its logical
+    # lineage, and the funnel's union-of-stage-aggregates embeds every
+    # cached ancestor's plan RECURSIVELY per census row — the extra
+    # decon level pushed the AQE explain-string past a 1 GB heap
+    # (OOM in QueryExecution.explainString, measured; v7 sat just
+    # under it). The eager checkpoint makes downstream plans see a
+    # LogicalRDD leaf, resetting the textual plan depth below v7's.
+    decon = None
+    gate_in = line_kept
+    if post_line_stage is not None:
+        decon = post_line_stage(line_kept).localCheckpoint(eager=True)
+        gate_in = decon
     # quality gate: default = the placeholder-weight expression score;
     # v7 injects the TRAINED-classifier gate here (same stage, same
-    # survivor frame contract: a subset of line_kept, schema unchanged)
+    # survivor frame contract: a subset of the input, schema unchanged)
     kept = _persist(
-        line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0)
+        gate_in.filter(text_ops.classifier_quality_score("text") >= 0.0)
         if quality_gate is None
-        else quality_gate(line_kept),
+        else quality_gate(gate_in),
         "v6",
     )
     model = train_kn_trigram_lm(kept.filter(F.col("lang") == "en"))
@@ -630,7 +646,7 @@ def curate_corpus_v6(
     sharded = balanced_shards(
         budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]
     )
-    return {
+    stages = {
         "raw": base,
         "line_dedup": line_kept,
         "classifier": kept,
@@ -639,6 +655,9 @@ def curate_corpus_v6(
         "budget": budgeted,
         "sharded": sharded,
     }
+    if decon is not None:
+        stages["decon"] = decon
+    return stages
 
 
 def curate_corpus_v7(
@@ -692,6 +711,64 @@ def curate_corpus_v7(
         )
 
     return curate_corpus_v6(docs, emb, quality_gate=gate, **v6_kwargs)
+
+
+_STAGE_ORDER_V8 = [
+    "raw", "line_dedup", "decon", "classifier", "lm_gate", "semdedup",
+    "budget",
+]
+
+
+def curate_corpus_v8(
+    docs: DataFrame,
+    emb: DataFrame,
+    bench: DataFrame,
+    decon_min_len: int = 5,
+    **v7_kwargs,
+) -> dict[str, DataFrame]:
+    """The v7 trained-gate chain with SPAN-LEVEL BENCHMARK
+    DECONTAMINATION inserted between line dedup and the classifier
+    gate (VERDICT r10 #5 composed into the chain):
+
+        raw (benchmark excluded) -> line dedup
+            -> span decontamination  (cut every run shared with the
+                                      ``bench`` frame at >= decon_min_len
+                                      tokens; docs emptied entirely are
+                                      dropped)
+            -> trained classifier gate -> KN tercile select
+            -> semantic dedup -> token-budget cut -> balanced shards
+
+    ``bench`` is the reference benchmark frame — it is never part of
+    the chain input (the caller excludes it) and is never rewritten;
+    the chain consumes only its sliding-gram keys
+    (operators/text.py:benchmark_gram_index — the frozen artifact,
+    broadcast-sized). The decontaminated rebuild joins tokens with
+    single spaces, which is why the stage runs AFTER line dedup (the
+    newline structure has already been consumed; every later stage
+    tokenizes on \\s+ and cannot tell). Stage keys are v7's plus
+    'decon' (_STAGE_ORDER_V8 orders the funnel)."""
+    from ..operators.text import (
+        benchmark_gram_index,
+        decontaminate_apply_indexed,
+    )
+
+    idx = benchmark_gram_index(bench, min_len=decon_min_len)
+
+    def decon_stage(line_kept: DataFrame) -> DataFrame:
+        dec = decontaminate_apply_indexed(
+            line_kept, idx, min_len=decon_min_len
+        )
+        return (
+            dec.filter(F.col("kept_text") != "")
+            .join(line_kept.select("doc_id", "lang", "source"), "doc_id")
+            .select(
+                "doc_id", F.col("kept_text").alias("text"), "lang", "source"
+            )
+        )
+
+    return curate_corpus_v7(
+        docs, emb, post_line_stage=decon_stage, **v7_kwargs
+    )
 
 
 def curate_corpus_index(
@@ -947,12 +1024,16 @@ _STAGE_ORDER_V4 = [
 ]
 
 
-def curate_corpus_v4_funnel(stages: dict[str, DataFrame]) -> DataFrame:
+def curate_corpus_v4_funnel(
+    stages: dict[str, DataFrame], order: list[str] | None = None
+) -> DataFrame:
     """(stage_id, stage, n_docs, n_tokens) census over the v4 chain;
     the final row audits the shard assignment (non-empty shard count +
-    heaviest shard's token mass), like the v3 funnel."""
+    heaviest shard's token mass), like the v3 funnel. ``order``
+    overrides the stage list (v8 inserts 'decon' after line_dedup)."""
+    order = order if order is not None else _STAGE_ORDER_V4
     out = None
-    for i, name in enumerate(_STAGE_ORDER_V4):
+    for i, name in enumerate(order):
         fr = stages[name]
         tok = (
             F.sum("n_tokens")
@@ -968,7 +1049,7 @@ def curate_corpus_v4_funnel(stages: dict[str, DataFrame]) -> DataFrame:
         out = census if out is None else out.unionByName(census)
     mass = stages["sharded"].groupBy("shard").agg(F.sum("n_tokens").alias("m"))
     final = mass.agg(
-        F.lit(len(_STAGE_ORDER_V4)).alias("stage_id"),
+        F.lit(len(order)).alias("stage_id"),
         F.lit("sharded").alias("stage"),
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("n_tokens"),

@@ -829,6 +829,46 @@ def q_corpus_pipeline_v7(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages)
 
 
+def q_corpus_pipeline_v8(spark: SparkSession, sf: str) -> DataFrame:
+    """The v7 trained-gate chain with SPAN-LEVEL BENCHMARK
+    DECONTAMINATION composed in (plans/corpus.py curate_corpus_v8):
+    the benchmark slice (doc_id < 10, q_decontaminate's convention) is
+    excluded from the chain input and never rewritten; after line
+    dedup, every corpus run sharing >= 5 tokens with the benchmark is
+    cut (docs emptied entirely drop); the trained classifier (labeler
+    = the benchmark-excluded slice), KN terciles, SemDeDup, budget and
+    shards run on the cleaned text. One oracle statement rebuilds the
+    whole chain including the decontamination rebuild and the spliced
+    16-round training CTEs; the funnel census gains the 'decon' row."""
+    from ..plans.corpus import (
+        _STAGE_ORDER_V8,
+        curate_corpus_v4_funnel,
+        curate_corpus_v8,
+    )
+
+    raw = _docs(spark, sf)
+    d = raw.filter(F.col("doc_id") >= 10).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+        "lang",
+        "source",
+    )
+    emb = load_table(spark, sf, "embeddings")
+    stages = curate_corpus_v8(
+        d,
+        emb,
+        bench=raw.filter(F.col("doc_id") < 10).select("doc_id", "text"),
+        decon_min_len=DECON_CHAIN_L,
+        train_docs=raw.filter(F.col("doc_id") >= 10).select("doc_id", "text"),
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        bucket_width=CCNET_BUCKET_WIDTH,
+    )
+    return curate_corpus_v4_funnel(stages, order=_STAGE_ORDER_V8)
+
 
 def q_corpus_pipeline_delta(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental COMPOSED curation (plans/corpus.py
@@ -1075,15 +1115,30 @@ FROM cum WHERE cum <= {V3_BUDGET} AND doc_id % 10 >= 8
     return sql
 
 
+# v8's span-decontamination gram length — mirrors llm_ops.DECON_L (the
+# standalone q_decontaminate_apply constant; kept as a literal here to
+# avoid a curation_ops <-> llm_ops import cycle, pinned equal by test)
+DECON_CHAIN_L = 5
+
+
 def _sql_corpus_pipeline_v4(
-    lm_order: int | str = 2, clf_gate: str = "placeholder"
+    lm_order: int | str = 2, clf_gate: str = "placeholder",
+    decon: bool = False,
 ) -> str:
+    """``decon=True`` is the v8 shape: the chain input excludes the
+    benchmark slice (doc_id < 10 — q_decontaminate's convention), a
+    span-decontamination rebuild is spliced between line_kept and the
+    classifier gate, the trained-gate labeler corpus is the excluded
+    slice too, and the census gains the 'decon' row."""
     from ..operators.lsh import MERSENNE_P
 
     if lm_order not in (2, 3, "kn"):  # mirror curate_corpus_v4's guard
         raise ValueError(f"lm_order must be 2, 3 or 'kn', got {lm_order!r}")
     if clf_gate not in ("placeholder", "trained"):
         raise ValueError(f"clf_gate must be placeholder|trained, got {clf_gate!r}")
+    if decon and clf_gate != "trained":
+        raise ValueError("decon (v8) composes on the trained gate")
+    clf_src = "decon" if decon else "line_kept"
 
     w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
          " % 4096) % 2001 - 1000) / 1000.0")
@@ -1273,23 +1328,29 @@ lm AS (
     if clf_gate == "trained":
         from .ml_ops import _SQL_CLF_BUCKET, _sql_clf_prefix, CLF_STEPS
 
+        clf_train_src = (
+            "(SELECT * FROM documents WHERE doc_id >= 10)"
+            if decon
+            else "documents"
+        )
         train_ctes = (
-            _sql_clf_prefix(p="c").strip().removeprefix("WITH ").rstrip()
+            _sql_clf_prefix(p="c", src=clf_train_src)
+            .strip().removeprefix("WITH ").rstrip()
         ) + ",\n"
         clf_block = f"""scored AS (
   SELECT f.doc_id, COALESCE(sum(w.w), 0) AS z
   FROM (
     SELECT DISTINCT doc_id, CAST({_SQL_CLF_BUCKET} AS BIGINT) AS bucket
     FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-          FROM line_kept)
+          FROM {clf_src})
     UNION ALL
-    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM line_kept
+    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM {clf_src}
   ) f LEFT JOIN cw{CLF_STEPS} w USING (bucket)
   GROUP BY f.doc_id
 ),
 clf AS (
-  SELECT line_kept.doc_id, line_kept.text, line_kept.lang, line_kept.source
-  FROM line_kept JOIN scored USING (doc_id) WHERE scored.z >= 0
+  SELECT {clf_src}.doc_id, {clf_src}.text, {clf_src}.lang, {clf_src}.source
+  FROM {clf_src} JOIN scored USING (doc_id) WHERE scored.z >= 0
 )"""
     else:
         train_ctes = ""
@@ -1301,11 +1362,64 @@ clf AS (
   FROM line_kept
 ),
 clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0)"""
+    decon_block = ""
+    if decon:
+        _DL = DECON_CHAIN_L
+        decon_block = f"""
+dbg AS (
+  SELECT DISTINCT md5(array_to_string(t[u.i:u.i+{_DL - 1}], ' ')) AS gkey
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE doc_id < 10) b,
+       unnest(generate_series(1, len(t) - {_DL - 1})) AS u(i)
+  WHERE len(t) >= {_DL}
+),
+dtk AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM line_kept
+),
+docc AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i:u.i+{_DL - 1}], ' ')) AS gkey
+  FROM dtk, unnest(generate_series(1, len(t) - {_DL - 1})) AS u(i)
+  WHERE len(t) >= {_DL}
+),
+dhit AS (SELECT DISTINCT o.doc_id, o.pos FROM docc o JOIN dbg USING (gkey)),
+disl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dhit
+),
+dspan AS (
+  SELECT doc_id, min(pos) AS s, CAST(max(pos) + {_DL - 1} AS BIGINT) AS e2
+  FROM disl GROUP BY doc_id, grp
+),
+drem AS (
+  SELECT DISTINCT doc_id, u.i AS tpos
+  FROM dspan, unnest(generate_series(s, e2)) AS u(i)
+),
+dtok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS tpos, t[u.i] AS tok
+  FROM dtk, unnest(generate_series(1, len(t))) AS u(i)
+),
+dkept AS (
+  SELECT dtok.doc_id, dtok.tpos, dtok.tok
+  FROM dtok LEFT JOIN drem
+    ON dtok.doc_id = drem.doc_id AND dtok.tpos = drem.tpos
+  WHERE drem.tpos IS NULL
+),
+dreb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text
+  FROM dkept GROUP BY 1
+),
+decon AS MATERIALIZED (
+  SELECT lk.doc_id, dreb.kept_text AS text, lk.lang, lk.source
+  FROM line_kept lk JOIN dreb USING (doc_id)
+  WHERE dreb.kept_text != ''
+),"""
     sql = f"""
 WITH {train_ctes}relined AS (
   SELECT doc_id, lang, source,
          regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
-  FROM documents
+  FROM documents{" WHERE doc_id >= 10" if decon else ""}
 ),
 ls AS (SELECT doc_id, lang, source, string_split(text, chr(10)) AS arr FROM relined),
 lns AS (
@@ -1325,7 +1439,7 @@ reb AS (
 line_kept AS (
   SELECT ls.doc_id, reb.kept_text AS text, ls.lang, ls.source
   FROM ls JOIN reb USING (doc_id)
-),
+),{decon_block}
 {clf_block},
 {lm_block},
 e AS (
@@ -1381,13 +1495,14 @@ sh AS (
   FROM budget, tot
 ),
 mass AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS m FROM sh GROUP BY 1)
-SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens FROM documents
-UNION ALL SELECT 1, 'line_dedup', CAST(count(*) AS BIGINT), {ntok} FROM line_kept
-UNION ALL SELECT 2, 'classifier', CAST(count(*) AS BIGINT), {ntok} FROM clf
-UNION ALL SELECT 3, 'lm_gate', CAST(count(*) AS BIGINT), {ntok} FROM lm
-UNION ALL SELECT 4, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
-UNION ALL SELECT 5, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
-UNION ALL SELECT 6, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
+SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens FROM documents{" WHERE doc_id >= 10" if decon else ""}
+UNION ALL SELECT 1, 'line_dedup', CAST(count(*) AS BIGINT), {ntok} FROM line_kept{'''
+UNION ALL SELECT 2, 'decon', CAST(count(*) AS BIGINT), ''' + ntok + " FROM decon" if decon else ""}
+UNION ALL SELECT {3 if decon else 2}, 'classifier', CAST(count(*) AS BIGINT), {ntok} FROM clf
+UNION ALL SELECT {4 if decon else 3}, 'lm_gate', CAST(count(*) AS BIGINT), {ntok} FROM lm
+UNION ALL SELECT {5 if decon else 4}, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
+UNION ALL SELECT {6 if decon else 5}, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
+UNION ALL SELECT {7 if decon else 6}, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
 """
     # MATERIALIZE the multiply-referenced heavy CTEs: DuckDB inlines
     # plain CTEs per reference, so the KN/LM pyramid hanging off `clf`
@@ -1942,6 +2057,7 @@ QUERIES = {
     "q_corpus_pipeline_v5": q_corpus_pipeline_v5,
     "q_corpus_pipeline_v6": q_corpus_pipeline_v6,
     "q_corpus_pipeline_v7": q_corpus_pipeline_v7,
+    "q_corpus_pipeline_v8": q_corpus_pipeline_v8,
     "q_lm_score": q_lm_score,
     "q_lm_score3": q_lm_score3,
     "q_lm_score_kn": q_lm_score_kn,
@@ -1968,6 +2084,8 @@ ORACLES = {
     "q_corpus_pipeline_v5": _sql_corpus_pipeline_v4(lm_order=3),
     "q_corpus_pipeline_v6": _sql_corpus_pipeline_v4(lm_order="kn"),
     "q_corpus_pipeline_v7": _sql_corpus_pipeline_v4(lm_order="kn", clf_gate="trained"),
+    "q_corpus_pipeline_v8": _sql_corpus_pipeline_v4(
+        lm_order="kn", clf_gate="trained", decon=True),
     "q_lm_score": SQL_LM_SCORE,
     "q_lm_score3": SQL_LM_SCORE3,
     "q_lm_score_kn": SQL_LM_SCORE_KN,

@@ -914,6 +914,31 @@ WHERE t.doc_id >= 10
 """
 
 
+def q_decontaminate_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental decontamination: the benchmark gram index is the
+    FROZEN standing artifact (operators/text.py:benchmark_gram_index
+    — built once per benchmark release); an arriving corpus batch
+    (the doc_id % 5 == 2 slice here) folds through
+    decontaminate_apply_indexed at delta-sized cost. Corpus docs are
+    independent given the index, so fold == full rebuild restricted to
+    the delta ids (equivalence pytest); the oracle is the full
+    decontamination statement restricted the same way."""
+    from ..operators.text import (
+        benchmark_gram_index,
+        decontaminate_apply_indexed,
+    )
+
+    d = _docs(spark, sf)
+    idx = benchmark_gram_index(d.filter(F.col("doc_id") < 10), min_len=DECON_L)
+    delta = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") % 5 == 2))
+    return decontaminate_apply_indexed(delta, idx, min_len=DECON_L)
+
+
+SQL_DECONTAMINATE_DELTA = SQL_DECONTAMINATE_APPLY.replace(
+    "WHERE t.doc_id >= 10", "WHERE t.doc_id >= 10 AND t.doc_id % 5 = 2"
+)
+
+
 # ----------------------------------------------------- train/test split
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based 90/10 split (portable md5 arithmetic, no
@@ -3250,13 +3275,13 @@ def _rerank_frames(spark: SparkSession, sf: str):
             F.coalesce(F.col("_rel"), F.lit(0)).cast("bigint").alias("y"),
         )
     )
-    return cands, feats, labels
+    return cands, feats, labels, qrels
 
 
 def _rerank_weights(spark: SparkSession, sf: str):
     from ..operators import classifier as _clf
 
-    cands, feats, labels = _rerank_frames(spark, sf)
+    cands, feats, labels, qrels = _rerank_frames(spark, sf)
     w = _clf.train_logreg_fixed_point(
         feats,
         labels,
@@ -3267,7 +3292,7 @@ def _rerank_weights(spark: SparkSession, sf: str):
         cb_neg=RERANK_CB,
         x_col="x",
     )
-    return cands, feats, w
+    return cands, feats, w, qrels
 
 
 def q_reranker_train(spark: SparkSession, sf: str) -> DataFrame:
@@ -3277,7 +3302,7 @@ def q_reranker_train(spark: SparkSession, sf: str) -> DataFrame:
     against conjunctive-qrels labels. Output (bucket, w): buckets
     0/1/2 = bm25/cosine/rrf, -1 = bias. The oracle unrolls the same
     8 rounds with DuckDB integer division — weights bit-exact."""
-    _cands, _feats, w = _rerank_weights(spark, sf)
+    _cands, _feats, w, _qrels = _rerank_weights(spark, sf)
     return w
 
 
@@ -3290,7 +3315,7 @@ def q_rag_retrieve_reranked(spark: SparkSession, sf: str) -> DataFrame:
     differ and that the learned order improves the fixture metrics."""
     from ..operators.retrieval import rerank_apply
 
-    cands, feats, w = _rerank_weights(spark, sf)
+    cands, feats, w, _qrels = _rerank_weights(spark, sf)
     return rerank_apply(cands, feats, w, pair_base=RERANK_BASE)
 
 
@@ -3428,6 +3453,95 @@ SELECT c.query_id, c.doc_id, c.rrf_x1e9, c.rank,
             AS INTEGER) AS rerank
 FROM rcand c
 JOIN rzf z ON z.pair_id = CAST(c.query_id AS BIGINT) * {RERANK_BASE} + c.doc_id
+"""
+)
+
+
+def q_rerank_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """The reranker's report card: retrieval_metrics over the SAME
+    candidate set under both orderings (RRF rank vs learned rerank),
+    against the same conjunctive qrels — one row per (ordering,
+    query). Hits@k and n_rel are ordering-invariant by construction
+    (same candidates); MRR / AP / DCG move with the order, so the
+    improvement the trainer buys is a checked contract value, not a
+    claim in prose."""
+    from ..operators.retrieval import rerank_apply, retrieval_metrics
+
+    cands, feats, w, qrels = _rerank_weights(spark, sf)
+    rer = rerank_apply(cands, feats, w, pair_base=RERANK_BASE)
+    m_rrf = retrieval_metrics(
+        cands.select("query_id", "doc_id", "rank"), qrels, k=HYBRID_K
+    ).select(F.lit("rrf").alias("ordering"), "*")
+    m_rer = retrieval_metrics(
+        rer.select("query_id", "doc_id", F.col("rerank").alias("rank")),
+        qrels,
+        k=HYBRID_K,
+    ).select(F.lit("reranked").alias("ordering"), "*")
+    return m_rrf.unionByName(m_rer)
+
+
+def _sql_rerank_metric_block(p: str, results_cte: str, label: str) -> str:
+    """Per-ordering metrics CTEs over a (query_id, doc_id, rank)
+    results CTE — mirrors operators/retrieval.py retrieval_metrics
+    with the shared _MDISC/_MIDCG literal tables (k = HYBRID_K =
+    METRICS_K). Expects ``qrels`` and ``rnrel`` in scope."""
+    return f"""
+{p}hitrows AS (
+  SELECT r.query_id, r.rank,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY r.rank ASC) AS _h
+  FROM {results_cte} r
+  JOIN qrels ON qrels.query_id = r.query_id AND qrels.doc_id = r.doc_id
+  WHERE r.rank <= {HYBRID_K}
+),
+{p}hits AS (
+  SELECT query_id, count(*) AS n_hits_at_k, min(rank) AS _first,
+         SUM(({_MDISC!r}::BIGINT[])[rank]) AS _dcg,
+         SUM((1000000000 * _h) // rank) AS _ap
+  FROM {p}hitrows GROUP BY 1
+),
+{p}met AS (
+  SELECT '{label}' AS ordering, qs.query_id,
+         CAST(COALESCE(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+         CAST(COALESCE(rnrel.n_rel, 0) AS BIGINT) AS n_rel,
+         CAST(COALESCE(_first, 0) AS BIGINT) AS first_rel_rank,
+         CASE WHEN COALESCE(_first, 0) > 0
+              THEN CAST(FLOOR(1000000000.0 / CAST(_first AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS mrr_x1e9,
+         CAST(COALESCE(_ap, 0) AS BIGINT) AS ap_num_x1e9,
+         CAST(LEAST(COALESCE(rnrel.n_rel, 0), {HYBRID_K}) AS BIGINT) AS ap_den,
+         CAST(COALESCE(_dcg, 0) AS BIGINT) AS dcg_x1e9,
+         CASE WHEN COALESCE(rnrel.n_rel, 0) > 0
+              THEN ({_MIDCG!r}::BIGINT[])[LEAST(rnrel.n_rel, {HYBRID_K})]
+              ELSE 0 END AS idcg_x1e9
+  FROM (SELECT DISTINCT query_id FROM {results_cte}) qs
+  LEFT JOIN {p}hits ON {p}hits.query_id = qs.query_id
+  LEFT JOIN rnrel ON rnrel.query_id = qs.query_id
+)"""
+
+
+SQL_RERANK_EVAL = (
+    "WITH " + _sql_rerank_ctes() + f""",
+rzf AS (
+  SELECT f.pair_id,
+         COALESCE(sum((COALESCE(w.w, 0) * f.x) // 1000000), 0) AS score_scaled
+  FROM rfeats f LEFT JOIN rw{RERANK_STEPS} w USING (bucket) GROUP BY 1
+),
+rrfres AS (SELECT query_id, doc_id, rank FROM rcand),
+rerres AS (
+  SELECT c.query_id, c.doc_id,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+                                 ORDER BY z.score_scaled DESC, c.doc_id ASC)
+              AS INTEGER) AS rank
+  FROM rcand c
+  JOIN rzf z ON z.pair_id = CAST(c.query_id AS BIGINT) * {RERANK_BASE} + c.doc_id
+),
+rnrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),"""
+    + _sql_rerank_metric_block("mr_", "rrfres", "rrf") + ","
+    + _sql_rerank_metric_block("me_", "rerres", "reranked") + """
+SELECT * FROM mr_met
+UNION ALL
+SELECT * FROM me_met
 """
 )
 
@@ -3817,6 +3931,7 @@ QUERIES = {
     "q_hard_negatives": q_hard_negatives,
     "q_reranker_train": q_reranker_train,
     "q_rag_retrieve_reranked": q_rag_retrieve_reranked,
+    "q_rerank_eval": q_rerank_eval,
     "q_training_pairs_pipeline": q_training_pairs_pipeline,
     "q_filter_eval": q_filter_eval,
     "q_hybrid_retrieval": q_hybrid_retrieval,
@@ -3847,6 +3962,7 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_apply": q_decontaminate_apply,
+    "q_decontaminate_delta": q_decontaminate_delta,
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
     "q_embedding_quantize": q_embedding_quantize,
@@ -3891,6 +4007,7 @@ ORACLES = {
     "q_hard_negatives": SQL_HARD_NEGATIVES,
     "q_reranker_train": SQL_RERANKER_TRAIN,
     "q_rag_retrieve_reranked": SQL_RAG_RETRIEVE_RERANKED,
+    "q_rerank_eval": SQL_RERANK_EVAL,
     "q_training_pairs_pipeline": SQL_TRAINING_PAIRS,
     "q_filter_eval": SQL_FILTER_EVAL,
     "q_hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
@@ -3922,6 +4039,7 @@ ORACLES = {
     "q_chunk_documents": SQL_CHUNK_DOCUMENTS,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_decontaminate_apply": SQL_DECONTAMINATE_APPLY,
+    "q_decontaminate_delta": SQL_DECONTAMINATE_DELTA,
     "q_train_test_split": SQL_TRAIN_TEST_SPLIT,
     "q_stratified_sample": _sql_stratified_sample(),
     "q_embedding_quantize": _sql_embedding_quantize(),

@@ -112,7 +112,9 @@ _SQL_CLF_LABEL = f"""({_SQL_QRULE_CHECKS}
   ) >= 5"""
 
 
-def _sql_clf_prefix(p: str = "", subword: bool = False) -> str:
+def _sql_clf_prefix(
+    p: str = "", subword: bool = False, src: str = "documents"
+) -> str:
     """Shared CTE prefix: binary presence features + labels + the
     unrolled gradient rounds w0..w{CLF_STEPS}. Composable suffix picks
     weights or scores. Mirrors operators/classifier.py term for term:
@@ -121,7 +123,9 @@ def _sql_clf_prefix(p: str = "", subword: bool = False) -> str:
     every generated CTE name so the block can splice into a larger
     statement (the v7 composed-chain oracle) without colliding with the
     host query's CTEs. ``subword=True`` swaps the feats0 body for the
-    fastText char-n-gram mode (hashed_subword_features)."""
+    fastText char-n-gram mode (hashed_subword_features). ``src``
+    overrides the labeler-corpus relation (v8 trains on the
+    benchmark-excluded slice)."""
     rounds = []
     prev = f"{p}w0"
     for i in range(1, CLF_STEPS + 1):
@@ -153,12 +157,12 @@ def _sql_clf_prefix(p: str = "", subword: bool = False) -> str:
     return f"""
 WITH {p}toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-  FROM documents
+  FROM {src}
 ),
 {p}labels AS MATERIALIZED (
   SELECT doc_id,
          CAST(CASE WHEN {_SQL_CLF_LABEL} THEN 1 ELSE 0 END AS BIGINT) AS y
-  FROM documents
+  FROM {src}
 ),
 {p}feats0 AS ({_sql_subword_feats(p) if subword else f'''
   SELECT DISTINCT doc_id, CAST({_SQL_CLF_BUCKET} AS BIGINT) AS bucket
@@ -169,7 +173,7 @@ WITH {p}toks AS MATERIALIZED (
   FROM (
     SELECT doc_id, bucket FROM {p}feats0
     UNION ALL
-    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM documents
+    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM {src}
   ) f
   JOIN {p}labels l USING (doc_id)
 ),

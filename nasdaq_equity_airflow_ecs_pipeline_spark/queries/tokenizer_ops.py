@@ -220,6 +220,48 @@ FROM sym
 )
 
 
+def q_unigram_doc_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc unigram-LM cost under the trained piece table
+    (operators/unigram.py:unigram_doc_scores) — the tokenizer doubling
+    as a CCNet-style quality signal: summed Viterbi path cost and the
+    length-normalized bits-per-piece a perplexity threshold cuts on."""
+    trained = U.unigram_train(_docs(spark, sf))
+    pt = [(r["piece"], r["cost"]) for r in trained.collect()]
+    return U.unigram_doc_scores(_docs(spark, sf), pt)
+
+
+SQL_UNIGRAM_DOC_SCORE = (
+    "WITH RECURSIVE " + _sql_unigram_train_ctes() + ","
+    + _sql_viterbi("enc", "fincost")
+    + f""",
+wstat AS (
+  SELECT d.w, CAST(len(s.ls) AS BIGINT) AS np,
+         CAST(d.acc[d.n + 1] // {_LK} AS BIGINT) AS tc
+  FROM encdpf d JOIN encseg s USING (w)
+),
+tokd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+wp AS (
+  SELECT doc_id, t[u.i] AS w
+  FROM tokd, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE t[u.i] != ''
+),
+agg AS (
+  SELECT wp.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         CAST(sum(ws.tc) AS BIGINT) AS total_cost_x256
+  FROM wp JOIN wstat ws ON ws.w = wp.w GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(a.n_pieces, 0) AS n_pieces,
+       COALESCE(a.total_cost_x256, 0) AS total_cost_x256,
+       CAST(CASE WHEN COALESCE(a.n_pieces, 0) > 0
+                 THEN a.total_cost_x256 // a.n_pieces
+                 ELSE 0 END AS BIGINT) AS bits_per_piece_x256
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
 def q_tokenizer_compare(spark: SparkSession, sf: str) -> DataFrame:
     """The tokenizer-family comparison row (VERDICT r10 #3 done-
     criterion): corpus-level fertility and compression for the trained
@@ -329,6 +371,7 @@ QUERIES.update(
     {
         "q_unigram_lm_train": q_unigram_lm_train,
         "q_unigram_encode": q_unigram_encode,
+        "q_unigram_doc_score": q_unigram_doc_score,
         "q_tokenizer_compare": q_tokenizer_compare,
     }
 )
@@ -336,6 +379,7 @@ ORACLES.update(
     {
         "q_unigram_lm_train": SQL_UNIGRAM_LM_TRAIN,
         "q_unigram_encode": SQL_UNIGRAM_ENCODE,
+        "q_unigram_doc_score": SQL_UNIGRAM_DOC_SCORE,
         "q_tokenizer_compare": SQL_TOKENIZER_COMPARE,
     }
 )

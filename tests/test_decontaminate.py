@@ -52,6 +52,31 @@ def test_planted_overlap_apply_keeps_tails(spark):
     assert set(got) == {20, 21, 22}  # benchmark docs never emitted
 
 
+def test_indexed_fold_equals_full_rebuild(spark):
+    """The incremental contract: decontaminate_apply_indexed over a
+    delta slice against the frozen benchmark gram index == the full
+    direct apply restricted to the delta ids."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.text import (
+        benchmark_gram_index,
+        decontaminate_apply_indexed,
+    )
+
+    corpus, bench = _frames(spark)
+    idx = benchmark_gram_index(bench, min_len=5)
+    delta = corpus.filter("doc_id >= 21")  # the 'new batch'
+    fold = {
+        tuple(r)
+        for r in decontaminate_apply_indexed(delta, idx, min_len=5).collect()
+    }
+    full = {
+        tuple(r)
+        for r in decontaminate_apply(corpus, bench, min_len=5)
+        .filter("doc_id >= 21")
+        .collect()
+    }
+    assert fold == full and len(fold) == 2
+
+
 def test_benchmark_itself_never_rewritten(spark):
     """The benchmark frame is reference-only: its own internal dups do
     not produce spans, and a corpus doc IDENTICAL to a benchmark doc is

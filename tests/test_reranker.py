@@ -85,6 +85,27 @@ def _fixture(spark):
     return lex, sem, qrels
 
 
+def test_rerank_eval_improves_on_corpus(spark):
+    """q_rerank_eval's contract value on the real corpus: the learned
+    ordering's summed DCG and AP numerators beat plain RRF's (the same
+    candidates, so hits@k / n_rel are invariant and the movement is
+    pure ordering gain), in-sample against the training qrels."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.llm_ops import (
+        q_rerank_eval,
+    )
+
+    rows = q_rerank_eval(spark, "/root/testdata/sf0.01").collect()
+    agg = {}
+    for r in rows:
+        a = agg.setdefault(r["ordering"], [0, 0, 0])
+        a[0] += r["dcg_x1e9"]
+        a[1] += r["ap_num_x1e9"]
+        a[2] += r["n_hits_at_k"]
+    assert agg["reranked"][2] == agg["rrf"][2]  # same candidate set
+    assert agg["reranked"][0] > agg["rrf"][0], agg
+    assert agg["reranked"][1] > agg["rrf"][1], agg
+
+
 def test_reranked_order_differs_and_improves_metrics(spark):
     lex, sem, qrels = _fixture(spark)
     cands = rrf_fuse([lex, sem], k=6)

@@ -55,6 +55,11 @@ CARTESIAN_OK = {
         "+ the trainer's 1-row doc count per gradient step; pairs are "
         "cluster-equi-joined"
     ),
+    "q_corpus_pipeline_v8": (
+        "v7's bounded broadcasts (k centroid rows + the trainer's 1-row "
+        "doc count) plus the benchmark gram index semi-join side "
+        "(eval-suite-sized); pairs are cluster-equi-joined"
+    ),
     "q_bpe_encode": "broadcast of the 1-row char-alphabet count (merge-output id offset)",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
@@ -124,6 +129,11 @@ CARTESIAN_OK = {
         "broadcast of the 1-row corpus byte/word totals onto each "
         "tokenizer's 1-row token count (and bpe_encode_bytes' 1-row "
         "alphabet count)"
+    ),
+    "q_rerank_eval": (
+        "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
+        "(semantic leg) — the same candidate plan as "
+        "q_rag_retrieve_reranked, evaluated under both orderings"
     ),
     "q_rag_retrieve_reranked": (
         "broadcast of 1-row corpus stats (BM25 leg) + 3 query vectors "
