@@ -245,6 +245,7 @@ def main() -> None:
         "q_decontaminate_delta",
         "q_rerank_eval",
         "q_corpus_pipeline_v8",
+        "q_pack_attention_spans",
     ):
         fn = queries[name]
         best = float("inf")

@@ -150,3 +150,79 @@ SELECT shard, {id_col}, n_tokens, start_offset,
          AS last_seq
 FROM spans
 """
+
+
+def pack_attention_spans(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-TRAINING-SEQUENCE document spans — the block-diagonal
+    attention-mask manifest a packed-sequence trainer consumes (tokens
+    of different documents packed into one sequence must not attend to
+    each other; the mask needs, per sequence, where each document's
+    block begins and ends).
+
+    One row per (sequence, document) intersection:
+    (shard, seq_id, id, begin_tok, end_tok) with [begin_tok, end_tok)
+    in SEQUENCE-LOCAL token coordinates — a doc straddling sequences
+    contributes one row per sequence it touches. Zero-token docs
+    occupy no tokens and emit no span. Spans tile each sequence
+    exactly (disjoint, ordered, summing to the sequence's filled
+    length — pinned by the tiling pytest).
+
+    Scale shape: rides :func:`pack_sequences`' plan (one shard-keyed
+    prefix-sum window) plus one explode bounded by
+    ceil(n_tokens/seq_len) rows per doc — output-proportional, no
+    extra shuffle."""
+    packed = pack_sequences(docs, seq_len, num_shards, id_col, tokens_col)
+    ex = packed.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        id_col,
+        "start_offset",
+        "n_tokens",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    base = F.col("seq_id") * seq_len
+    return ex.select(
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        (F.greatest(F.col("start_offset"), base) - base)
+        .cast("bigint")
+        .alias("begin_tok"),
+        (F.least(F.col("start_offset") + F.col("n_tokens"), base + seq_len)
+         - base)
+        .cast("bigint")
+        .alias("end_tok"),
+    )
+
+
+def sql_pack_attention_spans(
+    table_expr: str,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    mersenne_p: int = 2_147_483_647,
+) -> str:
+    """DuckDB twin of :func:`pack_attention_spans`."""
+    inner = sql_pack_sequences(
+        table_expr, seq_len, num_shards, id_col, tokens_col, mersenne_p
+    )
+    return f"""
+WITH packed AS ({inner}),
+ex AS (
+  SELECT shard, {id_col}, start_offset, n_tokens, u.s AS seq_id
+  FROM packed, unnest(generate_series(first_seq, last_seq)) AS u(s)
+  WHERE n_tokens > 0
+)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, {id_col},
+       CAST(greatest(start_offset, seq_id * {seq_len})
+            - seq_id * {seq_len} AS BIGINT) AS begin_tok,
+       CAST(least(start_offset + n_tokens, (seq_id + 1) * {seq_len})
+            - seq_id * {seq_len} AS BIGINT) AS end_tok
+FROM ex
+"""

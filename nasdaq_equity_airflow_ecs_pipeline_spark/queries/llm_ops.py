@@ -1035,6 +1035,32 @@ def _sql_pack_sequences() -> str:
     )
 
 
+def q_pack_attention_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The block-diagonal attention-mask manifest for the packed
+    corpus (operators/packing.py:pack_attention_spans): one row per
+    (training sequence, document) intersection in sequence-local
+    token coordinates — what a trainer feeds its attention mask so
+    packed documents cannot attend across their boundary."""
+    from ..operators.packing import pack_attention_spans
+
+    d = _docs(spark, sf)
+    with_tokens = d.select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    return pack_attention_spans(
+        with_tokens, seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS
+    )
+
+
+def _sql_pack_attention_spans() -> str:
+    from ..operators.packing import sql_pack_attention_spans
+
+    inner = f"SELECT doc_id, {_SQL_NW} AS n_tokens FROM documents"
+    return sql_pack_attention_spans(
+        inner, seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS
+    )
+
+
 # ---------------------------------------------------- int8 quantization
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the 4x
@@ -3967,6 +3993,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_embedding_quantize": q_embedding_quantize,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_attention_spans": q_pack_attention_spans,
     "q_corpus_pipeline": q_corpus_pipeline,
     "q_repetition_score": q_repetition_score,
     "q_pii_scan": q_pii_scan,
@@ -4044,6 +4071,7 @@ ORACLES = {
     "q_stratified_sample": _sql_stratified_sample(),
     "q_embedding_quantize": _sql_embedding_quantize(),
     "q_pack_sequences": _sql_pack_sequences(),
+    "q_pack_attention_spans": _sql_pack_attention_spans(),
     "q_corpus_pipeline": _sql_corpus_pipeline(),
     "q_repetition_score": SQL_REPETITION_SCORE,
     "q_pii_scan": SQL_PII_SCAN,

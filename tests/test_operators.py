@@ -1195,6 +1195,59 @@ def test_pack_sequences_spans_are_contiguous_per_shard(spark):
             expect_start += r["n_tokens"]
 
 
+def test_pack_attention_spans_tile_each_sequence(spark):
+    """The block-diagonal manifest's invariants: within every (shard,
+    seq_id) the spans are disjoint, ordered, start at 0, and sum to
+    the sequence's filled length (seq_len for interior sequences, the
+    remainder for the shard's last one); per doc, the sequence-local
+    spans re-assemble to exactly n_tokens; zero-token docs are absent."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.packing import (
+        pack_attention_spans,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 300) for i in range(200)], ["doc_id", "n_tokens"]
+    )  # doc 0 has 0 tokens -> no span rows
+    seq_len = 128
+    spans = pack_attention_spans(docs, seq_len=seq_len, num_shards=4).collect()
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(docs, seq_len=seq_len, num_shards=4).collect()}
+
+    assert all(r["doc_id"] != 0 for r in spans)
+    per_doc: dict = {}
+    per_seq: dict = {}
+    for r in spans:
+        assert 0 <= r["begin_tok"] < r["end_tok"] <= seq_len
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        per_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+
+    # per doc: spans across its sequences sum to n_tokens and are
+    # consecutive in sequence order
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        total = sum(r["end_tok"] - r["begin_tok"] for r in rs)
+        assert total == packed[doc_id]["n_tokens"], doc_id
+        assert rs[0]["seq_id"] == packed[doc_id]["first_seq"]
+        assert rs[-1]["seq_id"] == packed[doc_id]["last_seq"]
+
+    # per sequence: spans tile [0, filled) with no gap or overlap
+    shard_total: dict = {}
+    for r in packed.values():
+        shard_total[r["shard"]] = max(
+            shard_total.get(r["shard"], 0),
+            r["start_offset"] + r["n_tokens"],
+        )
+    for (shard, seq_id), rs in per_seq.items():
+        rs.sort(key=lambda r: r["begin_tok"])
+        pos = 0
+        for r in rs:
+            assert r["begin_tok"] == pos, (shard, seq_id, rs)
+            pos = r["end_tok"]
+        filled = min(seq_len, shard_total[shard] - seq_id * seq_len)
+        assert pos == filled, (shard, seq_id, pos, filled)
+
+
 def test_pack_greedy_no_split_capacity_and_determinism(spark):
     """No bin exceeds seq_len unless it holds a single oversize doc; no
     doc straddles bins; result is partitioning-independent."""
