@@ -246,6 +246,8 @@ def main() -> None:
         "q_rerank_eval",
         "q_corpus_pipeline_v8",
         "q_pack_attention_spans",
+        "q_gopher_quality",
+        "q_gopher_repetition",
     ):
         fn = queries[name]
         best = float("inf")

@@ -1,0 +1,251 @@
+"""Gopher-faithful quality and repetition filters (Rae et al. 2021,
+"Scaling Language Models: ... Gopher", Appendix A1.1) — the rule set
+most production curation pipelines (MassiveText, RefinedWeb, Dolma,
+FineWeb) start from. The repo's quality_features is the SIMPLIFIED
+composite; this module implements the paper's actual rules with the
+paper's actual thresholds, integer-exactly:
+
+Quality rules (a document is kept iff ALL pass):
+- word count in [50, 100000]
+- mean word length in [3, 10]              (3*W <= chars <= 10*W)
+- symbol-to-word ratio <= 0.1 for '#'/'...' (10*symbols <= W)
+- <= 90% of lines start with a bullet       (10*bullets <= 9*L)
+- <= 30% of lines end with an ellipsis      (10*ell <= 3*L)
+- >= 80% of words contain an alphabetic char (5*alpha >= 4*W)
+- at least 2 of the 8 Gopher stop words present
+
+Repetition rules, long format (doc_id, metric, numer, denom, ok),
+every fraction an exact integer pair and every threshold comparison
+``numer * 100 <= denom * thr_x100``:
+- dup_line_frac <= 0.30 / dup_para_frac <= 0.30 (occurrences beyond
+  the first of each duplicated unit, over total units)
+- dup_line_char_frac <= 0.20 / dup_para_char_frac <= 0.20 (characters
+  of occurrences beyond the first, over total unit characters — the
+  DataTrove convention; the paper does not pin the first-occurrence
+  treatment, so it is documented here and mirrored in the oracle)
+- top_ngram_char_{2,3,4} <= {0.20, 0.18, 0.16}: characters of ALL
+  occurrences of the most frequent word n-gram (ties to the
+  lexicographically larger gram via struct max — deterministic in
+  both engines), over total n-gram characters at that n
+- dup_ngram_char_{5..10} <= {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}:
+  characters of beyond-first occurrences of duplicated n-grams,
+  overlap-counted per occurrence (the standard approximation of the
+  paper's covered-character measure), over total n-gram characters
+
+Scale shape: the quality flags are ONE narrow map (pure column
+expressions, zero shuffle, pushdown-friendly). The repetition stats
+are one explode (units: lines + paragraphs + n-grams for n=2..10,
+~9x token count rows) -> one hash-agg keyed (doc, kind, unit) -> one
+hash-agg keyed (doc, kind) -> a 13-way metric projection joined back
+to the doc list (rows absent for short docs surface as numer=denom=0,
+ok=true — honest absence, never NULL). No windows, no UDFs, no
+corpus-keyed shuffle beyond the per-doc aggs.
+
+Reference parity: the reference is a row-level OHLCV ETL
+(/root/reference/glue/jobs/build_stock_fact_table.py,
+build_stock_aggregations.py) with no text surface; this is
+engine-extension surface (SURVEY.md section 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+WORD_MIN, WORD_MAX = 50, 100_000
+TOP_NGRAM_THR_X100 = {2: 20, 3: 18, 4: 16}
+DUP_NGRAM_THR_X100 = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+DUP_UNIT_THR_X100 = 30   # duplicate line / paragraph fraction
+DUP_CHAR_THR_X100 = 20   # duplicate line / paragraph CHARACTER fraction
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One boolean per Gopher quality rule plus the conjunction
+    (``keep``) — a single narrow projection."""
+    w = tokens(text_col)
+    n_words = F.size(w)
+    sum_chars = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_hash = F.size(F.regexp_extract_all(F.col(text_col), F.lit("#"), 0))
+    n_ell = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), 0)
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[•*-]"))
+    )
+    n_ellend = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    lw = F.transform(w, F.lower)
+    n_stop = sum(
+        (
+            F.when(F.array_contains(lw, s), 1).otherwise(0)
+            for s in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0),
+    )
+    ok = {
+        "ok_word_count": (n_words >= WORD_MIN) & (n_words <= WORD_MAX),
+        "ok_mean_word_len": (F.lit(3) * n_words <= sum_chars)
+        & (sum_chars <= F.lit(10) * n_words),
+        "ok_symbol_ratio": F.lit(10) * (n_hash + n_ell) <= n_words,
+        "ok_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "ok_ellipsis_lines": F.lit(10) * n_ellend <= F.lit(3) * n_lines,
+        "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "ok_stop_words": n_stop >= 2,
+    }
+    keep = None
+    for c in ok.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in ok.items()],
+        keep.alias("keep"),
+    )
+
+
+def _unit_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, kind, unit): every line, paragraph, and word n-gram
+    (n = 2..10) of every doc — the single explode the repetition
+    metrics aggregate over."""
+    lines = df.select(
+        F.col(id_col),
+        F.lit("line").alias("kind"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("unit"),
+    )
+    paras = df.select(
+        F.col(id_col),
+        F.lit("para").alias("kind"),
+        F.explode(F.split(F.col(text_col), "\n\n")).alias("unit"),
+    )
+    ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(array({','.join(map(str, ns))}), n -> "
+                    f"CASE WHEN size(_t) >= n THEN "
+                    f"transform(sequence(1, size(_t) - n + 1), i -> "
+                    f"named_struct('kind', concat('g', CAST(n AS STRING)), "
+                    f"'unit', array_join(slice(_t, i, n), ' '))) "
+                    f"ELSE CAST(array() AS "
+                    f"ARRAY<STRUCT<kind: STRING, unit: STRING>>) END))"
+                )
+            ).alias("e"),
+        )
+        .select(id_col, F.col("e.kind").alias("kind"), F.col("e.unit").alias("unit"))
+    )
+    return lines.unionByName(paras).unionByName(grams)
+
+
+def gopher_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The 13 Gopher repetition metrics per doc, long format:
+    (id, metric, numer, denom, ok) — see the module docstring for the
+    exact integer definitions and thresholds."""
+    agg = (
+        _unit_rows(df, id_col, text_col)
+        .groupBy(id_col, "kind", "unit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col, "kind")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_units"),
+            F.sum(F.col("cnt") * F.length("unit")).cast("bigint").alias(
+                "total_chars"
+            ),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") - 1).otherwise(0)
+            ).cast("bigint").alias("dup_units"),
+            F.sum(
+                F.when(
+                    F.col("cnt") >= 2,
+                    (F.col("cnt") - 1) * F.length("unit"),
+                ).otherwise(0)
+            ).cast("bigint").alias("dup_chars"),
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    F.col("unit"),
+                    (F.col("cnt") * F.length("unit")).alias("ch"),
+                )
+            )["ch"].cast("bigint").alias("top_chars"),
+        )
+    )
+    # one metric-array projection per agg row (the agg is scanned ONCE,
+    # never per metric), exploded to the long format; short docs whose
+    # kind never materialized surface via the (doc x metric) grid join
+    # as numer=denom=0, ok=true
+    def _m(name: str, numer: str, denom: str, thr: int):
+        return F.struct(
+            F.lit(name).alias("metric"),
+            F.col(numer).cast("bigint").alias("numer"),
+            F.col(denom).cast("bigint").alias("denom"),
+            F.lit(thr).cast("int").alias("thr"),
+        )
+
+    marr = (
+        F.when(
+            F.col("kind") == "line",
+            F.array(
+                _m("dup_line_frac", "dup_units", "n_units",
+                   DUP_UNIT_THR_X100),
+                _m("dup_line_char_frac", "dup_chars", "total_chars",
+                   DUP_CHAR_THR_X100),
+            ),
+        )
+        .when(
+            F.col("kind") == "para",
+            F.array(
+                _m("dup_para_frac", "dup_units", "n_units",
+                   DUP_UNIT_THR_X100),
+                _m("dup_para_char_frac", "dup_chars", "total_chars",
+                   DUP_CHAR_THR_X100),
+            ),
+        )
+    )
+    for n, t in TOP_NGRAM_THR_X100.items():
+        marr = marr.when(
+            F.col("kind") == f"g{n}",
+            F.array(_m(f"top_ngram_char_{n}", "top_chars", "total_chars", t)),
+        )
+    for n, t in DUP_NGRAM_THR_X100.items():
+        marr = marr.when(
+            F.col("kind") == f"g{n}",
+            F.array(_m(f"dup_ngram_char_{n}", "dup_chars", "total_chars", t)),
+        )
+    rows = agg.select(F.col(id_col), F.explode(marr).alias("m")).select(
+        F.col(id_col),
+        F.col("m.metric").alias("metric"),
+        F.col("m.numer").alias("numer"),
+        F.col("m.denom").alias("denom"),
+        (F.col("m.numer") * 100 <= F.col("m.denom") * F.col("m.thr")).alias(
+            "ok"
+        ),
+    )
+    names = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_ngram_char_{n}" for n in TOP_NGRAM_THR_X100]
+        + [f"dup_ngram_char_{n}" for n in DUP_NGRAM_THR_X100]
+    )
+    grid = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(n) for n in names])).alias("metric"),
+    )
+    return grid.join(rows, [id_col, "metric"], "left").select(
+        F.col(id_col),
+        "metric",
+        F.coalesce("numer", F.lit(0)).cast("bigint").alias("numer"),
+        F.coalesce("denom", F.lit(0)).cast("bigint").alias("denom"),
+        F.coalesce("ok", F.lit(True)).alias("ok"),
+    )

@@ -2041,7 +2041,178 @@ LEFT JOIN gagg ga USING (doc_id)
 SQL_MOORE_LEWIS = _sql_moore_lewis()
 
 
+# ------------------------------------- Gopher-faithful filter front
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021 A1.1,
+    operators/gopher.py) with the paper's thresholds, one boolean per
+    rule + the keep conjunction, on the relined corpus (the line rules
+    need the line structure the reline transform restores)."""
+    from ..operators.gopher import gopher_quality_flags
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+    )
+    return gopher_quality_flags(d)
+
+
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """The 13 Gopher repetition metrics (dup line/paragraph fractions
+    + char fractions, top 2-4-gram char fractions, dup 5-10-gram char
+    fractions) as exact integer pairs with the paper's thresholds —
+    long format (doc_id, metric, numer, denom, ok)."""
+    from ..operators.gopher import gopher_repetition_stats
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.regexp_replace("text", _RELINE_PAT, "$1\n").alias("text"),
+    )
+    return gopher_repetition_stats(d)
+
+
+def _sql_gopher_quality() -> str:
+    from ..operators.gopher import GOPHER_STOPWORDS, WORD_MAX, WORD_MIN
+
+    stop = " + ".join(
+        f"(CASE WHEN list_contains(lw, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_RELINE_PAT}', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS w,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        x -> lower(x)) AS lw,
+         string_split(text, chr(10)) AS lines
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS sum_chars,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(trim(l), '^[•*-]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '\.\.\.$'))) AS BIGINT) AS n_ellend,
+         CAST({stop} AS BIGINT) AS n_stop
+  FROM m
+)
+SELECT doc_id,
+       n_words >= {WORD_MIN} AND n_words <= {WORD_MAX} AS ok_word_count,
+       3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+         AS ok_mean_word_len,
+       10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
+       10 * n_bullet <= 9 * n_lines AS ok_bullet_lines,
+       10 * n_ellend <= 3 * n_lines AS ok_ellipsis_lines,
+       5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+       n_stop >= 2 AS ok_stop_words,
+       (n_words >= {WORD_MIN} AND n_words <= {WORD_MAX})
+         AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
+         AND (10 * (n_hash + n_ell) <= n_words)
+         AND (10 * n_bullet <= 9 * n_lines)
+         AND (10 * n_ellend <= 3 * n_lines)
+         AND (5 * n_alpha >= 4 * n_words)
+         AND (n_stop >= 2) AS keep
+FROM c
+"""
+
+
+def _sql_gopher_repetition() -> str:
+    from ..operators.gopher import (
+        DUP_CHAR_THR_X100,
+        DUP_NGRAM_THR_X100,
+        DUP_UNIT_THR_X100,
+        TOP_NGRAM_THR_X100,
+    )
+
+    rows = [
+        ("dup_line_frac", "line", "dup_units", "n_units", DUP_UNIT_THR_X100),
+        ("dup_line_char_frac", "line", "dup_chars", "total_chars",
+         DUP_CHAR_THR_X100),
+        ("dup_para_frac", "para", "dup_units", "n_units", DUP_UNIT_THR_X100),
+        ("dup_para_char_frac", "para", "dup_chars", "total_chars",
+         DUP_CHAR_THR_X100),
+    ] + [
+        (f"top_ngram_char_{n}", f"g{n}", "top_chars", "total_chars", t)
+        for n, t in TOP_NGRAM_THR_X100.items()
+    ] + [
+        (f"dup_ngram_char_{n}", f"g{n}", "dup_chars", "total_chars", t)
+        for n, t in DUP_NGRAM_THR_X100.items()
+    ]
+    sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{name}' AS metric, {numer} AS numer, "
+        f"{denom} AS denom, {thr} AS thr FROM a WHERE kind = '{kind}'"
+        for name, kind, numer, denom, thr in rows
+    )
+    names = ", ".join(f"'{name}'" for name, *_ in rows)
+    ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_RELINE_PAT}', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+units AS (
+  SELECT doc_id, 'line' AS kind, unnest(string_split(text, chr(10))) AS unit
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'para', unnest(string_split(text, chr(10) || chr(10)))
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'g' || CAST(n AS VARCHAR) AS kind,
+         array_to_string(t[u.i:u.i+n-1], ' ') AS unit
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+       unnest([{", ".join(map(str, ns))}]) AS nn(n),
+       unnest(generate_series(1, len(t) - n + 1)) AS u(i)
+  WHERE len(t) >= n
+),
+g AS (
+  SELECT doc_id, kind, unit, CAST(count(*) AS BIGINT) AS cnt
+  FROM units GROUP BY 1, 2, 3
+),
+a AS MATERIALIZED (
+  SELECT doc_id, kind,
+         CAST(sum(cnt) AS BIGINT) AS n_units,
+         CAST(sum(cnt * length(unit)) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS dup_units,
+         CAST(sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(unit)
+                       ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST((max(struct_pack(c := cnt, u := unit,
+                               ch := cnt * length(unit)))).ch AS BIGINT)
+           AS top_chars
+  FROM g GROUP BY 1, 2
+),
+mrows AS (
+{sel}
+),
+grid AS (SELECT doc_id, unnest([{names}]) AS metric FROM d)
+SELECT grid.doc_id, grid.metric,
+       CAST(COALESCE(r.numer, 0) AS BIGINT) AS numer,
+       CAST(COALESCE(r.denom, 0) AS BIGINT) AS denom,
+       COALESCE(r.numer * 100 <= r.denom * r.thr, TRUE) AS ok
+FROM grid LEFT JOIN mrows r USING (doc_id, metric)
+"""
+
+
+SQL_GOPHER_QUALITY = _sql_gopher_quality()
+SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+
+
 QUERIES = {
+    "q_gopher_quality": q_gopher_quality,
+    "q_gopher_repetition": q_gopher_repetition,
     "q_url_dedup": q_url_dedup,
     "q_token_budget": q_token_budget,
     "q_balanced_shards": q_balanced_shards,
@@ -2068,6 +2239,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_gopher_quality": SQL_GOPHER_QUALITY,
+    "q_gopher_repetition": SQL_GOPHER_REPETITION,
     "q_moore_lewis": SQL_MOORE_LEWIS,
     "q_url_dedup": SQL_URL_DEDUP,
     "q_token_budget": _sql_token_budget(),
