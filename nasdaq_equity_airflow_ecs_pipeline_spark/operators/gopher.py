@@ -8,7 +8,9 @@ paper's actual thresholds, integer-exactly:
 Quality rules (a document is kept iff ALL pass):
 - word count in [50, 100000]
 - mean word length in [3, 10]              (3*W <= chars <= 10*W)
-- symbol-to-word ratio <= 0.1 for '#'/'...' (10*symbols <= W)
+- symbol-to-word ratio <= 0.1 PER SYMBOL, '#' and '...' each
+  (10*hashes <= W AND 10*ellipses <= W — the paper/DataTrove apply
+  the threshold to each symbol separately, not to their sum)
 - <= 90% of lines start with a bullet       (10*bullets <= 9*L)
 - <= 30% of lines end with an ellipsis      (10*ell <= 3*L)
 - >= 80% of words contain an alphabetic char (5*alpha >= 4*W)
@@ -16,21 +18,25 @@ Quality rules (a document is kept iff ALL pass):
 
 Repetition rules, long format (doc_id, metric, numer, denom, ok),
 every fraction an exact integer pair and every threshold comparison
-``numer * 100 <= denom * thr_x100``:
+``numer * 100 <= denom * thr_x100``. Every CHARACTER-fraction metric
+divides by the DOCUMENT's character count (``length(text)``) — the
+DataTrove convention the paper's thresholds were calibrated against
+(a per-n-gram-mass denominator is mutually consistent but shifts
+keep/drop behavior vs reference pipelines; ADVICE r11):
 - dup_line_frac <= 0.30 / dup_para_frac <= 0.30 (occurrences beyond
-  the first of each duplicated unit, over total units)
+  the first of each duplicated unit, over total units of that kind)
 - dup_line_char_frac <= 0.20 / dup_para_char_frac <= 0.20 (characters
-  of occurrences beyond the first, over total unit characters — the
-  DataTrove convention; the paper does not pin the first-occurrence
-  treatment, so it is documented here and mirrored in the oracle)
+  of occurrences beyond the first, over document characters; the
+  paper does not pin the first-occurrence treatment, so the
+  DataTrove form is documented here and mirrored in the oracle)
 - top_ngram_char_{2,3,4} <= {0.20, 0.18, 0.16}: characters of ALL
   occurrences of the most frequent word n-gram (ties to the
   lexicographically larger gram via struct max — deterministic in
-  both engines), over total n-gram characters at that n
+  both engines), over document characters
 - dup_ngram_char_{5..10} <= {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}:
   characters of beyond-first occurrences of duplicated n-grams,
   overlap-counted per occurrence (the standard approximation of the
-  paper's covered-character measure), over total n-gram characters
+  paper's covered-character measure), over document characters
 
 Scale shape: the quality flags are ONE narrow map (pure column
 expressions, zero shuffle, pushdown-friendly). The repetition stats
@@ -95,7 +101,8 @@ def gopher_quality_flags(
         "ok_word_count": (n_words >= WORD_MIN) & (n_words <= WORD_MAX),
         "ok_mean_word_len": (F.lit(3) * n_words <= sum_chars)
         & (sum_chars <= F.lit(10) * n_words),
-        "ok_symbol_ratio": F.lit(10) * (n_hash + n_ell) <= n_words,
+        "ok_symbol_ratio": (F.lit(10) * n_hash <= n_words)
+        & (F.lit(10) * n_ell <= n_words),
         "ok_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
         "ok_ellipsis_lines": F.lit(10) * n_ellend <= F.lit(3) * n_lines,
         "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
@@ -160,9 +167,6 @@ def gopher_repetition_stats(
         .groupBy(id_col, "kind")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_units"),
-            F.sum(F.col("cnt") * F.length("unit")).cast("bigint").alias(
-                "total_chars"
-            ),
             F.sum(
                 F.when(F.col("cnt") >= 2, F.col("cnt") - 1).otherwise(0)
             ).cast("bigint").alias("dup_units"),
@@ -182,70 +186,96 @@ def gopher_repetition_stats(
         )
     )
     # one metric-array projection per agg row (the agg is scanned ONCE,
-    # never per metric), exploded to the long format; short docs whose
-    # kind never materialized surface via the (doc x metric) grid join
-    # as numer=denom=0, ok=true
-    def _m(name: str, numer: str, denom: str, thr: int):
+    # never per metric), exploded to the long format. CHARACTER-fraction
+    # metrics carry no denominator here: the document character count
+    # joins in from the grid side (the DataTrove doc-length convention);
+    # unit-fraction metrics keep their per-kind unit count. Short docs
+    # whose kind never materialized surface via the (doc x metric) grid
+    # join as numer=0 (denom = doc chars for char metrics, 0 for unit
+    # metrics), ok=true — honest absence, never NULL.
+    def _m(name: str, numer: str, udenom: str | None):
         return F.struct(
             F.lit(name).alias("metric"),
             F.col(numer).cast("bigint").alias("numer"),
-            F.col(denom).cast("bigint").alias("denom"),
-            F.lit(thr).cast("int").alias("thr"),
+            (F.col(udenom) if udenom else F.lit(None))
+            .cast("bigint")
+            .alias("udenom"),
         )
 
     marr = (
         F.when(
             F.col("kind") == "line",
             F.array(
-                _m("dup_line_frac", "dup_units", "n_units",
-                   DUP_UNIT_THR_X100),
-                _m("dup_line_char_frac", "dup_chars", "total_chars",
-                   DUP_CHAR_THR_X100),
+                _m("dup_line_frac", "dup_units", "n_units"),
+                _m("dup_line_char_frac", "dup_chars", None),
             ),
         )
         .when(
             F.col("kind") == "para",
             F.array(
-                _m("dup_para_frac", "dup_units", "n_units",
-                   DUP_UNIT_THR_X100),
-                _m("dup_para_char_frac", "dup_chars", "total_chars",
-                   DUP_CHAR_THR_X100),
+                _m("dup_para_frac", "dup_units", "n_units"),
+                _m("dup_para_char_frac", "dup_chars", None),
             ),
         )
     )
-    for n, t in TOP_NGRAM_THR_X100.items():
+    for n in TOP_NGRAM_THR_X100:
         marr = marr.when(
             F.col("kind") == f"g{n}",
-            F.array(_m(f"top_ngram_char_{n}", "top_chars", "total_chars", t)),
+            F.array(_m(f"top_ngram_char_{n}", "top_chars", None)),
         )
-    for n, t in DUP_NGRAM_THR_X100.items():
+    for n in DUP_NGRAM_THR_X100:
         marr = marr.when(
             F.col("kind") == f"g{n}",
-            F.array(_m(f"dup_ngram_char_{n}", "dup_chars", "total_chars", t)),
+            F.array(_m(f"dup_ngram_char_{n}", "dup_chars", None)),
         )
     rows = agg.select(F.col(id_col), F.explode(marr).alias("m")).select(
         F.col(id_col),
         F.col("m.metric").alias("metric"),
         F.col("m.numer").alias("numer"),
-        F.col("m.denom").alias("denom"),
-        (F.col("m.numer") * 100 <= F.col("m.denom") * F.col("m.thr")).alias(
-            "ok"
-        ),
+        F.col("m.udenom").alias("udenom"),
     )
-    names = (
-        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
-         "dup_para_char_frac"]
-        + [f"top_ngram_char_{n}" for n in TOP_NGRAM_THR_X100]
-        + [f"dup_ngram_char_{n}" for n in DUP_NGRAM_THR_X100]
+    specs = (
+        [
+            ("dup_line_frac", DUP_UNIT_THR_X100, False),
+            ("dup_line_char_frac", DUP_CHAR_THR_X100, True),
+            ("dup_para_frac", DUP_UNIT_THR_X100, False),
+            ("dup_para_char_frac", DUP_CHAR_THR_X100, True),
+        ]
+        + [(f"top_ngram_char_{n}", t, True)
+           for n, t in TOP_NGRAM_THR_X100.items()]
+        + [(f"dup_ngram_char_{n}", t, True)
+           for n, t in DUP_NGRAM_THR_X100.items()]
     )
     grid = df.select(
         F.col(id_col),
-        F.explode(F.array(*[F.lit(n) for n in names])).alias("metric"),
+        F.length(text_col).cast("bigint").alias("_doc_chars"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.lit(thr).cast("int").alias("thr"),
+                        F.lit(is_char).alias("is_char"),
+                    )
+                    for name, thr, is_char in specs
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        "_doc_chars",
+        F.col("s.metric").alias("metric"),
+        F.col("s.thr").alias("thr"),
+        F.col("s.is_char").alias("is_char"),
     )
+    numer = F.coalesce("numer", F.lit(0)).cast("bigint")
+    denom = F.when(F.col("is_char"), F.col("_doc_chars")).otherwise(
+        F.coalesce("udenom", F.lit(0))
+    ).cast("bigint")
     return grid.join(rows, [id_col, "metric"], "left").select(
         F.col(id_col),
         "metric",
-        F.coalesce("numer", F.lit(0)).cast("bigint").alias("numer"),
-        F.coalesce("denom", F.lit(0)).cast("bigint").alias("denom"),
-        F.coalesce("ok", F.lit(True)).alias("ok"),
+        numer.alias("numer"),
+        denom.alias("denom"),
+        (numer * 100 <= denom * F.col("thr")).alias("ok"),
     )

@@ -229,9 +229,11 @@ def unigram_train(
     """Train the unigram-LM piece table: seed -> ``rounds`` x
     (cost -> Viterbi -> usage re-count -> prune) -> final costs from
     final counts. Returns the artifact (piece, cnt, cost) as a literal
-    frame — cnt is the last round's usage (seed count for round 0
-    survivors never re-used... impossible: single chars keep usage 0
-    honestly), cost the table the encoder applies.
+    frame. ``cnt`` is each piece's usage count from the FINAL round's
+    Viterbi segmentation; single-character pieces are always retained
+    (the required-char closure), so one the final segmentation never
+    uses keeps an honest ``cnt = 0``. ``cost`` is the table the
+    encoder applies.
 
     Scale: one corpus pass (word_freqs); each round is vocab-sized
     (broadcast cost join + word-keyed agg + piece-keyed agg) ending in

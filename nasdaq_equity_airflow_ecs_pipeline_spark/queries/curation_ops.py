@@ -2112,14 +2112,14 @@ SELECT doc_id,
        n_words >= {WORD_MIN} AND n_words <= {WORD_MAX} AS ok_word_count,
        3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
          AS ok_mean_word_len,
-       10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
+       10 * n_hash <= n_words AND 10 * n_ell <= n_words AS ok_symbol_ratio,
        10 * n_bullet <= 9 * n_lines AS ok_bullet_lines,
        10 * n_ellend <= 3 * n_lines AS ok_ellipsis_lines,
        5 * n_alpha >= 4 * n_words AS ok_alpha_words,
        n_stop >= 2 AS ok_stop_words,
        (n_words >= {WORD_MIN} AND n_words <= {WORD_MAX})
          AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
-         AND (10 * (n_hash + n_ell) <= n_words)
+         AND (10 * n_hash <= n_words AND 10 * n_ell <= n_words)
          AND (10 * n_bullet <= 9 * n_lines)
          AND (10 * n_ellend <= 3 * n_lines)
          AND (5 * n_alpha >= 4 * n_words)
@@ -2137,25 +2137,31 @@ def _sql_gopher_repetition() -> str:
     )
 
     rows = [
-        ("dup_line_frac", "line", "dup_units", "n_units", DUP_UNIT_THR_X100),
-        ("dup_line_char_frac", "line", "dup_chars", "total_chars",
-         DUP_CHAR_THR_X100),
-        ("dup_para_frac", "para", "dup_units", "n_units", DUP_UNIT_THR_X100),
-        ("dup_para_char_frac", "para", "dup_chars", "total_chars",
-         DUP_CHAR_THR_X100),
+        ("dup_line_frac", "line", "dup_units", "n_units",
+         DUP_UNIT_THR_X100, False),
+        ("dup_line_char_frac", "line", "dup_chars", None,
+         DUP_CHAR_THR_X100, True),
+        ("dup_para_frac", "para", "dup_units", "n_units",
+         DUP_UNIT_THR_X100, False),
+        ("dup_para_char_frac", "para", "dup_chars", None,
+         DUP_CHAR_THR_X100, True),
     ] + [
-        (f"top_ngram_char_{n}", f"g{n}", "top_chars", "total_chars", t)
+        (f"top_ngram_char_{n}", f"g{n}", "top_chars", None, t, True)
         for n, t in TOP_NGRAM_THR_X100.items()
     ] + [
-        (f"dup_ngram_char_{n}", f"g{n}", "dup_chars", "total_chars", t)
+        (f"dup_ngram_char_{n}", f"g{n}", "dup_chars", None, t, True)
         for n, t in DUP_NGRAM_THR_X100.items()
     ]
     sel = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, '{name}' AS metric, {numer} AS numer, "
-        f"{denom} AS denom, {thr} AS thr FROM a WHERE kind = '{kind}'"
-        for name, kind, numer, denom, thr in rows
+        f"{udenom if udenom else 'CAST(NULL AS BIGINT)'} AS udenom "
+        f"FROM a WHERE kind = '{kind}'"
+        for name, kind, numer, udenom, _thr, _c in rows
     )
-    names = ", ".join(f"'{name}'" for name, *_ in rows)
+    vals = ",\n              ".join(
+        f"('{name}', {thr}, {'TRUE' if is_char else 'FALSE'})"
+        for name, _k, _n, _u, thr, is_char in rows
+    )
     ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
     return rf"""
 WITH d AS (
@@ -2184,7 +2190,6 @@ g AS (
 a AS MATERIALIZED (
   SELECT doc_id, kind,
          CAST(sum(cnt) AS BIGINT) AS n_units,
-         CAST(sum(cnt * length(unit)) AS BIGINT) AS total_chars,
          CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT)
            AS dup_units,
          CAST(sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(unit)
@@ -2197,11 +2202,18 @@ a AS MATERIALIZED (
 mrows AS (
 {sel}
 ),
-grid AS (SELECT doc_id, unnest([{names}]) AS metric FROM d)
+grid AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS doc_chars,
+         v.metric, v.thr, v.is_char
+  FROM d, (VALUES {vals}) AS v(metric, thr, is_char)
+)
 SELECT grid.doc_id, grid.metric,
        CAST(COALESCE(r.numer, 0) AS BIGINT) AS numer,
-       CAST(COALESCE(r.denom, 0) AS BIGINT) AS denom,
-       COALESCE(r.numer * 100 <= r.denom * r.thr, TRUE) AS ok
+       CAST(CASE WHEN grid.is_char THEN grid.doc_chars
+                 ELSE COALESCE(r.udenom, 0) END AS BIGINT) AS denom,
+       COALESCE(r.numer, 0) * 100
+         <= (CASE WHEN grid.is_char THEN grid.doc_chars
+                  ELSE COALESCE(r.udenom, 0) END) * grid.thr AS ok
 FROM grid LEFT JOIN mrows r USING (doc_id, metric)
 """
 

@@ -96,7 +96,29 @@ def test_repetition_dup_ngram_flagged(spark):
     text = (run + " ") * 3 + " ".join(f"u{i}" for i in range(6))
     m = _metrics(spark, text)
     assert not m["dup_ngram_char_6"][2], m["dup_ngram_char_6"]
-    # short-doc honesty: a 3-word doc has no 5-grams -> denom 0, ok
+    # short-doc honesty: a 3-word doc has no 5-grams -> numer 0 over
+    # the doc's character count (the DataTrove denominator), ok
     m2 = _metrics(spark, "tiny doc here")
-    assert m2["dup_ngram_char_5"] == (0, 0, True)
-    assert m2["top_ngram_char_4"] == (0, 0, True)
+    assert m2["dup_ngram_char_5"] == (0, len("tiny doc here"), True)
+    assert m2["top_ngram_char_4"] == (0, len("tiny doc here"), True)
+
+
+def test_char_fraction_denominator_is_doc_length(spark):
+    # DataTrove convention (ADVICE r11): every char-fraction metric
+    # divides by length(text), not by the per-kind unit-char mass
+    text = "\n".join(["same exact line here"] * 4 + ["a unique closer"])
+    m = _metrics(spark, text)
+    n, d, _ok = m["dup_line_char_frac"]
+    assert d == len(text)
+    assert n == 3 * len("same exact line here")
+
+
+def test_symbol_ratio_is_per_symbol(spark):
+    # paper/DataTrove apply the 0.1 threshold to '#' and '...' EACH:
+    # 8% hash + 8% ellipsis must PASS (the old combined 16% failed it)
+    both = _GOOD + " " + "# " * 4 + "... " * 4  # 58 words, 4 of each
+    f = _flags(spark, both)
+    assert f["ok_symbol_ratio"], f
+    # but >10% of either single symbol still fails
+    hash_heavy = _GOOD + " " + "# " * 8  # 58 words, 8 hashes
+    assert not _flags(spark, hash_heavy)["ok_symbol_ratio"]
