@@ -1,0 +1,300 @@
+"""C4-faithful filter front (Raffel et al. 2020, "Exploring the Limits
+of Transfer Learning...", §2.2) — the canonical rule set next to Gopher
+that every production curation pipeline (C4, mC4, Dolma, FineWeb)
+implements. Rules follow the paper's published list with DataTrove's
+placement conventions, integer-/string-exact so the DuckDB oracle can
+mirror them term for term:
+
+Line-level (each line is stripped and citation-scrubbed first; a line
+is KEPT iff all pass — failing lines are removed, not the page):
+- ends in a terminal punctuation mark ('.', '!', '?', '"')
+- contains at least ``min_words_per_line`` words (default 3, the
+  DataTrove default; the paper's prose says 5 — the threshold is a
+  parameter precisely because the two canonical sources disagree)
+- does not contain the word "javascript" (lowercased substring — the
+  paper's rule targets boilerplate "enable javascript" banners)
+- does not contain a policy phrase ("terms of use", "privacy policy",
+  "cookie policy", "uses cookies", "use of cookies", "use cookies") —
+  DataTrove's filter_policy addition to the paper list
+- citation scrub: "[1]"-style / "[edit]" / "[citation needed]" markers
+  are removed from the line before the checks (C4's remove_citations)
+
+Page-level (a document is DROPPED iff any fires):
+- contains the lowercased phrase "lorem ipsum" anywhere
+- contains a curly bracket '{' anywhere (code page heuristic)
+- contains any word on the bad-words list (token-level, lowercased
+  both sides — the paper's "List of Dirty, Naughty, Obscene or
+  Otherwise Bad Words" rule; the list is DATA, passed as a frame)
+- fewer than ``min_sentences`` sentences remain AFTER line filtering
+  (default 3, the paper's count; sentences are maximal terminal-punct
+  runs — see ``_SENT_PAT`` for the deterministic cross-engine
+  convention standing in for a sentence model)
+
+Span dedup (the paper's corpus-level rule): "we removed all but one of
+any three-sentence span occurring more than once in the data set."
+:func:`c4_span_dedup` keeps the lexicographically FIRST occurrence
+(min (doc_id, position) — deterministic in both engines; the paper does
+not pin which copy survives) and cuts every sentence covered by a
+non-surviving duplicated span; documents emptied entirely drop.
+
+Scale shape: the quality flags are ONE narrow map (pure column
+expressions over the line array, zero shuffle) plus, when a bad-words
+frame is supplied, one exploded-token broadcast semi-join + doc-keyed
+distinct (the flagged_word_stats shape). Span dedup is the
+decontamination discipline on sentence units: one sentence explode ->
+one stride-1 span-hash explode -> ONE hash-agg keyed by span hash
+(count + first occurrence) -> join back (span-proportional) -> cover
+explode + anti-join + per-doc rebuild. No pairwise joins, no windows
+over the corpus, no UDFs.
+
+Reference parity: the reference is a row-level OHLCV ETL
+(/root/reference/glue/jobs/build_stock_fact_table.py) with no text
+surface; this is engine-extension surface (SURVEY.md section 8,
+VERDICT r11 item #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+C4_TERMINAL_PAT = '[.!?"]$'
+C4_CITATION_PAT = r"\[\d*\]|\[edit\]|\[citation needed\]"
+# maximal run of terminal punctuation, optionally closed by a quote —
+# the deterministic stand-in for a sentence tokenizer, identical in
+# Java regex (Spark) and RE2 (DuckDB)
+C4_SENT_PAT = '[.!?]+"?'
+# a sentence with its text: everything up to and including the next
+# terminal-punct run (an unterminated tail is not a sentence — the
+# line filter has already removed unterminated lines anyway)
+C4_SENT_EXTRACT_PAT = '[^.!?]*[.!?]+"?'
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+MIN_WORDS_PER_LINE = 3
+MIN_SENTENCES = 3
+SPAN_SENTENCES = 3
+
+
+def _kept_lines(text_col: str, min_words: int):
+    """Array of lines surviving the C4 line rules, each stripped and
+    citation-scrubbed — a single nested array expression, no shuffle."""
+    cleaned = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.trim(F.regexp_replace(l, C4_CITATION_PAT, "")),
+    )
+
+    def _keep(l):
+        words = F.filter(
+            F.split(l, r"\s+"), lambda x: x != F.lit("")
+        )
+        cond = (
+            l.rlike(C4_TERMINAL_PAT)
+            & (F.size(words) >= min_words)
+            & ~F.lower(l).contains("javascript")
+        )
+        for p in C4_POLICY_PHRASES:
+            cond = cond & ~F.lower(l).contains(p)
+        return cond
+
+    return F.filter(cleaned, _keep)
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    flag_words: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = MIN_WORDS_PER_LINE,
+    min_sentences: int = MIN_SENTENCES,
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-doc C4 readout: line-filter census (n_lines, n_kept_lines,
+    n_sentences) + one boolean per page rule + the conjunction
+    (``keep``). ``flag_words`` is the bad-words list as a frame (data,
+    not code — the flagged_word_stats convention); None disables the
+    rule (reported as ok)."""
+    kept = _kept_lines(text_col, min_words_per_line)
+    kept_text = F.array_join(kept, "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias(
+            "n_lines"
+        ),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.size(F.regexp_extract_all(kept_text, F.lit(C4_SENT_PAT), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        (~F.lower(F.col(text_col)).contains("lorem ipsum")).alias(
+            "ok_lorem_ipsum"
+        ),
+        (~F.col(text_col).contains("{")).alias("ok_curly_brace"),
+    )
+    if flag_words is None:
+        base = base.withColumn("ok_flagged_word", F.lit(True))
+    else:
+        wl = flag_words.select(
+            F.lower(F.col(word_col)).alias("_tok")
+        ).distinct()
+        bad = (
+            df.select(
+                F.col(id_col),
+                F.explode(tokens(text_col)).alias("_raw"),
+            )
+            .select(F.col(id_col), F.lower("_raw").alias("_tok"))
+            .join(F.broadcast(wl), "_tok", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("_bad", F.lit(True))
+        )
+        base = base.join(bad, id_col, "left").withColumn(
+            "ok_flagged_word", F.col("_bad").isNull()
+        ).drop("_bad")
+    return base.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "ok_lorem_ipsum",
+        "ok_curly_brace",
+        "ok_flagged_word",
+        (F.col("n_sentences") >= min_sentences).alias("ok_min_sentences"),
+        (
+            F.col("ok_lorem_ipsum")
+            & F.col("ok_curly_brace")
+            & F.col("ok_flagged_word")
+            & (F.col("n_sentences") >= min_sentences)
+        ).alias("keep"),
+    )
+
+
+def c4_apply(
+    df: DataFrame,
+    flag_words: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = MIN_WORDS_PER_LINE,
+    min_sentences: int = MIN_SENTENCES,
+    word_col: str = "word",
+) -> DataFrame:
+    """The C4 front APPLIED: surviving docs with their line-filtered
+    text — (id, text). Same plan as the flags plus the kept-text
+    projection; the page gate consumes the flags' conjunction."""
+    flags = c4_quality_flags(
+        df, flag_words, id_col, text_col, min_words_per_line,
+        min_sentences, word_col,
+    )
+    cleaned = df.select(
+        F.col(id_col),
+        F.array_join(_kept_lines(text_col, min_words_per_line), "\n").alias(
+            text_col
+        ),
+    )
+    return cleaned.join(
+        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_SENTENCES,
+) -> DataFrame:
+    """C4's three-sentence span dedup: any ``span``-sentence run
+    occurring more than once in the corpus keeps its first occurrence
+    (min (doc_id, position)) and is cut everywhere else; cut = every
+    sentence covered by a non-surviving duplicated span. Returns
+    (id, text, n_removed) for docs with at least one surviving
+    sentence — text is the surviving sentences joined by single
+    spaces (the newline structure is consumed, the decontamination
+    convention)."""
+    # explicit one-arg lambda: passing F.trim directly would let
+    # transform() bind the array index to trim's optional trimStr param
+    sarr = F.transform(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(C4_SENT_EXTRACT_PAT), 0
+        ),
+        lambda s: F.trim(s),
+    )
+    sents = df.select(F.col(id_col), F.posexplode(sarr)).select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.col("col").alias("sent"),
+    )
+    skey = F.transform(
+        F.sequence(F.lit(1), F.size("_s") - F.lit(span - 1)),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    "\x01", *[F.element_at(F.col("_s"), i + j)
+                              for j in range(span)]
+                )
+            ).alias("gkey"),
+        ),
+    )
+    spans = (
+        df.select(F.col(id_col), sarr.alias("_s"))
+        .filter(F.size("_s") >= span)
+        .select(F.col(id_col), F.explode(skey).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))
+    )
+    stats = spans.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    hits = (
+        spans.join(stats, "gkey")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    removed = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    totals = sents.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_sent")
+    )
+    kept = sents.join(removed, [id_col, "pos"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("sent")))
+                    ),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            text_col,
+            (F.col("_n_sent") - F.col("_n_kept")).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )

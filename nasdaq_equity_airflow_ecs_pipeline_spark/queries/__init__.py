@@ -18,6 +18,7 @@ from . import curation_ops
 from . import ml_ops
 from . import privacy_ops
 from . import tokenizer_ops
+from . import c4_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -32,6 +33,7 @@ for _m in (
     ml_ops,
     privacy_ops,
     tokenizer_ops,
+    c4_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -166,6 +166,10 @@ BROADCAST_OK = {
     "plans/aggregations.py::_with_stock": "dim_stock: symbol-universe-bounded",
     "plans/corpus.py::curate_corpus": "benchmark shingle set: eval suite is small by definition",
     "operators/bloom.py::bloom_semi_join": "1-row relational bitmap",
+    "operators/c4.py::c4_quality_flags": (
+        "bad-words policy list: policy-bounded (hundreds of rows, the "
+        "flagged_word_stats class)"
+    ),
     "operators/ordering.py::global_sort_index": "per-partition counts: numPartitions rows",
     "operators/curation.py::token_budget_select": "per-partition token-sum offsets: numPartitions rows",
     "operators/curation.py::balanced_shards": "per-partition token-sum offsets: numPartitions rows",

@@ -9,10 +9,17 @@ Key remapping per copy i (offset = 10_000_000 * i):
 - customer/orders/lineitem/part/supplier keys all shift consistently, so
   every FK still lands on exactly one PK and selectivities are unchanged.
 - nation/region stay fixed (real dims don't grow with fact data).
-- documents: doc_id shifts; every TOKEN gets a per-copy suffix so the
-  shingle space is disjoint across copies — near-dup structure WITHIN a
-  copy is preserved, no cross-copy mega-buckets (which would measure a
-  different, quadratic workload).
+- documents: doc_id shifts; copy i rewrites every token through a
+  per-copy deterministic PERMUTATION of the base vocabulary (rank by
+  md5(word#ci)), so the word POPULATION is fixed across copies (a
+  Heaps'-law-compatible corpus: vocabulary does not grow 10x per
+  decade of data — the earlier per-token-suffix scheme did exactly
+  that and inflated pieces/word for the tokenizer rows, VERDICT r11
+  #5) while 5-gram shingle spaces stay effectively disjoint across
+  copies (a shingle collides only where the two permutations agree on
+  all 5 words) — near-dup structure WITHIN a copy is preserved, no
+  cross-copy mega-buckets (which would measure a different, quadratic
+  workload). Copy 0 is the identity (the base data verbatim).
 - embeddings: vec_id shifts; vectors rotate by i positions (norms and
   intra-copy geometry preserved, copies are not mutual near-dups).
 - events: event_id/user_id shift; timestamps shift by i days so window
@@ -193,6 +200,76 @@ DEEP = [
 ]
 
 
+def _doc_mapper(spark, docs):
+    """Per-copy document rewriter with a FIXED word population (module
+    docstring): copy 0 is the identity; copy i > 0 maps each token
+    through a deterministic permutation of the base vocabulary (words
+    ranked by md5(word#ci) — computable without RNG state, identical
+    on re-runs). Falls back to the per-token-suffix scheme only if the
+    base vocabulary is too large for a literal map expression (not the
+    case for the synthetic fixture; a real corpus would pre-build a
+    mapping table and join)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    vocab = sorted(
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .distinct()
+        .collect()
+    )
+
+    def mapper(df, i):
+        ident = df.select(
+            (F.col("doc_id") + F.lit(OFFSET * i)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        if i == 0:
+            return ident
+        if len(vocab) > 4096:
+            return df.select(
+                (F.col("doc_id") + F.lit(OFFSET * i)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", r"$1c" + str(i)).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        target = sorted(
+            vocab,
+            key=lambda w: hashlib.md5(f"{w}#c{i}".encode()).hexdigest(),
+        )
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for src, dst in zip(vocab, target)
+                for x in (src, dst)
+            ]
+        )
+        return df.select(
+            (F.col("doc_id") + F.lit(OFFSET * i)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda w: F.coalesce(m[w], w),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    return mapper
+
+
 def build(spark, k: int, outdir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -234,18 +311,7 @@ def build(spark, k: int, outdir: str) -> None:
         "supplier": rep(t["supplier"], shift({"s_suppkey"})),
         "nation": t["nation"],
         "region": t["region"],
-        "documents": rep(
-            t["documents"],
-            lambda df, i: df.select(
-                (F.col("doc_id") + F.lit(OFFSET * i)).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", r"$1c" + str(i)).alias(
-                    "text"
-                ),
-                "lang",
-                "source",
-                "n_chars",
-            ),
-        ),
+        "documents": rep(t["documents"], _doc_mapper(spark, t["documents"])),
         "embeddings": rep(
             t["embeddings"],
             lambda df, i: df.select(
