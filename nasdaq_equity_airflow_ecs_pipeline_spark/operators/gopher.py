@@ -69,10 +69,17 @@ DUP_CHAR_THR_X100 = 20   # duplicate line / paragraph CHARACTER fraction
 
 
 def gopher_quality_flags(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_min: int = WORD_MIN,
+    word_max: int = WORD_MAX,
+    stop_min: int = 2,
 ) -> DataFrame:
     """One boolean per Gopher quality rule plus the conjunction
-    (``keep``) — a single narrow projection."""
+    (``keep``) — a single narrow projection. Defaults are the paper's
+    thresholds; they are parameters because production pipelines
+    re-ablate them per corpus (FineWeb §3.1 does exactly this)."""
     w = tokens(text_col)
     n_words = F.size(w)
     sum_chars = F.aggregate(
@@ -98,7 +105,7 @@ def gopher_quality_flags(
         start=F.lit(0),
     )
     ok = {
-        "ok_word_count": (n_words >= WORD_MIN) & (n_words <= WORD_MAX),
+        "ok_word_count": (n_words >= word_min) & (n_words <= word_max),
         "ok_mean_word_len": (F.lit(3) * n_words <= sum_chars)
         & (sum_chars <= F.lit(10) * n_words),
         "ok_symbol_ratio": (F.lit(10) * n_hash <= n_words)
@@ -106,7 +113,7 @@ def gopher_quality_flags(
         "ok_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
         "ok_ellipsis_lines": F.lit(10) * n_ellend <= F.lit(3) * n_lines,
         "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
-        "ok_stop_words": n_stop >= 2,
+        "ok_stop_words": n_stop >= stop_min,
     }
     keep = None
     for c in ok.values():

@@ -539,7 +539,7 @@ def curate_corpus_v6(
     max_line_docs: int = 2,
     bucket_width: float = 25.0,
     quality_gate=None,
-    post_line_stage=None,
+    post_line_stages=None,
 ) -> dict[str, DataFrame]:
     """The v4 CCNet chain with the selection CCNet ACTUALLY uses
     (Wenzek et al. 2020 §4.4) in place of the fixed perplexity
@@ -578,21 +578,23 @@ def curate_corpus_v6(
         .select("doc_id", F.col("kept_text").alias("text"), "lang", "source"),
         "v6",
     )
-    # optional post-line-dedup stage (v8 injects span decontamination
-    # here: same frame contract — (doc_id, text, lang, source), text
-    # possibly rewritten, a subset of line_kept's docs).
+    # optional post-line-dedup stages, in order (v8 injects span
+    # decontamination here; v9 prepends the Gopher + C4 rule front):
+    # same frame contract per stage — (doc_id, text, lang, source),
+    # text possibly rewritten, a subset of the input's docs.
     # localCheckpoint, NOT persist: a persisted frame keeps its logical
     # lineage, and the funnel's union-of-stage-aggregates embeds every
-    # cached ancestor's plan RECURSIVELY per census row — the extra
+    # cached ancestor's plan RECURSIVELY per census row — one extra
     # decon level pushed the AQE explain-string past a 1 GB heap
     # (OOM in QueryExecution.explainString, measured; v7 sat just
     # under it). The eager checkpoint makes downstream plans see a
-    # LogicalRDD leaf, resetting the textual plan depth below v7's.
-    decon = None
+    # LogicalRDD leaf, resetting the textual plan depth below v7's —
+    # and keeps it flat however many stages the front adds (v9 is 3).
+    injected: dict[str, DataFrame] = {}
     gate_in = line_kept
-    if post_line_stage is not None:
-        decon = post_line_stage(line_kept).localCheckpoint(eager=True)
-        gate_in = decon
+    for stage_name, stage_fn in (post_line_stages or []):
+        gate_in = stage_fn(gate_in).localCheckpoint(eager=True)
+        injected[stage_name] = gate_in
     # quality gate: default = the placeholder-weight expression score;
     # v7 injects the TRAINED-classifier gate here (same stage, same
     # survivor frame contract: a subset of the input, schema unchanged)
@@ -655,8 +657,7 @@ def curate_corpus_v6(
         "budget": budgeted,
         "sharded": sharded,
     }
-    if decon is not None:
-        stages["decon"] = decon
+    stages.update(injected)
     return stages
 
 
@@ -767,7 +768,105 @@ def curate_corpus_v8(
         )
 
     return curate_corpus_v7(
-        docs, emb, post_line_stage=decon_stage, **v7_kwargs
+        docs, emb, post_line_stages=[("decon", decon_stage)], **v7_kwargs
+    )
+
+
+_STAGE_ORDER_V9 = [
+    "raw", "line_dedup", "gopher", "c4", "decon", "classifier", "lm_gate",
+    "semdedup", "budget",
+]
+
+
+def curate_corpus_v9(
+    docs: DataFrame,
+    emb: DataFrame,
+    bench: DataFrame,
+    decon_min_len: int = 5,
+    gopher_word_min: int = 50,
+    gopher_word_max: int = 100_000,
+    gopher_stop_min: int = 2,
+    c4_flag_words: DataFrame | None = None,
+    **v7_kwargs,
+) -> dict[str, DataFrame]:
+    """The FineWeb-shaped chain (VERDICT r11 #2): the v8 trained-gate +
+    decontamination chain with the RULE FRONT composed in front of
+    them, in the FineWeb ablation order (rules before model gates —
+    cheap narrow filters run first so every expensive stage sees fewer
+    docs):
+
+        raw (benchmark excluded) -> line dedup
+            -> Gopher front   (all 7 quality rules AND all 13
+                               repetition metrics must pass —
+                               operators/gopher.py; thresholds are the
+                               paper's, with stop_min parameterized the
+                               way FineWeb re-ablates per corpus)
+            -> C4 front       (line rules rewrite the text, page rules
+                               drop docs — operators/c4.py c4_apply)
+            -> span decontamination -> trained classifier gate
+            -> KN tercile select -> semantic dedup -> token-budget cut
+            -> balanced shards
+
+    The Gopher stage is a pure filter (text unchanged: one narrow flag
+    projection + one explode/agg for the repetition metrics, both
+    doc-local); the C4 stage rewrites text (kept lines only), so it
+    runs BEFORE decontamination — the decon gram index then matches
+    against exactly the text later stages train on. Funnel census
+    gains 'gopher' and 'c4' rows (_STAGE_ORDER_V9)."""
+    from ..operators.c4 import c4_apply
+    from ..operators.gopher import (
+        gopher_quality_flags,
+        gopher_repetition_stats,
+    )
+    from ..operators.text import (
+        benchmark_gram_index,
+        decontaminate_apply_indexed,
+    )
+
+    def gopher_stage(frame: DataFrame) -> DataFrame:
+        gk = gopher_quality_flags(
+            frame,
+            word_min=gopher_word_min,
+            word_max=gopher_word_max,
+            stop_min=gopher_stop_min,
+        ).filter(F.col("keep")).select("doc_id")
+        viol = (
+            gopher_repetition_stats(frame)
+            .filter(~F.col("ok"))
+            .select("doc_id")
+            .distinct()
+        )
+        return frame.join(gk, "doc_id", "left_semi").join(
+            viol, "doc_id", "left_anti"
+        )
+
+    def c4_stage(frame: DataFrame) -> DataFrame:
+        out = c4_apply(frame, flag_words=c4_flag_words)
+        return out.join(
+            frame.select("doc_id", "lang", "source"), "doc_id"
+        ).select("doc_id", "text", "lang", "source")
+
+    idx = benchmark_gram_index(bench, min_len=decon_min_len)
+
+    def decon_stage(frame: DataFrame) -> DataFrame:
+        dec = decontaminate_apply_indexed(frame, idx, min_len=decon_min_len)
+        return (
+            dec.filter(F.col("kept_text") != "")
+            .join(frame.select("doc_id", "lang", "source"), "doc_id")
+            .select(
+                "doc_id", F.col("kept_text").alias("text"), "lang", "source"
+            )
+        )
+
+    return curate_corpus_v7(
+        docs,
+        emb,
+        post_line_stages=[
+            ("gopher", gopher_stage),
+            ("c4", c4_stage),
+            ("decon", decon_stage),
+        ],
+        **v7_kwargs,
     )
 
 

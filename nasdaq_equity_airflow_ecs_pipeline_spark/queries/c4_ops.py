@@ -67,7 +67,9 @@ _WEB_TRIGGERS = (
 )
 
 
-def _webified(spark: SparkSession, sf: str) -> DataFrame:
+def _webified(
+    spark: SparkSession, sf: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     relined = F.regexp_replace("text", _RELINE_PAT, "$1\n")
     dotted = F.array_join(
         F.transform(
@@ -83,10 +85,13 @@ def _webified(spark: SparkSession, sf: str) -> DataFrame:
         t = F.when(
             F.col("doc_id") % mod == rem, F.concat(t, F.lit("\n" + block))
         ).otherwise(t)
-    return _docs(spark, sf).select("doc_id", t.alias("text"))
+    return _docs(spark, sf).select("doc_id", *extra, t.alias("text"))
 
 
-def _sql_webified() -> str:
+def _sql_webified(extra: str = "", where: str = "") -> str:
+    """``extra`` carries additional columns through (e.g.
+    'lang, source, '); ``where`` filters the source relation (e.g.
+    ' WHERE doc_id >= 10' — the v9 chain's benchmark exclusion)."""
     cases = "\n         ".join(
         "|| CASE WHEN doc_id % {m} = {r} THEN chr(10) || {block}"
         " ELSE '' END".format(
@@ -99,21 +104,23 @@ def _sql_webified() -> str:
         for mod, rem, block in _WEB_TRIGGERS
     )
     return (
-        """
-  SELECT doc_id,
+        f"""
+  SELECT doc_id, {extra}
          dotted
          """
         + cases
-        + """ AS text
+        + f""" AS text
   FROM (
-    SELECT doc_id,
+    SELECT doc_id, {extra}
            array_to_string(list_transform(
              string_split(regexp_replace(text, '"""
         + _RELINE_PAT
         + r"""', '\1' || chr(10), 'g'), chr(10)),
              l -> CASE WHEN length(l) % 3 <> 0 THEN l || '.' ELSE l END),
              chr(10)) AS dotted
-    FROM documents)
+    FROM documents"""
+        + where
+        + """)
 """
     )
 
@@ -271,14 +278,277 @@ GROUP BY kept.doc_id, tot.n_sent
 """
 )
 
+# ===================================== v9: FineWeb-shaped rule-front chain
+# chain thresholds: Gopher word bounds are the paper's; stop_min is the
+# one fixture-scale re-ablation (the synthetic vocabulary carries a
+# single Gopher stopword, 'the' — FineWeb §3.1 re-ablates thresholds
+# per corpus exactly like this)
+V9_GOPHER_WORD_MIN = 50
+V9_GOPHER_WORD_MAX = 100_000
+V9_GOPHER_STOP_MIN = 1
+
+
+def q_corpus_pipeline_v9(spark: SparkSession, sf: str) -> DataFrame:
+    """The FineWeb-shaped curation chain (plans/corpus.py
+    curate_corpus_v9 — VERDICT r11 #2): the v8 decontamination +
+    trained-gate chain with the RULE FRONT composed before them:
+
+        raw (webified, benchmark excluded) -> line dedup
+          -> Gopher front (7 quality rules + 13 repetition metrics)
+          -> C4 front (line rules rewrite, page rules drop)
+          -> span decontamination -> trained classifier gate
+          -> KN terciles -> SemDeDup -> budget -> shards
+
+    Input is the WEBIFIED corpus (module docstring) — C4's rules need
+    the web-text features the raw fixture lacks; the benchmark slice
+    (doc_id < 10) is webified identically so the decon gram space
+    matches. ONE oracle statement rebuilds the whole chain: webify,
+    line dedup, both rule fronts, the decon rebuild, the spliced
+    16-round training CTEs, KN terciles, SemDeDup, budget, shards.
+    The funnel census gains 'gopher' and 'c4' rows."""
+    from ..plans.corpus import (
+        _STAGE_ORDER_V9,
+        curate_corpus_v4_funnel,
+        curate_corpus_v9,
+    )
+    from ..sources.tables import load_table
+    from .curation_ops import (
+        CCNET_BUCKET_WIDTH,
+        DECON_CHAIN_L,
+        LINE_DEDUP_MAX_DOCS,
+        V3_BUDGET,
+        V3_CLUSTER_TARGET,
+        V3_NEARDUP,
+        V3_SHARDS,
+    )
+
+    web = _webified(spark, sf, extra=("lang", "source"))
+    d = web.filter(F.col("doc_id") >= 10)
+    bench = web.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings")
+    wl = spark.createDataFrame([(w,) for w in C4_FLAG_WORDS], "word string")
+    raw = _docs(spark, sf)
+    stages = curate_corpus_v9(
+        d,
+        emb,
+        bench=bench,
+        decon_min_len=DECON_CHAIN_L,
+        gopher_word_min=V9_GOPHER_WORD_MIN,
+        gopher_word_max=V9_GOPHER_WORD_MAX,
+        gopher_stop_min=V9_GOPHER_STOP_MIN,
+        c4_flag_words=wl,
+        # labeler corpus = benchmark-excluded RAW text (the v8
+        # convention: labels come from raw rule scores; the gate then
+        # re-featurizes the chain's decontaminated text)
+        train_docs=raw.filter(F.col("doc_id") >= 10).select(
+            "doc_id", "text"
+        ),
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        budget=V3_BUDGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        bucket_width=CCNET_BUCKET_WIDTH,
+    )
+    return curate_corpus_v4_funnel(stages, order=_STAGE_ORDER_V9)
+
+
+def _sql_gopher_front() -> str:
+    """The Gopher stage as spliceable CTEs reading ``{prev}``: quality
+    keep set (chain thresholds) + repetition violators (doc-length
+    denominators, the operators/gopher.py convention) + the surviving
+    frame. Mirrors gopher_quality_flags / gopher_repetition_stats term
+    for term."""
+    from ..operators.gopher import (
+        DUP_CHAR_THR_X100,
+        DUP_NGRAM_THR_X100,
+        DUP_UNIT_THR_X100,
+        GOPHER_STOPWORDS,
+        TOP_NGRAM_THR_X100,
+    )
+
+    stop = " + ".join(
+        f"(CASE WHEN list_contains(lw, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
+    viol = " OR ".join(
+        [
+            f"(kind = 'line' AND (dup_units * 100 > n_units * "
+            f"{DUP_UNIT_THR_X100} OR dup_chars * 100 > dc * "
+            f"{DUP_CHAR_THR_X100}))",
+            f"(kind = 'para' AND (dup_units * 100 > n_units * "
+            f"{DUP_UNIT_THR_X100} OR dup_chars * 100 > dc * "
+            f"{DUP_CHAR_THR_X100}))",
+        ]
+        + [
+            f"(kind = 'g{n}' AND top_chars * 100 > dc * {t})"
+            for n, t in TOP_NGRAM_THR_X100.items()
+        ]
+        + [
+            f"(kind = 'g{n}' AND dup_chars * 100 > dc * {t})"
+            for n, t in DUP_NGRAM_THR_X100.items()
+        ]
+    )
+    return rf"""gm AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS w,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        x -> lower(x)) AS lw,
+         string_split(text, chr(10)) AS lines
+  FROM {{prev}}
+),
+gc AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS sum_chars,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+         CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(trim(l), '^[•*-]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '\.\.\.$'))) AS BIGINT) AS n_ellend,
+         CAST({stop} AS BIGINT) AS n_stop
+  FROM gm
+),
+gk AS (
+  SELECT doc_id FROM gc
+  WHERE n_words >= {V9_GOPHER_WORD_MIN} AND n_words <= {V9_GOPHER_WORD_MAX}
+    AND 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+    AND 10 * n_hash <= n_words AND 10 * n_ell <= n_words
+    AND 10 * n_bullet <= 9 * n_lines
+    AND 10 * n_ellend <= 3 * n_lines
+    AND 5 * n_alpha >= 4 * n_words
+    AND n_stop >= {V9_GOPHER_STOP_MIN}
+),
+gu AS (
+  SELECT doc_id, 'line' AS kind, unnest(string_split(text, chr(10))) AS unit
+  FROM {{prev}}
+  UNION ALL
+  SELECT doc_id, 'para', unnest(string_split(text, chr(10) || chr(10)))
+  FROM {{prev}}
+  UNION ALL
+  SELECT doc_id, 'g' || CAST(n AS VARCHAR) AS kind,
+         array_to_string(t[u.i:u.i+n-1], ' ') AS unit
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM {{prev}}),
+       unnest([{", ".join(map(str, ns))}]) AS nn(n),
+       unnest(generate_series(1, len(t) - n + 1)) AS u(i)
+  WHERE len(t) >= n
+),
+gg AS (
+  SELECT doc_id, kind, unit, CAST(count(*) AS BIGINT) AS cnt
+  FROM gu GROUP BY 1, 2, 3
+),
+ga AS (
+  SELECT doc_id, kind,
+         CAST(sum(cnt) AS BIGINT) AS n_units,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS dup_units,
+         CAST(sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(unit)
+                       ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST((max(struct_pack(c := cnt, u := unit,
+                               ch := cnt * length(unit)))).ch AS BIGINT)
+           AS top_chars
+  FROM gg GROUP BY 1, 2
+),
+grl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS dc FROM {{prev}}),
+grv AS (
+  SELECT DISTINCT ga.doc_id
+  FROM ga JOIN grl USING (doc_id)
+  WHERE {viol}
+),
+gopher AS MATERIALIZED (
+  SELECT p.doc_id, p.text, p.lang, p.source
+  FROM {{prev}} p
+  JOIN gk USING (doc_id)
+  LEFT JOIN grv ON p.doc_id = grv.doc_id
+  WHERE grv.doc_id IS NULL
+)"""
+
+
+def _sql_c4_front() -> str:
+    """The C4 stage as spliceable CTEs reading ``{prev}``: line rules
+    rewrite (kept lines), page rules drop. Mirrors c4_apply term for
+    term (chr(123) = '{{' keeps the template format()-safe)."""
+    policy = "\n           ".join(
+        f"AND NOT contains(lower(l), '{p}')" for p in C4_POLICY_PHRASES
+    )
+    words = ", ".join("'" + x + "'" for x in C4_FLAG_WORDS)
+    return rf"""ccl AS (
+  SELECT doc_id, text, lang, source,
+         list_transform(string_split(text, chr(10)),
+           l -> trim(regexp_replace(l, '{C4_CITATION_PAT}', '', 'g')))
+           AS lines
+  FROM {{prev}}
+),
+cck AS (
+  SELECT doc_id, text, lang, source,
+         list_filter(lines, l ->
+           regexp_matches(l, '{C4_TERMINAL_PAT}')
+           AND len(list_filter(string_split_regex(l, '\s+'),
+                               x -> x != '')) >= {MIN_WORDS_PER_LINE}
+           AND NOT contains(lower(l), 'javascript')
+           {policy}) AS kept
+  FROM ccl
+),
+ccb AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id,
+               lower(unnest(string_split_regex(trim(text), '\s+'))) AS tok
+        FROM {{prev}})
+  WHERE tok IN ({words})
+),
+c4 AS MATERIALIZED (
+  SELECT cck.doc_id,
+         COALESCE(array_to_string(cck.kept, chr(10)), '') AS text,
+         cck.lang, cck.source
+  FROM cck LEFT JOIN ccb ON cck.doc_id = ccb.doc_id
+  WHERE NOT contains(lower(cck.text), 'lorem ipsum')
+    AND NOT contains(cck.text, chr(123))
+    AND ccb.doc_id IS NULL
+    AND len(regexp_extract_all(
+          COALESCE(array_to_string(cck.kept, chr(10)), ''),
+          '{C4_SENT_PAT}')) >= {MIN_SENTENCES}
+)"""
+
+
+def _sql_corpus_pipeline_v9() -> str:
+    from .curation_ops import _sql_corpus_pipeline_v4
+
+    return _sql_corpus_pipeline_v4(
+        lm_order="kn",
+        clf_gate="trained",
+        decon=True,
+        relined_rel=(
+            "("
+            + _sql_webified(extra="lang, source,", where=" WHERE doc_id >= 10")
+            + ") wsrc"
+        ),
+        bench_rel=(
+            "(" + _sql_webified(where=" WHERE doc_id < 10") + ") wb"
+        ),
+        front=[
+            ("gopher", _sql_gopher_front()),
+            ("c4", _sql_c4_front()),
+        ],
+    )
+
+
 QUERIES = {
     "q_c4_quality": q_c4_quality,
     "q_c4_apply": q_c4_apply,
     "q_c4_span_dedup": q_c4_span_dedup,
+    "q_corpus_pipeline_v9": q_corpus_pipeline_v9,
 }
 
 ORACLES = {
     "q_c4_quality": SQL_C4_QUALITY,
     "q_c4_apply": SQL_C4_APPLY,
     "q_c4_span_dedup": SQL_C4_SPAN_DEDUP,
+    "q_corpus_pipeline_v9": _sql_corpus_pipeline_v9(),
 }

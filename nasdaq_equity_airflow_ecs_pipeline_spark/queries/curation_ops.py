@@ -1124,12 +1124,24 @@ DECON_CHAIN_L = 5
 def _sql_corpus_pipeline_v4(
     lm_order: int | str = 2, clf_gate: str = "placeholder",
     decon: bool = False,
+    relined_rel: str | None = None,
+    bench_rel: str = "documents WHERE doc_id < 10",
+    front: list[tuple[str, str]] | None = None,
 ) -> str:
     """``decon=True`` is the v8 shape: the chain input excludes the
     benchmark slice (doc_id < 10 — q_decontaminate's convention), a
     span-decontamination rebuild is spliced between line_kept and the
     classifier gate, the trained-gate labeler corpus is the excluded
-    slice too, and the census gains the 'decon' row."""
+    slice too, and the census gains the 'decon' row.
+
+    v9 extensions (composed by c4_ops._sql_corpus_pipeline_v9):
+    ``relined_rel`` overrides the relined CTE's source relation (the
+    webified corpus); ``bench_rel`` overrides the decon gram source;
+    ``front`` splices extra stages between line_kept and decon — each
+    entry is (stage_name, multi_cte_sql) where the SQL defines CTEs
+    ending with one named ``stage_name`` reading ``{prev}`` (formatted
+    with the previous stage's relation), and the census gains one row
+    per front stage."""
     from ..operators.lsh import MERSENNE_P
 
     if lm_order not in (2, 3, "kn"):  # mirror curate_corpus_v4's guard
@@ -1137,7 +1149,15 @@ def _sql_corpus_pipeline_v4(
     if clf_gate not in ("placeholder", "trained"):
         raise ValueError(f"clf_gate must be placeholder|trained, got {clf_gate!r}")
     if decon and clf_gate != "trained":
-        raise ValueError("decon (v8) composes on the trained gate")
+        raise ValueError("decon (v8/v9) composes on the trained gate")
+    if front and not decon:
+        raise ValueError("front (v9) composes on the decon chain")
+    prev = "line_kept"
+    front_ctes = ""
+    for stage_name, cte_sql in front or []:
+        front_ctes += "\n" + cte_sql.format(prev=prev).strip() + ","
+        prev = stage_name
+    decon_src = prev
     clf_src = "decon" if decon else "line_kept"
 
     w = ("(((('0x' || substr(md5(tok || ':qc-v1'), 1, 15))::BIGINT % 2147483647)"
@@ -1369,12 +1389,12 @@ clf AS (SELECT doc_id, text, lang, source FROM scored WHERE score >= 0.0)"""
 dbg AS (
   SELECT DISTINCT md5(array_to_string(t[u.i:u.i+{_DL - 1}], ' ')) AS gkey
   FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
-        FROM documents WHERE doc_id < 10) b,
+        FROM {bench_rel}) b,
        unnest(generate_series(1, len(t) - {_DL - 1})) AS u(i)
   WHERE len(t) >= {_DL}
 ),
 dtk AS MATERIALIZED (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM line_kept
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {decon_src}
 ),
 docc AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -1412,14 +1432,47 @@ dreb AS (
 ),
 decon AS MATERIALIZED (
   SELECT lk.doc_id, dreb.kept_text AS text, lk.lang, lk.source
-  FROM line_kept lk JOIN dreb USING (doc_id)
+  FROM {decon_src} lk JOIN dreb USING (doc_id)
   WHERE dreb.kept_text != ''
 ),"""
+    relined_body = (
+        f"SELECT doc_id, lang, source, text FROM {relined_rel}"
+        if relined_rel
+        else (
+            "SELECT doc_id, lang, source,\n"
+            f"         regexp_replace(text, '{_RELINE_PAT}', "
+            "'\\1' || chr(10), 'g') AS text\n"
+            f"  FROM documents{' WHERE doc_id >= 10' if decon else ''}"
+        )
+    )
+    stage_rels = [("raw", "relined"), ("line_dedup", "line_kept")]
+    stage_rels += [(nm, nm) for nm, _ in front or []]
+    if decon:
+        stage_rels.append(("decon", "decon"))
+    stage_rels += [("classifier", "clf"), ("lm_gate", "lm"),
+                   ("semdedup", "sem")]
+    census_rows = "\nUNION ALL ".join(
+        (
+            f"SELECT {i} AS stage_id, '{nm}' AS stage, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens "
+            f"FROM {rel}"
+            if i == 0
+            else f"SELECT {i}, '{nm}', CAST(count(*) AS BIGINT), {ntok} "
+                 f"FROM {rel}"
+        )
+        for i, (nm, rel) in enumerate(stage_rels)
+    )
+    nb = len(stage_rels)
+    census_rows += (
+        f"\nUNION ALL SELECT {nb}, 'budget', CAST(count(*) AS BIGINT), "
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget"
+        f"\nUNION ALL SELECT {nb + 1}, 'sharded', "
+        "CAST(count(*) AS BIGINT), "
+        "CAST(coalesce(max(m), 0) AS BIGINT) FROM mass"
+    )
     sql = f"""
 WITH {train_ctes}relined AS (
-  SELECT doc_id, lang, source,
-         regexp_replace(text, '{_RELINE_PAT}', '\\1' || chr(10), 'g') AS text
-  FROM documents{" WHERE doc_id >= 10" if decon else ""}
+  {relined_body}
 ),
 ls AS (SELECT doc_id, lang, source, string_split(text, chr(10)) AS arr FROM relined),
 lns AS (
@@ -1439,7 +1492,7 @@ reb AS (
 line_kept AS (
   SELECT ls.doc_id, reb.kept_text AS text, ls.lang, ls.source
   FROM ls JOIN reb USING (doc_id)
-),{decon_block}
+),{front_ctes}{decon_block}
 {clf_block},
 {lm_block},
 e AS (
@@ -1495,14 +1548,7 @@ sh AS (
   FROM budget, tot
 ),
 mass AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS m FROM sh GROUP BY 1)
-SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens FROM documents{" WHERE doc_id >= 10" if decon else ""}
-UNION ALL SELECT 1, 'line_dedup', CAST(count(*) AS BIGINT), {ntok} FROM line_kept{'''
-UNION ALL SELECT 2, 'decon', CAST(count(*) AS BIGINT), ''' + ntok + " FROM decon" if decon else ""}
-UNION ALL SELECT {3 if decon else 2}, 'classifier', CAST(count(*) AS BIGINT), {ntok} FROM clf
-UNION ALL SELECT {4 if decon else 3}, 'lm_gate', CAST(count(*) AS BIGINT), {ntok} FROM lm
-UNION ALL SELECT {5 if decon else 4}, 'semdedup', CAST(count(*) AS BIGINT), {ntok} FROM sem
-UNION ALL SELECT {6 if decon else 5}, 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budget
-UNION ALL SELECT {7 if decon else 6}, 'sharded', CAST(count(*) AS BIGINT), CAST(coalesce(max(m), 0) AS BIGINT) FROM mass
+{census_rows}
 """
     # MATERIALIZE the multiply-referenced heavy CTEs: DuckDB inlines
     # plain CTEs per reference, so the KN/LM pyramid hanging off `clf`

@@ -60,6 +60,12 @@ CARTESIAN_OK = {
         "doc count) plus the benchmark gram index semi-join side "
         "(eval-suite-sized); pairs are cluster-equi-joined"
     ),
+    "q_corpus_pipeline_v9": (
+        "v8's bounded broadcasts (k centroid rows, trainer's 1-row doc "
+        "count, eval-suite-sized gram index) plus the C4 bad-words "
+        "policy list (policy-bounded); the rule front adds no pairing "
+        "path — Gopher/C4 are doc-local filters"
+    ),
     "q_bpe_encode": "broadcast of the 1-row char-alphabet count (merge-output id offset)",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
