@@ -133,13 +133,15 @@ def main() -> None:
     # filling), the min is the reproducible warm number. Both totals are
     # reported so a single cold run is never mistaken for a regression
     # against a warm one (shared-machine noise is +-40% run-to-run).
-    # Sub-second queries get a third rep: at <1s, scheduler jitter alone
-    # is tens of ms (>10% variance), so best-of-2 reads as noise-level
-    # regressions round-over-round (r2's q_case_bucketing +82ms). An
-    # extra sub-second rep buys the variance down for ~nothing.
+    # Sub-second queries get FIVE reps (VERDICT r11 #6): at <1s,
+    # scheduler jitter alone is tens of ms (>10% variance) and r11 saw
+    # 13 sub-second headline rows move 1.3-1.7x normalized on
+    # byte-identical shufW under best-of-3 — the extra reps cost ~15s
+    # total and shrink cross-round movers to real plan changes.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     shufw: dict[str, float] = {}
+    reps_per_query: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
@@ -148,7 +150,7 @@ def main() -> None:
         # stays OUTSIDE the timed region); bytes are plan-deterministic,
         # so per-execution volume = delta / reps
         w0, _ = _shuffle_totals(spark)
-        while rep < 2 or (best < 1.0 and rep < 3):
+        while rep < 2 or (best < 1.0 and rep < 5):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
@@ -159,6 +161,7 @@ def main() -> None:
         w1, _ = _shuffle_totals(spark)
         shufw[name] = round((w1 - w0) / 1e6 / rep, 1)
         timings[name] = round(best, 3)
+        reps_per_query[name] = rep
         print(f"[bench] {name}: {timings[name]}s (cold {cold[name]}s, {rep} reps, "
               f"shufW {shufw[name]}MB)",
               file=sys.stderr)
@@ -248,19 +251,30 @@ def main() -> None:
         "q_pack_attention_spans",
         "q_gopher_quality",
         "q_gopher_repetition",
+        # r12 surface: C4 front + span dedup, the FineWeb-shaped v9
+        # chain, the multiclass lang-id trainer
+        "q_c4_quality",
+        "q_c4_apply",
+        "q_c4_span_dedup",
+        "q_corpus_pipeline_v9",
+        "q_langid_train",
+        "q_langid_predict",
     ):
         fn = queries[name]
         best = float("inf")
+        rep = 0
         w0, _ = _shuffle_totals(spark)
-        for _ in range(2):
+        while rep < 2 or (best < 1.0 and rep < 3):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
+            rep += 1
         w1, _ = _shuffle_totals(spark)
-        shufw[name] = round((w1 - w0) / 1e6 / 2, 1)
+        shufw[name] = round((w1 - w0) / 1e6 / rep, 1)
         extended[name] = round(best, 3)
-        print(f"[bench] extended {name}: {extended[name]}s "
-              f"(shufW {shufw[name]}MB)", file=sys.stderr)
+        reps_per_query[name] = rep
+        print(f"[bench] extended {name}: {extended[name]}s ({rep} reps, "
+              f"shufW {shufw[name]}MB)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # canary-normalized walls (r5 judge #3): the shared VM drifts 1.2-1.9x
@@ -294,8 +308,10 @@ def main() -> None:
         "io_canary_sec": io_canary,
         "io_canary_cold_sec": io_cold,
         "queries_io_normalized": io_norm,
-        "reps": "2 (+1 when warm best <1s)",
-        "timing": "best-of-2 per query, best-of-3 when sub-second; "
+        "reps": "2 (headline: up to 5 when warm best <1s; extended: +1)",
+        "reps_per_query": reps_per_query,
+        "timing": "best-of-2 per query; sub-second rows get extra reps "
+                  "(headline best-of-5, extended best-of-3 — r11 jitter); "
                   "cold_total = first-rep sum; "
                   "startup_sec = session build + first parquet touch; "
                   "*_normalized = wall / jvm_range_sum_50m canary (unitless "

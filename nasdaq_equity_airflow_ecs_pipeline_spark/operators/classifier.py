@@ -338,6 +338,129 @@ def _materialize_weights(weights: DataFrame) -> DataFrame:
     )
 
 
+def train_langid_ovr(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    steps: int = 8,
+    lr_num: int = 4,
+    lr_den: int = 1,
+) -> DataFrame:
+    """K-class one-vs-rest language identifier in the same fixed-point
+    discipline (VERDICT r11 #3) — the fastText lang-id setup: char
+    n-gram presence features (:func:`hashed_subword_features` is the
+    intended feature map) with one binary logistic head per language,
+    trained JOINTLY in one DataFrame program (weights keyed
+    (cls, bucket); per step ONE broadcast join + one (doc, cls)-keyed
+    hash-agg + one (cls, bucket)-keyed hash-agg — K-vs-rest costs K x
+    the binary trainer's rows, never K sequential jobs). No class
+    balancing (cb = 1): one-vs-rest flips which side is the minority
+    per head, so a single integer multiplier cannot be right for all
+    heads; the softmax-free argmax readout only needs the heads'
+    RELATIVE order, which unbalanced full-batch GD preserves.
+
+    Returns (cls, bucket, w), w a BIGINT in units of 1/SCALE —
+    bounded-artifact (K * (n_buckets + 1) rows), bit-reproducible on
+    any engine and partitioning; the DuckDB oracle unrolls the same
+    rounds over the (cls, bucket) grid."""
+    _release()
+    fj = _persist(
+        feats.join(labels, id_col)
+        .repartition(F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
+    n1 = fj.agg(F.count_distinct(F.col(id_col)).alias("n"))  # 1 row
+    classes = labels.select(
+        F.col(label_col).alias("cls")
+    ).distinct()  # bounded: number of languages
+    weights = (
+        fj.select("bucket")
+        .distinct()
+        .join(F.broadcast(classes))
+        .select("cls", "bucket", F.lit(0).cast("bigint").alias("w"))
+    )
+    for _ in range(steps):
+        zf = (
+            fj.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col, "cls")
+            .agg(
+                F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"),
+                F.min(
+                    (F.col(label_col) == F.col("cls")).cast("bigint")
+                ).alias("y"),
+            )
+        )
+        err = zf.select(
+            F.col(id_col),
+            "cls",
+            F.expr(f"greatest(-{ZCLAMP}L, least({ZCLAMP}L, z))").alias("zc"),
+            F.col("y"),
+        ).select(
+            F.col(id_col),
+            "cls",
+            (
+                F.lit(SCALE // 2)
+                + F.expr(f"(zc * {SCALE}) div (2 * ({SCALE} + abs(zc)))")
+                - F.col("y") * SCALE
+            ).alias("_err"),
+        )
+        grad = (
+            fj.join(err, id_col)
+            .groupBy("cls", "bucket")
+            .agg(F.sum("_err").alias("g"))
+        )
+        weights = (
+            weights.join(grad, ["cls", "bucket"], "left")
+            .join(F.broadcast(n1))
+            .select(
+                "cls",
+                "bucket",
+                F.expr(
+                    f"w - ((coalesce(g, 0) * {lr_num}) div ({lr_den} * n))"
+                ).alias("w"),
+            )
+        )
+        # same bounded-artifact eager cut as the binary trainer
+        rows = [(r["cls"], r["bucket"], r["w"]) for r in weights.collect()]
+        weights = weights.sparkSession.createDataFrame(
+            rows, schema="cls string, bucket bigint, w bigint"
+        )
+    _release()
+    return weights
+
+
+def langid_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    feats: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "clf-v1",
+) -> DataFrame:
+    """Apply a :func:`train_langid_ovr` weight table: per doc the
+    argmax head — (id, pred_lang, score_scaled). One broadcast join +
+    one (doc, cls) hash-agg + one doc-keyed struct-max; ties break to
+    the lexicographically LARGER language code (struct max —
+    deterministic in both engines, mirrored in the oracle)."""
+    if feats is None:
+        feats = hashed_subword_features(df, id_col, text_col, n_buckets, seed)
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"))
+    )
+    best = scores.groupBy(id_col).agg(
+        F.max(F.struct(F.col("z"), F.col("cls"))).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_m.cls").alias("pred_lang"),
+        F.col("_m.z").alias("score_scaled"),
+    )
+
+
 def trained_score(
     df: DataFrame,
     weights: DataFrame,

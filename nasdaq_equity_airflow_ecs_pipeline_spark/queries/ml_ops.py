@@ -215,6 +215,151 @@ SQL_CLASSIFIER_TRAIN_NGRAM = (
 )
 
 
+# ===================================== multiclass lang-id (VERDICT r11 #3)
+# the fastText lang-id setup: char n-gram features + one logistic head
+# per language, trained jointly; 8 rounds (the reranker-head budget —
+# the oracle unrolls rounds over the (cls, bucket) grid, and the argmax
+# readout stabilizes well before the binary trainer's 16)
+LANGID_STEPS = 8
+LANGID_LR_NUM = 4
+LANGID_LR_DEN = 1
+
+
+def q_langid_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the K-class one-vs-rest language identifier in-engine
+    (operators/classifier.py train_langid_ovr): fastText-faithful
+    subword features (whole-word + boundary-marked char 3-4-grams,
+    the r11 feature path), one fixed-point logistic head per language
+    trained jointly over the (cls, bucket) weight grid, labels = the
+    documents.lang column. The oracle unrolls the same 8 rounds as
+    CTEs; weights match bit-for-bit. (The synthetic corpus's lang
+    column is uncorrelated with its text, so the learned weights are
+    near-noise HERE — the accuracy claim is pinned by
+    test_langid_beats_marker_heuristic on a real multi-language
+    fixture; this query pins the cross-engine training arithmetic.)"""
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    feats = clf.hashed_subword_features(
+        d.select("doc_id", "text"),
+        n_buckets=NG_BUCKETS,
+        seed=CLF_SEED,
+        minn=NG_MINN,
+        maxn=NG_MAXN,
+    )
+    return clf.train_langid_ovr(
+        feats,
+        d.select("doc_id", "lang"),
+        steps=LANGID_STEPS,
+        lr_num=LANGID_LR_NUM,
+        lr_den=LANGID_LR_DEN,
+    )
+
+
+def q_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Train + apply: per doc the argmax head (pred_lang) and its
+    scaled logit. One broadcast join + one (doc, cls) hash-agg + one
+    doc-keyed struct-max over the training plan; ties break to the
+    lexicographically larger code (struct max, both engines)."""
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    feats = clf.hashed_subword_features(
+        d.select("doc_id", "text"),
+        n_buckets=NG_BUCKETS,
+        seed=CLF_SEED,
+        minn=NG_MINN,
+        maxn=NG_MAXN,
+    )
+    weights = clf.train_langid_ovr(
+        feats,
+        d.select("doc_id", "lang"),
+        steps=LANGID_STEPS,
+        lr_num=LANGID_LR_NUM,
+        lr_den=LANGID_LR_DEN,
+    )
+    return clf.langid_predict(d, weights, feats=feats)
+
+
+def _sql_langid_prefix(p: str = "li") -> str:
+    """Unrolled one-vs-rest rounds over the (cls, bucket) grid —
+    mirrors train_langid_ovr term for term (joint forward pass via the
+    bucket join fanning out to K classes; y = (lang == cls); cb = 1)."""
+    rounds = []
+    prev = f"{p}w0"
+    for i in range(1, LANGID_STEPS + 1):
+        rounds.append(f"""
+{p}z{i} AS (
+  SELECT f.doc_id, w.cls,
+         min(CASE WHEN f.lang = w.cls THEN 1 ELSE 0 END) AS y,
+         COALESCE(sum(w.w), 0) AS z
+  FROM {p}fj f JOIN {prev} w USING (bucket)
+  GROUP BY 1, 2
+),
+{p}e{i} AS (
+  SELECT doc_id, cls,
+         (({_S} // 2)
+          + (greatest(-{_ZC}, least({_ZC}, z)) * {_S})
+            // (2 * ({_S} + abs(greatest(-{_ZC}, least({_ZC}, z)))))
+          - y * {_S}) AS err
+  FROM {p}z{i}
+),
+{p}g{i} AS (
+  SELECT e.cls, f.bucket, sum(e.err) AS g
+  FROM {p}fj f JOIN {p}e{i} e USING (doc_id) GROUP BY 1, 2
+),
+{p}w{i} AS MATERIALIZED (
+  SELECT w.cls, w.bucket,
+         CAST(w.w - (COALESCE(g.g, 0) * {LANGID_LR_NUM})
+                    // ({LANGID_LR_DEN} * {p}nd.n) AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN {p}g{i} g USING (cls, bucket), {p}nd
+)""")
+        prev = f"{p}w{i}"
+    return f"""
+WITH {p}toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+{p}feats0 AS ({_sql_subword_feats(p)}
+),
+{p}cls AS (SELECT DISTINCT lang AS cls FROM documents),
+{p}fj AS MATERIALIZED (
+  SELECT f.doc_id, f.bucket, d.lang
+  FROM (
+    SELECT doc_id, bucket FROM {p}feats0
+    UNION ALL
+    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM documents
+  ) f
+  JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+),
+{p}nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM {p}fj),
+{p}w0 AS MATERIALIZED (
+  SELECT cls, bucket, CAST(0 AS BIGINT) AS w
+  FROM (SELECT DISTINCT bucket FROM {p}fj), {p}cls
+),{",".join(rounds)}
+"""
+
+
+SQL_LANGID_TRAIN = (
+    _sql_langid_prefix()
+    + f"SELECT cls, bucket, w FROM liw{LANGID_STEPS}"
+)
+
+SQL_LANGID_PREDICT = (
+    _sql_langid_prefix()
+    + f""",
+lisc AS (
+  SELECT f.doc_id, w.cls, COALESCE(sum(w.w), 0) AS z
+  FROM (SELECT doc_id, bucket FROM lifj) f
+  JOIN liw{LANGID_STEPS} w USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       (max(struct_pack(z := z, c := cls))).c AS pred_lang,
+       CAST((max(struct_pack(z := z, c := cls))).z AS BIGINT)
+         AS score_scaled
+FROM lisc
+GROUP BY 1
+"""
+)
+
+
 def q_filter_eval_trained(spark: SparkSession, sf: str) -> DataFrame:
     """Filter-vs-rule confusion counts for the TRAINED classifier (the
     q_filter_eval readout with learned weights instead of the disclosed
@@ -827,6 +972,8 @@ QUERIES.update(
         "q_doremi_weights": q_doremi_weights,
         "q_classifier_train": q_classifier_train,
         "q_classifier_train_ngram": q_classifier_train_ngram,
+        "q_langid_train": q_langid_train,
+        "q_langid_predict": q_langid_predict,
         "q_filter_eval_trained": q_filter_eval_trained,
         "q_bpe_bytes_merges": q_bpe_bytes_merges,
         "q_bpe_bytes_encode": q_bpe_bytes_encode,
@@ -842,6 +989,8 @@ ORACLES.update(
         "q_video_shingle_neardup": SQL_VIDEO_SHINGLE_NEARDUP,
         "q_classifier_train": SQL_CLASSIFIER_TRAIN,
         "q_classifier_train_ngram": SQL_CLASSIFIER_TRAIN_NGRAM,
+        "q_langid_train": SQL_LANGID_TRAIN,
+        "q_langid_predict": SQL_LANGID_PREDICT,
         "q_filter_eval_trained": SQL_FILTER_EVAL_TRAINED,
         "q_bpe_bytes_merges": SQL_BPE_BYTES_MERGES,
         "q_bpe_bytes_encode": SQL_BPE_BYTES_ENCODE,

@@ -172,6 +172,13 @@ BROADCAST_OK = {
     "plans/aggregations.py::_with_stock": "dim_stock: symbol-universe-bounded",
     "plans/corpus.py::curate_corpus": "benchmark shingle set: eval suite is small by definition",
     "operators/bloom.py::bloom_semi_join": "1-row relational bitmap",
+    "operators/classifier.py::train_langid_ovr": (
+        "K language classes + the K x (n_buckets + 1) weight grid + the "
+        "1-row doc count — all bounded artifacts of the trainer"
+    ),
+    "operators/classifier.py::langid_predict": (
+        "trained weight grid: K x (n_buckets + 1) rows by construction"
+    ),
     "operators/c4.py::c4_quality_flags": (
         "bad-words policy list: policy-bounded (hundreds of rows, the "
         "flagged_word_stats class)"
