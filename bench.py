@@ -259,6 +259,7 @@ def main() -> None:
         "q_corpus_pipeline_v9",
         "q_langid_train",
         "q_langid_predict",
+        "q_unigram_lm_prune",
     ):
         fn = queries[name]
         best = float("inf")

@@ -267,6 +267,176 @@ def unigram_train(
         words.unpersist()
 
 
+PRUNE_KEEP_X100 = 80  # loss prune: keep the top 80% of used multi pieces
+
+
+def viterbi_piece_losses(
+    words: DataFrame, costs: list[tuple[str, int]]
+) -> DataFrame:
+    """Per-piece likelihood-loss delta (Kudo '18 §3.2's prune signal):
+    for every multi-char piece p used by the current Viterbi
+    segmentation, loss(p) = sum over words whose best path uses p of
+    freq * (best-path cost WITHOUT p's edges - best-path cost WITH) —
+    exactly how much the corpus likelihood degrades if p is removed.
+    Removal only changes words that USE p, so the per-piece re-run is
+    restricted to (word, used-piece) pairs: one extra DP fold per
+    banned piece per word, all on the bounded distinct-word frame
+    (vocab-sized work, zero corpus passes). Single-char edges always
+    remain (the required-char closure), so every banned re-run still
+    has a path. Returns (piece, loss) — loss >= 0 by construction.
+
+    Same expression machinery as :func:`viterbi_segment` with the
+    piece string carried in the edge struct; the DuckDB oracle unrolls
+    the identical banned-DP recursion."""
+    spark = words.sparkSession
+    cost_df = spark.createDataFrame(costs, "piece string, cost bigint")
+    trips = F.expr(
+        f"flatten(transform(sequence(1, length(w)), j -> "
+        f"transform(sequence(1, least({MAX_PIECE_LEN}, j)), l -> "
+        f"named_struct('j', j, 'l', l, "
+        f"'piece', substring(w, j - l + 1, l)))))"
+    )
+    edges = (
+        words.select("w", F.explode(trips).alias("e"))
+        .select("w", F.col("e.j").alias("j"), F.col("e.l").alias("l"),
+                F.col("e.piece").alias("piece"))
+        .join(F.broadcast(cost_df), "piece", "left")
+        .filter((F.col("l") == 1) | F.col("cost").isNotNull())
+        .select(
+            "w", "j", "l", "piece",
+            F.coalesce("cost", F.lit(UNK_COST)).cast("bigint").alias("cost"),
+        )
+    )
+    wedges = (
+        edges.groupBy("w")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("j", "l", "cost", "piece"))
+            ).alias("edges")
+        )
+        .join(words, "w")
+        .select("w", "freq", F.length("w").alias("n"), "edges")
+    )
+    dp = F.expr(
+        f"aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), "
+        f"(acc, j) -> concat(acc, array(array_min(transform("
+        f"filter(edges, e -> e.j = j), "
+        f"e -> (element_at(acc, j - e.l + 1) div {LKEY} + e.cost) "
+        f"* {LKEY} + e.l)))))"
+    )
+    parts = F.expr(
+        f"aggregate(sequence(1, n), "
+        f"named_struct('pos', n, "
+        f"'parts', CAST(array() AS ARRAY<STRUCT<s: INT, l: INT>>)), "
+        f"(st, x) -> IF(st.pos <= 0, st, named_struct("
+        f"'pos', st.pos - CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT), "
+        f"'parts', concat(st.parts, array(named_struct("
+        f"'s', st.pos - CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT) + 1, "
+        f"'l', CAST(element_at(dp, st.pos + 1) % {LKEY} AS INT)))))), "
+        f"st -> reverse(st.parts))"
+    )
+    banned = F.expr(
+        "array_distinct(filter("
+        "transform(_parts, p -> substring(w, p.s, p.l)), "
+        "p -> length(p) >= 2))"
+    )
+    # one DP fold per banned piece, edges filtered to e.piece != b
+    cost2s = F.expr(
+        f"transform(_banned, b -> "
+        f"element_at(aggregate(sequence(1, n), array(CAST(0 AS BIGINT)), "
+        f"(acc, j) -> concat(acc, array(array_min(transform("
+        f"filter(edges, e -> e.j = j AND e.piece != b), "
+        f"e -> (element_at(acc, j - e.l + 1) div {LKEY} + e.cost) "
+        f"* {LKEY} + e.l))))), n + 1) div {LKEY})"
+    )
+    base = (
+        wedges.withColumn("dp", dp)
+        .withColumn("_parts", parts)
+        .withColumn(
+            "_cost1", F.expr(f"element_at(dp, n + 1) div {LKEY}")
+        )
+        .withColumn("_banned", banned)
+        .withColumn("_cost2s", cost2s)
+    )
+    return (
+        base.select(
+            "freq",
+            "_cost1",
+            F.explode(F.arrays_zip("_banned", "_cost2s")).alias("z"),
+        )
+        .select(
+            F.col("z._banned").alias("piece"),
+            (
+                F.col("freq") * (F.col("z._cost2s") - F.col("_cost1"))
+            ).cast("bigint").alias("_d"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("_d").cast("bigint").alias("loss"))
+    )
+
+
+def unigram_train_pruned(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = EM_ROUNDS,
+    keep_x100: int = PRUNE_KEEP_X100,
+) -> DataFrame:
+    """:func:`unigram_train` with Kudo '18's LOSS-BASED pruning
+    (VERDICT r11 #4 — the documented watch item): each round, after
+    the usage re-count, the used multi-char pieces are RANKED by
+    likelihood-loss delta (:func:`viterbi_piece_losses`) and only the
+    top ``keep_x100``% survive (ties to the lexicographically smaller
+    piece; ceil, so at least one survives while any are used) — hard
+    EM alone keeps every piece the Viterbi path touches even when
+    removing it would cost almost nothing. Single-char pieces are kept
+    unconditionally (the required-char closure). Returns the same
+    (piece, cnt, cost) artifact; the piece count lands strictly
+    between the alphabet and the hard-EM table wherever the loss
+    ranking actually cuts (pinned by pytest)."""
+    words = word_freqs(docs, id_col, text_col).persist()
+    try:
+        pieces = seed_pieces(words)
+        singles = {p for p, _c in pieces if len(p) == 1}
+        for _ in range(rounds):
+            costs = piece_costs(pieces)
+            seg = viterbi_segment(words, costs)
+            usage_rows = (
+                seg.select("freq", F.explode("pieces").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .collect()
+            )
+            usage = {r["piece"]: r["cnt"] for r in usage_rows}
+            losses = {
+                r["piece"]: r["loss"]
+                for r in viterbi_piece_losses(words, costs).collect()
+            }
+            multis = sorted(
+                (p for p in usage if len(p) >= 2),
+                key=lambda p: (-losses.get(p, 0), p),
+            )
+            keep_n = (len(multis) * keep_x100 + 99) // 100
+            kept = set(multis[:keep_n])
+            pieces = sorted(
+                [
+                    (p, int(c))
+                    for p, c in usage.items()
+                    if (p in singles) or (p in kept)
+                ]
+                + [(p, 0) for p in singles if p not in usage]
+            )
+        final = [
+            (p, c, cost)
+            for (p, c), (_p2, cost) in zip(pieces, piece_costs(pieces))
+        ]
+        return docs.sparkSession.createDataFrame(
+            final, "piece string, cnt bigint, cost bigint"
+        )
+    finally:
+        words.unpersist()
+
+
 def unigram_encode(
     docs: DataFrame,
     piece_table: list[tuple[str, int]],

@@ -83,15 +83,18 @@ def _sql_cost_chain(p: str, src: str) -> str:
 {p}cost AS (SELECT piece, cnt, CAST(r AS BIGINT) AS cost FROM {p}c{_B})"""
 
 
-def _sql_viterbi(p: str, cost_cte: str) -> str:
+def _sql_viterbi(p: str, cost_cte: str, with_piece: bool = False) -> str:
     """CTEs Viterbi-segmenting the distinct-word frame ``wf`` under
     ``cost_cte`` (piece, cost): {p}edges, {p}wedges, the forward-DP
     recursive CTE {p}dp carrying the BIGINT key list (key = cost *
     LKEY + len — array min == (cost, shortest-last-piece) tie-break),
-    the backtrace {p}bt, and {p}pieces / {p}usage."""
+    the backtrace {p}bt, and {p}pieces / {p}usage. ``with_piece``
+    carries the piece string in the edge struct (needed by the
+    loss-prune variant's banned-edge re-runs; numerically inert)."""
+    pc = ", piece := e.piece" if with_piece else ""
     return f"""
 {p}edges AS (
-  SELECT e.w, e.j, e.l, COALESCE(c.cost, {_UNK}) AS cost
+  SELECT e.w, e.j, e.l, e.piece, COALESCE(c.cost, {_UNK}) AS cost
   FROM (
     SELECT w, j, l, substring(w, j - l + 1, l) AS piece
     FROM wf, unnest(generate_series(1, length(w))) AS uj(j),
@@ -101,7 +104,7 @@ def _sql_viterbi(p: str, cost_cte: str) -> str:
 ),
 {p}wedges AS (
   SELECT e.w, wf.freq, length(e.w) AS n,
-         list(struct_pack(j := e.j, l := e.l, cost := e.cost)) AS edges
+         list(struct_pack(j := e.j, l := e.l, cost := e.cost{pc})) AS edges
   FROM {p}edges e JOIN wf ON wf.w = e.w
   GROUP BY e.w, wf.freq
 ),
@@ -367,12 +370,132 @@ FROM uni_n, tot
 SQL_TOKENIZER_COMPARE = _sql_tokenizer_compare()
 
 
+# ===================== loss-based pruning (Kudo '18 §3.2, VERDICT r11 #4)
+_KEEPX = U.PRUNE_KEEP_X100
+
+
+def q_unigram_lm_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """unigram_train with the paper's LOSS-BASED prune
+    (operators/unigram.py unigram_train_pruned): each round the used
+    multi-char pieces are ranked by likelihood-loss delta (banned-edge
+    Viterbi re-runs on the vocab frame) and only the top 80% survive —
+    hard EM alone keeps every touched piece. The oracle unrolls the
+    rounds INCLUDING the per-piece banned DP recursion and the prune
+    rank; the artifact matches bit-for-bit."""
+    return U.unigram_train_pruned(_docs(spark, sf))
+
+
+def _sql_unigram_loss(p: str) -> str:
+    """Loss CTEs over a with_piece Viterbi block ``{p}``: banned
+    (word, used-multi-piece) pairs, the banned-edge DP recursion, and
+    {p}loss (piece, loss) — mirrors viterbi_piece_losses term for
+    term. Requires {p}wedges to carry piece in the edge struct."""
+    return f"""
+{p}base AS (
+  SELECT w, freq, CAST(acc[n + 1] // {_LK} AS BIGINT) AS cost1
+  FROM {p}dpf
+),
+{p}banw AS (
+  SELECT we.w, we.freq, we.n, we.edges, b.piece AS banned
+  FROM {p}wedges we
+  JOIN (SELECT DISTINCT w, piece FROM {p}pieces
+        WHERE length(piece) >= 2) b ON b.w = we.w
+),
+{p}dp2 AS (
+  SELECT w, banned, freq, n,
+         list_filter(edges, e -> e.l = 1 OR e.piece != banned) AS edges,
+         1 AS j, [CAST(0 AS BIGINT)] AS acc
+  FROM {p}banw
+  UNION ALL
+  SELECT w, banned, freq, n, edges, j + 1,
+         list_append(acc, list_aggregate(
+           list_transform(list_filter(edges, e -> e.j = j),
+             e -> (acc[j - e.l + 1] // {_LK} + e.cost) * {_LK} + e.l),
+           'min'))
+  FROM {p}dp2 WHERE j <= n
+),
+{p}dpf2 AS (
+  SELECT w, banned, freq, CAST(acc[n + 1] // {_LK} AS BIGINT) AS cost2
+  FROM {p}dp2 WHERE j = n + 1
+),
+{p}loss AS (
+  SELECT d.banned AS piece,
+         CAST(sum(d.freq * (d.cost2 - b.cost1)) AS BIGINT) AS loss
+  FROM {p}dpf2 d JOIN {p}base b USING (w)
+  GROUP BY 1
+)"""
+
+
+def _sql_unigram_train_pruned_ctes() -> str:
+    """The pruned trainer, fully unrolled: wf -> seed p0 -> R x (cost
+    chain + with-piece Viterbi + usage + banned-DP losses + rank prune
+    q{r}) -> final cost chain over q{R}."""
+    parts = [f"""
+wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  ) WHERE w != '' GROUP BY w
+),
+cand AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT wf.freq, substring(w, j - l + 1, l) AS piece
+    FROM wf, unnest(generate_series(1, length(w))) AS uj(j),
+         unnest(generate_series(1, least({_L}, j))) AS ul(l)
+  ) GROUP BY piece
+),
+q0 AS MATERIALIZED (
+  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS _r
+    FROM cand WHERE length(piece) >= 2 AND cnt >= {_MINC}
+  ) WHERE _r <= {_SEED}
+)"""]
+    for r in range(_R):
+        src, nxt = f"q{r}", f"q{r + 1}"
+        vp = f"pr{r}"
+        parts.append(_sql_cost_chain(f"{vp}k", src))
+        parts.append(_sql_viterbi(vp, f"{vp}kcost", with_piece=True))
+        parts.append(_sql_unigram_loss(vp))
+        parts.append(f"""
+{nxt}m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m
+  FROM {vp}usage WHERE length(piece) >= 2
+),
+{nxt} AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT u.piece, u.cnt,
+           row_number() OVER (ORDER BY COALESCE(l.loss, 0) DESC,
+                              u.piece ASC) AS _r
+    FROM {vp}usage u LEFT JOIN {vp}loss l ON l.piece = u.piece
+    WHERE length(u.piece) >= 2
+  ), {nxt}m
+  WHERE _r <= (m * {_KEEPX} + 99) // 100
+  UNION ALL
+  SELECT u.piece, u.cnt FROM {vp}usage u WHERE length(u.piece) = 1
+  UNION ALL
+  SELECT s.piece, CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT piece FROM q0 WHERE length(piece) = 1) s
+  WHERE s.piece NOT IN (SELECT piece FROM {vp}usage)
+)""")
+    parts.append(_sql_cost_chain("pfin", f"q{_R}"))
+    return ",".join(parts)
+
+
+SQL_UNIGRAM_LM_PRUNE = (
+    "WITH RECURSIVE " + _sql_unigram_train_pruned_ctes()
+    + "\nSELECT piece, cnt, cost FROM pfincost"
+)
+
+
 QUERIES.update(
     {
         "q_unigram_lm_train": q_unigram_lm_train,
         "q_unigram_encode": q_unigram_encode,
         "q_unigram_doc_score": q_unigram_doc_score,
         "q_tokenizer_compare": q_tokenizer_compare,
+        "q_unigram_lm_prune": q_unigram_lm_prune,
     }
 )
 ORACLES.update(
@@ -381,5 +504,6 @@ ORACLES.update(
         "q_unigram_encode": SQL_UNIGRAM_ENCODE,
         "q_unigram_doc_score": SQL_UNIGRAM_DOC_SCORE,
         "q_tokenizer_compare": SQL_TOKENIZER_COMPARE,
+        "q_unigram_lm_prune": SQL_UNIGRAM_LM_PRUNE,
     }
 )

@@ -266,6 +266,10 @@ BROADCAST_OK = {
     "operators/unigram.py::unigram_encode": (
         "piece-id table <= alphabet + SEED_MULTI rows (the artifact)"
     ),
+    "operators/unigram.py::viterbi_piece_losses": (
+        "(piece, cost) table <= alphabet + SEED_MULTI rows by "
+        "construction (the viterbi_segment artifact, loss variant)"
+    ),
     "queries/tokenizer_ops.py::_row": (
         "1-row corpus byte/word totals joined onto each tokenizer's "
         "1-row token count (q_tokenizer_compare's per-tokenizer row)"
