@@ -688,15 +688,11 @@ def main() -> None:
     # with the `--no-broadcast` probe at the same pair of scales (the
     # forced-SMJ plan is the 100 TB shape at every scale). Applies at
     # any base_k; the per-entry ratio is the re-check evidence.
-    probe_linear_ok = {
-        # r10 probe x10->x100 --no-broadcast: 75.1 -> 975.2 MB = 13.0x
-        # for 10x data (excess over 10x = the stress fixture's per-copy
-        # token suffixes growing vocab ~10x/decade — Heaps' law says a
-        # real corpus does not; same artifact class as q_lm_score).
-        # With broadcast on, the vocab-keyed encode join flips
-        # broadcast->SMJ between x10 and x100, which reads as 17.3x.
-        "q_tokenizer_eval",
-    }
+    # r12: q_tokenizer_eval's entry removed — the vocabulary-permuting
+    # doc scaler (fixed word population) made the row plainly linear
+    # (x10->x100 re-probe: 9.5x wall / 12.7x shufW for 10x data), so
+    # the gate applies to it again.
+    probe_linear_ok: set[str] = set()
     bad = {n: r for n, r in report.items() if r["scale_factor"] > 2 * growth}
     shuf_bad = {
         n: r for n, r in report.items()
