@@ -260,6 +260,8 @@ def main() -> None:
         "q_langid_train",
         "q_langid_predict",
         "q_unigram_lm_prune",
+        "q_c4_span_delta",
+        "q_filter_ablation",
     ):
         fn = queries[name]
         best = float("inf")

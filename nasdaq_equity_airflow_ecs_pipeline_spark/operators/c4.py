@@ -202,20 +202,10 @@ def c4_apply(
     )
 
 
-def c4_span_dedup(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    span: int = SPAN_SENTENCES,
+def _sentence_rows(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """C4's three-sentence span dedup: any ``span``-sentence run
-    occurring more than once in the corpus keeps its first occurrence
-    (min (doc_id, position)) and is cut everywhere else; cut = every
-    sentence covered by a non-surviving duplicated span. Returns
-    (id, text, n_removed) for docs with at least one surviving
-    sentence — text is the surviving sentences joined by single
-    spaces (the newline structure is consumed, the decontamination
-    convention)."""
+    """(id, pos, sent): every sentence of every doc, 1-based."""
     # explicit one-arg lambda: passing F.trim directly would let
     # transform() bind the array index to trim's optional trimStr param
     sarr = F.transform(
@@ -224,10 +214,23 @@ def c4_span_dedup(
         ),
         lambda s: F.trim(s),
     )
-    sents = df.select(F.col(id_col), F.posexplode(sarr)).select(
+    return df.select(F.col(id_col), F.posexplode(sarr)).select(
         F.col(id_col),
         (F.col("pos") + 1).cast("bigint").alias("pos"),
         F.col("col").alias("sent"),
+    )
+
+
+def _span_rows(
+    df: DataFrame, id_col: str, text_col: str, span: int
+) -> DataFrame:
+    """(id, pos, gkey): every stride-1 ``span``-sentence window, keyed
+    by md5 over the \\x01-joined sentences (the exact-equality class)."""
+    sarr = F.transform(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(C4_SENT_EXTRACT_PAT), 0
+        ),
+        lambda s: F.trim(s),
     )
     skey = F.transform(
         F.sequence(F.lit(1), F.size("_s") - F.lit(span - 1)),
@@ -241,27 +244,21 @@ def c4_span_dedup(
             ).alias("gkey"),
         ),
     )
-    spans = (
+    return (
         df.select(F.col(id_col), sarr.alias("_s"))
         .filter(F.size("_s") >= span)
         .select(F.col(id_col), F.explode(skey).alias("g"))
-        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))
-    )
-    stats = spans.groupBy("gkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-    )
-    hits = (
-        spans.join(stats, "gkey")
-        .filter(
-            (F.col("_n") > 1)
-            & ~(
-                (F.col(id_col) == F.col(f"_first.{id_col}"))
-                & (F.col("pos") == F.col("_first.pos"))
-            )
+        .select(
+            id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey")
         )
-        .select(id_col, "pos")
     )
+
+
+def _rebuild_without(
+    sents: DataFrame, hits: DataFrame, id_col: str, text_col: str, span: int
+) -> DataFrame:
+    """Remove every sentence covered by a hit span and rebuild:
+    (id, text, n_removed) for docs with >= 1 surviving sentence."""
     removed = (
         hits.select(
             F.col(id_col),
@@ -298,3 +295,96 @@ def c4_span_dedup(
             ),
         )
     )
+
+
+def c4_span_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_SENTENCES,
+) -> DataFrame:
+    """The standing corpus's span-hash set — the frozen artifact an
+    incremental span dedup consumes (one distinct over the span
+    explode; grows with the corpus's distinct spans, published to the
+    lake like any index table). A delta occurrence whose key is here
+    is a duplicate BY DEFINITION (the standing first occurrence
+    already survived), so the fold never touches standing text."""
+    return _span_rows(df, id_col, text_col, span).select("gkey").distinct()
+
+
+def c4_span_dedup_delta(
+    standing_keys: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_SENTENCES,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental C4 span dedup (the substring_index_delta
+    discipline): fold a delta batch against the standing span-key
+    index. A delta span occurrence is cut iff its key is in the
+    standing index (the standing occurrence survived first) OR it is
+    a non-first duplicate WITHIN the delta batch. With a monotone id
+    split (standing ids < delta ids), the fold equals the full
+    rebuild restricted to delta ids — pinned by pytest and the
+    restricted oracle. Returns (folded_index, delta_result); cost is
+    delta-sized (the standing side enters only as the key semi-join)."""
+    spans_d = _span_rows(delta, id_col, text_col, span)
+    stats_d = spans_d.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    standing_hit = spans_d.join(standing_keys, "gkey", "left_semi").select(
+        id_col, "pos"
+    )
+    intra_hit = (
+        spans_d.join(stats_d, "gkey")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    hits = standing_hit.unionByName(intra_hit).distinct()
+    sents = _sentence_rows(delta, id_col, text_col)
+    result = _rebuild_without(sents, hits, id_col, text_col, span)
+    folded = standing_keys.unionByName(
+        spans_d.select("gkey")
+    ).distinct()
+    return folded, result
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_SENTENCES,
+) -> DataFrame:
+    """C4's three-sentence span dedup: any ``span``-sentence run
+    occurring more than once in the corpus keeps its first occurrence
+    (min (doc_id, position)) and is cut everywhere else; cut = every
+    sentence covered by a non-surviving duplicated span. Returns
+    (id, text, n_removed) for docs with at least one surviving
+    sentence — text is the surviving sentences joined by single
+    spaces (the newline structure is consumed, the decontamination
+    convention)."""
+    spans = _span_rows(df, id_col, text_col, span)
+    stats = spans.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    hits = (
+        spans.join(stats, "gkey")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    sents = _sentence_rows(df, id_col, text_col)
+    return _rebuild_without(sents, hits, id_col, text_col, span)

@@ -153,6 +153,27 @@ def q_c4_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return c4_span_dedup(c4_apply(_webified(spark, sf), flag_words=wl))
 
 
+def q_c4_span_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental C4 span dedup (operators/c4.py c4_span_dedup_delta
+    — the substring_index_delta discipline on sentence spans): the
+    standing 80% of the C4-filtered corpus publishes its span-key
+    index (the frozen artifact); the delta 20% folds against it —
+    delta-sized cost, standing text untouched. With the monotone id
+    split, fold == the full rebuild restricted to delta ids, which is
+    exactly what the oracle computes."""
+    from ..operators.c4 import c4_span_dedup_delta, c4_span_index
+
+    wl = spark.createDataFrame([(w,) for w in C4_FLAG_WORDS], "word string")
+    applied = c4_apply(_webified(spark, sf), flag_words=wl)
+    mx = _docs(spark, sf).agg(F.max("doc_id")).collect()[0][0]
+    thr = int(mx) * 4 // 5
+    standing = applied.filter(F.col("doc_id") <= thr)
+    delta = applied.filter(F.col("doc_id") > thr)
+    idx = c4_span_index(standing)
+    _folded, result = c4_span_dedup_delta(idx, delta)
+    return result
+
+
 def _sql_line_block() -> str:
     """Shared CTE block: webified corpus -> citation-scrubbed lines ->
     kept lines + page flags. Mirrors operators/c4.py term for term."""
@@ -223,9 +244,21 @@ WHERE ok_lorem_ipsum AND ok_curly_brace AND ok_flagged_word
 """
 )
 
-SQL_C4_SPAN_DEDUP = (
-    _sql_line_block()
-    + f""",
+def _sql_c4_span_dedup(restrict_delta: bool = False) -> str:
+    """The full span-dedup rebuild; ``restrict_delta=True`` emits the
+    q_c4_span_delta oracle — the SAME rebuild restricted to delta docs
+    (doc_id > max*4//5), which equals the incremental fold because the
+    id split is monotone (standing occurrences always win the
+    keep-first min, so standing text never changes)."""
+    tail = (
+        """
+ WHERE kept.doc_id > (SELECT (max(doc_id) * 4) // 5 FROM documents)"""
+        if restrict_delta
+        else ""
+    )
+    return (
+        _sql_line_block()
+        + f""",
 sd AS (
   SELECT doc_id, kept_text AS text
   FROM flags
@@ -273,10 +306,13 @@ tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent FROM sents GROUP BY 1)
 SELECT kept.doc_id,
        string_agg(kept.sent, ' ' ORDER BY kept.pos) AS text,
        CAST(tot.n_sent - count(*) AS BIGINT) AS n_removed
-FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+FROM kept JOIN tot ON kept.doc_id = tot.doc_id{tail}
 GROUP BY kept.doc_id, tot.n_sent
 """
-)
+    )
+
+
+SQL_C4_SPAN_DEDUP = _sql_c4_span_dedup()
 
 # ===================================== v9: FineWeb-shaped rule-front chain
 # chain thresholds: Gopher word bounds are the paper's; stop_min is the
@@ -517,6 +553,125 @@ c4 AS MATERIALIZED (
 )"""
 
 
+def q_filter_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb-style filter attribution over the webified corpus: for
+    each rule front in the v9 order (Gopher quality, Gopher
+    repetition, C4), the docs it fails STANDALONE (over the whole
+    corpus) vs MARGINALLY (among docs surviving every earlier front),
+    plus the running survivor count — the ablation readout a data
+    engineer tunes thresholds against (standalone >> marginal means a
+    front mostly re-rejects what earlier fronts already caught). One
+    narrow flag projection + one aggregate; zero extra passes."""
+    from ..operators.c4 import c4_quality_flags
+    from ..operators.gopher import (
+        gopher_quality_flags,
+        gopher_repetition_stats,
+    )
+
+    w = _webified(spark, sf, extra=("lang", "source"))
+    wl = spark.createDataFrame([(w_,) for w_ in C4_FLAG_WORDS], "word string")
+    gq = gopher_quality_flags(
+        w,
+        word_min=V9_GOPHER_WORD_MIN,
+        word_max=V9_GOPHER_WORD_MAX,
+        stop_min=V9_GOPHER_STOP_MIN,
+    ).select("doc_id", F.col("keep").alias("ok_gq"))
+    grv = (
+        gopher_repetition_stats(w)
+        .filter(~F.col("ok"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_v", F.lit(True))
+    )
+    c4f = c4_quality_flags(w, flag_words=wl).select(
+        "doc_id", F.col("keep").alias("ok_c4")
+    )
+    flags = (
+        w.select("doc_id")
+        .join(gq, "doc_id")
+        .join(grv, "doc_id", "left")
+        .join(c4f, "doc_id")
+        .select(
+            "ok_gq",
+            F.col("_v").isNull().alias("ok_grep"),
+            "ok_c4",
+        )
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    a = flags.agg(
+        c(~F.col("ok_gq")).alias("f1"),
+        c(F.col("ok_gq")).alias("s1"),
+        c(~F.col("ok_grep")).alias("f2s"),
+        c(F.col("ok_gq") & ~F.col("ok_grep")).alias("f2m"),
+        c(F.col("ok_gq") & F.col("ok_grep")).alias("s2"),
+        c(~F.col("ok_c4")).alias("f3s"),
+        c(F.col("ok_gq") & F.col("ok_grep") & ~F.col("ok_c4")).alias("f3m"),
+        c(F.col("ok_gq") & F.col("ok_grep") & F.col("ok_c4")).alias("s3"),
+    )
+    row = lambda i, nm, fs, fm, s: F.struct(  # noqa: E731
+        F.lit(i).cast("int").alias("stage_id"),
+        F.lit(nm).alias("front"),
+        F.col(fs).alias("n_fail_standalone"),
+        F.col(fm).alias("n_fail_marginal"),
+        F.col(s).alias("n_survivors"),
+    )
+    return a.select(
+        F.explode(
+            F.array(
+                row(1, "gopher_quality", "f1", "f1", "s1"),
+                row(2, "gopher_repetition", "f2s", "f2m", "s2"),
+                row(3, "c4", "f3s", "f3m", "s3"),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.stage_id").alias("stage_id"),
+        F.col("r.front").alias("front"),
+        F.col("r.n_fail_standalone").alias("n_fail_standalone"),
+        F.col("r.n_fail_marginal").alias("n_fail_marginal"),
+        F.col("r.n_survivors").alias("n_survivors"),
+    )
+
+
+def _sql_filter_ablation() -> str:
+    front = (
+        _sql_gopher_front().format(prev="w").strip()
+        + ",\n"
+        + _sql_c4_front().format(prev="w").strip()
+    )
+    cnt = "CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+WITH w AS ({_sql_webified(extra="lang, source,")}),
+{front},
+fl AS (
+  SELECT w.doc_id,
+         gk.doc_id IS NOT NULL AS ok_gq,
+         grv.doc_id IS NULL AS ok_grep,
+         c4.doc_id IS NOT NULL AS ok_c4
+  FROM w
+  LEFT JOIN gk ON w.doc_id = gk.doc_id
+  LEFT JOIN grv ON w.doc_id = grv.doc_id
+  LEFT JOIN c4 ON w.doc_id = c4.doc_id
+)
+SELECT 1 AS stage_id, 'gopher_quality' AS front,
+       {cnt.format(c="NOT ok_gq")} AS n_fail_standalone,
+       {cnt.format(c="NOT ok_gq")} AS n_fail_marginal,
+       {cnt.format(c="ok_gq")} AS n_survivors
+FROM fl
+UNION ALL
+SELECT 2, 'gopher_repetition',
+       {cnt.format(c="NOT ok_grep")},
+       {cnt.format(c="ok_gq AND NOT ok_grep")},
+       {cnt.format(c="ok_gq AND ok_grep")}
+FROM fl
+UNION ALL
+SELECT 3, 'c4',
+       {cnt.format(c="NOT ok_c4")},
+       {cnt.format(c="ok_gq AND ok_grep AND NOT ok_c4")},
+       {cnt.format(c="ok_gq AND ok_grep AND ok_c4")}
+FROM fl
+"""
+
+
 def _sql_corpus_pipeline_v9() -> str:
     from .curation_ops import _sql_corpus_pipeline_v4
 
@@ -543,12 +698,16 @@ QUERIES = {
     "q_c4_quality": q_c4_quality,
     "q_c4_apply": q_c4_apply,
     "q_c4_span_dedup": q_c4_span_dedup,
+    "q_c4_span_delta": q_c4_span_delta,
     "q_corpus_pipeline_v9": q_corpus_pipeline_v9,
+    "q_filter_ablation": q_filter_ablation,
 }
 
 ORACLES = {
     "q_c4_quality": SQL_C4_QUALITY,
     "q_c4_apply": SQL_C4_APPLY,
     "q_c4_span_dedup": SQL_C4_SPAN_DEDUP,
+    "q_c4_span_delta": _sql_c4_span_dedup(restrict_delta=True),
     "q_corpus_pipeline_v9": _sql_corpus_pipeline_v9(),
+    "q_filter_ablation": _sql_filter_ablation(),
 }

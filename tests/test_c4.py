@@ -121,3 +121,30 @@ def test_span_dedup_keeps_first_occurrence(spark):
     assert out[4]["n_removed"] == 0 and out[4]["text"] == (
         "totally unrelated page text. with two sentences."
     )
+
+
+def test_filter_ablation_invariants(spark):
+    """The attribution census's arithmetic invariants: marginal <=
+    standalone per front, survivors monotonically non-increasing, and
+    survivors(k) = survivors(k-1) - marginal(k)."""
+    from nasdaq_equity_airflow_ecs_pipeline_spark.queries.c4_ops import (
+        q_filter_ablation,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {
+        r["stage_id"]: r
+        for r in q_filter_ablation(spark, SF_SMALL).collect()
+    }
+    assert [rows[i]["front"] for i in (1, 2, 3)] == [
+        "gopher_quality", "gopher_repetition", "c4",
+    ]
+    prev_surv = None
+    for i in (1, 2, 3):
+        r = rows[i]
+        assert r["n_fail_marginal"] <= r["n_fail_standalone"]
+        if prev_surv is not None:
+            assert r["n_survivors"] == prev_surv - r["n_fail_marginal"]
+            assert r["n_survivors"] <= prev_surv
+        prev_surv = r["n_survivors"]
