@@ -262,6 +262,11 @@ def main() -> None:
         "q_unigram_lm_prune",
         "q_c4_span_delta",
         "q_filter_ablation",
+        # r12 sixth wave: the WordPiece tokenizer completes the triad;
+        # UniMax joins the mixture family
+        "q_wordpiece_merges",
+        "q_wordpiece_encode",
+        "q_unimax_weights",
     ):
         fn = queries[name]
         best = float("inf")

@@ -153,6 +153,88 @@ def temperature_mixture_weights(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget_num: int = 9,
+    budget_den: int = 10,
+    epoch_cap_x100: int = 100,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", Algorithm 1): distribute a token budget as uniformly
+    as possible across groups (languages), capping each group at
+    ``epoch_cap_x100/100`` epochs of its own data — the mixing policy
+    that replaced temperature sampling in mT5-class pretraining because
+    it never over-repeats low-resource languages.
+
+    Waterfilling, integer-exact: groups are visited in ascending cap
+    order (ties to the lexicographically smaller group); each takes
+    ``min(cap, remaining_budget div remaining_groups)`` — floor
+    division, so the allocation is exact BIGINT arithmetic both engines
+    evaluate identically (the DuckDB oracle replays the identical
+    recurrence as a recursive CTE). The budget is
+    ``total_tokens * budget_num div budget_den``; when every group is
+    capped the budget is deliberately under-filled, exactly as in the
+    paper.
+
+    Scale shape: ONE corpus pass (group-keyed hash-agg of word counts,
+    map-side combine) collecting one row per group — the language
+    inventory is a bounded artifact, so the sequential waterfill runs
+    driver-side on L rows and returns a literal frame (the
+    unigram_train bounded-artifact discipline). Nothing else scales
+    with corpus size.
+
+    Returns (group, n_tokens, cap, alloc, share_x1e9, epochs_x100):
+    ``share_x1e9`` is each group's share of the TOTAL ALLOCATED mass
+    (x1e9 fixed point), ``epochs_x100`` how many epochs of the group's
+    own data the allocation consumes.
+    """
+    rows = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.size(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            ).cast("bigint").alias("_nt"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("_nt").cast("bigint").alias("n_tokens"))
+        .collect()
+    )
+    stats = sorted(
+        (int(r["n_tokens"]) * epoch_cap_x100 // 100, r["grp"], int(r["n_tokens"]))
+        for r in rows
+    )
+    total = sum(nt for _c, _g, nt in stats)
+    b = total * budget_num // budget_den
+    out = []
+    remaining = len(stats)
+    for cap, grp, nt in stats:
+        share = b // remaining if remaining else 0
+        alloc = min(cap, share)
+        b -= alloc
+        remaining -= 1
+        out.append((grp, nt, cap, alloc))
+    total_alloc = sum(a for _g, _n, _c, a in out)
+    final = [
+        (
+            g,
+            n,
+            c,
+            a,
+            (a * 1_000_000_000 // total_alloc) if total_alloc else 0,
+            (a * 100 // n) if n else 0,
+        )
+        for g, n, c, a in sorted(out)
+    ]
+    return df.sparkSession.createDataFrame(
+        final,
+        "grp string, n_tokens bigint, cap bigint, alloc bigint, "
+        "share_x1e9 bigint, epochs_x100 bigint",
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

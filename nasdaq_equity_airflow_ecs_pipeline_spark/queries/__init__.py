@@ -19,6 +19,7 @@ from . import ml_ops
 from . import privacy_ops
 from . import tokenizer_ops
 from . import c4_ops
+from . import wordpiece_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -34,6 +35,7 @@ for _m in (
     privacy_ops,
     tokenizer_ops,
     c4_ops,
+    wordpiece_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -178,6 +178,72 @@ FROM sh, mx
 """
 
 
+# --------------------------------------------------- UniMax allocation
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 9, 10
+UNIMAX_CAP_X100 = 100
+
+
+def q_unimax_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023,
+    operators/curation.py:unimax_allocation): waterfill 9/10 of the
+    corpus token mass across languages at a 1.0-epoch cap — on this
+    corpus the four low-resource languages hit their caps and English
+    absorbs the remainder, the paper's core story. Integer-exact
+    waterfilling; the oracle replays the identical recurrence as a
+    recursive CTE."""
+    from ..operators.curation import unimax_allocation
+
+    return unimax_allocation(
+        _docs(spark, sf),
+        "lang",
+        budget_num=UNIMAX_BUDGET_NUM,
+        budget_den=UNIMAX_BUDGET_DEN,
+        epoch_cap_x100=UNIMAX_CAP_X100,
+    )
+
+
+SQL_UNIMAX_WEIGHTS = rf"""
+WITH RECURSIVE wc AS (
+  SELECT lang AS grp,
+         CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS l FROM wc),
+ranked AS (
+  SELECT grp, n_tokens, (n_tokens * {UNIMAX_CAP_X100}) // 100 AS cap,
+         row_number() OVER (
+           ORDER BY (n_tokens * {UNIMAX_CAP_X100}) // 100 ASC, grp ASC
+         ) AS r
+  FROM wc
+),
+fill AS (
+  SELECT CAST(0 AS BIGINT) AS r,
+         (tot.t * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS b,
+         CAST(NULL AS VARCHAR) AS grp, CAST(0 AS BIGINT) AS n_tokens,
+         CAST(0 AS BIGINT) AS cap, CAST(0 AS BIGINT) AS alloc
+  FROM tot
+  UNION ALL
+  SELECT rk.r, f.b - least(rk.cap, f.b // (tot.l - rk.r + 1)),
+         rk.grp, rk.n_tokens, rk.cap,
+         least(rk.cap, f.b // (tot.l - rk.r + 1))
+  FROM fill f
+  JOIN ranked rk ON rk.r = f.r + 1
+  CROSS JOIN tot
+  WHERE f.r < tot.l
+),
+res AS (SELECT grp, n_tokens, cap, alloc FROM fill WHERE r >= 1),
+ta AS (SELECT CAST(sum(alloc) AS BIGINT) AS s FROM res)
+SELECT grp, n_tokens, cap, alloc,
+       CAST(CASE WHEN ta.s > 0 THEN (alloc * 1000000000) // ta.s
+                 ELSE 0 END AS BIGINT) AS share_x1e9,
+       CAST(CASE WHEN n_tokens > 0 THEN (alloc * 100) // n_tokens
+                 ELSE 0 END AS BIGINT) AS epochs_x100
+FROM res CROSS JOIN ta
+"""
+
+
 # ----------------------------------------------------------- line dedup
 _RELINE_PAT = r"((?:\S+ ){7}\S+) "  # break after every 8th token
 
@@ -2276,6 +2342,7 @@ QUERIES = {
     "q_balanced_shards": q_balanced_shards,
     "q_mixture_weights": q_mixture_weights,
     "q_temperature_mixture": q_temperature_mixture,
+    "q_unimax_weights": q_unimax_weights,
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
     "q_importance_bigram": q_importance_bigram,
@@ -2305,6 +2372,7 @@ ORACLES = {
     "q_balanced_shards": _sql_balanced_shards(),
     "q_mixture_weights": _sql_mixture_weights(),
     "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+    "q_unimax_weights": SQL_UNIMAX_WEIGHTS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_importance_bigram": SQL_IMPORTANCE_BIGRAM,

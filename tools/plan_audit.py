@@ -274,6 +274,10 @@ BROADCAST_OK = {
         "1-row corpus byte/word totals joined onto each tokenizer's "
         "1-row token count (q_tokenizer_compare's per-tokenizer row)"
     ),
+    "operators/wordpiece.py::wordpiece_encode": (
+        "vocabulary artifact: alphabet + n_merges rows by construction "
+        "(the match join and the id-assignment join)"
+    ),
 }
 
 
