@@ -267,6 +267,7 @@ def main() -> None:
         "q_wordpiece_merges",
         "q_wordpiece_encode",
         "q_unimax_weights",
+        "q_bradley_terry",
     ):
         fn = queries[name]
         best = float("inf")

@@ -20,6 +20,7 @@ from . import privacy_ops
 from . import tokenizer_ops
 from . import c4_ops
 from . import wordpiece_ops
+from . import preference_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -36,6 +37,7 @@ for _m in (
     tokenizer_ops,
     c4_ops,
     wordpiece_ops,
+    preference_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
