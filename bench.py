@@ -268,6 +268,9 @@ def main() -> None:
         "q_wordpiece_encode",
         "q_unimax_weights",
         "q_bradley_terry",
+        "q_bitext_mine",
+        "q_bitext_mine_ivf",
+        "q_readability",
     ):
         fn = queries[name]
         best = float("inf")

@@ -21,6 +21,7 @@ from . import tokenizer_ops
 from . import c4_ops
 from . import wordpiece_ops
 from . import preference_ops
+from . import bitext_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -38,6 +39,7 @@ for _m in (
     c4_ops,
     wordpiece_ops,
     preference_ops,
+    bitext_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

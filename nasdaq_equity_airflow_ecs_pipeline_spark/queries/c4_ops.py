@@ -694,7 +694,45 @@ def _sql_corpus_pipeline_v9() -> str:
     )
 
 
+# ------------------------------------------- readability (Flesch 1948)
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level as integer-
+    exact quality signals (operators/readability.py) over the webified
+    corpus (sentences require the terminal-dot transform — the module-
+    docstring fixture): (doc_id, n_words, n_sentences, n_syllables,
+    fre_x1000, fkgl_x1000), one narrow zero-shuffle projection."""
+    from ..operators.readability import readability_stats
+
+    return readability_stats(_webified(spark, sf))
+
+
+SQL_READABILITY = rf"""
+WITH wv AS ({_sql_webified()}),
+cnt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                              s -> trim(s) != '')) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+           x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)
+         )) AS BIGINT) AS n_syllables
+  FROM wv
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+                   - (84600 * n_syllables) // greatest(n_words, 1)
+            AS BIGINT) AS fre_x1000,
+       CAST((390 * n_words) // greatest(n_sentences, 1)
+            + (11800 * n_syllables) // greatest(n_words, 1) - 15590
+            AS BIGINT) AS fkgl_x1000
+FROM cnt
+"""
+
+
 QUERIES = {
+    "q_readability": q_readability,
     "q_c4_quality": q_c4_quality,
     "q_c4_apply": q_c4_apply,
     "q_c4_span_dedup": q_c4_span_dedup,
@@ -704,6 +742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_readability": SQL_READABILITY,
     "q_c4_quality": SQL_C4_QUALITY,
     "q_c4_apply": SQL_C4_APPLY,
     "q_c4_span_dedup": SQL_C4_SPAN_DEDUP,

@@ -95,6 +95,10 @@ CARTESIAN_OK = {
         "delta batch, the incremental-semdedup stage); pairs are "
         "cluster-equi-joined delta probes"
     ),
+    # quadratic BY DESIGN: exact all-pairs validation twin of the
+    # cluster-bucketed bitext path (the q_embedding_neardup_pairs class)
+    "q_bitext_mine": "exact baseline, validation twin of the IVF-bucketed path",
+    "q_bitext_mine_ivf": "broadcast of k centroid rows (ivf_assign on both sides); pairs are cluster-equi-joined",
     # 1-row broadcast (query vector / corpus doc-count / scalar subquery)
     "q_domain_stats": "broadcast of the 1-row corpus doc total (share_bp)",
     "q_domain_stats_delta": "broadcast of the 1-row merged doc total (share_bp recompute)",
