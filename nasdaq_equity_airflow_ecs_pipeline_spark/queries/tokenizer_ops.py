@@ -268,10 +268,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 def q_tokenizer_compare(spark: SparkSession, sf: str) -> DataFrame:
     """The tokenizer-family comparison row (VERDICT r10 #3 done-
     criterion): corpus-level fertility and compression for the trained
-    byte-BPE encoder vs the trained unigram-LM encoder, one row per
-    tokenizer — the ablation table a tokenizer change ships with."""
+    byte-BPE encoder vs the trained unigram-LM encoder vs the trained
+    WordPiece encoder (r12 — the full triad), one row per tokenizer —
+    the ablation table a tokenizer change ships with."""
     from .ml_ops import _byte_merges
     from ..operators import text as text_ops
+    from ..operators import wordpiece as WP
 
     d = _docs(spark, sf)
     totals = d.agg(
@@ -303,7 +305,16 @@ def q_tokenizer_compare(spark: SparkSession, sf: str) -> DataFrame:
     trained = U.unigram_train(d)
     pt = [(r["piece"], r["cost"]) for r in trained.collect()]
     uni = U.unigram_encode(d, pt)
-    return _row("bpe_bytes", bpe).unionByName(_row("unigram", uni))
+    wp_vocab = WP.wordpiece_alphabet(d) + [
+        r["merged"]
+        for r in WP.wordpiece_train(d, n_merges=WP.WP_MERGES).collect()
+    ]
+    wpc = WP.wordpiece_encode(d, wp_vocab)
+    return (
+        _row("bpe_bytes", bpe)
+        .unionByName(_row("unigram", uni))
+        .unionByName(_row("wordpiece", wpc))
+    )
 
 
 def _sql_bpe_count_ctes() -> str:
@@ -327,11 +338,13 @@ def _sql_bpe_count_ctes() -> str:
 
 def _sql_tokenizer_compare() -> str:
     from .ml_ops import BPE_BYTES_MERGES
+    from .wordpiece_ops import _sql_wp_encode_ctes
 
     return f"""
 WITH RECURSIVE {_sql_bpe_count_ctes()},
 {_sql_unigram_train_ctes()},
 {_sql_viterbi("enc", "fincost")},
+{_sql_wp_encode_ctes()},
 tokd AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
@@ -347,6 +360,9 @@ uni_n AS (
 bpe_n AS (
   SELECT CAST(sum(freq * len(arr)) AS BIGINT) AS n_tokens
   FROM bbs{BPE_BYTES_MERGES}
+),
+wp_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM wpsym
 ),
 tot AS (
   SELECT CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
@@ -364,6 +380,11 @@ SELECT 'unigram', uni_n.n_tokens, tot.n_bytes, tot.n_words,
        CAST((100 * uni_n.n_tokens) // tot.n_words AS BIGINT),
        CAST((100 * tot.n_bytes) // uni_n.n_tokens AS BIGINT)
 FROM uni_n, tot
+UNION ALL
+SELECT 'wordpiece', wp_n.n_tokens, tot.n_bytes, tot.n_words,
+       CAST((100 * wp_n.n_tokens) // tot.n_words AS BIGINT),
+       CAST((100 * tot.n_bytes) // wp_n.n_tokens AS BIGINT)
+FROM wp_n, tot
 """
 
 

@@ -123,12 +123,14 @@ SQL_WORDPIECE_MERGES = "WITH " + _sql_wp_ctes().lstrip() + "\n" + "\nUNION ALL\n
 )
 
 
-def _sql_wp_encode() -> str:
+def _sql_wp_encode_ctes() -> str:
+    """Trainer chain + vocab + jump table + greedy-walk CTEs, ending at
+    ``wpsym`` (doc_id, wpos, spos, token_id) — shared by the encode
+    oracle and the tokenizer-comparison oracle. Needs WITH RECURSIVE."""
     vocab_union = "\n  UNION\n".join(
         f"  SELECT merged AS piece FROM wpt{i}" for i in range(1, _N + 1)
     )
-    return f"""
-WITH RECURSIVE {_sql_wp_ctes().lstrip()},
+    return f"""{_sql_wp_ctes().lstrip()},
 wpalpha AS (
   SELECT DISTINCT sym AS piece FROM wps0, unnest(arr) AS u(sym)
 ),
@@ -200,16 +202,17 @@ wpsym AS (
   FROM wpwp wp
   JOIN wptok tk ON tk.w = wp.w
   LEFT JOIN wpids ids ON ids.piece = tk.piece
-)
+)"""
+
+
+SQL_WORDPIECE_ENCODE = f"""
+WITH RECURSIVE {_sql_wp_encode_ctes()}
 SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos)
             - 1 AS BIGINT) AS seq_pos,
        CAST(token_id AS BIGINT) AS token_id
 FROM wpsym
 """
-
-
-SQL_WORDPIECE_ENCODE = _sql_wp_encode()
 
 
 QUERIES.update(
