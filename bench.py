@@ -271,6 +271,9 @@ def main() -> None:
         "q_bitext_mine",
         "q_bitext_mine_ivf",
         "q_readability",
+        "q_corpus_pipeline_v10",
+        "q_bradley_terry_delta",
+        "q_unimax_delta",
     ):
         fn = queries[name]
         best = float("inf")

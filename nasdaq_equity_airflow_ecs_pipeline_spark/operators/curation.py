@@ -160,6 +160,7 @@ def unimax_allocation(
     budget_num: int = 9,
     budget_den: int = 10,
     epoch_cap_x100: int = 100,
+    token_col: str | None = None,
 ) -> DataFrame:
     """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     More Effective Language Sampling for Large-Scale Multilingual
@@ -191,17 +192,31 @@ def unimax_allocation(
     (x1e9 fixed point), ``epochs_x100`` how many epochs of the group's
     own data the allocation consumes.
     """
-    rows = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.size(
-                F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-            ).cast("bigint").alias("_nt"),
+    tok = (
+        F.col(token_col)
+        if token_col is not None  # caller pre-counted (the chain's sized frame)
+        else F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
         )
-        .groupBy("grp")
-        .agg(F.sum("_nt").cast("bigint").alias("n_tokens"))
-        .collect()
     )
+    counts = df.select(
+        F.col(group_col).alias("grp"), tok.cast("bigint").alias("_nt")
+    ).groupBy("grp").agg(F.sum("_nt").cast("bigint").alias("n_tokens"))
+    return _unimax_waterfill(
+        counts, budget_num, budget_den, epoch_cap_x100
+    )
+
+
+def _unimax_waterfill(
+    counts: DataFrame,
+    budget_num: int,
+    budget_den: int,
+    epoch_cap_x100: int,
+) -> DataFrame:
+    """Driver-side exact waterfill over a collected (grp, n_tokens)
+    frame (bounded: the group inventory) — shared by the from-corpus
+    and incremental entry points."""
+    rows = counts.collect()
     stats = sorted(
         (int(r["n_tokens"]) * epoch_cap_x100 // 100, r["grp"], int(r["n_tokens"]))
         for r in rows
@@ -228,11 +243,53 @@ def unimax_allocation(
         )
         for g, n, c, a in sorted(out)
     ]
-    return df.sparkSession.createDataFrame(
+    return counts.sparkSession.createDataFrame(
         final,
         "grp string, n_tokens bigint, cap bigint, alloc bigint, "
         "share_x1e9 bigint, epochs_x100 bigint",
     )
+
+
+def unimax_allocation_delta(
+    standing_counts: DataFrame,
+    delta: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    budget_num: int = 9,
+    budget_den: int = 10,
+    epoch_cap_x100: int = 100,
+) -> DataFrame:
+    """Fold a delta batch into standing per-group token counts and
+    re-waterfill — the incremental-index twin of
+    :func:`unimax_allocation` (the domain_stats_delta discipline).
+    ``standing_counts`` is the published (grp, n_tokens) artifact;
+    the fold is one delta-sized hash-agg full-outer-merged onto it
+    (counts are a monoid), and the waterfill reruns on the merged
+    group inventory — so the result EQUALS the full rebuild over the
+    union exactly (the q_unimax_delta oracle IS the full-rebuild
+    SQL). Per-fold cost: delta-sized + one pass over the group table."""
+    d = (
+        delta.select(
+            F.col(group_col).alias("grp"),
+            F.size(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            ).cast("bigint").alias("_nt"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("_nt").cast("bigint").alias("_dn"))
+    )
+    merged = (
+        standing_counts.select("grp", "n_tokens")
+        .join(d, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return _unimax_waterfill(merged, budget_num, budget_den, epoch_cap_x100)
 
 
 def line_dedup(

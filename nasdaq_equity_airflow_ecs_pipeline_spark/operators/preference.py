@@ -60,19 +60,55 @@ def match_matrix(matches: DataFrame) -> DataFrame:
     )
 
 
-def bradley_terry(matches: DataFrame, rounds: int = BT_ROUNDS) -> DataFrame:
-    """Fit Bradley-Terry strengths from (winner, loser) match rows.
-    Returns (player, wins, games, p_x1e6, rank) — strengths normalized
-    to sum (up to floor loss) to BT_SCALE, rank by strength descending
-    (ties to the lexicographically smaller player)."""
-    mat = match_matrix(matches).localCheckpoint(eager=True)
+def match_matrix_delta(
+    standing: DataFrame, delta_matches: DataFrame
+) -> DataFrame:
+    """Fold a delta match batch into a standing pair matrix — the
+    incremental-index twin (the domain_stats_delta discipline): the
+    matrix is a MONOID (n and wi add per unordered pair), so the fold
+    is one delta-sized aggregation full-outer-merged onto the standing
+    artifact, and refitting the folded matrix EQUALS the full rebuild
+    over the union exactly (not approximately — pinned by the
+    q_bradley_terry_delta oracle, which IS the full-rebuild SQL)."""
+    d = match_matrix(delta_matches).select(
+        "i", "j", F.col("n").alias("_dn"), F.col("wi").alias("_dw")
+    )
+    return standing.join(d, ["i", "j"], "full_outer").select(
+        "i",
+        "j",
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        (
+            F.coalesce(F.col("wi"), F.lit(0))
+            + F.coalesce(F.col("_dw"), F.lit(0))
+        ).cast("bigint").alias("wi"),
+    )
+
+
+def bradley_terry_fit(mat: DataFrame, rounds: int = BT_ROUNDS) -> DataFrame:
+    """Fit strengths from a pair matrix (i, j, n, wi) — the standing-
+    artifact entry point the incremental twin refits. Wins and games
+    derive from the matrix (wins_i = sum wi as i + sum (n - wi) as j),
+    so a folded matrix carries everything the fit needs."""
+    mat = mat.localCheckpoint(eager=True)
     persp = mat.select(
         F.col("i").alias("player"), F.col("j").alias("opp"), "n"
     ).unionByName(
         mat.select(F.col("j").alias("player"), F.col("i").alias("opp"), "n")
     )
-    wins = matches.groupBy(F.col("winner").alias("player")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("w")
+    wins = (
+        mat.select(F.col("i").alias("player"), F.col("wi").alias("_w"))
+        .unionByName(
+            mat.select(
+                F.col("j").alias("player"),
+                (F.col("n") - F.col("wi")).alias("_w"),
+            )
+        )
+        .groupBy("player")
+        .agg(F.sum("_w").cast("bigint").alias("w"))
+        .filter(F.col("w") > 0)
     )
     players = persp.select("player").distinct()
     n_players = players.count()  # bounded artifact: the player universe
@@ -128,3 +164,11 @@ def bradley_terry(matches: DataFrame, rounds: int = BT_ROUNDS) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
     )
+
+
+def bradley_terry(matches: DataFrame, rounds: int = BT_ROUNDS) -> DataFrame:
+    """Fit Bradley-Terry strengths from (winner, loser) match rows.
+    Returns (player, wins, games, p_x1e6, rank) — strengths normalized
+    to sum (up to floor loss) to BT_SCALE, rank by strength descending
+    (ties to the lexicographically smaller player)."""
+    return bradley_terry_fit(match_matrix(matches), rounds=rounds)

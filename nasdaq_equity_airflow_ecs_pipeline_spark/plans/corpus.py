@@ -540,6 +540,7 @@ def curate_corpus_v6(
     bucket_width: float = 25.0,
     quality_gate=None,
     post_line_stages=None,
+    budget_select=None,
 ) -> dict[str, DataFrame]:
     """The v4 CCNet chain with the selection CCNet ACTUALLY uses
     (Wenzek et al. 2020 §4.4) in place of the fixed perplexity
@@ -643,7 +644,10 @@ def curate_corpus_v6(
         shuffle_key("doc_id").alias("pri"),
     )
     budgeted = _persist(
-        token_budget_select(sized, budget, ["pri", "doc_id"]), "v6"
+        token_budget_select(sized, budget, ["pri", "doc_id"])
+        if budget_select is None  # v10 swaps in the UniMax per-language cut
+        else budget_select(sized),
+        "v6",
     )
     sharded = balanced_shards(
         budgeted.drop("cum_tokens"), n_shards, ["pri", "doc_id"]
@@ -867,6 +871,61 @@ def curate_corpus_v9(
             ("decon", decon_stage),
         ],
         **v7_kwargs,
+    )
+
+
+def curate_corpus_v10(
+    docs: DataFrame,
+    emb: DataFrame,
+    bench: DataFrame,
+    unimax_budget_num: int = 9,
+    unimax_budget_den: int = 10,
+    unimax_cap_x100: int = 100,
+    group_col: str = "lang",
+    **v9_kwargs,
+) -> dict[str, DataFrame]:
+    """The v9 FineWeb-shaped chain with the GLOBAL token-budget cut
+    replaced by UniMax per-language allocation (Chung et al. 2023,
+    operators/curation.py:unimax_allocation) — the final mix is
+    budgeted per LANGUAGE (each language capped at its epoch limit,
+    the remainder waterfilled), not by one corpus-wide prefix that a
+    dominant language would monopolize.
+
+    The 'budget' stage becomes: one group-keyed hash-agg over the
+    SemDeDup survivors' token counts -> the bounded-artifact driver
+    waterfill -> one :func:`token_budget_select` per language (the
+    language inventory is bounded, so the union has L branches, each
+    with token_budget_select's scalable two-pass prefix shape), each
+    filling exactly its UniMax allocation in the deterministic
+    shuffle-priority order. Shards then rebalance over the union as
+    in v9. Census keys are v9's (_STAGE_ORDER_V9); the budget row now
+    reports the UniMax cut."""
+    from functools import reduce
+
+    from ..operators.curation import token_budget_select, unimax_allocation
+
+    def unimax_budget(sized: DataFrame) -> DataFrame:
+        alloc = unimax_allocation(
+            sized,
+            group_col,
+            token_col="n_tokens",
+            budget_num=unimax_budget_num,
+            budget_den=unimax_budget_den,
+            epoch_cap_x100=unimax_cap_x100,
+        )
+        groups = sorted(
+            (r["grp"], int(r["alloc"])) for r in alloc.collect()
+        )
+        parts = [
+            token_budget_select(
+                sized.filter(F.col(group_col) == g), a, ["pri", "doc_id"]
+            )
+            for g, a in groups
+        ]
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
+    return curate_corpus_v9(
+        docs, emb, bench, budget_select=unimax_budget, **v9_kwargs
     )
 
 

@@ -389,6 +389,86 @@ def q_corpus_pipeline_v9(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus_v4_funnel(stages, order=_STAGE_ORDER_V9)
 
 
+def q_corpus_pipeline_v10(spark: SparkSession, sf: str) -> DataFrame:
+    """The v9 chain with the GLOBAL token budget replaced by UniMax
+    per-language allocation (plans/corpus.py curate_corpus_v10): the
+    final mix is waterfilled across languages at a 1.0-epoch cap
+    instead of one corpus-wide prefix a dominant language would
+    monopolize. Same census keys as v9; the 'budget' row now reports
+    the UniMax cut (per-language prefixes, shards rebalanced over the
+    union). ONE oracle statement: v9's composed chain with the
+    recursive-CTE waterfill spliced into the budget stage."""
+    from ..plans.corpus import (
+        _STAGE_ORDER_V9,
+        curate_corpus_v4_funnel,
+        curate_corpus_v10,
+    )
+    from ..sources.tables import load_table
+    from .curation_ops import (
+        CCNET_BUCKET_WIDTH,
+        DECON_CHAIN_L,
+        LINE_DEDUP_MAX_DOCS,
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_CAP_X100,
+        V3_CLUSTER_TARGET,
+        V3_NEARDUP,
+        V3_SHARDS,
+    )
+
+    web = _webified(spark, sf, extra=("lang", "source"))
+    d = web.filter(F.col("doc_id") >= 10)
+    bench = web.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings")
+    wl = spark.createDataFrame([(w,) for w in C4_FLAG_WORDS], "word string")
+    raw = _docs(spark, sf)
+    stages = curate_corpus_v10(
+        d,
+        emb,
+        bench=bench,
+        unimax_budget_num=UNIMAX_BUDGET_NUM,
+        unimax_budget_den=UNIMAX_BUDGET_DEN,
+        unimax_cap_x100=UNIMAX_CAP_X100,
+        decon_min_len=DECON_CHAIN_L,
+        gopher_word_min=V9_GOPHER_WORD_MIN,
+        gopher_word_max=V9_GOPHER_WORD_MAX,
+        gopher_stop_min=V9_GOPHER_STOP_MIN,
+        c4_flag_words=wl,
+        train_docs=raw.filter(F.col("doc_id") >= 10).select(
+            "doc_id", "text"
+        ),
+        neardup_threshold=V3_NEARDUP,
+        cluster_target=V3_CLUSTER_TARGET,
+        n_shards=V3_SHARDS,
+        max_line_docs=LINE_DEDUP_MAX_DOCS,
+        bucket_width=CCNET_BUCKET_WIDTH,
+    )
+    return curate_corpus_v4_funnel(stages, order=_STAGE_ORDER_V9)
+
+
+def _sql_corpus_pipeline_v10() -> str:
+    from .curation_ops import _sql_corpus_pipeline_v4
+
+    return _sql_corpus_pipeline_v4(
+        lm_order="kn",
+        clf_gate="trained",
+        decon=True,
+        relined_rel=(
+            "("
+            + _sql_webified(extra="lang, source,", where=" WHERE doc_id >= 10")
+            + ") wsrc"
+        ),
+        bench_rel=(
+            "(" + _sql_webified(where=" WHERE doc_id < 10") + ") wb"
+        ),
+        front=[
+            ("gopher", _sql_gopher_front()),
+            ("c4", _sql_c4_front()),
+        ],
+        budget_mode="unimax",
+    )
+
+
 def _sql_gopher_front() -> str:
     """The Gopher stage as spliceable CTEs reading ``{prev}``: quality
     keep set (chain thresholds) + repetition violators (doc-length
@@ -738,6 +818,7 @@ QUERIES = {
     "q_c4_span_dedup": q_c4_span_dedup,
     "q_c4_span_delta": q_c4_span_delta,
     "q_corpus_pipeline_v9": q_corpus_pipeline_v9,
+    "q_corpus_pipeline_v10": q_corpus_pipeline_v10,
     "q_filter_ablation": q_filter_ablation,
 }
 
@@ -748,5 +829,6 @@ ORACLES = {
     "q_c4_span_dedup": SQL_C4_SPAN_DEDUP,
     "q_c4_span_delta": _sql_c4_span_dedup(restrict_delta=True),
     "q_corpus_pipeline_v9": _sql_corpus_pipeline_v9(),
+    "q_corpus_pipeline_v10": _sql_corpus_pipeline_v10(),
     "q_filter_ablation": _sql_filter_ablation(),
 }

@@ -244,6 +244,33 @@ FROM res CROSS JOIN ta
 """
 
 
+def q_unimax_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental UniMax (operators/curation.py
+    unimax_allocation_delta — the domain_stats_delta discipline): the
+    80% standing corpus publishes its (lang, n_tokens) artifact, the
+    20% delta batch folds in (counts are a monoid), and the
+    re-waterfill must equal the full rebuild over the union EXACTLY —
+    the oracle is the full-rebuild SQL verbatim."""
+    from ..operators.curation import unimax_allocation, unimax_allocation_delta
+
+    d = _docs(spark, sf)
+    standing = unimax_allocation(
+        d.filter(F.col("doc_id") % 10 < 8),
+        "lang",
+        budget_num=UNIMAX_BUDGET_NUM,
+        budget_den=UNIMAX_BUDGET_DEN,
+        epoch_cap_x100=UNIMAX_CAP_X100,
+    ).select("grp", "n_tokens")
+    return unimax_allocation_delta(
+        standing,
+        d.filter(F.col("doc_id") % 10 >= 8),
+        "lang",
+        budget_num=UNIMAX_BUDGET_NUM,
+        budget_den=UNIMAX_BUDGET_DEN,
+        epoch_cap_x100=UNIMAX_CAP_X100,
+    )
+
+
 # ----------------------------------------------------------- line dedup
 _RELINE_PAT = r"((?:\S+ ){7}\S+) "  # break after every 8th token
 
@@ -1193,6 +1220,7 @@ def _sql_corpus_pipeline_v4(
     relined_rel: str | None = None,
     bench_rel: str = "documents WHERE doc_id < 10",
     front: list[tuple[str, str]] | None = None,
+    budget_mode: str = "global",
 ) -> str:
     """``decon=True`` is the v8 shape: the chain input excludes the
     benchmark slice (doc_id < 10 — q_decontaminate's convention), a
@@ -1218,6 +1246,8 @@ def _sql_corpus_pipeline_v4(
         raise ValueError("decon (v8/v9) composes on the trained gate")
     if front and not decon:
         raise ValueError("front (v9) composes on the decon chain")
+    if budget_mode not in ("global", "unimax"):
+        raise ValueError(f"budget_mode must be global|unimax, got {budget_mode!r}")
     prev = "line_kept"
     front_ctes = ""
     for stage_name, cte_sql in front or []:
@@ -1536,8 +1566,80 @@ decon AS MATERIALIZED (
         "CAST(count(*) AS BIGINT), "
         "CAST(coalesce(max(m), 0) AS BIGINT) FROM mass"
     )
+    if budget_mode == "global":
+        budget_block = f"""cum AS (
+  SELECT doc_id, text, n_tokens, pri,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+),
+budget AS (SELECT * FROM cum WHERE cum <= {V3_BUDGET}),
+tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total FROM budget),
+sh AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(({V3_SHARDS} * (cum - n_tokens)) // tot.total,
+                    {V3_SHARDS - 1}) AS INT) AS shard
+  FROM budget, tot
+)"""
+    else:
+        # the v10 UniMax cut: per-language waterfilled allocations
+        # (operators/curation.py unimax_allocation, replayed as the
+        # recursive-CTE recurrence of SQL_UNIMAX_WEIGHTS), each language
+        # filling its own prefix in (pri, doc_id) order; shards then
+        # rebalance on a RECOMPUTED global cumsum (the per-language
+        # prefixes interleave, so the per-lang cum is not the global one)
+        budget_block = f"""uwc AS (
+  SELECT lang AS grp, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM sized GROUP BY 1
+),
+utot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS l FROM uwc),
+uranked AS (
+  SELECT grp, (n_tokens * {UNIMAX_CAP_X100}) // 100 AS cap,
+         row_number() OVER (
+           ORDER BY (n_tokens * {UNIMAX_CAP_X100}) // 100 ASC, grp ASC
+         ) AS r
+  FROM uwc
+),
+ufill AS (
+  SELECT CAST(0 AS BIGINT) AS r,
+         (utot.t * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS b,
+         CAST(NULL AS VARCHAR) AS grp, CAST(0 AS BIGINT) AS alloc
+  FROM utot
+  UNION ALL
+  SELECT rk.r, f.b - least(rk.cap, f.b // (utot.l - rk.r + 1)),
+         rk.grp, least(rk.cap, f.b // (utot.l - rk.r + 1))
+  FROM ufill f
+  JOIN uranked rk ON rk.r = f.r + 1
+  CROSS JOIN utot
+  WHERE f.r < utot.l
+),
+cum AS (
+  SELECT doc_id, text, lang, n_tokens, pri,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+),
+budget AS (
+  SELECT c.* FROM cum c JOIN ufill u ON u.grp = c.lang
+  WHERE c.cum <= u.alloc
+),
+tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total FROM budget),
+gcum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM budget
+),
+sh AS (
+  SELECT doc_id, n_tokens,
+         CAST(least(({V3_SHARDS} * (cum - n_tokens)) // tot.total,
+                    {V3_SHARDS - 1}) AS INT) AS shard
+  FROM gcum, tot
+)"""
+    recursive_kw = "RECURSIVE " if budget_mode == "unimax" else ""
     sql = f"""
-WITH {train_ctes}relined AS (
+WITH {recursive_kw}{train_ctes}relined AS (
   {relined_body}
 ),
 ls AS (SELECT doc_id, lang, source, string_split(text, chr(10)) AS arr FROM relined),
@@ -1593,26 +1695,13 @@ sem AS (
   WHERE assign.vec_id NOT IN (SELECT vec_id FROM dups)
 ),
 sized AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, lang,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT
            % {MERSENNE_P} AS pri
   FROM sem
 ),
-cum AS (
-  SELECT doc_id, text, n_tokens, pri,
-         sum(n_tokens) OVER (ORDER BY pri, doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM sized
-),
-budget AS (SELECT * FROM cum WHERE cum <= {V3_BUDGET}),
-tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total FROM budget),
-sh AS (
-  SELECT doc_id, n_tokens,
-         CAST(least(({V3_SHARDS} * (cum - n_tokens)) // tot.total,
-                    {V3_SHARDS - 1}) AS INT) AS shard
-  FROM budget, tot
-),
+{budget_block},
 mass AS (SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS m FROM sh GROUP BY 1)
 {census_rows}
 """
@@ -2343,6 +2432,7 @@ QUERIES = {
     "q_mixture_weights": q_mixture_weights,
     "q_temperature_mixture": q_temperature_mixture,
     "q_unimax_weights": q_unimax_weights,
+    "q_unimax_delta": q_unimax_delta,
     "q_line_dedup": q_line_dedup,
     "q_importance_weights": q_importance_weights,
     "q_importance_bigram": q_importance_bigram,
@@ -2373,6 +2463,9 @@ ORACLES = {
     "q_mixture_weights": _sql_mixture_weights(),
     "q_temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "q_unimax_weights": SQL_UNIMAX_WEIGHTS,
+    # fold == rebuild exactly (token counts are a monoid), so the
+    # oracle is the full-rebuild statement verbatim
+    "q_unimax_delta": SQL_UNIMAX_WEIGHTS,
     "q_line_dedup": SQL_LINE_DEDUP,
     "q_importance_weights": SQL_IMPORTANCE_WEIGHTS,
     "q_importance_bigram": SQL_IMPORTANCE_BIGRAM,

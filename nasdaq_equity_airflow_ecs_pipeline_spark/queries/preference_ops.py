@@ -131,5 +131,66 @@ JOIN p{BT_ROUNDS} pf ON pf.player = pl.player
 SQL_BRADLEY_TERRY = _sql_bt()
 
 
-QUERIES.update({"q_bradley_terry": q_bradley_terry})
-ORACLES.update({"q_bradley_terry": SQL_BRADLEY_TERRY})
+def q_bradley_terry_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental Bradley-Terry (operators/preference.py
+    match_matrix_delta + bradley_terry_fit — the incremental-index
+    discipline): the 80% standing match log publishes its pair-matrix
+    artifact, the 20% delta batch folds in (the matrix is a monoid),
+    and the refit must equal the full rebuild over the union EXACTLY —
+    the oracle is the full-rebuild SQL verbatim."""
+    from ..operators.preference import (
+        bradley_terry_fit,
+        match_matrix,
+        match_matrix_delta,
+    )
+
+    m = _matches_with_id(spark, sf)
+    standing = match_matrix(m.filter(F.col("mid") % 10 < 8))
+    folded = match_matrix_delta(
+        standing, m.filter(F.col("mid") % 10 >= 8)
+    )
+    return bradley_terry_fit(folded, rounds=BT_ROUNDS)
+
+
+def _matches_with_id(spark: SparkSession, sf: str) -> DataFrame:
+    """The tournament fixture keyed by the even doc id (the match id
+    the standing/delta split cuts on)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).alias("a")
+    b = d.alias("b")
+    j = a.join(b, F.expr("b.doc_id = a.doc_id + 1")).filter(
+        F.expr("a.source <> b.source")
+    )
+    winner = F.expr(
+        "CASE WHEN a.n_chars > b.n_chars THEN a.source "
+        "WHEN a.n_chars < b.n_chars THEN b.source "
+        "ELSE least(a.source, b.source) END"
+    )
+    loser = F.expr(
+        "CASE WHEN a.n_chars > b.n_chars THEN b.source "
+        "WHEN a.n_chars < b.n_chars THEN a.source "
+        "ELSE greatest(a.source, b.source) END"
+    )
+    return j.select(
+        F.expr("a.doc_id div 2").alias("mid"),
+        winner.alias("winner"),
+        loser.alias("loser"),
+    )
+
+
+QUERIES.update(
+    {
+        "q_bradley_terry": q_bradley_terry,
+        "q_bradley_terry_delta": q_bradley_terry_delta,
+    }
+)
+ORACLES.update(
+    {
+        "q_bradley_terry": SQL_BRADLEY_TERRY,
+        # fold == rebuild exactly (the matrix is a monoid), so the
+        # oracle is the full-rebuild statement verbatim
+        "q_bradley_terry_delta": SQL_BRADLEY_TERRY,
+    }
+)

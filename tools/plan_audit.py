@@ -66,6 +66,11 @@ CARTESIAN_OK = {
         "policy list (policy-bounded); the rule front adds no pairing "
         "path — Gopher/C4 are doc-local filters"
     ),
+    "q_corpus_pipeline_v10": (
+        "v9's bounded broadcasts; the UniMax budget stage adds only "
+        "per-language L-row offset broadcasts (token_budget_select's "
+        "two-pass shape per language, L = language inventory)"
+    ),
     "q_bpe_encode": "broadcast of the 1-row char-alphabet count (merge-output id offset)",
     "q_ann_ivf_search": "broadcast of k centroid rows",
     "q_ann_ivf_search_quantized": "broadcast of k centroid rows",
