@@ -274,6 +274,8 @@ def main() -> None:
         "q_corpus_pipeline_v10",
         "q_bradley_terry_delta",
         "q_unimax_delta",
+        "q_eval_f1",
+        "q_eval_rouge_l",
     ):
         fn = queries[name]
         best = float("inf")

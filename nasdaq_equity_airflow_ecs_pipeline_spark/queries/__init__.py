@@ -22,6 +22,7 @@ from . import c4_ops
 from . import wordpiece_ops
 from . import preference_ops
 from . import bitext_ops
+from . import eval_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -40,6 +41,7 @@ for _m in (
     wordpiece_ops,
     preference_ops,
     bitext_ops,
+    eval_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
