@@ -276,6 +276,9 @@ def main() -> None:
         "q_unimax_delta",
         "q_eval_f1",
         "q_eval_rouge_l",
+        "q_sft_quality",
+        "q_sft_dedup",
+        "q_sft_loss_mask",
     ):
         fn = queries[name]
         best = float("inf")

@@ -23,6 +23,7 @@ from . import wordpiece_ops
 from . import preference_ops
 from . import bitext_ops
 from . import eval_ops
+from . import sft_ops
 
 QUERIES = {}
 ORACLES = {}
@@ -42,6 +43,7 @@ for _m in (
     preference_ops,
     bitext_ops,
     eval_ops,
+    sft_ops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
