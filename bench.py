@@ -279,6 +279,7 @@ def main() -> None:
         "q_sft_quality",
         "q_sft_dedup",
         "q_sft_loss_mask",
+        "q_sft_pack_masks",
     ):
         fn = queries[name]
         best = float("inf")

@@ -141,6 +141,78 @@ def sft_chat_render(
     )
 
 
+def sft_pack_loss_spans(
+    pairs: DataFrame,
+    seq_len: int = 2048,
+    num_shards: int = 64,
+    id_col: str = "pair_id",
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+) -> DataFrame:
+    """The loss-mask manifest AFTER packing (composes
+    :func:`sft_chat_render` with operators/packing.py:pack_sequences):
+    one row per (training sequence, pair, trainability) intersection —
+    (shard, seq_id, id, begin_tok, end_tok, trainable) in SEQUENCE-
+    LOCAL token coordinates. A pair straddling sequences contributes
+    one row per (sequence, segment); empty response segments emit no
+    row. This is exactly what a packed-SFT trainer consumes: which
+    token ranges of each fixed-length sequence contribute loss.
+
+    Scale shape: rides pack_sequences' shard-keyed prefix-sum window
+    plus one bounded 2-way segment explode and one
+    ceil(len/seq_len)-bounded sequence explode — output-proportional,
+    no extra shuffle."""
+    from .packing import pack_sequences
+
+    r = sft_chat_render(pairs, id_col, prompt_col, response_col)
+    packed = pack_sequences(
+        r, seq_len, num_shards, id_col, "n_tokens"
+    )
+    j = packed.join(r.select(id_col, "mask_end"), id_col)
+    segs = F.expr(
+        "filter(array("
+        "named_struct('off', CAST(0 AS BIGINT), 'len', mask_end, "
+        "'tr', false), "
+        "named_struct('off', mask_end, 'len', n_tokens - mask_end, "
+        "'tr', true)), s -> s.len > 0)"
+    )
+    ex = j.select(
+        "shard", id_col, "start_offset", F.explode(segs).alias("sg")
+    ).select(
+        "shard",
+        id_col,
+        F.col("sg.tr").alias("trainable"),
+        (F.col("start_offset") + F.col("sg.off")).alias("g0"),
+        (
+            F.col("start_offset") + F.col("sg.off") + F.col("sg.len")
+        ).alias("g1"),
+    )
+    exq = ex.select(
+        "shard",
+        id_col,
+        "trainable",
+        "g0",
+        "g1",
+        F.explode(
+            F.expr(f"sequence(g0 div {seq_len}, (g1 - 1) div {seq_len})")
+        ).alias("seq_id"),
+    )
+    return exq.select(
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        F.expr(f"greatest(g0, seq_id * {seq_len}) - seq_id * {seq_len}")
+        .cast("bigint")
+        .alias("begin_tok"),
+        F.expr(
+            f"least(g1, (seq_id + 1) * {seq_len}) - seq_id * {seq_len}"
+        )
+        .cast("bigint")
+        .alias("end_tok"),
+        "trainable",
+    )
+
+
 def sft_loss_mask(
     pairs: DataFrame,
     id_col: str = "pair_id",

@@ -110,6 +110,23 @@ def q_sft_loss_mask(spark: SparkSession, sf: str) -> DataFrame:
     return sft_loss_mask(_pairs(spark, sf))
 
 
+_SFT_SEQ_LEN = 64
+_SFT_SHARDS = 4
+
+
+def q_sft_pack_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """The loss-mask manifest AFTER packing (operators/sft.py
+    sft_pack_loss_spans composing the chat render with
+    pack_sequences): per (training sequence, pair, trainability)
+    intersection in sequence-local coordinates — seq_len 64 so pairs
+    genuinely straddle sequences."""
+    from ..operators.sft import sft_pack_loss_spans
+
+    return sft_pack_loss_spans(
+        _pairs(spark, sf), seq_len=_SFT_SEQ_LEN, num_shards=_SFT_SHARDS
+    )
+
+
 _SQL_PAIRS = f"""
 pt AS (
   SELECT doc_id,
@@ -191,6 +208,56 @@ SELECT k.pair_id, k.prompt, k.response
 FROM keyed k JOIN first f ON f._k = k._k AND f.pair_id = k.pair_id
 """
 
+def _sql_sft_pack_masks() -> str:
+    from ..operators.packing import sql_pack_sequences
+
+    packed = sql_pack_sequences(
+        "SELECT pair_id, n_tokens FROM r",
+        seq_len=_SFT_SEQ_LEN,
+        num_shards=_SFT_SHARDS,
+        id_col="pair_id",
+    )
+    L = _SFT_SEQ_LEN
+    return f"""
+WITH {_SQL_PAIRS.lstrip()},
+r AS (
+  SELECT pair_id,
+         CAST({2 * _N_HDR} + {_sql_ntok("prompt")} AS BIGINT) AS mask_end,
+         CAST({2 * _N_HDR} + {_sql_ntok("prompt")}
+              + {_sql_ntok("response")} AS BIGINT) AS n_tokens
+  FROM pairs
+),
+packed AS ({packed}),
+j AS (SELECT p.*, r.mask_end FROM packed p JOIN r USING (pair_id)),
+seg AS (
+  SELECT shard, pair_id, start_offset, n_tokens, mask_end,
+         unnest([
+           struct_pack(off := CAST(0 AS BIGINT), len := mask_end,
+                       tr := false),
+           struct_pack(off := mask_end, len := n_tokens - mask_end,
+                       tr := true)
+         ]) AS sg
+  FROM j
+),
+segf AS (
+  SELECT shard, pair_id, start_offset + sg.off AS g0,
+         start_offset + sg.off + sg.len AS g1, sg.tr AS trainable
+  FROM seg WHERE sg.len > 0
+),
+exq AS (
+  SELECT shard, pair_id, trainable, g0, g1, u.s AS seq_id
+  FROM segf, unnest(generate_series(g0 // {L}, (g1 - 1) // {L})) AS u(s)
+)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, pair_id,
+       CAST(greatest(g0, seq_id * {L}) - seq_id * {L} AS BIGINT)
+         AS begin_tok,
+       CAST(least(g1, (seq_id + 1) * {L}) - seq_id * {L} AS BIGINT)
+         AS end_tok,
+       trainable
+FROM exq
+"""
+
+
 SQL_SFT_LOSS_MASK = f"""
 WITH {_SQL_PAIRS.lstrip()},
 r AS (
@@ -213,6 +280,7 @@ QUERIES.update(
         "q_sft_quality": q_sft_quality,
         "q_sft_dedup": q_sft_dedup,
         "q_sft_loss_mask": q_sft_loss_mask,
+        "q_sft_pack_masks": q_sft_pack_masks,
     }
 )
 ORACLES.update(
@@ -220,5 +288,6 @@ ORACLES.update(
         "q_sft_quality": SQL_SFT_QUALITY,
         "q_sft_dedup": SQL_SFT_DEDUP,
         "q_sft_loss_mask": SQL_SFT_LOSS_MASK,
+        "q_sft_pack_masks": _sql_sft_pack_masks(),
     }
 )

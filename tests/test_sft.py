@@ -7,6 +7,7 @@ from nasdaq_equity_airflow_ecs_pipeline_spark.operators.sft import (
     sft_chat_render,
     sft_dedup,
     sft_loss_mask,
+    sft_pack_loss_spans,
     sft_quality_flags,
 )
 
@@ -74,3 +75,52 @@ def test_loss_mask_spans_partition_the_render(spark):
     # contiguity: the trained span starts where the mask ends and the
     # union covers [0, n_tokens)
     assert spans[0][2] == spans[1][1] and spans[1][2] == render["n_tokens"]
+
+
+def test_packed_loss_spans_tile_and_straddle(spark):
+    # pairs long enough that rendered chats straddle seq_len=16
+    rows = [
+        (i, " ".join(f"p{i}w{j}" for j in range(5)),
+         " ".join(f"r{i}w{j}" for j in range(11)))
+        for i in range(6)
+    ]
+    pairs = _pairs(spark, rows)
+    L = 16
+    out = sft_pack_loss_spans(pairs, seq_len=L, num_shards=2).collect()
+    renders = {
+        r["pair_id"]: (r["n_tokens"], r["mask_end"])
+        for r in sft_chat_render(pairs).collect()
+    }
+    # per pair: spans reconstruct [0, n_tokens) with the right
+    # trainability split at mask_end (global coords = seq_id*L + local)
+    from collections import defaultdict
+
+    per_pair = defaultdict(list)
+    seqs = defaultdict(list)
+    for r in out:
+        assert 0 <= r["begin_tok"] < r["end_tok"] <= L
+        per_pair[r["pair_id"]].append(
+            (r["seq_id"] * L + r["begin_tok"],
+             r["seq_id"] * L + r["end_tok"], r["trainable"])
+        )
+        seqs[(r["shard"], r["seq_id"])].append(
+            (r["begin_tok"], r["end_tok"])
+        )
+    for pid, spans in per_pair.items():
+        spans.sort()
+        n_tok, mask_end = renders[pid]
+        total = sum(e - b for b, e, _t in spans)
+        assert total == n_tok
+        base = spans[0][0]
+        masked = sum(e - b for b, e, t in spans if not t)
+        assert masked == mask_end
+        # trainability flips exactly once, at base + mask_end
+        flip = [b for b, _e, t in spans if t]
+        assert min(flip) == base + mask_end
+    # sequences tile: spans within one training sequence never overlap
+    for _k, ss in seqs.items():
+        ss.sort()
+        for (b1, e1), (b2, _e2) in zip(ss, ss[1:]):
+            assert e1 <= b2
+    # straddling really occurs
+    assert any(len(v) > 2 for v in per_pair.values())
