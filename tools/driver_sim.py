@@ -57,6 +57,28 @@ if not full_sweep:
     qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
 ok = fail = 0
 sweep: dict[str, dict] = {}
+import gc
+
+
+def _reclaim():
+    """Release per-query engine state between sweep queries: cached
+    frames unpersist via clearCache; dropping Python references + a GC
+    pass lets Spark's ContextCleaner evict localCheckpoint RDD blocks
+    (trainers pin per-round frames there). Without this a 200+-query
+    single-JVM sweep accumulates blocks until the 1g bare-session heap
+    OOMs (first seen at ~67 queries once the v10 chain landed); the
+    real driver's 50-query sample never gets near the edge."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     sdf = fn(spark, "/root/testdata/sf0.01")
@@ -121,6 +143,8 @@ for name, fn in sorted(qs.items()):
                    "err": None if match else "value_mismatch",
                    "sec": round(time.time() - t0, 1)}
     ok += match; fail += (not match)
+    del sdf
+    _reclaim()
 print(f"RESULT: {ok} match, {fail} mismatch, {len(qs)-len(oracles)} rows-only")
 if full_sweep:
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

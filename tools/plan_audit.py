@@ -287,7 +287,7 @@ BROADCAST_OK = {
         "vocabulary artifact: alphabet + n_merges rows by construction "
         "(the match join and the id-assignment join)"
     ),
-    "operators/preference.py::bradley_terry": (
+    "operators/preference.py::bradley_terry_fit": (
         "strength table: one row per PLAYER (models/policies/annotators "
         "— an artifact universe, not a corpus), twice per MM round"
     ),
