@@ -198,6 +198,83 @@ def hashed_subword_features(
     return present.unionByName(bias)
 
 
+def _bucket_of(tok, n_buckets: int, seed: str):
+    """Portable bucket hash of a token COLUMN (md5 path, lsh.base_hash31
+    mod n_buckets) — the one expression both the row and array feature
+    builders share."""
+    return (
+        base_hash31(F.concat(tok, F.lit(":" + seed))) % n_buckets
+    ).cast("bigint")
+
+
+def hashed_token_feature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    seed: str = "clf-v1",
+) -> DataFrame:
+    """:func:`hashed_token_features` in DOC-LOCAL ARRAY form: one row per
+    document, ``_buckets`` = the distinct present buckets (bias -1
+    included) as an array<bigint>. The bucket SET per doc is identical to
+    the row builder's (``array_distinct`` over the same hashes ==
+    ``distinct`` over the exploded rows), but nothing is exploded or
+    shuffled — the explode+distinct exchange the row form pays becomes a
+    narrow per-row projection (guide §2.4: remove shuffles outright).
+    Drop-in for :func:`train_logreg_fixed_point` /
+    :func:`trained_score`."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    word = F.transform(
+        F.col("_toks"), lambda x: _bucket_of(x, n_buckets, seed)
+    )
+    return t.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.concat(F.array(F.lit(BIAS_BUCKET).cast("bigint")), word)
+        ).alias("_buckets"),
+    )
+
+
+def hashed_subword_feature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "clf-v1",
+    minn: int = 3,
+    maxn: int = 4,
+) -> DataFrame:
+    """:func:`hashed_subword_features` in DOC-LOCAL ARRAY form (same
+    contract as :func:`hashed_token_feature_arrays`): whole-word buckets
+    plus boundary-marked char n-gram buckets, distinct per doc, bias -1
+    included — computed without the explode+distinct exchange."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    word = F.transform(
+        F.col("_toks"), lambda x: _bucket_of(x, n_buckets, seed)
+    )
+    gram_hash = (
+        f"(CAST(conv(substring(md5(concat(substring(concat('<', tok, '>'),"
+        f" i, n), ':ng:{seed}')), 1, 15), 16, 10) AS BIGINT)"
+        f" % 2147483647) % {n_buckets}"
+    )
+    grams = F.expr(
+        f"flatten(transform(_toks, tok -> "
+        f"flatten(transform(sequence({minn}, {maxn}), n -> "
+        f"CASE WHEN length(concat('<', tok, '>')) >= n THEN "
+        f"transform(sequence(1, length(concat('<', tok, '>')) - n + 1), "
+        f"i -> {gram_hash}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END))))"
+    )
+    return t.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(BIAS_BUCKET).cast("bigint")), word, grams
+            )
+        ).alias("_buckets"),
+    )
+
+
 def rule_labels(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -243,99 +320,141 @@ def train_logreg_fixed_point(
     a literal weight sum (NOT x=XSCALE through the valued path): its
     weights grow to ~6e11 at the defaults and even XSCALE*w would
     stay representable, but the valued expressions change the plan and
-    the committed oracles pin the literal-sum arithmetic."""
-    _release()
-    # Pin the feature frame ALREADY partitioned and sorted on the doc
-    # key: every step's forward pass groups by id and every step's
-    # gradient joins back on id, so a plainly-persisted fj re-shuffles
-    # once per step as soon as the err side outgrows broadcast (x100
-    # probe: 16 steps x ~260 MB = 4.2 GB, 20x shuffle for 10x data).
-    # With the exchange+sort folded INTO the cached plan, the cached
-    # frame advertises hash(id) partitioning and id order, so per-step
-    # joins shuffle only the doc-keyed err frame — per-step shuffle is
-    # then O(docs), not O(feature rows).
-    fj = _persist(
-        feats.join(labels, id_col)
-        .repartition(F.col(id_col))
-        .sortWithinPartitions(id_col)
-    )
-    n1 = fj.agg(F.count_distinct(F.col(id_col)).alias("n"))  # 1 row
+    the committed oracles pin the literal-sum arithmetic.
 
-    weights = fj.select("bucket").distinct().select(
-        "bucket", F.lit(0).cast("bigint").alias("w")
-    )
-    wterm = (
-        F.coalesce(F.col("w"), F.lit(0))
-        if x_col is None
-        else F.expr(f"(coalesce(w, 0) * {x_col}) div {XSCALE}")
-    )
-    for _ in range(steps):
-        zf = (
-            fj.join(F.broadcast(weights), "bucket", "left")
+    Execution shape (optimization round 12, guide §2.3/§2.4): the
+    feature rows are compressed ONCE into a per-doc array frame
+    ``(id, _f, y)`` — one hash-agg, the only feature-row shuffle of the
+    whole training run — and each step is then a SINGLE scan of that
+    cached frame: z/err are computed per row from the doc's own array
+    against the current weights as a dense LITERAL array (the weights
+    are a driver-materialized bounded artifact every round anyway), and
+    the gradient is one explode + bucket-keyed hash-agg whose exchange
+    carries <= n_buckets+1 partial rows per task. The previous shape
+    paid, per step, two scans of the feature rows plus a doc-keyed
+    hash-agg and a doc-keyed join; integer addition is associative, so
+    the regrouped sums are bit-identical (pinned by
+    test_train_matches_python_reference and the unrolled oracles). The
+    weight update runs driver-side with truncating integer division
+    (``_tdiv`` == Spark ``div`` == DuckDB ``//``) over the <=
+    n_buckets+1 gradient rows.
+
+    ``feats`` may be the (id, bucket[, x]) ROW form or the doc-array
+    form from :func:`hashed_token_feature_arrays` /
+    :func:`hashed_subword_feature_arrays` (column ``_buckets``); the
+    array form skips the compress exchange entirely. ``labels`` must be
+    one row per id (every builder's contract)."""
+    _release()
+    if "_buckets" in feats.columns:
+        fd = feats.join(labels, id_col).select(
+            F.col(id_col), F.col("_buckets").alias("_f"), F.col("y")
+        )
+    elif x_col is None:
+        fd = (
+            feats.join(labels, id_col)
             .groupBy(id_col)
             .agg(
-                F.sum(wterm).alias("z"),
+                F.collect_list("bucket").alias("_f"),
                 F.min("y").alias("y"),
             )
         )
-        err = zf.select(
-            F.col(id_col),
-            F.expr(
-                f"greatest(-{ZCLAMP}L, least({ZCLAMP}L, z))"
-            ).alias("zc"),
-            F.col("y"),
-        ).select(
-            F.col(id_col),
-            (
-                (
-                    F.lit(SCALE // 2)
-                    + F.expr(f"(zc * {SCALE}) div (2 * ({SCALE} + abs(zc)))")
-                    - F.col("y") * SCALE
-                )
-                * F.when(F.col("y") == 0, cb_neg).otherwise(1)
-            ).alias("_err"),
-        )
-        gterm = (
-            F.col("_err")
-            if x_col is None
-            else F.expr(f"(_err * {x_col}) div {XSCALE}")
-        )
-        grad = (
-            fj.join(err, id_col)
-            .groupBy("bucket")
-            .agg(F.sum(gterm).alias("g"))
-        )
-        weights = (
-            weights.join(grad, "bucket", "left")
-            .join(F.broadcast(n1))
-            .select(
-                "bucket",
-                F.expr(
-                    f"w - ((coalesce(g, 0) * {lr_num}) div ({lr_den} * n))"
-                ).alias("w"),
+    else:
+        fd = (
+            feats.join(labels, id_col)
+            .groupBy(id_col)
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("bucket"), F.col(x_col).alias("x"))
+                ).alias("_f"),
+                F.min("y").alias("y"),
             )
         )
-        # EAGER lineage cut each round: the weight frame is referenced
-        # TWICE per round (forward pass + update), so a lazy plan would
-        # double every round — 2^steps plan nodes by round 16, an
-        # analysis-time hang measured at minutes. The frame is
-        # <= n_buckets+1 rows BY CONSTRUCTION (one row per distinct
-        # feature bucket), so this is a bounded-artifact collect (the
-        # k-centroid / codebook class), not a corpus collect. A collect
-        # beats localCheckpoint here: checkpoint RDDs linger pinned in
-        # the JVM until Python GC releases the frame — 16 steps of them
-        # made executor-cache contents nondeterministic (the zorder leak
-        # test caught the ContextCleaner racing a later test's count).
-        weights = _materialize_weights(weights)
-    _release()  # the returned literal frame no longer needs fj pinned
-    return weights
-
-
-def _materialize_weights(weights: DataFrame) -> DataFrame:
-    rows = [(r["bucket"], r["w"]) for r in weights.collect()]
-    return weights.sparkSession.createDataFrame(
-        rows, schema="bucket bigint, w bigint"
+    fd = _persist(fd)
+    n = fd.count()  # n distinct docs (fd is one row per id)
+    if x_col is None:
+        universe = [
+            r["bucket"]
+            for r in fd.select(
+                F.explode("_f").alias("bucket")
+            ).distinct().collect()
+        ]
+        fwd = "acc + {w_at}"
+        gterm = "_err"
+        bexpr = "b"
+    else:
+        universe = [
+            r["bucket"]
+            for r in fd.select(
+                F.explode("_f").alias("e")
+            ).select(F.col("e.bucket").alias("bucket")).distinct().collect()
+        ]
+        fwd = f"acc + ({{w_at}} * b.x) div {XSCALE}"
+        gterm = f"(_err * e.x) div {XSCALE}"
+        bexpr = "b.bucket"
+    wd = {int(b): 0 for b in universe}
+    spark = fd.sparkSession
+    if not wd:  # empty corpus: no buckets, nothing to train
+        _release()
+        return spark.createDataFrame([], schema="bucket bigint, w bigint")
+    size = max(wd) + 2  # element_at is 1-based; bucket b lives at b + 2
+    err_sql = (
+        f"(({SCALE // 2}) + (zc * {SCALE}) div (2 * ({SCALE} + abs(zc)))"
+        f" - y * {SCALE}) * (CASE WHEN y = 0 THEN {cb_neg} ELSE 1 END)"
     )
+    den = lr_den * n
+    for _ in range(steps):
+        dense = [0] * size
+        for b, w in wd.items():
+            dense[b + 1] = w
+        warr = "array(" + ",".join(f"{v}L" for v in dense) + ")"
+        w_at = (
+            f"coalesce(try_element_at({warr}, "
+            f"cast({bexpr} + 2 as int)), 0L)"
+        )
+        z_sql = (
+            f"aggregate(_f, cast(0 as bigint), (acc, b) -> "
+            f"{fwd.format(w_at=w_at)})"
+        )
+        errf = (
+            fd.select(F.col("_f"), F.col("y"), F.expr(z_sql).alias("z"))
+            .select(
+                F.col("_f"),
+                F.col("y"),
+                F.expr(
+                    f"greatest(-{ZCLAMP}L, least({ZCLAMP}L, z))"
+                ).alias("zc"),
+            )
+            .select(F.col("_f"), F.expr(err_sql).alias("_err"))
+        )
+        if x_col is None:
+            grad = (
+                errf.select(F.col("_err"), F.explode("_f").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.sum("_err").alias("g"))
+            )
+        else:
+            grad = (
+                errf.select(F.col("_err"), F.explode("_f").alias("e"))
+                .select(F.col("e.bucket").alias("bucket"), F.expr(gterm).alias("_g"))
+                .groupBy("bucket")
+                .agg(F.sum("_g").alias("g"))
+            )
+        gmap = {int(r["bucket"]): int(r["g"]) for r in grad.collect()}
+        for b in wd:
+            wd[b] = wd[b] - _tdiv(gmap.get(b, 0) * lr_num, den)
+    _release()
+    return spark.createDataFrame(
+        sorted(wd.items()), schema="bucket bigint, w bigint"
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — what Spark ``div``
+    and DuckDB ``//`` compute on BIGINTs. Python's ``//`` floors, which
+    differs on negative operands, so the driver-side weight update must
+    spell it out (pinned by test_div_truncates_toward_zero)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
 
 def train_langid_ovr(
@@ -363,71 +482,117 @@ def train_langid_ovr(
     Returns (cls, bucket, w), w a BIGINT in units of 1/SCALE —
     bounded-artifact (K * (n_buckets + 1) rows), bit-reproducible on
     any engine and partitioning; the DuckDB oracle unrolls the same
-    rounds over the (cls, bucket) grid."""
+    rounds over the (cls, bucket) grid.
+
+    Execution shape (optimization round 12): the same doc-array
+    compression as :func:`train_logreg_fixed_point` — per step ONE scan
+    of the cached (id, _f, lang) frame computing the K per-class errors
+    inline against K dense literal weight arrays, then one
+    explode(classes) x explode(buckets) + (cls, bucket)-keyed hash-agg.
+    The previous shape fanned the feature rows out K-fold through a
+    broadcast join and paid a (doc, cls)-keyed hash-agg plus a
+    doc-keyed join per step; the regrouped integer sums are
+    bit-identical. ``feats`` accepts the row form or the ``_buckets``
+    doc-array form."""
     _release()
-    fj = _persist(
-        feats.join(labels, id_col)
-        .repartition(F.col(id_col))
-        .sortWithinPartitions(id_col)
-    )
-    n1 = fj.agg(F.count_distinct(F.col(id_col)).alias("n"))  # 1 row
-    classes = labels.select(
-        F.col(label_col).alias("cls")
-    ).distinct()  # bounded: number of languages
-    weights = (
-        fj.select("bucket")
-        .distinct()
-        .join(F.broadcast(classes))
-        .select("cls", "bucket", F.lit(0).cast("bigint").alias("w"))
-    )
-    for _ in range(steps):
-        zf = (
-            fj.join(F.broadcast(weights), "bucket")
-            .groupBy(id_col, "cls")
+    if "_buckets" in feats.columns:
+        fd = feats.join(labels, id_col).select(
+            F.col(id_col),
+            F.col("_buckets").alias("_f"),
+            F.col(label_col).alias("_lang"),
+        )
+    else:
+        fd = (
+            feats.join(labels, id_col)
+            .groupBy(id_col)
             .agg(
-                F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"),
-                F.min(
-                    (F.col(label_col) == F.col("cls")).cast("bigint")
-                ).alias("y"),
+                F.collect_list("bucket").alias("_f"),
+                F.min(label_col).alias("_lang"),
             )
         )
-        err = zf.select(
-            F.col(id_col),
-            "cls",
-            F.expr(f"greatest(-{ZCLAMP}L, least({ZCLAMP}L, z))").alias("zc"),
-            F.col("y"),
-        ).select(
-            F.col(id_col),
-            "cls",
-            (
-                F.lit(SCALE // 2)
-                + F.expr(f"(zc * {SCALE}) div (2 * ({SCALE} + abs(zc)))")
-                - F.col("y") * SCALE
-            ).alias("_err"),
+    fd = _persist(fd)
+    n = fd.count()
+    # class inventory from the LABELS frame (the original's contract:
+    # a language present only in labels still gets a trained head)
+    classes = sorted(
+        r["cls"]
+        for r in labels.select(F.col(label_col).alias("cls"))
+        .distinct()
+        .collect()
+    )
+    universe = [
+        int(r["bucket"])
+        for r in fd.select(F.explode("_f").alias("bucket"))
+        .distinct()
+        .collect()
+    ]
+    spark = fd.sparkSession
+    if not universe or not classes:
+        _release()
+        return spark.createDataFrame(
+            [], schema="cls string, bucket bigint, w bigint"
         )
+    wd = {(c, b): 0 for c in classes for b in universe}
+    size = max(universe) + 2
+    den = lr_den * n
+    for _ in range(steps):
+        zcols = []
+        for i, c in enumerate(classes):
+            dense = [0] * size
+            for b in universe:
+                dense[b + 1] = wd[(c, b)]
+            warr = "array(" + ",".join(f"{v}L" for v in dense) + ")"
+            zcols.append(
+                F.expr(
+                    f"aggregate(_f, cast(0 as bigint), (acc, b) -> acc + "
+                    f"coalesce(try_element_at({warr}, cast(b + 2 as int)),"
+                    f" 0L))"
+                ).alias(f"_z{i}")
+            )
+        staged = fd.select(F.col("_f"), F.col("_lang"), *zcols).select(
+            F.col("_f"),
+            F.col("_lang"),
+            *[
+                F.expr(
+                    f"greatest(-{ZCLAMP}L, least({ZCLAMP}L, _z{i}))"
+                ).alias(f"_zc{i}")
+                for i in range(len(classes))
+            ],
+        )
+        per_class = []
+        for i, c in enumerate(classes):
+            esc = c.replace("'", "''")
+            y_sql = f"(CASE WHEN _lang = '{esc}' THEN 1L ELSE 0L END)"
+            e_sql = (
+                f"({SCALE // 2}) + (_zc{i} * {SCALE})"
+                f" div (2 * ({SCALE} + abs(_zc{i}))) - {y_sql} * {SCALE}"
+            )
+            per_class.append(
+                f"named_struct('cls', '{esc}',"
+                f" 'err', cast(({e_sql}) as bigint))"
+            )
+        errs = F.expr("array(" + ",".join(per_class) + ")")
         grad = (
-            fj.join(err, id_col)
+            staged.select(F.col("_f"), F.explode(errs).alias("e"))
+            .select(
+                F.col("e.cls").alias("cls"),
+                F.col("e.err").alias("_err"),
+                F.explode("_f").alias("bucket"),
+            )
             .groupBy("cls", "bucket")
             .agg(F.sum("_err").alias("g"))
         )
-        weights = (
-            weights.join(grad, ["cls", "bucket"], "left")
-            .join(F.broadcast(n1))
-            .select(
-                "cls",
-                "bucket",
-                F.expr(
-                    f"w - ((coalesce(g, 0) * {lr_num}) div ({lr_den} * n))"
-                ).alias("w"),
-            )
-        )
-        # same bounded-artifact eager cut as the binary trainer
-        rows = [(r["cls"], r["bucket"], r["w"]) for r in weights.collect()]
-        weights = weights.sparkSession.createDataFrame(
-            rows, schema="cls string, bucket bigint, w bigint"
-        )
+        gmap = {
+            (r["cls"], int(r["bucket"])): int(r["g"])
+            for r in grad.collect()
+        }
+        for key in wd:
+            wd[key] = wd[key] - _tdiv(gmap.get(key, 0) * lr_num, den)
     _release()
-    return weights
+    return spark.createDataFrame(
+        [(c, b, w) for (c, b), w in sorted(wd.items())],
+        schema="cls string, bucket bigint, w bigint",
+    )
 
 
 def langid_predict(
@@ -445,16 +610,41 @@ def langid_predict(
     the lexicographically LARGER language code (struct max —
     deterministic in both engines, mirrored in the oracle)."""
     if feats is None:
-        feats = hashed_subword_features(df, id_col, text_col, n_buckets, seed)
-    scores = (
-        feats.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col, "cls")
-        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"))
-    )
-    best = scores.groupBy(id_col).agg(
-        F.max(F.struct(F.col("z"), F.col("cls"))).alias("_m")
-    )
-    return best.select(
+        feats = hashed_subword_feature_arrays(
+            df, id_col, text_col, n_buckets, seed
+        )
+    if "_buckets" in feats.columns:
+        fd = feats.select(F.col(id_col), F.col("_buckets").alias("_f"))
+    else:
+        fd = feats.groupBy(id_col).agg(F.collect_list("bucket").alias("_f"))
+    rows = weights.collect()  # bounded: K x (n_buckets + 1) by contract
+    wd: dict = {}
+    for r in rows:
+        wd.setdefault(r["cls"], {})[int(r["bucket"])] = int(r["w"])
+    classes = sorted(wd)
+    if not classes:
+        return fd.sparkSession.createDataFrame(
+            [], schema=f"{id_col} bigint, pred_lang string, score_scaled bigint"
+        )
+    size = max(max(d) for d in wd.values()) + 2
+    structs = []
+    for c in classes:
+        dense = [0] * size
+        for b, w in wd[c].items():
+            dense[b + 1] = w
+        warr = "array(" + ",".join(f"{v}L" for v in dense) + ")"
+        esc = c.replace("'", "''")
+        # INNER-join parity with the previous shape: a bucket absent
+        # from the weight grid contributes nothing (try_element_at ->
+        # NULL -> 0); every doc carries the bias bucket, which is
+        # always in the grid, so the doc row set is unchanged.
+        structs.append(
+            f"named_struct('z', aggregate(_f, cast(0 as bigint), "
+            f"(acc, b) -> acc + coalesce(try_element_at({warr}, "
+            f"cast(b + 2 as int)), 0L)), 'cls', '{esc}')"
+        )
+    best = F.expr("array_max(array(" + ",".join(structs) + "))")
+    return fd.select(F.col(id_col), best.alias("_m")).select(
         F.col(id_col),
         F.col("_m.cls").alias("pred_lang"),
         F.col("_m.z").alias("score_scaled"),
@@ -475,17 +665,43 @@ def trained_score(
     keep decision z >= 0. Same shape as training's forward pass: one
     broadcast join + one doc-keyed hash-agg. Pass ``feats`` to score
     with a different feature map than the token default (e.g.
-    hashed_subword_features — it must match the map the weights were
-    trained on)."""
+    hashed_subword_feature_arrays — it must match the map the weights
+    were trained on).
+
+    Execution shape (optimization round 12): the weight table is a
+    bounded artifact (<= n_buckets + 1 rows by contract), so it is
+    collected into a dense literal array and the score becomes a
+    doc-local array fold over the doc's bucket set — ZERO shuffle
+    (the previous shape paid the feature explode+distinct exchange
+    plus a doc-keyed hash-agg). Buckets outside the trained grid
+    contribute 0, exactly like the previous left join's coalesce."""
     if feats is None:
-        feats = hashed_token_features(df, id_col, text_col, n_buckets, seed)
-    return (
-        feats.join(F.broadcast(weights), "bucket", "left")
-        .groupBy(id_col)
-        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("z"))
-        .select(
-            F.col(id_col),
-            F.col("z").alias("score_scaled"),
-            (F.col("z") >= 0).alias("kept"),
+        feats = hashed_token_feature_arrays(
+            df, id_col, text_col, n_buckets, seed
         )
+    if "_buckets" in feats.columns:
+        fd = feats.select(F.col(id_col), F.col("_buckets").alias("_f"))
+    else:
+        fd = feats.groupBy(id_col).agg(F.collect_list("bucket").alias("_f"))
+    rows = weights.collect()  # bounded artifact by contract
+    wd = {int(r["bucket"]): int(r["w"]) for r in rows}
+    if not wd:
+        return fd.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("score_scaled"),
+            F.lit(True).alias("kept"),
+        )
+    size = max(wd) + 2
+    dense = [0] * size
+    for b, w in wd.items():
+        dense[b + 1] = w
+    warr = "array(" + ",".join(f"{v}L" for v in dense) + ")"
+    z = F.expr(
+        f"aggregate(_f, cast(0 as bigint), (acc, b) -> acc + "
+        f"coalesce(try_element_at({warr}, cast(b + 2 as int)), 0L))"
+    )
+    return fd.select(F.col(id_col), z.alias("z")).select(
+        F.col(id_col),
+        F.col("z").alias("score_scaled"),
+        (F.col("z") >= 0).alias("kept"),
     )

@@ -110,24 +110,52 @@ def token_f1(
     )
 
 
+def _lcs_bitparallel(p, r):
+    """Exact LCS length via the Allison–Dix bit-parallel recurrence
+    (V' = (V + (V & M)) | (V & ~M), LCS = zero bits of V): O(n * m/64)
+    word operations per pair instead of the O(n * m^2) array copying
+    the previous nested-``aggregate`` Catalyst DP paid (each inner DP
+    row was built by repeated ``concat``). Bit-identical to the
+    classic DP (pinned by test_lcs_bitparallel_matches_dp and the
+    unchanged DuckDB oracle, which still replays the classic DP)."""
+    import pandas as pd
+
+    out = []
+    for pp, rr in zip(p, r):
+        if pp is None or rr is None:
+            out.append(None)
+            continue
+        m = len(rr)
+        if m == 0 or len(pp) == 0:
+            out.append(0)
+            continue
+        masks: dict = {}
+        for j, t in enumerate(rr):
+            masks[t] = masks.get(t, 0) | (1 << j)
+        full = (1 << m) - 1
+        v = full
+        for t in pp:
+            mk = masks.get(t)
+            if mk is None:
+                continue  # U = 0: the update leaves V unchanged
+            u = v & mk
+            v = ((v + u) | (v & ~mk)) & full
+        out.append(m - bin(v).count("1"))
+    return pd.Series(out, dtype="object")
+
+
 def _lcs_len(p: str, r: str) -> Column:
-    """LCS length between two token-array COLUMNS (by name):
-    row-rolling DP as nested whole-stage-codegen aggregate folds (no
-    UDF). Guarded for empty sides (Spark's sequence(1, 0) DESCENDS
-    instead of emptying)."""
-    fold = (
-        f"aggregate(sequence(1, size({p})), "
-        f"transform(sequence(0, size({r})), x -> 0), "
-        f"(prev, i) -> aggregate(sequence(1, size({r})), array(0), "
-        f"(acc, j) -> concat(acc, array(greatest("
-        f"element_at(prev, j + 1), element_at(acc, j), "
-        f"element_at(prev, j) + IF(element_at({p}, i) = element_at({r}, j), "
-        f"1, 0))))))"
-    )
-    return F.expr(
-        f"CASE WHEN size({p}) = 0 OR size({r}) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE CAST(element_at({fold}, -1) AS BIGINT) END"
-    )
+    """LCS length between two token-array COLUMNS (by name): exact
+    bit-parallel fold in an Arrow-vectorized escape (ArrowEvalPython —
+    the justified-escape class, guide §4.2: hand whole batches to a
+    native/bit-level algorithm instead of interpreting an O(n*m^2)
+    expression DP per row). The empty-side guard stays in SQL so the
+    degenerate rows never cross the Python boundary."""
+    fold = F.pandas_udf(_lcs_bitparallel, "bigint")(F.col(p), F.col(r))
+    return F.when(
+        (F.size(F.col(p)) == 0) | (F.size(F.col(r)) == 0),
+        F.lit(0).cast("bigint"),
+    ).otherwise(fold.cast("bigint"))
 
 
 def rouge_l(

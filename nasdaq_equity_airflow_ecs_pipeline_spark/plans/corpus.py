@@ -697,7 +697,7 @@ def curate_corpus_v7(
         "doc_id", "text"
     )
     weights = clf.train_logreg_fixed_point(
-        clf.hashed_token_features(
+        clf.hashed_token_feature_arrays(
             td, n_buckets=clf_buckets, seed=clf_seed
         ),
         clf.rule_labels(td),

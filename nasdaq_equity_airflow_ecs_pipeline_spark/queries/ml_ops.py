@@ -50,7 +50,7 @@ def q_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
     oracle unrolls the same 16 rounds as CTEs with DuckDB integer
     division; weights match bit-for-bit."""
     d = _docs(spark, sf).select("doc_id", "text")
-    feats = clf.hashed_token_features(
+    feats = clf.hashed_token_feature_arrays(
         d, n_buckets=CLF_BUCKETS, seed=CLF_SEED
     )
     labels = clf.rule_labels(d)
@@ -196,7 +196,7 @@ def q_classifier_train_ngram(spark: SparkSession, sf: str) -> DataFrame:
     robustness to misspelled markers is pinned by
     test_classifier_ngram_beats_token_on_misspellings."""
     d = _docs(spark, sf).select("doc_id", "text")
-    feats = clf.hashed_subword_features(
+    feats = clf.hashed_subword_feature_arrays(
         d, n_buckets=NG_BUCKETS, seed=CLF_SEED, minn=NG_MINN, maxn=NG_MAXN
     )
     labels = clf.rule_labels(d)
@@ -238,7 +238,7 @@ def q_langid_train(spark: SparkSession, sf: str) -> DataFrame:
     test_langid_beats_marker_heuristic on a real multi-language
     fixture; this query pins the cross-engine training arithmetic.)"""
     d = _docs(spark, sf).select("doc_id", "text", "lang")
-    feats = clf.hashed_subword_features(
+    feats = clf.hashed_subword_feature_arrays(
         d.select("doc_id", "text"),
         n_buckets=NG_BUCKETS,
         seed=CLF_SEED,
@@ -260,7 +260,7 @@ def q_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
     doc-keyed struct-max over the training plan; ties break to the
     lexicographically larger code (struct max, both engines)."""
     d = _docs(spark, sf).select("doc_id", "text", "lang")
-    feats = clf.hashed_subword_features(
+    feats = clf.hashed_subword_feature_arrays(
         d.select("doc_id", "text"),
         n_buckets=NG_BUCKETS,
         seed=CLF_SEED,
@@ -367,7 +367,7 @@ def q_filter_eval_trained(spark: SparkSession, sf: str) -> DataFrame:
     on the same corpus. One extra broadcast join + doc-keyed agg over
     the training plan."""
     d = _docs(spark, sf).select("doc_id", "text")
-    feats = clf.hashed_token_features(d, n_buckets=CLF_BUCKETS, seed=CLF_SEED)
+    feats = clf.hashed_token_feature_arrays(d, n_buckets=CLF_BUCKETS, seed=CLF_SEED)
     labels = clf.rule_labels(d)
     weights = clf.train_logreg_fixed_point(
         feats,
@@ -378,7 +378,7 @@ def q_filter_eval_trained(spark: SparkSession, sf: str) -> DataFrame:
         cb_neg=CLF_CB_NEG,
     )
     scored = clf.trained_score(
-        d, weights, n_buckets=CLF_BUCKETS, seed=CLF_SEED
+        d, weights, n_buckets=CLF_BUCKETS, seed=CLF_SEED, feats=feats
     )
     j = scored.join(labels, "doc_id")
     y1 = F.col("y") == 1

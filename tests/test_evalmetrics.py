@@ -89,3 +89,38 @@ def test_rouge_l_subsequence_not_substring(spark):
     # contiguous — LCS must see it
     r = rouge_l(_pairs(spark, [(1, "p b c", "p x b y c")])).collect()[0]
     assert r["lcs"] == 3
+
+
+def test_lcs_bitparallel_matches_dp():
+    # the Arrow-escape kernel (optimization r12) against the classic
+    # DP, driver-side: random token sequences crossing the 64-bit
+    # word boundary (m > 64) so the big-int carry path is exercised
+    import random
+
+    from nasdaq_equity_airflow_ecs_pipeline_spark.operators.evalmetrics import (
+        _lcs_bitparallel,
+    )
+
+    rng = random.Random(7)
+    ps, rs, want = [], [], []
+    for _ in range(500):
+        n, m = rng.randint(0, 90), rng.randint(0, 90)
+        alpha = rng.randint(1, 8)
+        p = [f"t{rng.randint(0, alpha)}" for _ in range(n)]
+        r = [f"t{rng.randint(0, alpha)}" for _ in range(m)]
+        ps.append(p)
+        rs.append(r)
+        want.append(_py_lcs(p, r))
+    ps.append(None)
+    rs.append(["x"])
+    want.append(None)
+    got = list(_lcs_bitparallel(ps, rs))
+    assert got == want
+
+
+def test_rouge_l_long_doc_crosses_word_boundary(spark):
+    # one in-engine case with both sides > 64 tokens
+    p = " ".join(f"w{i % 13}" for i in range(150))
+    r = " ".join(f"w{(i * 3) % 13}" for i in range(140))
+    row = rouge_l(_pairs(spark, [(1, p, r)])).collect()[0]
+    assert row["lcs"] == _py_lcs(p.split(), r.split())
