@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine, ivf_assign
+from .similarity import _dot, _norm2, ivf_assign
 
 COSQ_SCALE = 10**12
 MARGIN_SCALE = 1_000_000
@@ -54,8 +54,16 @@ BITEXT_K = 4
 BITEXT_MARGIN_MIN_X1E6 = 1_050_000  # margin >= 1.05
 
 
-def _cos_q(a, b):
-    return F.floor(cosine(a, b) * F.lit(COSQ_SCALE)).cast("bigint")
+def _cos_q_prenorm(a, b, anorm, bnorm):
+    """cos_q over pre-computed per-vector norms: the pair stage folds
+    ONE zip_with (the dot product) instead of three — sqrt(norm2) is a
+    per-row projection on each side below the join, so it is computed
+    n+m times, not n*m. Bit-identical: same IEEE doubles in the same
+    ``dot / (sqrt(n2a) * sqrt(n2b))`` expression, just evaluated once
+    per vector."""
+    return F.floor(_dot(a, b) / (anorm * bnorm) * F.lit(COSQ_SCALE)).cast(
+        "bigint"
+    )
 
 
 def bitext_margin(
@@ -66,22 +74,28 @@ def bitext_margin(
     """The margin core over a candidate frame (src_id, tgt_id, cos_q >
     0): forward/backward k-NN ranks, order-free integer neighborhood
     sums via partition windows, the ratio margin, and the per-src
-    best-margin selection. Two window passes over the candidate frame
-    — no joins back to the vectors."""
+    best-margin selection — no joins back to the vectors.
+
+    Window specs are grouped by partition key (both tgt-keyed windows,
+    then all three src-keyed ones) so the candidate frame crosses the
+    network exactly twice: one Exchange on tgt_id, one on src_id; the
+    final best-margin window rides the src_id partitioning already in
+    place (a Sort, no third Exchange). Interleaving the specs — the
+    naive spelling — costs five Exchanges for the same result, since
+    each rank/sum pair alternates partition keys."""
     wf = Window.partitionBy("src_id").orderBy(F.desc("cos_q"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_q"), F.asc("src_id"))
-    ranked = pairs.withColumn("frank", F.row_number().over(wf)).withColumn(
-        "brank", F.row_number().over(wb)
-    )
-    fsum = F.sum(
-        F.when(F.col("frank") <= k, F.col("cos_q"))
-    ).over(Window.partitionBy("src_id"))
     bsum = F.sum(
         F.when(F.col("brank") <= k, F.col("cos_q"))
     ).over(Window.partitionBy("tgt_id"))
+    fsum = F.sum(
+        F.when(F.col("frank") <= k, F.col("cos_q"))
+    ).over(Window.partitionBy("src_id"))
     cand = (
-        ranked.withColumn("fsum", fsum)
+        pairs.withColumn("brank", F.row_number().over(wb))
         .withColumn("bsum", bsum)
+        .withColumn("frank", F.row_number().over(wf))
+        .withColumn("fsum", fsum)
         .filter((F.col("frank") <= k) | (F.col("brank") <= k))
         .withColumn(
             "margin_x1e6",
@@ -116,12 +130,24 @@ def bitext_mine(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs margin mining — the quadratic validation twin."""
-    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
-    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("sv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("snr"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("tv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("tnr"),
+    )
     pairs = (
         s.crossJoin(t)
         .select(
-            "src_id", "tgt_id", _cos_q(F.col("sv"), F.col("tv")).alias("cos_q")
+            "src_id",
+            "tgt_id",
+            _cos_q_prenorm(
+                F.col("sv"), F.col("tv"), F.col("snr"), F.col("tnr")
+            ).alias("cos_q"),
         )
         .filter(F.col("cos_q") > 0)
     )
@@ -148,6 +174,7 @@ def bitext_mine_ivf(
     ).select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("sv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("snr"),
         F.col("centroid_id").alias("cid"),
     )
     ta = tgt.join(
@@ -158,12 +185,17 @@ def bitext_mine_ivf(
     ).select(
         F.col(id_col).alias("tgt_id"),
         F.col(vec_col).alias("tv"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("tnr"),
         F.col("centroid_id").alias("cid"),
     )
     pairs = (
         sa.join(ta, "cid")
         .select(
-            "src_id", "tgt_id", _cos_q(F.col("sv"), F.col("tv")).alias("cos_q")
+            "src_id",
+            "tgt_id",
+            _cos_q_prenorm(
+                F.col("sv"), F.col("tv"), F.col("snr"), F.col("tnr")
+            ).alias("cos_q"),
         )
         .filter(F.col("cos_q") > 0)
     )
