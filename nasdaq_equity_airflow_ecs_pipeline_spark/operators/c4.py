@@ -55,7 +55,7 @@ VERDICT r11 item #1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -202,10 +202,11 @@ def c4_apply(
     )
 
 
-def _sentence_rows(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """(id, pos, sent): every sentence of every doc, 1-based."""
+def _doc_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _s): each doc's sentence ARRAY — the shared doc-level base
+    the span explode and the rebuild both consume (r12 optimization:
+    the heavy text stays one row per doc end to end; only span keys
+    and hit positions ever explode)."""
     # explicit one-arg lambda: passing F.trim directly would let
     # transform() bind the array index to trim's optional trimStr param
     sarr = F.transform(
@@ -214,24 +215,13 @@ def _sentence_rows(
         ),
         lambda s: F.trim(s),
     )
-    return df.select(F.col(id_col), F.posexplode(sarr)).select(
-        F.col(id_col),
-        (F.col("pos") + 1).cast("bigint").alias("pos"),
-        F.col("col").alias("sent"),
-    )
+    return df.select(F.col(id_col), sarr.alias("_s"))
 
 
-def _span_rows(
-    df: DataFrame, id_col: str, text_col: str, span: int
-) -> DataFrame:
-    """(id, pos, gkey): every stride-1 ``span``-sentence window, keyed
-    by md5 over the \\x01-joined sentences (the exact-equality class)."""
-    sarr = F.transform(
-        F.regexp_extract_all(
-            F.col(text_col), F.lit(C4_SENT_EXTRACT_PAT), 0
-        ),
-        lambda s: F.trim(s),
-    )
+def _span_rows_from_base(base: DataFrame, id_col: str, span: int) -> DataFrame:
+    """(id, pos, gkey) from a :func:`_doc_sentences` base: every
+    stride-1 ``span``-sentence window, keyed by md5 over the
+    \\x01-joined sentences (the exact-equality class)."""
     skey = F.transform(
         F.sequence(F.lit(1), F.size("_s") - F.lit(span - 1)),
         lambda i: F.struct(
@@ -245,8 +235,7 @@ def _span_rows(
         ),
     )
     return (
-        df.select(F.col(id_col), sarr.alias("_s"))
-        .filter(F.size("_s") >= span)
+        base.filter(F.size("_s") >= span)
         .select(F.col(id_col), F.explode(skey).alias("g"))
         .select(
             id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey")
@@ -254,46 +243,54 @@ def _span_rows(
     )
 
 
+def _span_rows(
+    df: DataFrame, id_col: str, text_col: str, span: int
+) -> DataFrame:
+    """(id, pos, gkey): every stride-1 ``span``-sentence window, keyed
+    by md5 over the \\x01-joined sentences (the exact-equality class)."""
+    return _span_rows_from_base(
+        _doc_sentences(df, id_col, text_col), id_col, span
+    )
+
+
 def _rebuild_without(
-    sents: DataFrame, hits: DataFrame, id_col: str, text_col: str, span: int
+    base: DataFrame, hits: DataFrame, id_col: str, text_col: str, span: int
 ) -> DataFrame:
     """Remove every sentence covered by a hit span and rebuild:
-    (id, text, n_removed) for docs with >= 1 surviving sentence."""
-    removed = (
+    (id, text, n_removed) for docs with >= 1 surviving sentence.
+
+    Doc-level (r12 optimization): hit spans collapse to ONE removed-
+    position set per doc (a doc-bounded array), attached to the
+    :func:`_doc_sentences` base by a single doc-keyed join; surviving
+    text rebuilds with an index-aware array filter. The old shape —
+    sentence explode, (id, pos) anti-join, doc-keyed collect_list,
+    second agg + join for totals — shuffled every sentence string
+    twice; here the only shuffled rows are hit positions."""
+    rm = (
         hits.select(
             F.col(id_col),
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_rm"))
     )
-    totals = sents.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_sent")
+    kept = F.filter(
+        F.col("_s"),
+        lambda s, i: F.col("_rm").isNull()
+        | ~F.array_contains(F.col("_rm"), (i + 1).cast("bigint")),
     )
-    kept = sents.join(removed, [id_col, "pos"], "left_anti")
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("sent")))
-                    ),
-                    lambda s: s["sent"],
-                ),
-                " ",
-            ).alias(text_col),
-            F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
-        )
-        .join(totals, id_col)
+        base.join(rm, [id_col], "left")
         .select(
-            id_col,
-            text_col,
-            (F.col("_n_sent") - F.col("_n_kept")).cast("bigint").alias(
-                "n_removed"
-            ),
+            F.col(id_col),
+            F.array_join(kept, " ").alias(text_col),
+            (F.size("_s") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.size(kept).alias("_n_kept"),
         )
+        .filter(F.col("_n_kept") >= 1)
+        .drop("_n_kept")
     )
 
 
@@ -328,16 +325,22 @@ def c4_span_dedup_delta(
     rebuild restricted to delta ids — pinned by pytest and the
     restricted oracle. Returns (folded_index, delta_result); cost is
     delta-sized (the standing side enters only as the key semi-join)."""
-    spans_d = _span_rows(delta, id_col, text_col, span)
-    stats_d = spans_d.groupBy("gkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    base_d = _doc_sentences(delta, id_col, text_col).localCheckpoint(
+        eager=False
     )
+    spans_d = _span_rows_from_base(base_d, id_col, span)
     standing_hit = spans_d.join(standing_keys, "gkey", "left_semi").select(
         id_col, "pos"
     )
+    # intra-delta duplicates via one gkey-window pass (see
+    # c4_span_dedup); the union needs no distinct — the rebuild's
+    # collect_set dedups covered positions.
+    w = Window.partitionBy("gkey")
     intra_hit = (
-        spans_d.join(stats_d, "gkey")
+        spans_d.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+        )
         .filter(
             (F.col("_n") > 1)
             & ~(
@@ -347,9 +350,8 @@ def c4_span_dedup_delta(
         )
         .select(id_col, "pos")
     )
-    hits = standing_hit.unionByName(intra_hit).distinct()
-    sents = _sentence_rows(delta, id_col, text_col)
-    result = _rebuild_without(sents, hits, id_col, text_col, span)
+    hits = standing_hit.unionByName(intra_hit)
+    result = _rebuild_without(base_d, hits, id_col, text_col, span)
     folded = standing_keys.unionByName(
         spans_d.select("gkey")
     ).distinct()
@@ -370,13 +372,19 @@ def c4_span_dedup(
     sentence — text is the surviving sentences joined by single
     spaces (the newline structure is consumed, the decontamination
     convention)."""
-    spans = _span_rows(df, id_col, text_col, span)
-    stats = spans.groupBy("gkey").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-    )
+    base = _doc_sentences(df, id_col, text_col).localCheckpoint(eager=False)
+    spans = _span_rows_from_base(base, id_col, span)
+    # duplicate detection as two window functions over ONE gkey
+    # exchange of the span-key rows (the old groupBy + join-back
+    # spelling exchanged the span frame twice); the sentence text
+    # itself stays doc-level (base is pinned: one upstream-chain
+    # evaluation feeds both the span explode and the rebuild).
+    w = Window.partitionBy("gkey")
     hits = (
-        spans.join(stats, "gkey")
+        spans.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+        )
         .filter(
             (F.col("_n") > 1)
             & ~(
@@ -386,5 +394,4 @@ def c4_span_dedup(
         )
         .select(id_col, "pos")
     )
-    sents = _sentence_rows(df, id_col, text_col)
-    return _rebuild_without(sents, hits, id_col, text_col, span)
+    return _rebuild_without(base, hits, id_col, text_col, span)

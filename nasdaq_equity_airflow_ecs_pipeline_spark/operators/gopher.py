@@ -40,12 +40,14 @@ keep/drop behavior vs reference pipelines; ADVICE r11):
 
 Scale shape: the quality flags are ONE narrow map (pure column
 expressions, zero shuffle, pushdown-friendly). The repetition stats
-are one explode (units: lines + paragraphs + n-grams for n=2..10,
-~9x token count rows) -> one hash-agg keyed (doc, kind, unit) -> one
-hash-agg keyed (doc, kind) -> a 13-way metric projection joined back
-to the doc list (rows absent for short docs surface as numer=denom=0,
-ok=true — honest absence, never NULL). No windows, no UDFs, no
-corpus-keyed shuffle beyond the per-doc aggs.
+are ALSO a zero-shuffle narrow map (r12 optimization): every unit
+population (lines, paragraphs, each n-gram order) is per-document,
+so per-kind duplicate-run folds over doc-local sorted unit arrays
+(:func:`_run_stats`) replace the old ~9x-token-row explode whose
+shuffle payload was the unit strings, and the 13 metrics project in
+one explode of a literal-shaped array — numer/denom/ok inline, short
+docs surface as numer=denom=0, ok=true (honest absence, never NULL).
+No windows, no UDFs, no joins, no shuffle at all.
 
 Reference parity: the reference is a row-level OHLCV ETL
 (/root/reference/glue/jobs/build_stock_fact_table.py,
@@ -125,40 +127,80 @@ def gopher_quality_flags(
     )
 
 
-def _unit_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, kind, unit): every line, paragraph, and word n-gram
-    (n = 2..10) of every doc — the single explode the repetition
-    metrics aggregate over."""
-    lines = df.select(
-        F.col(id_col),
-        F.lit("line").alias("kind"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("unit"),
+def _dup_stats(units):
+    """Doc-local duplicate statistics over one unit array, all native
+    expressions — the zero-shuffle twin of the old explode +
+    (doc, kind, unit) hash-agg: with cnt(u) the multiplicity of unit
+    u,
+
+    - dup_units = sum over u of (cnt-1) = size(arr) - #distinct
+    - dup_chars = sum over duplicated u of (cnt-1)*len(u)
+                = total chars - distinct-unit chars
+      (cnt = 1 terms contribute 0, so the all-units/distinct-units
+      difference is exactly the beyond-first character mass), and the
+      character sums are one native concat each:
+      ``length(array_join(arr, ''))``.
+
+    Integer-exact; returns struct(n_units, dup_units, dup_chars)."""
+    dis = F.array_distinct(units)
+    all_ch = F.length(F.array_join(units, ""))
+    dis_ch = F.length(F.array_join(dis, ""))
+    return F.struct(
+        F.size(units).cast("bigint").alias("n_units"),
+        (F.size(units) - F.size(dis)).cast("bigint").alias("dup_units"),
+        (all_ch - dis_ch).cast("bigint").alias("dup_chars"),
     )
-    paras = df.select(
-        F.col(id_col),
-        F.lit("para").alias("kind"),
-        F.explode(F.split(F.col(text_col), "\n\n")).alias("unit"),
-    )
-    ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
-    grams = (
-        df.select(F.col(id_col), tokens(text_col).alias("_t"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"flatten(transform(array({','.join(map(str, ns))}), n -> "
-                    f"CASE WHEN size(_t) >= n THEN "
-                    f"transform(sequence(1, size(_t) - n + 1), i -> "
-                    f"named_struct('kind', concat('g', CAST(n AS STRING)), "
-                    f"'unit', array_join(slice(_t, i, n), ' '))) "
-                    f"ELSE CAST(array() AS "
-                    f"ARRAY<STRUCT<kind: STRING, unit: STRING>>) END))"
-                )
-            ).alias("e"),
+
+
+def _top_chars(units):
+    """Characters covered by ALL occurrences of the most frequent
+    unit: ``array_sort`` groups equal units into adjacent runs, a slim
+    sequential fold tracks the best (count, unit) run. Replays the old
+    ``max(struct(cnt, unit, ch))`` tie-break exactly — iterating runs
+    in ascending unit order, ``run >= best`` updates the best, so
+    equal counts resolve to the lexicographically larger unit. Empty
+    array yields 0 (downstream treats it identically to the old
+    absent-(doc, kind) row, which the metric grid coalesced to
+    numer = 0)."""
+
+    def _acc(prev, run, bc, bu):
+        return F.struct(
+            prev.alias("prev"),
+            run.cast("bigint").alias("run"),
+            bc.cast("bigint").alias("bc"),
+            bu.alias("bu"),
         )
-        .select(id_col, F.col("e.kind").alias("kind"), F.col("e.unit").alias("unit"))
+
+    def _close(acc):
+        upd = acc["run"] >= acc["bc"]
+        return (
+            F.when(upd, acc["run"]).otherwise(acc["bc"]),
+            F.when(upd, acc["prev"]).otherwise(acc["bu"]),
+        )
+
+    def _step(acc, x):
+        bc, bu = _close(acc)
+        return (
+            F.when(
+                acc["prev"].isNull(), _acc(x, F.lit(1), acc["bc"], acc["bu"])
+            )
+            .when(x == acc["prev"], _acc(x, acc["run"] + 1, acc["bc"],
+                                         acc["bu"]))
+            .otherwise(_acc(x, F.lit(1), bc, bu))
+        )
+
+    def _fin(acc):
+        bc, bu = _close(acc)
+        return (
+            F.when(acc["prev"].isNull(), F.lit(0).cast("bigint"))
+            .otherwise((bc * F.length(bu)).cast("bigint"))
+        )
+
+    zero = _acc(
+        F.lit(None).cast("string"), F.lit(0), F.lit(0),
+        F.lit(None).cast("string"),
     )
-    return lines.unionByName(paras).unionByName(grams)
+    return F.aggregate(F.array_sort(units), zero, _step, _fin)
 
 
 def gopher_repetition_stats(
@@ -166,123 +208,83 @@ def gopher_repetition_stats(
 ) -> DataFrame:
     """The 13 Gopher repetition metrics per doc, long format:
     (id, metric, numer, denom, ok) — see the module docstring for the
-    exact integer definitions and thresholds."""
-    agg = (
-        _unit_rows(df, id_col, text_col)
-        .groupBy(id_col, "kind", "unit")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col, "kind")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_units"),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") - 1).otherwise(0)
-            ).cast("bigint").alias("dup_units"),
-            F.sum(
-                F.when(
-                    F.col("cnt") >= 2,
-                    (F.col("cnt") - 1) * F.length("unit"),
-                ).otherwise(0)
-            ).cast("bigint").alias("dup_chars"),
-            F.max(
-                F.struct(
-                    F.col("cnt"),
-                    F.col("unit"),
-                    (F.col("cnt") * F.length("unit")).alias("ch"),
-                )
-            )["ch"].cast("bigint").alias("top_chars"),
-        )
-    )
-    # one metric-array projection per agg row (the agg is scanned ONCE,
-    # never per metric), exploded to the long format. CHARACTER-fraction
-    # metrics carry no denominator here: the document character count
-    # joins in from the grid side (the DataTrove doc-length convention);
-    # unit-fraction metrics keep their per-kind unit count. Short docs
-    # whose kind never materialized surface via the (doc x metric) grid
-    # join as numer=0 (denom = doc chars for char metrics, 0 for unit
-    # metrics), ok=true — honest absence, never NULL.
-    def _m(name: str, numer: str, udenom: str | None):
-        return F.struct(
-            F.lit(name).alias("metric"),
-            F.col(numer).cast("bigint").alias("numer"),
-            (F.col(udenom) if udenom else F.lit(None))
-            .cast("bigint")
-            .alias("udenom"),
-        )
+    exact integer definitions and thresholds.
 
-    marr = (
-        F.when(
-            F.col("kind") == "line",
-            F.array(
-                _m("dup_line_frac", "dup_units", "n_units"),
-                _m("dup_line_char_frac", "dup_chars", None),
-            ),
-        )
-        .when(
-            F.col("kind") == "para",
-            F.array(
-                _m("dup_para_frac", "dup_units", "n_units"),
-                _m("dup_para_char_frac", "dup_chars", None),
-            ),
-        )
+    Scale shape (r12 optimization): every unit population (lines,
+    paragraphs, each n-gram order) is per-DOCUMENT, so nothing ever
+    needs to cross the network — the old explode (~9x token rows,
+    the unit STRINGS as shuffle payload) into two doc-keyed hash-aggs
+    plus a metric-grid join is now a single zero-shuffle projection:
+    per-kind :func:`_run_stats` folds over doc-local unit arrays, one
+    13-way metric explode, numer/denom/ok computed inline. Results
+    identical (same integer counts, same struct-max tie-break, absent
+    kinds surface as numer = 0 exactly as the old grid coalesce)."""
+    ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("_doc_chars"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.split(F.col(text_col), "\n\n").alias("_paras"),
+        tokens(text_col).alias("_t"),
     )
-    for n in TOP_NGRAM_THR_X100:
-        marr = marr.when(
-            F.col("kind") == f"g{n}",
-            F.array(_m(f"top_ngram_char_{n}", "top_chars", None)),
-        )
-    for n in DUP_NGRAM_THR_X100:
-        marr = marr.when(
-            F.col("kind") == f"g{n}",
-            F.array(_m(f"dup_ngram_char_{n}", "dup_chars", None)),
-        )
-    rows = agg.select(F.col(id_col), F.explode(marr).alias("m")).select(
+
+    def _grams(n: int):
+        t = F.col("_t")
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n) + F.lit(1)),
+                lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    stats = base.select(
+        F.col(id_col),
+        "_doc_chars",
+        _dup_stats(F.col("_lines")).alias("_line"),
+        _dup_stats(F.col("_paras")).alias("_para"),
+        *[_top_chars(_grams(n)).alias(f"_g{n}")
+          for n in TOP_NGRAM_THR_X100],
+        *[_dup_stats(_grams(n))["dup_chars"].alias(f"_g{n}")
+          for n in DUP_NGRAM_THR_X100],
+    )
+    # (metric, numerator column, unit-denominator struct column or
+    # None for the document-character denominator, threshold)
+    specs = (
+        [
+            ("dup_line_frac", F.col("_line")["dup_units"], "_line",
+             DUP_UNIT_THR_X100),
+            ("dup_line_char_frac", F.col("_line")["dup_chars"], None,
+             DUP_CHAR_THR_X100),
+            ("dup_para_frac", F.col("_para")["dup_units"], "_para",
+             DUP_UNIT_THR_X100),
+            ("dup_para_char_frac", F.col("_para")["dup_chars"], None,
+             DUP_CHAR_THR_X100),
+        ]
+        + [(f"top_ngram_char_{n}", F.col(f"_g{n}"), None, t)
+           for n, t in TOP_NGRAM_THR_X100.items()]
+        + [(f"dup_ngram_char_{n}", F.col(f"_g{n}"), None, t)
+           for n, t in DUP_NGRAM_THR_X100.items()]
+    )
+    marr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                numer.cast("bigint").alias("numer"),
+                (
+                    F.col(dsrc)["n_units"] if dsrc else F.col("_doc_chars")
+                ).cast("bigint").alias("denom"),
+                F.lit(thr).cast("int").alias("thr"),
+            )
+            for name, numer, dsrc, thr in specs
+        ]
+    )
+    return stats.select(F.col(id_col), F.explode(marr).alias("m")).select(
         F.col(id_col),
         F.col("m.metric").alias("metric"),
         F.col("m.numer").alias("numer"),
-        F.col("m.udenom").alias("udenom"),
-    )
-    specs = (
-        [
-            ("dup_line_frac", DUP_UNIT_THR_X100, False),
-            ("dup_line_char_frac", DUP_CHAR_THR_X100, True),
-            ("dup_para_frac", DUP_UNIT_THR_X100, False),
-            ("dup_para_char_frac", DUP_CHAR_THR_X100, True),
-        ]
-        + [(f"top_ngram_char_{n}", t, True)
-           for n, t in TOP_NGRAM_THR_X100.items()]
-        + [(f"dup_ngram_char_{n}", t, True)
-           for n, t in DUP_NGRAM_THR_X100.items()]
-    )
-    grid = df.select(
-        F.col(id_col),
-        F.length(text_col).cast("bigint").alias("_doc_chars"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("metric"),
-                        F.lit(thr).cast("int").alias("thr"),
-                        F.lit(is_char).alias("is_char"),
-                    )
-                    for name, thr, is_char in specs
-                ]
-            )
-        ).alias("s"),
-    ).select(
-        F.col(id_col),
-        "_doc_chars",
-        F.col("s.metric").alias("metric"),
-        F.col("s.thr").alias("thr"),
-        F.col("s.is_char").alias("is_char"),
-    )
-    numer = F.coalesce("numer", F.lit(0)).cast("bigint")
-    denom = F.when(F.col("is_char"), F.col("_doc_chars")).otherwise(
-        F.coalesce("udenom", F.lit(0))
-    ).cast("bigint")
-    return grid.join(rows, [id_col, "metric"], "left").select(
-        F.col(id_col),
-        "metric",
-        numer.alias("numer"),
-        denom.alias("denom"),
-        (numer * 100 <= denom * F.col("thr")).alias("ok"),
+        F.col("m.denom").alias("denom"),
+        (F.col("m.numer") * 100 <= F.col("m.denom") * F.col("m.thr")).alias(
+            "ok"
+        ),
     )

@@ -156,20 +156,31 @@ def score_docs(
     # OOMs (the x100 stress run caught the identical failure in
     # prefix_join). The docstring's "never broadcast" claim is enforced
     # in the plan, not left to the estimator.
-    scored = (
-        bg.join(model.bigrams.hint("merge"), ["w1", "w2"], "left")
+    # Type-level scoring: per-bigram metrics depend only on the bigram
+    # TYPE, so the model joins run over the distinct-type frame (Heaps-
+    # law smaller than the token stream) and the corpus pays exactly
+    # one merge join to pick up its per-type metrics — instead of
+    # dragging every token row through both model joins.
+    types = bg.select("w1", "w2").distinct()
+    typed = (
+        types.join(model.bigrams.hint("merge"), ["w1", "w2"], "left")
         .join(model.contexts.hint("merge"), ["w1"], "left")
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
         )
     )
-    per_bg = scored.select(
-        id_col,
+    per_type = typed.select(
+        "w1",
+        "w2",
         (F.col("c12") == 0).cast("int").alias("oov"),
         _prob_ppm(F.col("c12"), F.col("c1"), v).alias("ppm"),
         _surprisal_bits(F.col("c12"), F.col("c1"), v).alias("bits"),
+    )
+    per_bg = bg.join(per_type.hint("merge"), ["w1", "w2"]).select(
+        id_col, "oov", "ppm", "bits"
     )
     agg = per_bg.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -304,13 +315,19 @@ def score_docs3(
     tools/lm_skew_probe.py alongside the bigram rows."""
     v = model.vocab_size
     tg = _trigram_rows(df, id_col, text_col)
-    scored = (
-        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+    # Type-level scoring (see score_docs): model joins over distinct
+    # trigram types, one merge join to attach per-type metrics back to
+    # the token stream.
+    types = tg.select("w1", "w2", "w3").distinct()
+    typed = (
+        types.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
         .join(model.tri_contexts.hint("merge"), ["w1", "w2"], "left")
         .join(model.bigrams.hint("merge"), ["w2", "w3"], "left")
         .join(model.bi_contexts.hint("merge"), ["w2"], "left")
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
+            "w3",
             F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.coalesce(F.col("c23"), F.lit(0)).alias("c23"),
@@ -320,12 +337,17 @@ def score_docs3(
     backed = F.col("c12") == 0
     cnum = F.when(backed, F.col("c23")).otherwise(F.col("c123"))
     cden = F.when(backed, F.col("c2")).otherwise(F.col("c12"))
-    per_tg = scored.select(
-        id_col,
+    per_type = typed.select(
+        "w1",
+        "w2",
+        "w3",
         backed.cast("int").alias("backoff"),
         (cnum == 0).cast("int").alias("oov"),
         _prob_ppm(cnum, cden, v).alias("ppm"),
         _surprisal_bits(cnum, cden, v).alias("bits"),
+    )
+    per_tg = tg.join(per_type.hint("merge"), ["w1", "w2", "w3"]).select(
+        id_col, "backoff", "oov", "ppm", "bits"
     )
     agg = per_tg.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
@@ -468,13 +490,19 @@ def score_docs_kn(
     fan-in (stopword skew) — measured by tools/lm_skew_probe.py."""
     v = model.vocab_size
     tg = _trigram_rows(df, id_col, text_col)
+    # Type-level scoring (see score_docs): model joins over distinct
+    # trigram types, one merge join to attach per-type metrics back to
+    # the token stream.
+    types = tg.select("w1", "w2", "w3").distinct()
     scored = (
-        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+        types.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
         .join(model.contexts.hint("merge"), ["w1", "w2"], "left")
         .join(model.cont_bigrams.hint("merge"), ["w2", "w3"], "left")
         .join(model.cont_contexts.hint("merge"), ["w2"], "left")
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
+            "w3",
             F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.coalesce(F.col("n1pp"), F.lit(0)).alias("n1pp"),
@@ -497,8 +525,10 @@ def score_docs_kn(
     ).cast("bigint")
     seen = F.col("c12") > 0
     ppm = F.when(seen, t1 + t2).otherwise(pc_ppm)
-    per_tg = scored.select(
-        id_col,
+    per_type = scored.select(
+        "w1",
+        "w2",
+        "w3",
         (~seen).cast("int").alias("backoff"),
         ((F.col("c123") == 0) & (F.col("cont23") == 0))
         .cast("int")
@@ -518,6 +548,9 @@ def score_docs_kn(
         .otherwise(F.lit(20))
         .cast("bigint")
         .alias("bits"),
+    )
+    per_tg = tg.join(per_type.hint("merge"), ["w1", "w2", "w3"]).select(
+        id_col, "backoff", "oov", "ppm", "bits"
     )
     agg = per_tg.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
@@ -676,14 +709,20 @@ def score_docs_kn_full(
     v = model.vocab_size
     t_types = model.n_tri_types
     tg = _trigram_rows(df, id_col, text_col)
+    # Type-level scoring (see score_docs): model joins over distinct
+    # trigram types, one merge join to attach per-type metrics back to
+    # the token stream.
+    types = tg.select("w1", "w2", "w3").distinct()
     scored = (
-        tg.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
+        types.join(model.trigrams.hint("merge"), ["w1", "w2", "w3"], "left")
         .join(model.contexts.hint("merge"), ["w1", "w2"], "left")
         .join(model.cont_bigrams.hint("merge"), ["w2", "w3"], "left")
         .join(model.cont_contexts.hint("merge"), ["w2"], "left")
         .join(model.cont_unigrams.hint("merge"), ["w3"], "left")
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
+            "w3",
             F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.coalesce(F.col("n1pp"), F.lit(0)).alias("n1pp"),
@@ -718,8 +757,10 @@ def score_docs_kn_full(
     ).cast("bigint")
     seen = F.col("c12") > 0
     ppm = F.when(seen, t1 + t2).otherwise(p2)
-    per_tg = scored.select(
-        id_col,
+    per_type = scored.select(
+        "w1",
+        "w2",
+        "w3",
         (~seen).cast("int").alias("backoff"),
         (
             (F.col("c123") == 0)
@@ -741,6 +782,9 @@ def score_docs_kn_full(
         .otherwise(F.lit(20))
         .cast("bigint")
         .alias("bits"),
+    )
+    per_tg = tg.join(per_type.hint("merge"), ["w1", "w2", "w3"]).select(
+        id_col, "backoff", "oov", "ppm", "bits"
     )
     agg = per_tg.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),

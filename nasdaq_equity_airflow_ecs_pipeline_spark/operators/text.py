@@ -2025,7 +2025,14 @@ def bpe_encode(
     words = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("wpos", "w")
     ).filter(F.col("w") != "")
-    vocab_words = words.select("w").distinct()
+    # The distinct-word vocabulary feeds THREE consumers (the fold
+    # frame, the alphabet ids, the alphabet count); pin it once so the
+    # corpus scan+explode+distinct runs once instead of once per
+    # consumer, and so the planner sees the frame's true (vocab-sized)
+    # size — without it the static estimator bottoms out at the file
+    # size of `documents` and happily broadcasts the CORPUS side of
+    # the symbol join instead.
+    vocab_words = words.select("w").distinct().localCheckpoint(eager=True)
     arr = F.split(F.trim(F.regexp_replace("w", "(.)", "$1 ")), " ")
     chars = vocab_words.select(F.explode(arr).alias("sym")).distinct()
     # Unpartitioned Window.orderBy = single-partition sort, but over the
@@ -2060,14 +2067,20 @@ def bpe_encode(
     for a, b, merged in merges:
         folded = _bpe_apply_merge(folded, a, b, merged)
     seg = vocab_words.select("w", folded.alias("_syms"))
-    symrows = words.join(seg, "w").select(
+    # seg/vocab are vocab-sized: Heaps-bounded (sub-linear in corpus
+    # size), NOT constant-bounded like merge_ids — broadcast is right
+    # up to ~10^8 distinct words (the 8 GB relation cap); beyond that
+    # drop the hint and let the planner shuffle-join the token stream
+    # (documented watch item, the ilog2_cost discipline). Broadcasting
+    # keeps the corpus side out of the exchange entirely.
+    symrows = words.join(F.broadcast(seg), "w").select(
         F.col(id_col),
         "wpos",
         F.posexplode("_syms").alias("spos", "sym"),
     )
     w_seq = Window.partitionBy(id_col).orderBy("wpos", "spos")
     return (
-        symrows.join(vocab, "sym")
+        symrows.join(F.broadcast(vocab), "sym")
         .select(
             F.col(id_col),
             (F.row_number().over(w_seq) - F.lit(1)).cast("bigint").alias(
@@ -2104,7 +2117,7 @@ def bpe_segment(
         arr = _bpe_apply_merge(arr, a, b, merged)
     seg = vocab.select("w", F.size(arr).alias("_n_tok"))
     return (
-        words.join(seg, "w")
+        words.join(F.broadcast(seg), "w")
         .groupBy(id_col)
         .agg(F.sum("_n_tok").cast("bigint").alias("n_bpe_tokens"))
     )
@@ -2133,7 +2146,10 @@ def bpe_encode_bytes(
     words = docs.select(
         F.col(id_col), F.posexplode(byte_pieces(text_col)).alias("wpos", "w")
     )
-    vocab_words = words.select("w").distinct()
+    # pinned once for the same reasons as bpe_encode: one corpus
+    # distinct instead of one per consumer, true size visible to the
+    # planner so the corpus is never the broadcast side.
+    vocab_words = words.select("w").distinct().localCheckpoint(eager=True)
     folded = byte_syms("w")
     for a, b, merged in merges:
         folded = _bpe_apply_merge(folded, a, b, merged)
@@ -2145,7 +2161,7 @@ def bpe_encode_bytes(
     merge_ids = merge_rows.groupBy("sym").agg(
         (F.lit(256) + F.min("_step")).cast("bigint").alias("token_id")
     )
-    symrows = words.join(seg, "w").select(
+    symrows = words.join(F.broadcast(seg), "w").select(
         F.col(id_col), "wpos", F.posexplode("_syms").alias("spos", "sym")
     )
     from pyspark.sql import Window

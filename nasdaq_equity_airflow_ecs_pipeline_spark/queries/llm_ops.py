@@ -2015,9 +2015,12 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     (operators/text.py:bpe_segment): per-document BPE token count.
     The merge list is the collected artifact (n_merges rows — it IS
     the tokenizer file); application runs on the distinct-word
-    vocabulary and joins counts back."""
+    vocabulary and joins counts back. Trained via bpe_train_batched —
+    provably the same merge sequence as bpe_train (the conflict-free
+    rank-prefix argument, pinned by
+    test_bpe_batched_equals_sequential) in far fewer Spark rounds."""
     d = _docs(spark, sf)
-    trained = text_ops.bpe_train(d, n_merges=BPE_MERGES)
+    trained = text_ops.bpe_train_batched(d, n_merges=BPE_MERGES)
     merges = [
         (r["pair"].split(" ", 1)[0], r["pair"].split(" ", 1)[1], r["merged"])
         for r in trained.orderBy("step").collect()
@@ -2032,9 +2035,12 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     the tokenizer-file convention (sorted base alphabet, then merges
     in training order). The oracle re-derives the training chain,
     re-applies the keyed folds, assigns the same ids, and emits the
-    same (doc, seq_pos, token_id) rows."""
+    same (doc, seq_pos, token_id) rows. Trained via bpe_train_batched
+    (same artifact as bpe_train, proven — see q_bpe_tokenize) so the
+    driver pays one candidate-collect round instead of one per
+    merge."""
     d = _docs(spark, sf)
-    trained = text_ops.bpe_train(d, n_merges=BPE_MERGES)
+    trained = text_ops.bpe_train_batched(d, n_merges=BPE_MERGES)
     merges = [
         (r["pair"].split(" ", 1)[0], r["pair"].split(" ", 1)[1], r["merged"])
         for r in trained.orderBy("step").collect()

@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan parallelism floor for small inputs: the default 4 MiB
+        # spark.sql.files.openCostInBytes floors the split size, so a
+        # single few-MB parquet file scans as ONE task and any
+        # zero-shuffle narrow-map query serializes on it. 128 KiB lets
+        # bytesPerCore (= input / minPartitionNum) win for small files;
+        # at production scale bytesPerCore >> 4 MiB so the value is
+        # inert there (split size is maxPartitionBytes either way) —
+        # it only parameterizes how aggressively many-tiny-file scans
+        # pack, hence the env override.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
+        )
         # Defensive: some writers emit TIMESTAMP(NANOS); read as long and
         # normalize in sources.tables (truncation to micros, like DuckDB).
         # Harmless for micros files; sources.tables also sets it at runtime

@@ -231,7 +231,15 @@ BROADCAST_OK = {
         "the query workload not the corpus, + 1-row corpus stats"
     ),
     "operators/text.py::boilerplate_flags": "1-row count + df-capped frequent-shingle set (df > bp/1e4*n_docs bounds set size by construction)",
-    "operators/text.py::bpe_encode": "1-row char-alphabet count (joins ids onto the merge-output vocab rows)",
+    "operators/text.py::bpe_encode": (
+        "1-row char-alphabet count + the vocab-sized seg/vocab artifacts "
+        "(distinct-word frame, Heaps-bounded and localCheckpoint-pinned "
+        "so the planner sees its true size — r12 wave 3)"
+    ),
+    "operators/text.py::bpe_segment": (
+        "vocab-sized per-word token-count frame (distinct words, "
+        "Heaps-bounded — the same artifact class as bpe_encode's seg)"
+    ),
     "functions/sketches.py::cms_estimate": "fixed d*w counter matrix (input-size-independent)",
     "queries/llm_ops.py::q_embedding_topk": "1-row query vector",
     "queries/llm_ops.py::q_hash_embed_sim": (
@@ -261,7 +269,8 @@ BROADCAST_OK = {
     "queries/privacy_ops.py::q_corpus_report": "1-row exact-dup count joined onto the 1-row profile agg",
     "operators/text.py::bpe_encode_bytes": (
         "merge-output vocab rows (<= n_merges, the trained artifact) — "
-        "the id-assignment join"
+        "the id-assignment join — plus the vocab-sized seg artifact "
+        "(distinct byte-piece frame, Heaps-bounded, r12 wave 3)"
     ),
     "operators/text.py::bpe_decode_bytes": "merge-output vocab rows (<= n_merges, the trained artifact)",
     "operators/retrieval.py::rerank_apply": (
