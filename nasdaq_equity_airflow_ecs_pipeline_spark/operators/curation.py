@@ -304,44 +304,52 @@ def line_dedup(
     headers) and is removed from EVERY document; the per-document
     remainder is reassembled in original line order.
 
-    Plan shape at scale: explode to lines (linear), hash-aggregate line
-    frequency keyed on md5(line) (high cardinality — the hot empty-line
-    case is why lines are md5'd rather than joined raw), equi-join back
+    Plan shape at scale (optimization round 12, guide §2.3: shuffle
+    keys, not payloads): the line TEXT never leaves its document row.
+    Each doc's line array is computed once; only (doc, pos, md5-key)
+    rows are exploded for the frequency hash-agg (high cardinality —
+    the hot empty-line case is why lines are md5'd rather than joined
+    raw); boilerplate hits collapse to a per-doc removed-POSITION set
     (no broadcast hint: the duplicated-line set is corpus-scale on a
-    duplicated corpus, the same class as substring-dedup's dup set), and
-    a per-document ``collect_list`` bounded by document line count.
+    duplicated corpus, the same class as substring-dedup's dup set)
+    attached by one doc-keyed join, and the text is rebuilt doc-locally
+    by filtering the doc's own array. The previous shape shuffled the
+    full line strings three times (freq join, collect_list rebuild,
+    final doc join); this one shuffles 16-byte keys and the removed-set
+    rows, and the doc text at most once (the removed frame usually
+    auto-broadcasts). Result rows identical: a position is removed iff
+    its line's distinct-doc frequency exceeds ``max_docs``, and the
+    rebuild joins the surviving lines in original order either way.
     """
-    lines = df.select(
+    docs = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("_arr")
+    )
+    keys = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line_key", F.md5("line"))
-    freq = lines.groupBy("line_key").agg(
+        F.posexplode(F.transform("_arr", F.md5)).alias("pos", "line_key"),
+    )
+    freq = keys.groupBy("line_key").agg(
         F.count_distinct("_id").alias("n_docs_with_line")
     )
-    kept = lines.join(freq, "line_key").filter(
-        F.col("n_docs_with_line") <= max_docs
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+    removed = (
+        keys.join(
+            freq.filter(F.col("n_docs_with_line") > max_docs).select(
+                "line_key"
             ),
-            "\n",
-        ).alias("kept_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        df.withColumn("n_lines", F.size(F.split(F.col(text_col), "\n")))
-        .join(rebuilt, df[id_col] == rebuilt["_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
+            "line_key",
         )
+        .groupBy("_id")
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    joined = docs.join(removed, docs[id_col] == removed["_id"], "left")
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.filter("_arr", lambda _, i: ~F.array_contains(rm, i)), "\n"
+        ).alias("kept_text"),
+        F.size("_arr").alias("n_lines"),
+        F.size(rm).cast("int").alias("n_removed"),
     )
 
 
@@ -380,16 +388,20 @@ def line_dedup_delta(
     own rewrites are the standing corpus's rebuild decision, out of
     scope by the incremental-index discipline).
 
-    Scale shape: delta-sized explode + hash-agg for delta frequencies,
-    ONE line_key-keyed join probing the standing index (index-shaped,
-    delta-keyed — the winnow_index_delta class), then line_dedup's own
-    per-doc rebuild bounded by delta line counts. Same output schema as
-    line_dedup."""
-    lines = delta_df.select(
+    Scale shape: delta-sized explode + hash-agg for delta KEY
+    frequencies (line text stays on its doc row — line_dedup's
+    shuffle-keys-not-payloads shape), ONE line_key-keyed join probing
+    the standing index (index-shaped, delta-keyed — the
+    winnow_index_delta class), then the doc-local rebuild from the
+    per-doc removed-position set. Same output schema as line_dedup."""
+    docs = delta_df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("_arr")
+    )
+    keys = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line_key", F.md5("line"))
-    freq_d = lines.groupBy("line_key").agg(
+        F.posexplode(F.transform("_arr", F.md5)).alias("pos", "line_key"),
+    )
+    freq_d = keys.groupBy("line_key").agg(
         F.count_distinct("_id").alias("_nd_delta")
     )
     merged = freq_d.join(
@@ -402,32 +414,25 @@ def line_dedup_delta(
             F.coalesce(F.col("_nd_standing"), F.lit(0)) + F.col("_nd_delta")
         ).alias("n_docs_with_line"),
     )
-    kept = lines.join(merged, "line_key").filter(
-        F.col("n_docs_with_line") <= max_docs
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+    removed = (
+        keys.join(
+            merged.filter(F.col("n_docs_with_line") > max_docs).select(
+                "line_key"
             ),
-            "\n",
-        ).alias("kept_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+            "line_key",
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("pos").alias("_rm"))
     )
-    return (
-        delta_df.withColumn(
-            "n_lines", F.size(F.split(F.col(text_col), "\n"))
-        )
-        .join(rebuilt, delta_df[id_col] == rebuilt["_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-        )
+    joined = docs.join(removed, docs[id_col] == removed["_id"], "left")
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.filter("_arr", lambda _, i: ~F.array_contains(rm, i)), "\n"
+        ).alias("kept_text"),
+        F.size("_arr").alias("n_lines"),
+        F.size(rm).cast("int").alias("n_removed"),
     )
 
 
