@@ -37,19 +37,34 @@ from ..operators.graph import dedup_clusters
 from ..operators.packing import pack_sequences
 from ..operators.sampling import stratified_sample
 
-# Stage frames persist() at reuse boundaries; a bench/stress loop calls
+# Stage frames pin at reuse boundaries; a bench/stress loop calls
 # these builders repeatedly in one session, so without cleanup each call
 # pins its caches for the session lifetime (the zorder leak class,
 # ADVICE r3). The registry bounds that: entering a builder unpersists
 # the frames its PREVIOUS invocation cached — at most one call's frames
 # stay resident, and the frames a caller is still consuming lazily are
 # only released once it asks for a fresh pipeline.
+#
+# Pinning is an EAGER localCheckpoint, not persist() (optimization
+# round 12, guide §3.3/§5): a persisted frame keeps its full logical
+# lineage, and the funnel's union-of-stage-aggregates plus the
+# stage-to-stage joins re-embed every cached ancestor's plan
+# RECURSIVELY — the v4 funnel's physical plan ran to ~96k lines, and
+# at sf0.01 (where compute is trivial) the chain queries still took
+# 10-50 s, i.e. almost pure driver planning/analysis. The eager
+# checkpoint makes every downstream plan see a LogicalRDD leaf (the
+# same fix that cured v8's explainString OOM in r11, applied at every
+# stage boundary). Results are unchanged — the checkpoint pins exactly
+# the frame persist() pinned. Checkpoint RDD storage is released when
+# the registry clears its references (ContextCleaner reclaims the
+# RDDs once the Python refs drop).
 _CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": [], "v6": [], "idx": []}
 
 
 def _persist(frame, slot: str):
-    _CACHED[slot].append(frame.persist())
-    return frame
+    pinned = frame.localCheckpoint(eager=True)
+    _CACHED[slot].append(pinned)
+    return pinned
 
 
 def _release(slot: str) -> None:
