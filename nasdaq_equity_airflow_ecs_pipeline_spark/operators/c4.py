@@ -120,7 +120,13 @@ def c4_quality_flags(
     n_sentences) + one boolean per page rule + the conjunction
     (``keep``). ``flag_words`` is the bad-words list as a frame (data,
     not code — the flagged_word_stats convention); None disables the
-    rule (reported as ok)."""
+    rule (reported as ok). The input is widened first (sources.tables
+    widen_small_scan, optimization r13): the line rules are
+    regex-per-line folds and a small single-split scan serializes
+    them; at production input sizes the widen gate is a no-op."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     kept = _kept_lines(text_col, min_words_per_line)
     kept_text = F.array_join(kept, "\n")
     base = df.select(
@@ -186,7 +192,13 @@ def c4_apply(
 ) -> DataFrame:
     """The C4 front APPLIED: surviving docs with their line-filtered
     text — (id, text). Same plan as the flags plus the kept-text
-    projection; the page gate consumes the flags' conjunction."""
+    projection; the page gate consumes the flags' conjunction. Widened
+    once here so the flags branch and the kept-text projection both
+    run at full parallelism on small inputs (widen_small_scan no-ops
+    at production sizes and on already-shuffled chain inputs)."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     flags = c4_quality_flags(
         df, flag_words, id_col, text_col, min_words_per_line,
         min_sentences, word_col,
@@ -206,7 +218,12 @@ def _doc_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, _s): each doc's sentence ARRAY — the shared doc-level base
     the span explode and the rebuild both consume (r12 optimization:
     the heavy text stays one row per doc end to end; only span keys
-    and hit positions ever explode)."""
+    and hit positions ever explode). Widened on small inputs
+    (widen_small_scan): the sentence regex-extract is row-expensive
+    and this base feeds every downstream branch."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     # explicit one-arg lambda: passing F.trim directly would let
     # transform() bind the array index to trim's optional trimStr param
     sarr = F.transform(

@@ -222,8 +222,15 @@ def hashed_token_feature_arrays(
     shuffled — the explode+distinct exchange the row form pays becomes a
     narrow per-row projection (guide §2.4: remove shuffles outright).
     Drop-in for :func:`train_logreg_fixed_point` /
-    :func:`trained_score`."""
-    t = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    :func:`trained_score`. The input is widened first (sources.tables
+    widen_small_scan, optimization r13): the per-token md5 hashing is
+    row-expensive, and on a small single-split scan the whole build ran
+    as ONE task."""
+    from ..sources.tables import widen_small_scan
+
+    t = widen_small_scan(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     word = F.transform(
         F.col("_toks"), lambda x: _bucket_of(x, n_buckets, seed)
     )
@@ -247,8 +254,17 @@ def hashed_subword_feature_arrays(
     """:func:`hashed_subword_features` in DOC-LOCAL ARRAY form (same
     contract as :func:`hashed_token_feature_arrays`): whole-word buckets
     plus boundary-marked char n-gram buckets, distinct per doc, bias -1
-    included — computed without the explode+distinct exchange."""
-    t = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    included — computed without the explode+distinct exchange. The
+    input is widened first (sources.tables widen_small_scan,
+    optimization r13): the ~2 x len(token) md5-hashed n-grams per token
+    are the single most row-expensive projection in the repo (measured
+    19 s serialized on ONE scan split of the sf0.1 documents table),
+    and at production scale the widen gate is a no-op."""
+    from ..sources.tables import widen_small_scan
+
+    t = widen_small_scan(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     word = F.transform(
         F.col("_toks"), lambda x: _bucket_of(x, n_buckets, seed)
     )
@@ -402,6 +418,13 @@ def train_logreg_fixed_point(
         f" - y * {SCALE}) * (CASE WHEN y = 0 THEN {cb_neg} ELSE 1 END)"
     )
     den = lr_den * n
+    # The per-step weights stay a dense LITERAL array: a one-row
+    # broadcast frame cross-joined below the fold was probed this round
+    # and LOST (+0.4 s/step — the per-step BroadcastExchange job costs
+    # more than re-analyzing the folded literal, which Catalyst
+    # constant-folds to a single ArrayData). Measured min/step on the
+    # 512-bucket trainer: literal 0.24 s vs cross-join 0.63 s; at 4096
+    # buckets 0.33 vs 0.67.
     for _ in range(steps):
         dense = [0] * size
         for b, w in wd.items():
@@ -535,6 +558,15 @@ def train_langid_ovr(
     wd = {(c, b): 0 for c in classes for b in universe}
     size = max(universe) + 2
     den = lr_den * n
+    # Per step: the K dense weight arrays stay LITERAL (a one-row
+    # broadcast frame cross-joined below the folds was probed this
+    # round and lost — the per-step BroadcastExchange costs more than
+    # re-analyzing the constant-folded literals: min/step 1.28 s
+    # literal vs 1.64 s cross-join at K=5, 4096 buckets). The gradient
+    # explodes the bucket array ONCE and sums K per-class error
+    # COLUMNS (K x fewer exploded rows than the r12 struct-array
+    # explode — guide §2.3); the regrouped integer sums are
+    # bit-identical.
     for _ in range(steps):
         zcols = []
         for i, c in enumerate(classes):
@@ -559,7 +591,7 @@ def train_langid_ovr(
                 for i in range(len(classes))
             ],
         )
-        per_class = []
+        ecols = []
         for i, c in enumerate(classes):
             esc = c.replace("'", "''")
             y_sql = f"(CASE WHEN _lang = '{esc}' THEN 1L ELSE 0L END)"
@@ -567,25 +599,22 @@ def train_langid_ovr(
                 f"({SCALE // 2}) + (_zc{i} * {SCALE})"
                 f" div (2 * ({SCALE} + abs(_zc{i}))) - {y_sql} * {SCALE}"
             )
-            per_class.append(
-                f"named_struct('cls', '{esc}',"
-                f" 'err', cast(({e_sql}) as bigint))"
-            )
-        errs = F.expr("array(" + ",".join(per_class) + ")")
+            ecols.append(F.expr(f"cast(({e_sql}) as bigint)").alias(f"_e{i}"))
         grad = (
-            staged.select(F.col("_f"), F.explode(errs).alias("e"))
-            .select(
-                F.col("e.cls").alias("cls"),
-                F.col("e.err").alias("_err"),
-                F.explode("_f").alias("bucket"),
+            staged.select(F.explode("_f").alias("bucket"), *ecols)
+            .groupBy("bucket")
+            .agg(
+                *[
+                    F.sum(f"_e{i}").alias(f"_g{i}")
+                    for i in range(len(classes))
+                ]
             )
-            .groupBy("cls", "bucket")
-            .agg(F.sum("_err").alias("g"))
         )
-        gmap = {
-            (r["cls"], int(r["bucket"])): int(r["g"])
-            for r in grad.collect()
-        }
+        gmap: dict = {}
+        for r in grad.collect():
+            b = int(r["bucket"])
+            for i, c in enumerate(classes):
+                gmap[(c, b)] = int(r[f"_g{i}"])
         for key in wd:
             wd[key] = wd[key] - _tdiv(gmap.get(key, 0) * lr_num, den)
     _release()

@@ -345,11 +345,25 @@ def line_dedup(
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
     return joined.select(
         F.col(id_col),
-        F.array_join(
-            F.filter("_arr", lambda _, i: ~F.array_contains(rm, i)), "\n"
-        ).alias("kept_text"),
+        F.array_join(_gather_kept(rm), "\n").alias("kept_text"),
         F.size("_arr").alias("n_lines"),
         F.size(rm).cast("int").alias("n_removed"),
+    )
+
+
+def _gather_kept(rm):
+    """Linear per-doc rebuild (ADVICE r12): kept POSITIONS once via
+    order-preserving ``array_except`` (hash-set lookup), then gather —
+    the previous ``filter(~array_contains(rm, i))`` spelling was
+    O(n_lines x n_removed) inside a single row, quadratic exactly on
+    the boilerplate-heavy docs this operator targets. Same kept lines
+    in the same order (positions are distinct, array_except preserves
+    first-array order); NULL text still yields NULL kept_text."""
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_arr") - F.lit(1)), rm
+    )
+    return F.transform(
+        kept_pos, lambda i: F.element_at(F.col("_arr"), i + F.lit(1))
     )
 
 
@@ -428,9 +442,7 @@ def line_dedup_delta(
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
     return joined.select(
         F.col(id_col),
-        F.array_join(
-            F.filter("_arr", lambda _, i: ~F.array_contains(rm, i)), "\n"
-        ).alias("kept_text"),
+        F.array_join(_gather_kept(rm), "\n").alias("kept_text"),
         F.size("_arr").alias("n_lines"),
         F.size(rm).cast("int").alias("n_removed"),
     )

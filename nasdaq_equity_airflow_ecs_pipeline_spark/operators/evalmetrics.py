@@ -58,7 +58,13 @@ def token_f1(
     ref_col: str = "reference",
 ) -> DataFrame:
     """(id, n_pred, n_ref, n_overlap, em, f1_x1e6) per pair — the
-    official squad_v1 token F1 (multiset overlap) and exact match."""
+    official squad_v1 token F1 (multiset overlap) and exact match.
+    Input widened on small scans (sources.tables widen_small_scan,
+    optimization r13): the per-pair multiset overlap is a sort+fold
+    over both token arrays and otherwise serializes on one split."""
+    from ..sources.tables import widen_small_scan
+
+    pairs = widen_small_scan(pairs, id_col)
     base = pairs.select(
         F.col(id_col),
         norm_tokens(pred_col).alias("_p"),
@@ -165,7 +171,12 @@ def rouge_l(
     ref_col: str = "reference",
 ) -> DataFrame:
     """(id, n_pred, n_ref, lcs, rouge_l_f_x1e6) per pair — true LCS,
-    beta=1 F measure 2*lcs/(n_pred + n_ref)."""
+    beta=1 F measure 2*lcs/(n_pred + n_ref). Input widened on small
+    scans (widen_small_scan) so the Arrow LCS batches spread over all
+    cores."""
+    from ..sources.tables import widen_small_scan
+
+    pairs = widen_small_scan(pairs, id_col)
     base = pairs.select(
         F.col(id_col),
         norm_tokens(pred_col).alias("_p"),

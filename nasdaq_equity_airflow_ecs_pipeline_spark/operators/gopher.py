@@ -81,7 +81,13 @@ def gopher_quality_flags(
     """One boolean per Gopher quality rule plus the conjunction
     (``keep``) — a single narrow projection. Defaults are the paper's
     thresholds; they are parameters because production pipelines
-    re-ablate them per corpus (FineWeb §3.1 does exactly this)."""
+    re-ablate them per corpus (FineWeb §3.1 does exactly this). The
+    input is widened first (sources.tables widen_small_scan,
+    optimization r13): the per-row rule evaluation is regex/fold-heavy
+    and a small single-split scan otherwise serializes it."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     w = tokens(text_col)
     n_words = F.size(w)
     sum_chars = F.aggregate(
@@ -218,7 +224,19 @@ def gopher_repetition_stats(
     per-kind :func:`_run_stats` folds over doc-local unit arrays, one
     13-way metric explode, numer/denom/ok computed inline. Results
     identical (same integer counts, same struct-max tie-break, absent
-    kinds surface as numer = 0 exactly as the old grid coalesce)."""
+    kinds surface as numer = 0 exactly as the old grid coalesce).
+
+    The zero-shuffle shape has one operational hazard this round fixed
+    (optimization r13): with no exchange anywhere, the whole query runs
+    at the SCAN's parallelism, and a few-MB corpus file is one split
+    under the stock 4 MiB openCostInBytes — all 13 per-doc array folds
+    serialized on one task (measured 24.7 s at sf0.1/local[32]). The
+    input is widened by sources.tables widen_small_scan: a deterministic
+    doc-keyed repartition BELOW the folds whose gate turns itself off at
+    production input sizes, preserving the zero-shuffle plan there."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     ns = sorted(list(TOP_NGRAM_THR_X100) + list(DUP_NGRAM_THR_X100))
     base = df.select(
         F.col(id_col),

@@ -64,6 +64,43 @@ class BigramLM(NamedTuple):
     vocab_size: int  # |distinct tokens in training slice|
 
 
+# Bounded pin registry for trained model COUNT FRAMES (optimization
+# r13). A scoring pass left-joins 2-5 model frames, and every one of
+# them re-executed the trainer's trigram/bigram aggregation subtree
+# (Spark does not CSE shared subtrees) — measured 10.9 s for the KN
+# tercile gate inside the v6+ chains, ~4 redundant corpus-token
+# aggregations per pass. The trained counts are exactly CCNet's
+# "published static artifact" (Wenzek et al. 2020 train once, ship),
+# so each trainer pins its base count frame with an eager
+# localCheckpoint. unpersist() on a checkpointed frame is a
+# CacheManager no-op (ADVICE r12), so the checkpoint RDD itself is
+# stashed and released when the group rotates out; keeping the last
+# few generations (not just one) lets queries that hold TWO live
+# models (moore_lewis trains in-domain + general) work unchanged.
+from collections import deque
+
+_PINNED: deque = deque()
+_PIN_GENERATIONS = 6
+
+
+def _pin_model_frame(frame: DataFrame) -> DataFrame:
+    pinned = frame.localCheckpoint(eager=True)
+    try:
+        ckpt_rdd = pinned._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        ckpt_rdd = None
+    _PINNED.append((pinned, ckpt_rdd))
+    while len(_PINNED) > _PIN_GENERATIONS:
+        old, old_rdd = _PINNED.popleft()
+        try:
+            if old_rdd is not None:
+                old_rdd.unpersist(False)
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped
+    return pinned
+
+
 def _bigram_rows(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -72,7 +109,14 @@ def _bigram_rows(
     Built with ``transform`` over the token array rather than a
     positional self-join: the whole expansion happens inside the scan
     stage, so the first exchange in any consumer is its own aggregate.
+    The input is widened on small scans (sources.tables
+    widen_small_scan, optimization r13) so the tokenize+expand stage
+    is not serialized on one split; at production sizes the gate is a
+    no-op and the map-side-only shape is preserved.
     """
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     toks = tokens(text_col)
     pairs = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -95,8 +139,8 @@ def train_bigram_lm(
     composing train+score pays a single job.
     """
     bg = _bigram_rows(train_df, id_col, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    bigrams = _pin_model_frame(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
@@ -236,7 +280,11 @@ class TrigramLM(NamedTuple):
 
 def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2, w3) — one row per adjacent token triple, map-side
-    only (same transform-over-token-array shape as _bigram_rows)."""
+    only (same transform-over-token-array shape as _bigram_rows,
+    including its scale-adaptive small-scan widening)."""
+    from ..sources.tables import widen_small_scan
+
+    df = widen_small_scan(df, id_col)
     toks = tokens(text_col)
     triples = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -263,16 +311,18 @@ def train_trigram_lm(
     keyed (w2). One action (the 1-row vocabulary count); everything
     else stays lazy."""
     tg = _trigram_rows(train_df, id_col, text_col)
-    trigrams = tg.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c123")
+    trigrams = _pin_model_frame(
+        tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     )
     tri_contexts = trigrams.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12")
     )
     bg = _bigram_rows(train_df, id_col, text_col)
-    bigrams = bg.groupBy(
-        F.col("w1").alias("w2"), F.col("w2").alias("w3")
-    ).agg(F.count(F.lit(1)).alias("c23"))
+    bigrams = _pin_model_frame(
+        bg.groupBy(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3")
+        ).agg(F.count(F.lit(1)).alias("c23"))
+    )
     bi_contexts = bigrams.groupBy("w2").agg(F.sum("c23").alias("c2"))
     vocab = (
         train_df.select(F.explode(tokens(text_col)).alias("tok"))
@@ -423,15 +473,15 @@ def train_kn_trigram_lm(
     aggregate the trigram count frame itself, not the corpus). One
     action (the 1-row vocabulary count), everything else lazy."""
     tg = _trigram_rows(train_df, id_col, text_col)
-    trigrams = tg.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c123")
+    trigrams = _pin_model_frame(
+        tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     )
     contexts = trigrams.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"),
         F.count(F.lit(1)).alias("n1pp"),
     )
-    cont_bigrams = trigrams.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("cont23")
+    cont_bigrams = _pin_model_frame(
+        trigrams.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont23"))
     )
     cont_contexts = cont_bigrams.groupBy("w2").agg(
         F.sum("cont23").alias("cont2")
@@ -646,14 +696,14 @@ def train_kn_full_lm(
     actions (the 1-row vocabulary and distinct-trigram counts — the
     k-means-centroid bounded class)."""
     tg = _trigram_rows(train_df, id_col, text_col)
-    trigrams = tg.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c123")
+    trigrams = _pin_model_frame(
+        tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     )
     contexts = trigrams.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1pp")
     )
-    cont_bigrams = trigrams.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("cont23")
+    cont_bigrams = _pin_model_frame(
+        trigrams.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont23"))
     )
     cont_contexts = cont_bigrams.groupBy("w2").agg(
         F.sum("cont23").alias("cont2"),

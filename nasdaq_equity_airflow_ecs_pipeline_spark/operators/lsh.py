@@ -71,10 +71,17 @@ def _exploded_shingles(
     """(id, shingle) rows: tokenize once into a column, optionally fan out
     to ``parallelism`` partitions first (a file that arrives as few splits
     would otherwise serialize the explode+hash work onto few cores; at
-    cluster scale pass None — the scan is already wide)."""
+    cluster scale pass None — the scan is already wide). With
+    ``parallelism=None`` the fan-out is now AUTOMATIC and scale-adaptive
+    (sources.tables widen_small_scan, optimization r13): small inputs
+    widen to defaultParallelism, production-sized scans pass through."""
     base = df.select(F.col(id_col), tokens(text_col).alias("toks"))
     if parallelism:
         base = base.repartition(parallelism)
+    else:
+        from ..sources.tables import widen_small_scan
+
+        base = widen_small_scan(base, id_col)
     return base.select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),

@@ -142,6 +142,108 @@ def wordpiece_train(
     )
 
 
+def _collect_word_freqs(
+    docs: DataFrame, text_col: str = "text", max_vocab: int = 2_000_000
+) -> list[tuple[str, int]]:
+    """ONE corpus pass to the word-frequency table, collected under an
+    explicit cap (the bpe_train_local discipline: WordPiece training
+    state after the corpus pass is VOCABULARY-sized — the bounded-
+    artifact class — and a silent truncation would train different
+    merges, so the cap raises instead)."""
+    rows = _word_freqs(docs, text_col).limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; a truncated "
+            f"vocabulary would train different merges — raise the cap "
+            f"or use wordpiece_train"
+        )
+    return [(r["w"], int(r["freq"])) for r in rows]
+
+
+def _wp_split(w: str) -> list[str]:
+    """The BERT spelling of the initial split: bare first character,
+    ``##``-prefixed continuation characters — the Python twin of
+    ``_WP_SPLIT`` (unit-tested equal via the trainer-parity test)."""
+    return [w[0]] + [CONT + c for c in w[1:]]
+
+
+def _wp_train_rows(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int, int]]:
+    """The WordPiece merge rounds replayed driver-side over the
+    collected word table — bit-identical to :func:`wordpiece_train`'s
+    engine rounds, piece by piece:
+
+    - symbol/pair counts are integer sums of word freqs — exact both
+      ways;
+    - the score is ``(c * 10^9) // (fa * fb)`` on positive BIGINTs, so
+      Python ``//`` == Spark ``div``;
+    - selection orders by (score desc, pair-string asc); Python's
+      code-point string order == Spark UTF8_BINARY's UTF-8 byte order
+      (UTF-8 preserves code-point order), so ties break identically;
+    - the merge application is the same greedy left-to-right
+      non-overlapping fold as ``_bpe_apply_merge``.
+
+    Pinned by test_wordpiece_local_equals_engine and the unchanged
+    q_wordpiece_merges oracle."""
+    from collections import Counter
+
+    seqs = [_wp_split(w) for w, _ in words]
+    freqs = [f for _, f in words]
+    out: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        sym_f: Counter = Counter()
+        pair_c: Counter = Counter()
+        for seq, f in zip(seqs, freqs):
+            for s in seq:
+                sym_f[s] += f
+            for p in zip(seq, seq[1:]):
+                pair_c[p] += f
+        if not pair_c:
+            break
+        best_key = None
+        best_pair = None
+        for (a, b), c in pair_c.items():
+            score = (c * WP_SCALE) // (sym_f[a] * sym_f[b])
+            key = (-score, f"{a} {b}")
+            if best_key is None or key < best_key:
+                best_key = key
+                best_pair = (a, b, c, score)
+        a, b, c, score = best_pair
+        merged = a + b[len(CONT):]
+        out.append((step, f"{a} {b}", merged, c, score))
+        for idx, seq in enumerate(seqs):
+            new_seq: list[str] = []
+            for t in seq:
+                if new_seq and new_seq[-1] == a and t == b:
+                    new_seq[-1] = merged
+                else:
+                    new_seq.append(t)
+            seqs[idx] = new_seq
+    return out
+
+
+def wordpiece_train_local(
+    docs: DataFrame,
+    n_merges: int = WP_MERGES,
+    text_col: str = "text",
+    max_vocab: int = 2_000_000,
+) -> DataFrame:
+    """:func:`wordpiece_train`'s driver-side merge FINISHER (the
+    bpe_train_local convention): one corpus pass collects the bounded
+    word-frequency artifact, then the merge rounds run in pure Python —
+    bit-identical merge table (see :func:`_wp_train_rows`), none of the
+    per-round Spark jobs (2 hash-aggs + vocab join + argmax collect +
+    an eager re-checkpoint of the sequence table) whose driver latency,
+    not data volume, is the wall at realistic merge depths."""
+    spark = docs.sparkSession
+    rows = _wp_train_rows(_collect_word_freqs(docs, text_col, max_vocab), n_merges)
+    return spark.createDataFrame(
+        rows,
+        "step int, pair string, merged string, freq bigint, score_x1e9 bigint",
+    )
+
+
 def wordpiece_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
     """The corpus WordPiece alphabet: every initial symbol of the
     pre-merge split (bare first characters and ``##``-prefixed

@@ -63,13 +63,26 @@ _CACHED: dict[str, list] = {"v1": [], "v2": [], "v3": [], "v4": [], "v6": [], "i
 
 def _persist(frame, slot: str):
     pinned = frame.localCheckpoint(eager=True)
-    _CACHED[slot].append(pinned)
+    # DataFrame.unpersist() is a CacheManager call and a NO-OP for
+    # localCheckpointed frames — their storage is an RDD-level persist
+    # that survives the DataFrame ref (ADVICE r12, verified: the
+    # checkpoint RDD stays in getPersistentRDDs after unpersist() and
+    # GC). Stash the checkpoint RDD itself so _release can free the
+    # MEMORY_AND_DISK blocks immediately, restoring the registry's
+    # "at most one call's frames stay resident" guarantee.
+    try:
+        ckpt_rdd = pinned._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        ckpt_rdd = None
+    _CACHED[slot].append((pinned, ckpt_rdd))
     return pinned
 
 
 def _release(slot: str) -> None:
-    for f in _CACHED[slot]:
+    for f, ckpt_rdd in _CACHED[slot]:
         try:
+            if ckpt_rdd is not None:
+                ckpt_rdd.unpersist(False)
             f.unpersist()
         except Exception:
             pass  # session already stopped
@@ -609,7 +622,7 @@ def curate_corpus_v6(
     injected: dict[str, DataFrame] = {}
     gate_in = line_kept
     for stage_name, stage_fn in (post_line_stages or []):
-        gate_in = stage_fn(gate_in).localCheckpoint(eager=True)
+        gate_in = _persist(stage_fn(gate_in), "v6")
         injected[stage_name] = gate_in
     # quality gate: default = the placeholder-weight expression score;
     # v7 injects the TRAINED-classifier gate here (same stage, same
@@ -976,7 +989,7 @@ def curate_corpus_index(
     Callers persist these between folds (the q_substring_index_delta
     stress convention isolates the fold cost from this build)."""
     from ..operators.curation import line_dedup, line_freq
-    from ..operators.lm_score import lm_filter, train_bigram_lm
+    from ..operators.lm_score import BigramLM, lm_filter, train_bigram_lm
     from ..operators.ordering import shuffle_key
     from ..operators.similarity import ivf_assign, semantic_dedup
 
@@ -993,8 +1006,21 @@ def curate_corpus_index(
         line_kept.filter(text_ops.classifier_quality_score("text") >= 0.0),
         "idx",
     )
+    # Pin the published artifacts that the fold consumes MORE THAN ONCE
+    # (optimization r13, VERDICT r12 #5): Spark does not CSE shared
+    # subtrees, so without pinning the standing chain re-executed per
+    # consumer — the bigram count frames feed both the standing lm_kept
+    # and the delta gate, lm_kept feeds kept_emb AND the sized table,
+    # and the centroid top-k is evaluated by ivf_assign, semantic_dedup
+    # and the published artifact itself. These are exactly the frames a
+    # production pipeline writes to the lake once.
     model = train_bigram_lm(kept.filter(F.col("lang") == "en"))
-    lm_kept = lm_filter(kept, model, lm_max_avg_bits_x100)
+    model = BigramLM(
+        bigrams=_persist(model.bigrams, "idx"),
+        contexts=_persist(model.contexts, "idx"),
+        vocab_size=model.vocab_size,
+    )
+    lm_kept = _persist(lm_filter(kept, model, lm_max_avg_bits_x100), "idx")
 
     kept_emb = _persist(
         emb.join(lm_kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
@@ -1002,13 +1028,14 @@ def curate_corpus_index(
     )
     n = kept_emb.count()
     k = max(8, -(-n // cluster_target))
-    centroids = (
+    centroids = _persist(
         kept_emb.orderBy("vec_id")
         .limit(k)
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("centroid_vec"),
-        )
+        ),
+        "idx",
     )
     assigned = kept_emb.join(
         ivf_assign(kept_emb, centroids).select("vec_id", "centroid_id"),

@@ -305,10 +305,13 @@ def q_tokenizer_compare(spark: SparkSession, sf: str) -> DataFrame:
     trained = U.unigram_train(d)
     pt = [(r["piece"], r["cost"]) for r in trained.collect()]
     uni = U.unigram_encode(d, pt)
-    wp_vocab = WP.wordpiece_alphabet(d) + [
-        r["merged"]
-        for r in WP.wordpiece_train(d, n_merges=WP.WP_MERGES).collect()
-    ]
+    # train + alphabet from ONE collected word-frequency pass (the
+    # q_wordpiece_encode spelling, optimization r13) — bit-identical
+    # merges via the driver-side finisher
+    wp_words = WP._collect_word_freqs(d)
+    wp_vocab = sorted(
+        {s for w, _ in wp_words for s in WP._wp_split(w)}
+    ) + [m[2] for m in WP._wp_train_rows(wp_words, n_merges=WP.WP_MERGES)]
     wpc = WP.wordpiece_encode(d, wp_vocab)
     return (
         _row("bpe_bytes", bpe)

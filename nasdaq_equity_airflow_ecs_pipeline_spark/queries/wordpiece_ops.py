@@ -33,24 +33,31 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_wordpiece_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Train 5 WordPiece merges on the documents corpus (Schuster &
-    Nakajima 2012; HF WordpieceTrainer scoring,
-    operators/wordpiece.py:wordpiece_train): word-frequency table once,
-    then vocabulary-sized rounds picking argmax of the quantized
-    likelihood score count(ab)*1e9 div (count(a)*count(b)). Output =
-    the merge artifact (step, pair, merged, freq, score_x1e9)."""
-    return W.wordpiece_train(_docs(spark, sf), n_merges=_N)
+    Nakajima 2012; HF WordpieceTrainer scoring): word-frequency table
+    once, then vocabulary-sized rounds picking argmax of the quantized
+    likelihood score count(ab)*1e9 div (count(a)*count(b)). Runs via
+    the driver-side finisher (wordpiece_train_local — the
+    bpe_train_local convention; optimization r13): one corpus pass to
+    the bounded word-frequency artifact, merge rounds in Python,
+    bit-identical merge table (test_wordpiece_local_equals_engine;
+    the oracle is unchanged). Output = (step, pair, merged, freq,
+    score_x1e9)."""
+    return W.wordpiece_train_local(_docs(spark, sf), n_merges=_N)
 
 
 def q_wordpiece_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Encode the corpus with the trained WordPiece vocabulary
     (operators/wordpiece.py:wordpiece_encode): greedy longest-match-
     first against alphabet + merge outputs, whole-word [UNK] fallback,
-    ids by lexicographic piece rank — (doc_id, seq_pos, token_id)."""
+    ids by lexicographic piece rank — (doc_id, seq_pos, token_id).
+    Training and the alphabet both derive from ONE collected
+    word-frequency pass (optimization r13) instead of three corpus
+    scans (train + alphabet + encode's own)."""
     d = _docs(spark, sf)
-    merges = W.wordpiece_train(d, n_merges=_N)
-    vocab = W.wordpiece_alphabet(d) + [
-        r["merged"] for r in merges.collect()
-    ]
+    words = W._collect_word_freqs(d)
+    merges = W._wp_train_rows(words, n_merges=_N)
+    alphabet = sorted({s for w, _ in words for s in W._wp_split(w)})
+    vocab = alphabet + [m[2] for m in merges]
     return W.wordpiece_encode(d, vocab)
 
 

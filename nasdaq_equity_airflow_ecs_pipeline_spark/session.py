@@ -38,18 +38,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Scan parallelism floor for small inputs: the default 4 MiB
-        # spark.sql.files.openCostInBytes floors the split size, so a
-        # single few-MB parquet file scans as ONE task and any
-        # zero-shuffle narrow-map query serializes on it. 128 KiB lets
-        # bytesPerCore (= input / minPartitionNum) win for small files;
-        # at production scale bytesPerCore >> 4 MiB so the value is
-        # inert there (split size is maxPartitionBytes either way) —
-        # it only parameterizes how aggressively many-tiny-file scans
-        # pack, hence the env override.
+        # spark.sql.files.openCostInBytes stays at the stock 4 MiB
+        # (VERDICT r12 #1): lowering it to 128 KiB shattered every
+        # few-MB parquet scan into dozens of footer-only splits at
+        # local[32] — the headline bench regressed 1.8x with inverse
+        # 8-vs-32-core scaling, while at production scale bytesPerCore
+        # >> 4 MiB makes the value inert either way. The env override
+        # remains for experimentation only; the default is Spark's.
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(4 * 1024 * 1024)),
         )
         # Defensive: some writers emit TIMESTAMP(NANOS); read as long and
         # normalize in sources.tables (truncation to micros, like DuckDB).

@@ -56,6 +56,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor for HEAVY per-row compute
+    (optimization r13; guide §2.2/§6.1). FileSourceScan packs splits at
+    ``max(openCostInBytes, inputBytes / defaultParallelism)``, so a
+    few-MB parquet table scans as 1-2 tasks under the stock 4 MiB open
+    cost — and a zero-shuffle row-expensive operator (char-n-gram
+    hashing, Gopher repetition folds, sentence splitting) serializes on
+    it regardless of core count. Round 12 attacked this with a GLOBAL
+    ``openCostInBytes=128KiB`` default, which over-split every small
+    scan and regressed the headline 1.8x (VERDICT r12 #1). This helper
+    widens ONLY where the operator declares its work row-expensive, and
+    only when the optimizer's size estimate says the scan cannot reach
+    ``defaultParallelism`` splits: below the gate it hash-repartitions
+    by the caller's key (deterministic row placement — never rand());
+    above it (any production-scale input: bytes/cores >> 4 MiB) it is a
+    NO-OP and the zero-shuffle plan shape is preserved. Checkpointed /
+    shuffled inputs report large or unknown sizes and pass through
+    untouched. The explicit partition count pins the exchange against
+    AQE re-coalescing (these partitions are deliberately tiny in bytes
+    but expensive in CPU). Results are unchanged: consumers are per-row
+    projections or aggregations, and the driver compares sorted rows."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes"))
+    except Exception:
+        return df
+    if size > par * open_cost:
+        return df
+    return df.repartition(par, F.col(key)) if key else df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 

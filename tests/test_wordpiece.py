@@ -13,6 +13,7 @@ from nasdaq_equity_airflow_ecs_pipeline_spark.operators.wordpiece import (
     wordpiece_alphabet,
     wordpiece_encode,
     wordpiece_train,
+    wordpiece_train_local,
 )
 
 
@@ -138,6 +139,27 @@ def test_encode_matches_python_greedy_and_roundtrips(spark):
             p[len(CONT):] if p.startswith(CONT) else " " + p for p in toks
         ).strip()
         assert rebuilt.split() == t.split()
+
+
+def test_wordpiece_local_equals_engine(spark):
+    """The driver-side merge finisher (wordpiece_train_local, the
+    bpe_train_local convention) trains the SAME merge table as the
+    engine rounds — selection score, tie-breaks, and the greedy fold
+    replay identically (optimization r13; q_wordpiece_merges runs the
+    local path against the unchanged unrolled oracle)."""
+    for texts in (
+        TEXTS,
+        ["ab ab ab ab ab ab xy xy xy a b ba ba ba ba ba ba"],
+        ["aaaa aaaa aa"],
+    ):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id bigint, text string"
+        )
+        engine = [tuple(r) for r in wordpiece_train(docs, n_merges=4).collect()]
+        local = [
+            tuple(r) for r in wordpiece_train_local(docs, n_merges=4).collect()
+        ]
+        assert local == engine
 
 
 def test_encode_unknown_char_is_whole_word_unk(spark):
